@@ -17,17 +17,18 @@ DataFrame: Catalyst + Parquet replace the reference's segment/encoding/
 index layer entirely (SURVEY.md §4: zero custom rules needed).
 """
 
+from .session import get_spark
 from .spec import (
     AggregateType,
     BucketSpec,
     BucketType,
     ColumnSpec,
+    ColumnType,
     KeysType,
     PartitionPolicy,
     PartitionType,
     TableSpec,
 )
-from .session import get_spark
 from .table import OlapTable
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "BucketSpec",
     "BucketType",
     "ColumnSpec",
+    "ColumnType",
     "KeysType",
     "PartitionPolicy",
     "PartitionType",
@@ -43,4 +45,4 @@ __all__ = [
     "get_spark",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

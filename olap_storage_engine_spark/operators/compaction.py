@@ -1,0 +1,87 @@
+"""Compaction — scoring, scheduling, and the rewrite itself.
+
+reference: src/tablet.rs:147-152 (score = count of VISIBLE rowsets),
+src/storage.rs:92-99 (rank all tablets, take top 10),
+src/common.rs:63 + README "不可变 Rowset" (rewrite semantics: new rowset
+covering the merged [start, end]; old rowsets become STALE).  The
+reference implements scoring + stale-marking only; the rewrite here is
+the *intended* semantics made real — and it applies the keys-model
+collapse physically (merge-on-write), so post-compaction reads skip the
+merge-on-read work entirely.
+
+Scale posture: compaction is an executor-side rewrite (read cover ->
+collapse -> write), scheduled driver-side from manifest metadata alone.
+At 100 TB you run it per-partition: the version cover is resolved once,
+but the rewrite job's shuffle is partition-parallel and incremental
+(compact the top-K highest-scoring tables/partitions per round, exactly
+the reference's top-10 policy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..plans.manifest import RowsetState
+from ..table import OlapTable
+
+DEFAULT_CANDIDATES = 10  # reference: src/storage.rs:96
+
+
+@dataclass
+class CompactionTask:
+    table_name: str
+    score: int
+
+
+def compute_compaction_score(table: OlapTable) -> int:
+    """reference: src/tablet.rs:147-152."""
+    return table.manifest.compaction_score()
+
+
+def schedule_compaction(
+    tables: list[OlapTable], top_k: int = DEFAULT_CANDIDATES
+) -> list[CompactionTask]:
+    """Rank candidates by score descending, take the top K
+    (reference: src/storage.rs:92-99, src/tablet.rs:223-236)."""
+    scored = sorted(
+        (CompactionTask(t.spec.name, compute_compaction_score(t)) for t in tables),
+        key=lambda c: -c.score,
+    )
+    return scored[: top_k]
+
+
+def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
+    """Rewrite the version cover [lo, hi] into one rowset.
+
+    Reads the cover, applies the keys-model collapse physically, writes
+    a single new rowset spanning the merged interval, then marks the
+    old cover STALE (reference: src/tablet.rs:155-165).  Query results
+    are invariant under compaction — pinned by tests.
+    """
+    if hi is None:
+        hi = table.manifest.max_version
+    cover = table.manifest.capture_consistent_versions(lo, hi)
+    if len(cover) <= 1:
+        return  # nothing to merge
+    merged = table.read(lo, hi)
+    # The collapsed result is version-stamped at `hi` on write; the new
+    # rowset covers [lo, hi] so existing snapshots keep resolving.
+    table.write(merged, start_version=lo, end_version=hi)
+    for rs in cover:
+        table.manifest.mark_stale(rs.rowset_id)
+
+
+def garbage_collect(table: OlapTable) -> list[str]:
+    """Delete the data directories of STALE rowsets (the reference only
+    marks GC intent; physical deletion is deferred — we do both)."""
+    import os
+    import shutil
+
+    removed = []
+    for rs in table.manifest.rowsets():
+        if rs.state == RowsetState.STALE:
+            d = os.path.join(table.root, rs.path)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+                removed.append(rs.path)
+    return removed

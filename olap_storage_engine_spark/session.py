@@ -8,12 +8,19 @@ cluster unchanged:
 - parquet filter pushdown / column pruning left at their defaults (on),
 - Arrow transfer for the few pandas-UDF code paths,
 - UTC session timezone so timestamp semantics match the DuckDB oracle.
+
+NOTE: this must be the first session creator in the process — static
+(pre-JVM) confs like driver memory cannot apply to a pre-existing
+session.  On a cluster, pass master/memory via spark-submit; this
+factory only falls back to local[] when no master is configured.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -24,12 +31,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with engine defaults.
+    """Build (or fetch) a SparkSession with engine defaults."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
 
-    On a real cluster the master/executor topology comes from
-    spark-submit; this only sets master when nothing is configured
-    (the local test path).
-    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -38,7 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(
+                shuffle_partitions
+                if shuffle_partitions is not None
+                else DEFAULT_SHUFFLE_PARTITIONS
+            ),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -49,8 +59,10 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Respect a master from spark-submit/--master or SPARK_MASTER env;
+    # fall back to local[] only when nothing configured the master.
     if "SPARK_MASTER" in os.environ:
         builder = builder.master(os.environ["SPARK_MASTER"])
-    else:
+    elif not SparkConf().contains("spark.master"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()

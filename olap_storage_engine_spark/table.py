@@ -1,0 +1,209 @@
+"""OlapTable — the write/read path over Parquet + version manifest.
+
+Maps the reference's storage lifecycle onto Spark's columnar stack:
+
+- DDL (reference: src/storage.rs:35-60, src/table.rs:11-26) ->
+  ``OlapTable.create``: table root dir + spec JSON + empty manifest.
+- Write (reference: src/segment.rs:132-234 row append/finalize +
+  src/table.rs:32-41 routing + src/storage.rs:79-87 publish) ->
+  ``OlapTable.write``: derive partition label + FNV bucket id, sort
+  within partitions by the key columns (the short-key analogue — makes
+  Parquet row-group min/max stats tight, reference: src/index/mod.rs:112-135),
+  write one Parquet directory per version interval, publish the rowset
+  in the manifest.
+- Read (reference: src/tablet.rs:131-144 snapshot cover +
+  src/segment.rs:273-310 column scan) -> ``OlapTable.read``: resolve the
+  BFS version cover, load the file union, apply the keys-model collapse
+  view; filters/projections on the returned DataFrame push down to
+  Parquet automatically (zone-map/bloom/dictionary live inside Parquet,
+  reference: src/index/mod.rs + src/encoding/mod.rs -> all built-in).
+
+Layout:  {warehouse}/{table}/v={start}_{end}/{pt=<label>/}{bk=<id>/}part-*.parquet
+
+Scale posture: partition label and bucket id are physical directory
+columns, so a 1000-executor read of one partition/bucket touches only
+its files (partition pruning is a metadata operation).  The bucket
+count is the parallelism unit within a partition; writes repartition by
+(label, bucket) so each task writes exactly one directory — no
+small-file explosion at high executor counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.keys_model import SEQ_COL, VERSION_COL, collapse, with_write_metadata
+from .operators.routing import bucket_id_col, partition_label_col
+from .plans.manifest import Manifest, RowsetMeta, RowsetState
+from .spec import BucketType, PartitionType, TableSpec
+
+PT_COL = "__pt"  # partition label directory column
+BK_COL = "__bk"  # bucket id directory column
+SPEC_FILE = "_spec.json"
+
+
+class OlapTable:
+    """One table = spec + manifest + versioned Parquet directories."""
+
+    def __init__(self, spark: SparkSession, spec: TableSpec, root: str):
+        self.spark = spark
+        self.spec = spec
+        self.root = root
+        self.manifest = Manifest.load(root)
+
+    # -- DDL -----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        spec: TableSpec,
+        warehouse: str,
+        overwrite: bool = False,
+    ) -> "OlapTable":
+        """reference: src/storage.rs:40-60 create_table_with_partitions."""
+        root = os.path.join(warehouse, spec.name)
+        if os.path.exists(root):
+            if not overwrite:
+                raise FileExistsError(f"table dir exists: {root}")
+            shutil.rmtree(root)
+        os.makedirs(root)
+        with open(os.path.join(root, SPEC_FILE), "w") as f:
+            f.write(spec.to_json())
+        Manifest(root).save()
+        return cls(spark, spec, root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, warehouse: str, name: str) -> "OlapTable":
+        root = os.path.join(warehouse, name)
+        with open(os.path.join(root, SPEC_FILE)) as f:
+            spec = TableSpec.from_json(f.read())
+        return cls(spark, spec, root)
+
+    @classmethod
+    def drop(cls, warehouse: str, name: str) -> None:
+        """reference: src/storage.rs:64-74 drop_table."""
+        root = os.path.join(warehouse, name)
+        if os.path.exists(root):
+            shutil.rmtree(root)
+
+    # -- write path ------------------------------------------------------
+    def _routed(self, df: DataFrame) -> DataFrame:
+        pt = partition_label_col(self.spec.partition)
+        bk = bucket_id_col(self.spec.bucket)
+        return df.withColumn(PT_COL, pt).withColumn(BK_COL, bk)
+
+    def write(
+        self,
+        df: DataFrame,
+        start_version: int | None = None,
+        end_version: int | None = None,
+    ) -> RowsetMeta:
+        """Route, sort, write one rowset, publish it.
+
+        Default version interval is the next single version
+        [max_version+1, max_version+1] — the normal ingest path; an
+        explicit wider interval is the compaction-rewrite path.
+        """
+        if start_version is None:
+            start_version = self.manifest.max_version + 1
+        if end_version is None:
+            end_version = start_version
+        rel = f"v={start_version}_{end_version}"
+        out_dir = os.path.join(self.root, rel)
+
+        routed = self._routed(with_write_metadata(df, end_version))
+        keys = self.spec.key_names() or self.spec.column_names()[:1]
+        shuffle_parts = (
+            self.spec.bucket.num_buckets
+            if self.spec.bucket.btype == BucketType.HASH
+            else None
+        )
+        if self.spec.partition.ptype != PartitionType.UNPARTITIONED or (
+            shuffle_parts and shuffle_parts > 1
+        ):
+            # one task per (partition, bucket) directory target
+            routed = routed.repartition(F.col(PT_COL), F.col(BK_COL))
+        sorted_df = routed.sortWithinPartitions(*keys)
+
+        writer = (
+            sorted_df.write.mode("errorifexists")
+            .partitionBy(PT_COL, BK_COL)
+            # parquet-side index features (reference: src/index/mod.rs):
+            # min/max page stats are always on; add bloom filters for the
+            # leading key column (point-lookup skip, reference A17).
+            .option("parquet.block.size", 128 * 1024 * 1024)
+        )
+        if keys:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{keys[0]}", "true"
+            ).option("parquet.bloom.filter.max.bytes", 64 * 1024)
+        writer.parquet(out_dir)
+
+        stats = (
+            self.spark.read.parquet(out_dir)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        size = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(out_dir)
+            for fn in fns
+        )
+        rs = RowsetMeta(
+            rowset_id=self.manifest.next_rowset_id(),
+            start_version=start_version,
+            end_version=end_version,
+            path=rel,
+            num_rows=stats["n"],
+            data_size=size,
+        )
+        self.manifest.publish(rs)
+        return rs
+
+    # -- read path -------------------------------------------------------
+    def scan(
+        self,
+        lo: int = 0,
+        hi: int | None = None,
+        with_hidden: bool = False,
+    ) -> DataFrame:
+        """Raw snapshot scan: the file union of the version cover,
+        before keys-model collapse."""
+        cover = self.manifest.capture_consistent_versions(lo, hi)
+        if not cover:
+            return self.spark.createDataFrame([], self.spec.spark_schema())
+        paths = [os.path.join(self.root, rs.path) for rs in cover]
+        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        # basePath keeps the __pt/__bk directory columns visible for
+        # partition pruning; hide internals unless asked.
+        cols = self.spec.column_names()
+        if with_hidden:
+            cols = cols + [c for c in (VERSION_COL, SEQ_COL, PT_COL, BK_COL)
+                           if c in df.columns]
+        return df.select(*cols)
+
+    def read(self, lo: int = 0, hi: int | None = None) -> DataFrame:
+        """Snapshot read through the keys-model collapse view."""
+        df = self.scan(lo, hi, with_hidden=True)
+        drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+        return collapse(df.drop(*drop), self.spec)
+
+    # -- ops ------------------------------------------------------------
+    def compaction_score(self) -> int:
+        return self.manifest.compaction_score()
+
+    def visible_file_count(self) -> int:
+        cover = self.manifest.visible_rowsets()
+        n = 0
+        for rs in cover:
+            d = os.path.join(self.root, rs.path)
+            n += sum(
+                1
+                for dp, _, fns in os.walk(d)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+        return n
