@@ -3,36 +3,1091 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Query inventory follows SURVEY.md §2: Part A storage-semantics queries
+run through the real OlapTable write->route->publish->cover->collapse
+path (fixtures in olap_storage_engine_spark/fixtures.py); Part C are
+the LLM-pipeline extension operators; the extra relational queries
+exercise the Part B surface Spark provides natively.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from olap_storage_engine_spark.fixtures import get_table
+from olap_storage_engine_spark.operators import dedup as dd
+from olap_storage_engine_spark.operators import multimodal as mm
+from olap_storage_engine_spark.operators import similarity as sim
+from olap_storage_engine_spark.operators import text as tx
+from olap_storage_engine_spark.operators.compaction import compact
+from olap_storage_engine_spark.operators.routing import bucket_id_col
+from olap_storage_engine_spark.sources.testdata import load_table
+from olap_storage_engine_spark.spec import BucketSpec, BucketType
+from olap_storage_engine_spark.streaming.events import (
+    sessionize_batch,
+    windowed_event_agg,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (SURVEY §7.2 M1)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue per day from the AGGREGATE-model orders table
+    (partitioned by year range, bucketed by custkey), read through the
+    version cover + collapse view — the full engine spine in one query."""
+    t = get_table(spark, SF0001, "orders_agg")
+    return (
+        t.read()
+        .groupBy("o_orderdate")
+        .agg(
+            F.round(F.sum("sum_price"), 2).alias("revenue"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+# exact money sums: cast to DECIMAL before summing so Spark's partial-
+# aggregation tree order and DuckDB's sequential order give identical
+# results; cast back to DOUBLE for a stable output schema.
+def _dsum(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), scale
+    )
+
+
+def _probes(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Part A — storage-semantics queries (through OlapTable)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_projection(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_key")
+    return t.read().select("l_orderkey", "l_extendedprice")
+
+
+def q_scan_count(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_rt")
+    return t.read().agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_write_read_roundtrip(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_rt")
+    return t.read()
+
+
+def q_bucket_routing_hash(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    b = BucketSpec(BucketType.HASH, "o_custkey", 8)
+    return (
+        o.withColumn("bucket_id", bucket_id_col(b))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+        )
+    )
+
+
+def q_duplicate_model_scan(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_dup")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+def q_unique_key_latest(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_unique")
+    return t.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_agg_model_sum(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_agg")
+    return t.read().select(
+        "o_orderdate",
+        "o_custkey",
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_orders",
+    )
+
+
+def q_agg_model_min_max(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_agg")
+    return t.read().select(
+        "l_orderkey",
+        "min_price",
+        "max_price",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_lines",
+    )
+
+
+def q_agg_model_replace(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_replace")
+    return t.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_partition_prune_range(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_dup")
+    return (
+        t.read()
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+def q_partition_prune_list(spark, sf_dir):
+    t = get_table(spark, sf_dir, "customer_list")
+    return (
+        t.read()
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+def q_rollup_coarser_agg(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_rollup")
+    return (
+        t.read()
+        .filter(F.year("o_orderdate") == 1995)
+        .select(
+            "o_orderdate",
+            F.round("sum_price", 2).alias("sum_price"),
+            "n_orders",
+        )
+    )
+
+
+def q_filter_range_zonemap(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_ship")
+    return (
+        t.read()
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-09-01"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q_filter_equality_point(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_key")
+    df = t.read()
+    min_key = df.agg(F.min("l_orderkey")).collect()[0][0]
+    return df.filter(F.col("l_orderkey") == min_key).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q_shortkey_prefix_seek(spark, sf_dir):
+    t = get_table(spark, sf_dir, "lineitem_key")
+    df = t.read()
+    min_key = df.agg(F.min("l_orderkey")).collect()[0][0]
+    return df.filter(
+        (F.col("l_orderkey") >= min_key) & (F.col("l_orderkey") < min_key + 1000)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_snapshot_read_versions(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_versions")
+    return (
+        t.read(0, 1)  # versions [0,1] of three published rowsets
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+def q_compaction_score(spark, sf_dir):
+    multi = get_table(spark, sf_dir, "orders_multi")
+    two = get_table(spark, sf_dir, "orders_two")
+    rows = [
+        ("orders_multi", multi.compaction_score()),
+        ("orders_two", two.compaction_score()),
+    ]
+    return spark.createDataFrame(rows, "table_name string, score int")
+
+
+def q_compaction_rewrite(spark, sf_dir):
+    t = get_table(spark, sf_dir, "orders_compact")
+    compact(t)  # idempotent: single-rowset covers are a no-op
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part C — LLM-pipeline extension operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.sha_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_candidates(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, band_rows=2, n=3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_doc_freq=50,
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return dd.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), num_planes=8, threshold=0.3
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    return sim.brute_topk(
+        load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
+    )
+
+
+def q_similarity_ann_lsh(spark, sf_dir):
+    return sim.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=5,
+        num_planes=8,
+        num_tables=4,
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    return tx.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return (
+        tx.language_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return tx.quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_punct", "n_stopwords", "mean_token_len", "quality"
+    )
+
+
+def q_text_tokens(spark, sf_dir):
+    return tx.token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return tx.fingerprints(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_multimodal_join(spark, sf_dir):
+    return mm.multimodal_join(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.payload_metadata(mm.attach_binary_payload(docs))
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_features(mm.attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "first_byte",
+        "last_byte",
+        F.round("byte_mean", 4).alias("byte_mean"),
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    return windowed_event_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    return sessionize_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_events_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part B — relational surface (Spark-native; bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price, 6).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_star_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(disc_price, 6).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_window_running_total(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_grouping_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price")
+    )
+
+
+def q_set_except(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    in95 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    in96 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return in95.subtract(in96)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # Part A — storage semantics
+        "scan_projection": q_scan_projection,
+        "scan_count": q_scan_count,
+        "write_read_roundtrip": q_write_read_roundtrip,
+        "bucket_routing_hash": q_bucket_routing_hash,
+        "duplicate_model_scan": q_duplicate_model_scan,
+        "unique_key_latest": q_unique_key_latest,
+        "agg_model_sum": q_agg_model_sum,
+        "agg_model_min_max": q_agg_model_min_max,
+        "agg_model_replace": q_agg_model_replace,
+        "partition_prune_range": q_partition_prune_range,
+        "partition_prune_list": q_partition_prune_list,
+        "rollup_coarser_agg": q_rollup_coarser_agg,
+        "filter_range_zonemap": q_filter_range_zonemap,
+        "filter_equality_point": q_filter_equality_point,
+        "shortkey_prefix_seek": q_shortkey_prefix_seek,
+        "snapshot_read_versions": q_snapshot_read_versions,
+        "compaction_score": q_compaction_score,
+        "compaction_rewrite": q_compaction_rewrite,
+        # Part C — LLM-pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_join": q_multimodal_join,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_json_extract": q_events_json_extract,
+        # Part B — relational surface
+        "tpch_q1": q_tpch_q1,
+        "join_star_revenue": q_join_star_revenue,
+        "window_running_total": q_window_running_total,
+        "grouping_cube": q_grouping_cube,
+        "set_except": q_set_except,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MD5INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    mh_cols = ",\n    ".join(
+        "min({h}) AS mh{i}".format(
+            h=_MD5INT.format(expr="'{i}#' || shingle".format(i=i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    num_bands = num_hashes // band_rows
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"mh{b * band_rows + r}::VARCHAR" for r in range(band_rows)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                   for i in range(1, len(t) - {n - 2})]) AS shingle
+    FROM toks
+  )
+),
+mh AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+"""
+
+
+def _simhash_oracle(bits=32) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(t) AS tok FROM toks
+  )
+),
+th AS (SELECT doc_id, {_MD5INT.format(expr='tok')} AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _ngram_jaccard_oracle(n=5, threshold=0.5, max_df=50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                   for i in range(1, len(t) - {n - 2})]) AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}) f
+    USING (shingle)
+),
+common AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS c
+  FROM rare l JOIN rare r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       c / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= {threshold}
+"""
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"({_dot_sql(a, b, dim)} / ({_norm_sql(a, dim)} * {_norm_sql(b, dim)}))"
+
+
+def _weights_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{w!r}::DOUBLE" for w in plane) + "]"
+
+
+def _lsh_sig_sql(vec: str, num_planes: int, dim: int = 64) -> str:
+    from olap_storage_engine_spark.operators.dedup import hyperplane_weights
+
+    weights = hyperplane_weights(num_planes, dim)
+    parts = []
+    for p in range(num_planes):
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[i]::DOUBLE * ({_weights_sql(weights[p])})[i]))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def _embedding_neardup_oracle(num_planes=8, threshold=0.3) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_sig_sql('embedding', num_planes)} AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_cos_sql('l.embedding', 'r.embedding')} >= {threshold}
+"""
+
+
+def _similarity_topk_oracle(k=10, n_probes=5) -> str:
+    return f"""
+WITH p AS (
+  SELECT vec_id AS probe_id, embedding AS pe
+  FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+),
+s AS (
+  SELECT p.probe_id, e.vec_id, {_cos_sql('e.embedding', 'p.pe')} AS cos
+  FROM embeddings e CROSS JOIN p
+  WHERE e.vec_id <> p.probe_id
+),
+r AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _similarity_ann_lsh_oracle(k=5, num_planes=8, num_tables=4, n_probes=5) -> str:
+    total = num_planes * num_tables
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, 't{t}:' || substr(sig, {t * num_planes + 1}, {num_planes}) "
+        "AS bucket FROM sigs"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {_lsh_sig_sql('embedding', total)} AS sig FROM embeddings
+),
+keys AS (
+{band_union}
+),
+probe_ids AS (
+  SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, c.vec_id
+  FROM keys c
+  JOIN (SELECT k.vec_id AS probe_id, k.bucket
+        FROM keys k JOIN probe_ids ON k.vec_id = probe_ids.probe_id) p
+    ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.probe_id
+),
+s AS (
+  SELECT cand.probe_id, cand.vec_id,
+         {_cos_sql('e.embedding', 'pe.embedding')} AS cos
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id
+),
+r AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+_WS_TOKENS = (
+    "CAST(length(trim(text)) - "
+    "length(regexp_replace(trim(text), '\\s+', '', 'g')) + 1 AS INT)"
+)
+
+
+def _langid_oracle() -> str:
+    from olap_storage_engine_spark.operators.text import STOPWORDS
+
+    score_cols = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"x -> x IN ({words}))) AS s_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH sc AS (
+  SELECT lang, {", ".join(score_cols)} FROM documents
+),
+p AS (
+  SELECT lang, {best} AS best,
+         CASE WHEN {best} > 0 THEN (CASE {cases} END) ELSE 'und' END AS pred_lang
+  FROM sc
+)
+SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+def _quality_oracle() -> str:
+    from olap_storage_engine_spark.operators.text import STOPWORDS
+
+    all_words = ", ".join(
+        f"'{w}'" for ws in STOPWORDS.values() for w in ws
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(length(text) AS INT) AS n_chars_i,
+    {_WS_TOKENS} AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)
+      AS n_punct,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         x -> x IN ({all_words}))) AS INT) AS n_stopwords
+  FROM documents
+),
+m AS (
+  SELECT *, (n_chars_i - (n_tokens - 1)) / n_tokens::DOUBLE AS mtl FROM q
+)
+SELECT doc_id, n_tokens, n_punct, n_stopwords,
+  round(mtl, 4) AS mean_token_len,
+  round(
+    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN n_punct / n_chars_i::DOUBLE <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN n_stopwords > 0 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END), 2) AS quality
+FROM m
+"""
+
+
+def _fnv_sql(expr: str) -> str:
+    """FNV-1a 64 of a string expression, as HUGEINT mod 2^64."""
+    return (
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> ord(substr({expr}, i, 1))::HUGEINT)), "
+        "(h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * 1099511628211) "
+        "% 18446744073709551616::HUGEINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp_mod = 2147483647
+    return {
+        # ---- Part A ----
+        "scan_projection": "SELECT l_orderkey, l_extendedprice FROM lineitem",
+        "scan_count": "SELECT count(*) AS n_rows FROM lineitem",
+        "write_read_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+            " l_shipdate FROM lineitem"
+        ),
+        "bucket_routing_hash": f"""
+            SELECT CAST({_fnv_sql("o_custkey::VARCHAR")} % 8 AS INT) AS bucket_id,
+                   count(*) AS n, count(DISTINCT o_custkey) AS n_keys
+            FROM orders GROUP BY 1
+        """,
+        "duplicate_model_scan": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "unique_key_latest": """
+            WITH u AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, 'UPDATED', o_totalprice * 2, 1
+              FROM orders WHERE o_orderkey % 10 = 0
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                               ORDER BY v DESC) AS rn FROM u)
+            WHERE rn = 1
+        """,
+        "agg_model_sum": """
+            SELECT CAST(o_orderdate AS DATE) AS o_orderdate, o_custkey,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "agg_model_min_max": """
+            SELECT l_orderkey, min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY 1
+        """,
+        "agg_model_replace": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   round(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3
+                              ELSE o_totalprice END, 2) AS o_totalprice
+            FROM orders
+        """,
+        "partition_prune_range": """
+            SELECT CAST(month(o_orderdate) AS INT) AS month, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            GROUP BY 1
+        """,
+        "partition_prune_list": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+            GROUP BY 1
+        """,
+        "rollup_coarser_agg": """
+            SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE year(CAST(o_orderdate AS DATE)) = 1995
+            GROUP BY 1
+        """,
+        "filter_range_zonemap": """
+            SELECT count(*) AS n,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-09-01 00:00:00'
+        """,
+        "filter_equality_point": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+            WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        """,
+        "shortkey_prefix_seek": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey >= (SELECT min(l_orderkey) FROM lineitem)
+              AND l_orderkey < (SELECT min(l_orderkey) + 1000 FROM lineitem)
+        """,
+        "snapshot_read_versions": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1
+        """,
+        "compaction_score": """
+            SELECT 'orders_multi' AS table_name, 5 AS score
+            UNION ALL
+            SELECT 'orders_two', 2
+        """,
+        "compaction_rewrite": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        # ---- Part C ----
+        "dedup_exact": """
+            SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
+                   count(*) AS dup_cnt
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "similarity_topk": _similarity_topk_oracle(),
+        "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
+        "text_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   CAST(sum({_WS_TOKENS}) AS BIGINT) AS total_tokens,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY 1
+        """,
+        "text_langid": _langid_oracle(),
+        "text_quality": _quality_oracle(),
+        "text_tokens": f"""
+            SELECT doc_id, {_WS_TOKENS} AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(string_split_regex(trim(text), '\\s+'),
+                    t -> {_MD5INT.format(expr='t')} % {fp_mod})),
+                (a, b) -> (a * 31 + b) % {fp_mod}) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_join": """
+            SELECT doc_id, lang, source, n_chars,
+                   label AS emb_label, CAST(len(embedding) AS INT) AS emb_dim
+            FROM documents JOIN embeddings ON doc_id = vec_id
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, 'text' AS modality,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   CAST(ord(substr(text, 1, 1)) AS INT) AS first_byte,
+                   CAST(ord(substr(text, length(text), 1)) AS INT) AS last_byte,
+                   round(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> ord(substr(text, i, 1))))::DOUBLE / length(text), 4)
+                     AS byte_mean
+            FROM documents
+        """,
+        "events_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM s GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                     AS avg_k
+            FROM events GROUP BY 1
+        """,
+        # ---- Part B ----
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 4) AS avg_price,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "join_star_revenue": """
+            SELECT r_name, n_name,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+              count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+            GROUP BY 1, 2
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders WHERE o_custkey < 100
+        """,
+        "grouping_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "set_except": """
+            SELECT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        """,
+    }

@@ -1,0 +1,474 @@
+"""Fixture OlapTables built from the driver test data.
+
+Each builder writes one engine table (spec + manifest + versioned
+Parquet) into a per-process warehouse, once per (sf_dir, table); the
+declared queries in __spark_entry__.py read through these so every
+correctness row exercises the real write -> route -> publish -> cover ->
+collapse path, not a bare ``spark.read``.
+
+Version fixtures mirror the reference demo (examples/basic_usage.rs:
+222-283): multiple single-version rowsets, a compacted interval, and a
+hole case (tested in tests/, not in declared queries).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sources.testdata import load_table
+from .spec import (
+    AggregateType,
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    PartitionPolicy,
+    PartitionType,
+    TableSpec,
+)
+from .table import OlapTable
+
+_WAREHOUSE: dict[str, str] = {}
+_TABLES: dict[tuple[str, str], OlapTable] = {}
+
+
+def warehouse_for(sf_dir: str) -> str:
+    if sf_dir not in _WAREHOUSE:
+        _WAREHOUSE[sf_dir] = tempfile.mkdtemp(prefix="olap_wh_")
+    return _WAREHOUSE[sf_dir]
+
+
+def get_table(spark: SparkSession, sf_dir: str, name: str) -> OlapTable:
+    key = (sf_dir, name)
+    if key not in _TABLES:
+        builder = _BUILDERS[name]
+        _TABLES[key] = builder(spark, sf_dir)
+    return _TABLES[key]
+
+
+# ---------------------------------------------------------------- orders
+
+
+def _orders_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+
+# orders o_orderdate spans 1995-01-01 .. 2001-08-01 in the test data
+ORDER_RANGE_BOUNDS = [
+    ("p1995", "1996-01-01"),
+    ("p1996", "1997-01-01"),
+    ("p1997", "1998-01-01"),
+    ("p1998", "1999-01-01"),
+    ("p1999", "2000-01-01"),
+    ("p2000", "2001-01-01"),
+    ("pmax", "9999-12-31"),
+]
+
+
+def _build_orders_dup(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """DUPLICATE keys model, RANGE-partitioned by order year, HASH
+    buckets on o_custkey (reference demo shape,
+    examples/basic_usage.rs:76-121)."""
+    spec = TableSpec(
+        name="orders_dup",
+        columns=[
+            ColumnSpec.key("o_orderdate", ColumnType.DATE),
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+            ColumnSpec.value("o_orderpriority", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "o_orderdate", bounds=ORDER_RANGE_BOUNDS
+        ),
+        bucket=BucketSpec(BucketType.HASH, "o_custkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(
+        _orders_df(spark, sf_dir).select(
+            "o_orderdate",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    return t
+
+
+def _build_orders_agg(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """AGGREGATE keys model: (o_orderdate, o_custkey) -> SUM price,
+    SUM n_orders (SURVEY §7.2 M1 flagship table)."""
+    spec = TableSpec(
+        name="orders_agg",
+        columns=[
+            ColumnSpec.key("o_orderdate", ColumnType.DATE),
+            ColumnSpec.key("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("sum_price", ColumnType.FLOAT64, AggregateType.SUM),
+            ColumnSpec.value("n_orders", ColumnType.INT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "o_orderdate", bounds=ORDER_RANGE_BOUNDS
+        ),
+        bucket=BucketSpec(BucketType.HASH, "o_custkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(
+        _orders_df(spark, sf_dir).select(
+            "o_orderdate",
+            "o_custkey",
+            F.col("o_totalprice").alias("sum_price"),
+            F.lit(1).cast("long").alias("n_orders"),
+        )
+    )
+    return t
+
+
+def _build_lineitem_agg(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """AGGREGATE keys model with MIN/MAX/SUM value columns."""
+    spec = TableSpec(
+        name="lineitem_agg",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.value("min_price", ColumnType.FLOAT64, AggregateType.MIN),
+            ColumnSpec.value("max_price", ColumnType.FLOAT64, AggregateType.MAX),
+            ColumnSpec.value("sum_qty", ColumnType.FLOAT64, AggregateType.SUM),
+            ColumnSpec.value("n_lines", ColumnType.INT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(
+        li.select(
+            "l_orderkey",
+            F.col("l_extendedprice").alias("min_price"),
+            F.col("l_extendedprice").alias("max_price"),
+            F.col("l_quantity").alias("sum_qty"),
+            F.lit(1).cast("long").alias("n_lines"),
+        )
+    )
+    return t
+
+
+def _versioned_orders(spark: SparkSession, sf_dir: str):
+    """v1 = all orders; v2 = every 10th order re-ingested with doubled
+    price and UPDATED status — the deterministic two-version fixture
+    shared by the unique/replace queries and their SQL oracles."""
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("UPDATED"))
+    )
+    return base, v2
+
+
+def _build_orders_unique(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """UNIQUE keys model: same key across versions -> latest wins."""
+    spec = TableSpec(
+        name="orders_unique",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    v1, v2 = _versioned_orders(spark, sf_dir)
+    t.write(v1)
+    t.write(v2)
+    return t
+
+
+def _build_orders_replace(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """AGGREGATE keys model exercising REPLACE (latest status wins)
+    alongside SUM (prices accumulate across versions)."""
+    spec = TableSpec(
+        name="orders_replace",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value(
+                "o_orderstatus", ColumnType.VARCHAR, AggregateType.REPLACE
+            ),
+            ColumnSpec.value(
+                "o_totalprice", ColumnType.FLOAT64, AggregateType.SUM
+            ),
+        ],
+        keys_type=KeysType.AGGREGATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    v1, v2 = _versioned_orders(spark, sf_dir)
+    t.write(v1.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    t.write(v2.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    return t
+
+
+def _build_orders_rollup(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Materialized rollup (reference A15: rollup_indexes — declared in
+    metadata there, real here): coarser key set (o_orderdate only),
+    derived from the orders_agg base table's collapsed view."""
+    base = get_table(spark, sf_dir, "orders_agg")
+    spec = TableSpec(
+        name="orders_rollup",
+        columns=[
+            ColumnSpec.key("o_orderdate", ColumnType.DATE),
+            ColumnSpec.value("sum_price", ColumnType.FLOAT64, AggregateType.SUM),
+            ColumnSpec.value("n_orders", ColumnType.INT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "o_orderdate", bounds=ORDER_RANGE_BOUNDS
+        ),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(base.read().select("o_orderdate", "sum_price", "n_orders"))
+    return t
+
+
+def _build_customer_list(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """LIST-partitioned customer table on c_mktsegment."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    spec = TableSpec(
+        name="customer_list",
+        columns=[
+            ColumnSpec.key("c_custkey", ColumnType.INT64),
+            ColumnSpec.value("c_name", ColumnType.VARCHAR),
+            ColumnSpec.value("c_nationkey", ColumnType.INT32),
+            ColumnSpec.value("c_acctbal", ColumnType.FLOAT64),
+            ColumnSpec.value("c_mktsegment", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.LIST, "c_mktsegment", mapping={s: s for s in segs}
+        ),
+        bucket=BucketSpec(BucketType.HASH, "c_custkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(load_table(spark, sf_dir, "customer"))
+    return t
+
+
+def _build_lineitem_ship(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """lineitem keyed (sorted) by ship date — the zone-map fixture:
+    sorted writes make Parquet row-group min/max stats tight so range
+    predicates skip row groups (reference A16/A18)."""
+    spec = TableSpec(
+        name="lineitem_ship",
+        columns=[
+            ColumnSpec.key("l_shipdate", ColumnType.TIMESTAMP),
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.key("l_linenumber", ColumnType.INT32),
+            ColumnSpec.value("l_quantity", ColumnType.FLOAT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+            ColumnSpec.value("l_returnflag", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(
+        li.select(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        )
+    )
+    return t
+
+
+def _build_lineitem_key(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """lineitem keyed by (l_orderkey, l_linenumber) — the short-key /
+    point-lookup fixture; bloom filter on l_orderkey at write."""
+    spec = TableSpec(
+        name="lineitem_key",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.key("l_linenumber", ColumnType.INT32),
+            ColumnSpec.value("l_partkey", ColumnType.INT64),
+            ColumnSpec.value("l_suppkey", ColumnType.INT64),
+            ColumnSpec.value("l_quantity", ColumnType.FLOAT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    return t
+
+
+def _split_write(t: OlapTable, df: DataFrame, col: str, parts: int) -> None:
+    for i in range(parts):
+        t.write(df.filter(F.col(col) % parts == i))
+
+
+def _build_orders_versions(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Three single-version rowsets (orders split by o_orderkey % 3) —
+    the snapshot-read fixture (reference examples/basic_usage.rs:222-249)."""
+    spec = TableSpec(
+        name="orders_versions",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    _split_write(t, base, "o_orderkey", 3)
+    return t
+
+
+def _build_orders_multi(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Five single-version rowsets — the compaction fixture
+    (reference examples/basic_usage.rs:254-270)."""
+    spec = TableSpec(
+        name="orders_multi",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    _split_write(t, base, "o_orderkey", 5)
+    return t
+
+
+def _build_orders_compact(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Separate five-rowset table mutated by the compaction_rewrite
+    query, so compaction_score's fixtures stay pristine regardless of
+    query execution order."""
+    spec = TableSpec(
+        name="orders_compact",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    _split_write(t, base, "o_orderkey", 5)
+    return t
+
+
+def _build_orders_two(spark: SparkSession, sf_dir: str) -> OlapTable:
+    spec = TableSpec(
+        name="orders_two",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    _split_write(t, base, "o_orderkey", 2)
+    return t
+
+
+def _build_lineitem_rt(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Full-width lineitem round-trip table (write_read_roundtrip)."""
+    spec = TableSpec(
+        name="lineitem_rt",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.key("l_linenumber", ColumnType.INT32),
+            ColumnSpec.value("l_partkey", ColumnType.INT64),
+            ColumnSpec.value("l_suppkey", ColumnType.INT64),
+            ColumnSpec.value("l_quantity", ColumnType.FLOAT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+            ColumnSpec.value("l_tax", ColumnType.FLOAT64),
+            ColumnSpec.value("l_returnflag", ColumnType.VARCHAR),
+            ColumnSpec.value("l_linestatus", ColumnType.VARCHAR),
+            ColumnSpec.value("l_shipdate", ColumnType.TIMESTAMP),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    t.write(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
+    return t
+
+
+_BUILDERS = {
+    "orders_dup": _build_orders_dup,
+    "orders_agg": _build_orders_agg,
+    "lineitem_agg": _build_lineitem_agg,
+    "orders_unique": _build_orders_unique,
+    "orders_replace": _build_orders_replace,
+    "orders_rollup": _build_orders_rollup,
+    "customer_list": _build_customer_list,
+    "lineitem_ship": _build_lineitem_ship,
+    "lineitem_key": _build_lineitem_key,
+    "orders_versions": _build_orders_versions,
+    "orders_multi": _build_orders_multi,
+    "orders_compact": _build_orders_compact,
+    "orders_two": _build_orders_two,
+    "lineitem_rt": _build_lineitem_rt,
+}

@@ -1,0 +1,367 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference is a storage engine); these are
+the LLM-pipeline extension surface (SURVEY §2 Part C).  Every operator
+is expressed as shuffles over deterministic hash keys — no all-pairs
+comparison ever materializes:
+
+- exact:      one hash-aggregate on sha2(text).                O(N)
+- minhash:    shingle -> K seeded min-hashes -> band buckets -> pairs
+              emerge only inside buckets.                      O(N·K)
+- simhash:    token-hash sign-sums -> 32-bit fingerprint ->
+              band-exact buckets for candidates.               O(N·B)
+- ngram jaccard: inverted shingle index self-join with a document-
+              frequency cap (stop-shingles dropped), so the join fans
+              out per-shingle, never per-document-pair.        ~O(N·S̄)
+- embedding near-dup: random-hyperplane LSH bucket join + exact cosine
+              rescoring inside buckets.                        O(N·P)
+
+100 TB posture: each stage is a hash shuffle on a derived key with
+map-side combine; the frequency caps bound the worst bucket, and AQE
+skew-join splitting handles residual hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import md5int
+from ..functions.textfns import tokens
+from ..functions.vectors import cosine
+
+
+def sha_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group rows by sha2(text); keep the lowest id as the
+    canonical document.  Returns (text_sha, keep_id, dup_cnt)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The filtered corpus: one row per distinct text (lowest id wins)."""
+    keep = sha_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, on=id_col, how="semi")
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-gram shingles, one row per (doc, distinct shingle).
+
+    Built from the token array with transform+slice (JVM-side), then
+    exploded; distinct so a repeated shingle counts once per doc.
+    """
+    toks = tokens(F.col(text_col))
+    # guard: sequence(1, k) with k < 1 would generate a DESCENDING
+    # sequence in Spark; short documents get an empty shingle set.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K seeded min-hash values per document:
+    sig_i = min over shingles of md5int(i || '#' || shingle).
+
+    One shuffle (groupBy doc) with map-side partial min."""
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(md5int(F.col("shingle"), salt=i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: split the K-row signature into bands of
+    ``band_rows``; docs agreeing on any full band are candidate pairs.
+    Returns distinct (doc_a < doc_b) pairs — never an all-pairs join:
+    the self-join key is (band_idx, band_signature)."""
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    num_bands = num_hashes // band_rows
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * band_rows + r}").cast("string")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.sig") == F.col("r.sig"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: per token take a 60-bit md5int; each of the
+    low ``bits`` bit positions votes +1/-1; the fingerprint sets bit j
+    when the vote sum is positive.
+
+    Plan shape: explode tokens (distinct per doc), then ONE groupBy(doc)
+    computing all bit-sums as independent aggregate columns — bits stay
+    columnar, no per-bit explosion."""
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("th", md5int(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    bits: int = 32,
+    band_bits: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-distance LSH over simhash: split the fingerprint into
+    bands of ``band_bits``; pairs agreeing on any band are candidates
+    (guarantees recall for hamming distance < bits/band_bits)."""
+    fp = simhash(docs, bits, text_col, id_col)
+    num_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "simhash", "bs.band", "bs.key")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted
+    shingle index.
+
+    Shingles appearing in more than ``max_doc_freq`` documents are
+    dropped before the self-join (stop-shingle cap) — this bounds the
+    per-key fan-out, which is what makes the plan survive 100 TB; a
+    shingle shared by D docs would otherwise emit D² pair rows.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    l, r = rare.alias("l"), rare.alias("r")
+    common = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def hyperplane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
+    w[p][d] = (md5int('plane{p}d{d}') % 1000)/1000 - 0.5.  Computed
+    driver-side once; shipped as array literals so the LSH projection is
+    a single zip_with/aggregate per plane (no codegen explosion), and
+    the DuckDB oracle can embed the identical literals."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"plane{p}d{d}".encode()).hexdigest()[:15], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_col(
+    vec_col: str, num_planes: int = 8, dim: int = 64
+) -> F.Column:
+    """Sign-LSH bucket key: one character per hyperplane ('1' when the
+    projection is positive)."""
+    weights = hyperplane_weights(num_planes, dim)
+    sig = None
+    for p in range(num_planes):
+        warr = F.array(*[F.lit(w) for w in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+        sig = bit if sig is None else F.concat(sig, bit)
+    return sig
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via random-hyperplane LSH.
+
+    The sign pattern of ``num_planes`` deterministic hyperplane
+    projections is the bucket key; exact cosine is computed only inside
+    buckets.  Sign-LSH collides a pair at angle theta with probability
+    (1 - theta/pi)^P — near-dups (theta≈0) almost surely collide, and
+    the join never considers cross-bucket pairs."""
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(vec_col, num_planes, dim).alias("bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

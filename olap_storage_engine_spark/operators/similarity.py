@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (SURVEY §2 Part C, X3).
+
+Two tiers:
+
+- ``brute_topk`` — exact cosine top-k: broadcast the (small) probe set
+  against the corpus, score with JVM-side zip_with/aggregate math, keep
+  top-k per probe with one window.  The corpus side never shuffles its
+  vectors; the only wide exchange is the final per-probe top-k, which
+  is tiny.  This is the correct *exact* plan at any scale when the
+  probe set is broadcastable (the common case).
+
+- ``lsh_topk`` — approximate: restrict scoring to corpus rows whose
+  sign-LSH bucket matches a probe's bucket under any of ``num_tables``
+  independent hyperplane sets (multi-probe across tables raises
+  recall).  At 100 TB the bucket join prunes the scored fraction to
+  ~num_tables / 2^num_planes of the corpus.
+
+Also ``pandas_topk`` — the Arrow-batched rescoring variant: numpy
+matrix multiply per partition for when k·dim is large enough that BLAS
+beats codegen; same results, used by the bench to compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine
+from .dedup import lsh_bucket_col
+
+
+def brute_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each probe against the corpus.
+
+    Returns (probe_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id so results are deterministic for the oracle."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    joined = corpus.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    scored = joined.select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            id_col,
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an LSH bucket
+    with the probe in at least one of ``num_tables`` hyperplane sets.
+
+    Bucket keys for table t reuse hyperplanes [t*P, (t+1)*P) of one
+    deterministic family, so corpus signatures for all tables are
+    computed in a single pass."""
+    total_planes = num_planes * num_tables
+
+    def table_keys(df: DataFrame, keep: list[str], vcol: str) -> DataFrame:
+        sigd = df.withColumn("__sig", lsh_bucket_col(vcol, total_planes, dim))
+        return sigd.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"t{t}:"),
+                            F.substring(
+                                F.col("__sig"), t * num_planes + 1, num_planes
+                            ),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    c = table_keys(corpus, [id_col, vec_col], vec_col)
+    p = table_keys(
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        ),
+        ["probe_id", "probe_vec"],
+        "probe_vec",
+    )
+    cand = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, vec_col, "probe_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def pandas_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched exact top-k: per corpus partition, one numpy
+    matmul against the collected probe matrix, emitting each
+    partition's local top-k; a final window reduces to the global
+    top-k.  The driver collects only the probe set (small by contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    probe_ids = [r[id_col] for r in probe_rows]
+    pm = np.array([r[vec_col] for r in probe_rows], dtype=np.float64)
+    pm_norm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+
+    out_schema = "probe_id long, vec_id long, cos double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ pm_norm.T  # (batch, n_probes)
+            for j, pid in enumerate(probe_ids):
+                col = sims[:, j]
+                keep = np.argsort(-col)[:k]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid,
+                        "vec_id": ids[keep],
+                        "cos": col[keep],
+                    }
+                )
+
+    local = corpus.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

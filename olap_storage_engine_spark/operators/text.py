@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2
+Part C, X4): per-language stats, heuristic language ID, quality
+scoring, token counting, and document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen end to end);
+each has an exact DuckDB-oracle formulation in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashes import rolling_fingerprint
+from ..functions.textfns import regex_token_count, simple_token_count, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and public-knowledge (top function
+# words); the operator contract is determinism, not linguistic quality.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus stats: doc count, char sum, mean length,
+    token counts."""
+    toked = docs.withColumn("n_tokens", simple_token_count(F.col("text")))
+    return (
+        toked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def lang_scores(text: F.Column) -> dict[str, F.Column]:
+    """Stopword-hit count per language over the token array."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        )
+    return out
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword hits; 'und'
+    (undetermined) when no stopword matches.  Ties break by language
+    code order for determinism."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best_score = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(scores[lg] == best_score, F.lit(lg)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    cols = [docs[c] for c in docs.columns]
+    return docs.select(*cols, pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite [0,1] score — the standard cheap pre-filters a training
+    pipeline applies before expensive model-based scoring."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_toks = simple_token_count(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    all_stop = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    stop_hits = F.size(F.filter(tokens(t), lambda x: F.array_contains(all_stop, x)))
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks.cast("double")
+    score = (
+        F.when((n_toks >= 5) & (n_toks <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 0.3).otherwise(0.0)
+        + F.when(punct / n_chars.cast("double") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.1).otherwise(0.0)
+    )
+    cols = [docs[c] for c in docs.columns]
+    return docs.select(
+        *cols,
+        n_toks.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish regex token counts side by side."""
+    cols = [docs[c] for c in docs.columns]
+    return docs.select(
+        *cols,
+        simple_token_count(F.col(text_col)).alias("ws_tokens"),
+        regex_token_count(F.col(text_col)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    cols = [docs[c] for c in docs.columns]
+    return docs.select(
+        *cols,
+        rolling_fingerprint(tokens(F.col(text_col))).alias("fingerprint"),
+    )

@@ -29,7 +29,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the fixture; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long —
+        # truncate to microseconds (matching DuckDB's TIMESTAMP cast).
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division — float division loses precision on
+            # 19-digit nanosecond values (> 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

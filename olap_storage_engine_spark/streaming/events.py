@@ -1,0 +1,152 @@
+"""Streaming events surface (SURVEY §2 Part C, X6).
+
+The reference has no streaming at all (SURVEY §2 Part B); this is the
+extension surface over the ``events`` fixture: tumbling-window
+aggregation expressed once as a column plan shared by the batch query
+(oracle-checkable) and the Structured Streaming query (watermark +
+windowed state), plus a stateful sessionization example with
+``applyInPandasWithState``.
+
+Scale notes: windowed aggregation state is keyed by (window,
+event_type) — bounded cardinality; the watermark bounds state
+retention under late data.  Sessionization state is per user_id and
+evicted on timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type.  Works identically
+    on a batch or streaming DataFrame (the streaming run adds a
+    watermark first)."""
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """File-source streaming variant: readStream over a parquet
+    directory, watermarked tumbling-window agg.  Returns the streaming
+    DataFrame; caller picks the sink/trigger (tests use a memory sink
+    with availableNow)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return windowed_event_agg(stream, window)
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+_STATE_SCHEMA = "start long, end long, n int, total double"
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Custom stateful operator: per-user session roll-up with a
+    processing-time timeout — the applyInPandasWithState pattern for
+    operators Spark's built-in windows can't express."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+    start = end = None
+    n = 0
+    total = 0.0
+    if state.exists:
+        start, end, n, total = state.get
+    for pdf in pdfs:
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        lo, hi = min(ts_us), max(ts_us)
+        start = lo if start is None else min(start, lo)
+        end = hi if end is None else max(end, hi)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((start, end, n, total))
+    state.setTimeoutDuration(30_000)
+    return
+    yield  # generator form required
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """Stateful sessionization over a streaming events DataFrame."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch-equivalent sessionization (gap-based) — the oracle-
+    checkable twin of the streaming operator: a session breaks when the
+    gap to the previous event of the same user exceeds ``gap_minutes``.
+    Classic two-window plan: lag -> cumulative session id -> roll-up."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            )
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
