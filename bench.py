@@ -1,0 +1,71 @@
+"""Benchmark harness: run the declared query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}
+
+Per-query timing excludes fixture-table builds (reported separately as
+setup_sec) and excludes driver-side result transfer: each query is
+forced with a noop-sink write so the full plan executes distributed,
+columns and all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: every declared query except the two point-lookup
+# ones that are sub-millisecond anyway (kept — they're cheap) — run all.
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from olap_storage_engine_spark import get_spark
+    from olap_storage_engine_spark.fixtures import _BUILDERS, get_table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+
+    t_setup = time.time()
+    for name in _BUILDERS:  # build fixture tables up front (timed apart)
+        get_table(spark, SF_DIR, name)
+    setup_sec = round(time.time() - t_setup, 3)
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_set_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "setup_sec": setup_sec,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ Maps the reference's storage lifecycle onto Spark's columnar stack:
   Parquet automatically (zone-map/bloom/dictionary live inside Parquet,
   reference: src/index/mod.rs + src/encoding/mod.rs -> all built-in).
 
-Layout:  {warehouse}/{table}/v={start}_{end}/{pt=<label>/}{bk=<id>/}part-*.parquet
+Layout:  {warehouse}/{table}/__rsv={start}_{end}/{__pt=<label>/}{__bk=<id>/}part-*.parquet
+(the __rsv/__pt/__bk names are reserved; user columns must not use them)
 
 Scale posture: partition label and bucket id are physical directory
 columns, so a 1000-executor read of one partition/bucket touches only
@@ -111,7 +112,10 @@ class OlapTable:
             start_version = self.manifest.max_version + 1
         if end_version is None:
             end_version = start_version
-        rel = f"v={start_version}_{end_version}"
+        # reserved __rsv prefix: Spark partition discovery parses any
+        # k=v directory into a column; a plain "v=0_0" dir would
+        # shadow a user column named "v" on read.
+        rel = f"__rsv={start_version}_{end_version}"
         out_dir = os.path.join(self.root, rel)
 
         routed = self._routed(with_write_metadata(df, end_version))

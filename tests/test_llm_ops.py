@@ -1,0 +1,222 @@
+"""Golden tests for the LLM-pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from olap_storage_engine_spark.operators import dedup as dd
+from olap_storage_engine_spark.operators import multimodal as mm
+from olap_storage_engine_spark.operators import similarity as sim
+from olap_storage_engine_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", lang="en", source="s", n_chars=43),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog", lang="en", source="s", n_chars=43),  # exact dup of 1
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy cat", lang="en", source="s", n_chars=43),  # near dup
+        Row(doc_id=4, text="der hund ist ein guter hund und das ist gut", lang="de", source="s", n_chars=43),
+        Row(doc_id=5, text="completely different words entirely here now yes", lang="en", source="s", n_chars=49),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    kept = dd.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 collapsed into 1 (min id wins)
+    shas = dd.sha_dedup(docs).collect()
+    assert sum(r["dup_cnt"] for r in shas) == 5
+    assert {r["keep_id"] for r in shas} == {1, 3, 4, 5}
+
+
+def test_shingles(spark, docs):
+    sh = dd.shingles(docs.filter("doc_id = 1"), n=3).collect()
+    shingle_set = {r["shingle"] for r in sh}
+    assert "the quick brown" in shingle_set
+    assert len(shingle_set) == 7  # 9 tokens -> 7 trigrams, all distinct
+
+
+def test_shingles_short_doc_empty(spark):
+    one = spark.createDataFrame([Row(doc_id=1, text="hi there")])
+    assert dd.shingles(one, n=3).count() == 0
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_candidates(docs, num_hashes=8, band_rows=2).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 5) not in pairs and (2, 5) not in pairs  # unrelated
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = dd.minhash_signatures(docs, num_hashes=4).collect()
+    b = dd.minhash_signatures(docs, num_hashes=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    ham_13 = bin(fp[1] ^ fp[3]).count("1")
+    ham_15 = bin(fp[1] ^ fp[5]).count("1")
+    assert ham_13 < ham_15  # near-dup closer than unrelated
+    assert all(0 <= v < 2 ** 32 for v in fp.values())
+
+
+def test_simhash_candidates(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_candidates(docs, bits=32, band_bits=8).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_doc_freq=50
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical docs
+    assert 0.2 <= out[(1, 3)] < 1.0  # near dup: shares most trigrams
+    assert (1, 5) not in out
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(64)  # near-dup of 0
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in vecs[i]], label=i % 3)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows), vecs
+
+
+def test_brute_topk_matches_numpy(spark, embeddings):
+    df, vecs = embeddings
+    probes = df.filter("vec_id < 2")
+    out = sim.brute_topk(df, probes, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    M = vecs.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    for pid in (0, 1):
+        got = [r["vec_id"] for r in sorted(by_probe[pid], key=lambda r: r["rank"])]
+        expect = [
+            int(i) for i in np.argsort(-S[pid]) if i != pid
+        ][:3]
+        assert got == expect
+        # cosine values match numpy to rounding
+        for r in by_probe[pid]:
+            assert math.isclose(
+                r["cosine"], round(S[pid][r["vec_id"]], 6), abs_tol=1e-6
+            )
+
+
+def test_embedding_neardup_finds_planted_pair(spark, embeddings):
+    df, _ = embeddings
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dd.embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_lsh_topk_subset_of_brute(spark, embeddings):
+    """ANN results are a subset of the exact candidate space and ranks
+    are consistent (approximate: may miss, must not invent)."""
+    df, vecs = embeddings
+    probes = df.filter("vec_id < 2")
+    ann = sim.lsh_topk(df, probes, k=5, num_planes=4, num_tables=4)
+    for r in ann.collect():
+        assert r["vec_id"] != r["probe_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_pandas_topk_matches_brute(spark, embeddings):
+    df, _ = embeddings
+    probes = df.filter("vec_id < 2")
+    brute = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in sim.brute_topk(df, probes, k=3).collect()
+    }
+    fast = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in sim.pandas_topk(df, probes, k=3).collect()
+    }
+    assert brute == fast
+
+
+def test_text_stats(spark, docs):
+    out = {r["lang"]: r for r in tx.text_stats(docs).collect()}
+    assert out["en"]["n_docs"] == 4
+    assert out["de"]["n_docs"] == 1
+    assert out["en"]["total_tokens"] == 9 + 9 + 9 + 7
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in tx.language_id(docs).collect()}
+    assert out[1] == "en"  # 'the' x2, 'over' no, 'a' no -> en wins
+    assert out[4] == "de"  # der/ist/ein/und/das
+    assert out[5] == "und"  # no stopwords at all
+
+
+def test_quality_score(spark, docs):
+    out = {r["doc_id"]: r for r in tx.quality_score(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_stopwords"] >= 2
+    assert 0.0 <= out[1]["quality"] <= 1.0
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in tx.token_counts(docs).collect()}
+    assert out[1]["ws_tokens"] == 9
+    assert out[1]["bpe_tokens"] == 9  # pure lowercase words
+
+
+def test_bpe_tokens_punct(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello, world! x2")])
+    out = tx.token_counts(df).collect()[0]
+    # [hello][,][world][!][x][2]
+    assert out["bpe_tokens"] == 6
+    assert out["ws_tokens"] == 3
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="c b a"),
+         Row(doc_id=3, text="a b c")]
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprints(df).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
+
+
+def test_multimodal_payload_and_features(spark, docs):
+    payload = mm.attach_binary_payload(docs)
+    row = payload.filter("doc_id = 1").collect()[0]
+    assert bytes(row["payload"]) == row["text"].encode()
+    assert row["meta"]["n_bytes"] == len(row["text"])
+    feats = {r["doc_id"]: r for r in mm.decode_features(payload).collect()}
+    assert feats[1]["n_bytes"] == 43
+    assert feats[1]["first_byte"] == ord("t")
+    assert feats[1]["last_byte"] == ord("g")
+    expected_mean = sum("the quick brown fox jumps over the lazy dog".encode()) / 43
+    assert math.isclose(feats[1]["byte_mean"], expected_mean, rel_tol=1e-9)
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(mm.attach_binary_payload(docs), fake=False)

@@ -1,0 +1,126 @@
+import pytest
+
+from olap_storage_engine_spark.plans.manifest import (
+    Manifest,
+    RowsetMeta,
+    RowsetState,
+    VersionGraph,
+    VersionGraphError,
+)
+
+
+def rs(rid, lo, hi, state=RowsetState.VISIBLE):
+    return RowsetMeta(rid, lo, hi, f"v={lo}_{hi}", state=state)
+
+
+def test_cover_simple():
+    g = VersionGraph([rs(1, 0, 1), rs(2, 2, 3)])
+    cover = g.find_covering_path(0, 3)
+    assert [r.rowset_id for r in cover] == [1, 2]
+
+
+def test_cover_prefers_compacted_span():
+    # compacted [0,3] should beat [0,1]+[2,3] (largest-span-first BFS,
+    # reference: src/tablet.rs:47-48)
+    g = VersionGraph([rs(1, 0, 1), rs(2, 2, 3), rs(3, 0, 3)])
+    cover = g.find_covering_path(0, 3)
+    assert [r.rowset_id for r in cover] == [3]
+
+
+def test_hole_detection():
+    # mirror examples/basic_usage.rs:280-283 — versions [0,3] then
+    # [6,15]: querying past the hole fails
+    rowsets = [rs(1, 0, 1), rs(2, 2, 3)] + [
+        rs(10 + i, 6 + 2 * i, 7 + 2 * i) for i in range(5)
+    ]
+    g = VersionGraph(rowsets)
+    assert g.find_covering_path(0, 3) is not None
+    assert g.has_version_holes(0, 100)
+    assert g.has_version_holes(0, 5)
+    assert not g.has_version_holes(6, 15)
+
+
+def test_stale_excluded_from_graph():
+    g = VersionGraph([rs(1, 0, 1, RowsetState.STALE), rs(2, 2, 3)])
+    assert g.has_version_holes(0, 3)
+    assert not g.has_version_holes(2, 3)
+
+
+def test_manifest_publish_and_cover(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.publish(rs(1, 0, 0))
+    m.publish(rs(2, 1, 1))
+    assert m.max_version == 1
+    cover = m.capture_consistent_versions()
+    assert [r.rowset_id for r in cover] == [1, 2]
+    # reload from disk
+    m2 = Manifest.load(str(tmp_path))
+    assert m2.max_version == 1
+    assert len(m2.visible_rowsets()) == 2
+
+
+def test_manifest_duplicate_id_rejected(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.publish(rs(1, 0, 0))
+    with pytest.raises(VersionGraphError):
+        m.publish(rs(1, 1, 1))
+
+
+def test_manifest_hole_raises(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.publish(rs(1, 0, 0))
+    m.publish(rs(2, 2, 2))  # hole at version 1
+    with pytest.raises(VersionGraphError):
+        m.capture_consistent_versions(0, 2)
+
+
+def test_mark_stale_and_score(tmp_path):
+    m = Manifest(str(tmp_path))
+    for i in range(5):
+        m.publish(rs(i + 1, i, i))
+    assert m.compaction_score() == 5
+    m.mark_stale(1)
+    assert m.compaction_score() == 4
+    with pytest.raises(VersionGraphError):
+        m.capture_consistent_versions(0, 4)  # v0 now uncovered
+
+
+def test_invalid_interval():
+    with pytest.raises(ValueError):
+        RowsetMeta(1, 5, 3, "x")
+
+
+def test_random_graphs_cover_matches_bruteforce():
+    """Property check: BFS cover agrees with exhaustive search on
+    reachability over random interval sets."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    for _ in range(50):
+        n = rng.randint(1, 7)
+        rowsets = []
+        for i in range(n):
+            lo = rng.randint(0, 5)
+            hi = lo + rng.randint(0, 3)
+            rowsets.append(rs(i + 1, lo, hi))
+        g = VersionGraph(rowsets)
+        lo, hi = 0, rng.randint(0, 8)
+        cover = g.find_covering_path(lo, hi)
+        # brute force: does any subset chain lo..hi+1?
+        def chains(subset):
+            pos = lo
+            for r in sorted(subset, key=lambda r: r.start_version):
+                if r.start_version != pos:
+                    return False
+                pos = r.end_version + 1
+            return pos == hi + 1
+
+        any_chain = any(
+            chains(sub)
+            for k in range(1, n + 1)
+            for sub in itertools.combinations(rowsets, k)
+        ) or lo > hi
+        assert (cover is not None) == any_chain
+        if cover is not None and lo <= hi:
+            assert chains(cover)

@@ -1,0 +1,98 @@
+"""Structured Streaming surface: file-source windowed agg equals the
+batch plan; stateful sessionization runs end to end."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from olap_storage_engine_spark.streaming.events import (
+    sessionize_batch,
+    sessionize_stream,
+    stream_windowed_counts,
+    windowed_event_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            Row(
+                event_id=i,
+                ts=base + dt.timedelta(minutes=7 * i),
+                user_id=i % 5,
+                event_type=["click", "view"][i % 2],
+                value=float(i),
+                props="{}",
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_stream_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    batch = windowed_event_agg(spark.read.parquet(src))
+    stream = stream_windowed_counts(
+        spark, src, events.schema, window="1 hour", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("win_test").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=10), user_id=1,
+            event_type="a", value=2.0, props=""),
+        # 40-minute gap > 30 -> new session
+        Row(event_id=3, ts=t0 + dt.timedelta(minutes=50), user_id=1,
+            event_type="a", value=3.0, props=""),
+        Row(event_id=4, ts=t0, user_id=2, event_type="a", value=9.0, props=""),
+    ]
+    out = sessionize_batch(spark.createDataFrame(rows), gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    first = min(by_user[1], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_stream_runs(spark, events, tmp_path):
+    """applyInPandasWithState end-to-end: sessions emit on timeout;
+    with availableNow + processing-time timeout the streaming query
+    runs and commits state without error (emission happens on a later
+    trigger in production; here we assert the machinery works)."""
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # state machinery ran; output may be empty until timeout fires
+    assert spark.table("sess_test").columns == [
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    ]
