@@ -157,11 +157,7 @@ def q_agg_model_replace(spark, sf_dir):
 def q_partition_prune_range(spark, sf_dir):
     t = get_table(spark, sf_dir, "orders_dup")
     return (
-        t.read()
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01"))
-        )
+        t.read_pruned(range_lo="1996-01-01", range_hi="1997-01-01")
         .groupBy(F.month("o_orderdate").alias("month"))
         .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
     )
@@ -170,8 +166,7 @@ def q_partition_prune_range(spark, sf_dir):
 def q_partition_prune_list(spark, sf_dir):
     t = get_table(spark, sf_dir, "customer_list")
     return (
-        t.read()
-        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        t.read_pruned(in_values=["BUILDING", "AUTOMOBILE"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -538,11 +533,15 @@ _MD5INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    from olap_storage_engine_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    base_h = f"({_MD5INT.format(expr='shingle')} % {MINHASH_P})"
     mh_cols = ",\n    ".join(
-        "min({h}) AS mh{i}".format(
-            h=_MD5INT.format(expr="'{i}#' || shingle".format(i=i)), i=i
-        )
-        for i in range(num_hashes)
+        f"min(({a} * {base_h} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     num_bands = num_hashes // band_rows
     band_selects = "\nUNION ALL\n".join(

@@ -81,6 +81,28 @@ def shingles(
     )
 
 
+# Affine min-hash family over one base hash: h_i(s) = (a_i*h + b_i) mod P
+# with h = md5int(s) mod P.  One md5 per shingle instead of K — the
+# standard universal-hash construction; P = 2^31-1 keeps every product
+# below 2^62 so the arithmetic is overflow-free in both Spark (wrapping
+# longs never wrap) and DuckDB (which errors on BIGINT overflow).
+MINHASH_P = 2147483647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from the md5 of the index
+    — shared verbatim by the DuckDB oracle."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"mh{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_P - 1) + 1  # a != 0
+        b = int(d[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -88,14 +110,15 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """K seeded min-hash values per document:
-    sig_i = min over shingles of md5int(i || '#' || shingle).
-
-    One shuffle (groupBy doc) with map-side partial min."""
-    sh = shingles(docs, n, text_col, id_col)
+    """K min-hash values per document via the affine family over one
+    md5 per shingle.  One shuffle (groupBy doc) with map-side partial
+    min."""
+    sh = shingles(docs, n, text_col, id_col).withColumn(
+        "h", md5int(F.col("shingle")) % F.lit(MINHASH_P)
+    )
     aggs = [
-        F.min(md5int(F.col("shingle"), salt=i)).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -254,7 +277,14 @@ def ngram_jaccard_pairs(
     shingle shared by D docs would otherwise emit D² pair rows.
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    # the shingle index feeds three consumers (sizes, doc-frequency cap,
+    # join input); cache it once instead of re-tokenizing three times —
+    # it is bounded (one row per distinct (doc, shingle)) and spills.
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(

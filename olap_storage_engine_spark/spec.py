@@ -194,6 +194,33 @@ class PartitionPolicy:
                 lo = mid + 1
         return self.bounds[lo][0] if lo < len(self.bounds) else None
 
+    def partitions_for_range(
+        self, lo: str | None, hi: str | None
+    ) -> list[str] | None:
+        """Partition names whose key interval intersects [lo, hi) —
+        driver-side metadata pruning for RANGE tables; None means
+        "cannot prune" (all partitions)."""
+        if self.ptype != PartitionType.RANGE:
+            return None
+        out = []
+        prev: str | None = None
+        for name, upper in self.bounds:  # ascending
+            # partition covers [prev, upper)
+            if (hi is None or prev is None or prev < hi) and (
+                lo is None or upper > lo
+            ):
+                out.append(name)
+            prev = upper
+        return out
+
+    def partitions_for_values(self, values: list[str]) -> list[str] | None:
+        """Partition names for an IN-list of keys — LIST tables."""
+        if self.ptype != PartitionType.LIST:
+            return None
+        return sorted(
+            {self.mapping[str(v)] for v in values if str(v) in self.mapping}
+        )
+
     def to_dict(self) -> dict:
         return {
             "ptype": self.ptype.value,

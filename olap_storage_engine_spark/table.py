@@ -195,6 +195,49 @@ class OlapTable:
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
 
+    def read_pruned(
+        self,
+        range_lo: str | None = None,
+        range_hi: str | None = None,
+        in_values: list | None = None,
+        lo: int = 0,
+        hi: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with driver-side partition pruning: restrict
+        the scan to partition directories whose key interval intersects
+        [range_lo, range_hi) (RANGE tables) or whose key is in
+        ``in_values`` (LIST tables), *plus* the row-level predicate on
+        the partition column — directory pruning is a metadata
+        operation (PartitionFilters in the scan node), the residual
+        predicate still pushes to Parquet stats.
+
+        This is the reference's routing-read (find_partition,
+        src/partition.rs:172-189) surfaced as a read-side optimization;
+        at 100 TB the label filter keeps untouched partitions' files
+        out of the file listing entirely.
+        """
+        policy = self.spec.partition
+        df = self.scan(lo, hi, with_hidden=True)
+        pred = None
+        labels = None
+        if in_values is not None:
+            labels = policy.partitions_for_values(in_values)
+            pred = F.col(policy.column).isin(in_values)
+        else:
+            labels = policy.partitions_for_range(range_lo, range_hi)
+            key = F.col(policy.column).cast("string")
+            if range_lo is not None:
+                pred = key >= F.lit(range_lo)
+            if range_hi is not None:
+                upper = key < F.lit(range_hi)
+                pred = upper if pred is None else (pred & upper)
+        if labels is not None:
+            df = df.filter(F.col(PT_COL).isin(labels))
+        if pred is not None:
+            df = df.filter(pred)
+        drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+        return collapse(df.drop(*drop), self.spec)
+
     # -- ops ------------------------------------------------------------
     def compaction_score(self) -> int:
         return self.manifest.compaction_score()
