@@ -30,6 +30,21 @@ from ..functions.textfns import tokens
 from ..functions.vectors import cosine
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions for per-row-heavy operators.
+
+    Small fixture files arrive as a single scan partition, serializing
+    the tokenize/explode work on one core; a cheap round-robin
+    repartition of the (narrow) source rows restores parallelism.  At
+    real scale inputs already have many partitions and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    cur = df.rdd.getNumPartitions()
+    if cur < sc.defaultParallelism // 2:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def sha_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -65,7 +80,14 @@ def shingles(
     Built from the token array with transform+slice (JVM-side), then
     exploded; distinct so a repeated shingle counts once per doc.
     """
-    toks = tokens(F.col(text_col))
+    # tokenize ONCE into a materialized column: referencing tokens()
+    # directly inside the transform lambda would re-run the regex split
+    # per shingle (~100x per row) — the projection boundary below keeps
+    # it a single split per document.
+    toked = _spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     # guard: sequence(1, k) with k < 1 would generate a DESCENDING
     # sequence in Spark; short documents get an empty shingle set.
     grams = F.when(
@@ -76,7 +98,7 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -191,7 +213,8 @@ def simhash(
     computing all bit-sums as independent aggregate columns — bits stay
     columnar, no per-bit explosion."""
     tok = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        _spread(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
         .withColumn("th", md5int(F.col("tok")))
     )

@@ -57,16 +57,32 @@ def lang_scores(text: F.Column) -> dict[str, F.Column]:
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword hits; 'und'
     (undetermined) when no stopword matches.  Ties break by language
-    code order for determinism."""
-    scores = lang_scores(F.col(text_col))
-    langs = sorted(scores)  # deterministic tie-break: alphabetical
-    best_score = F.greatest(*[scores[lg] for lg in langs])
+    code order for determinism.
+
+    Plan shape: tokenization and the per-language scores are staged as
+    materialized projections so each is computed once per row — the
+    greatest/when decision tree then only references cheap attribute
+    columns (inlining the score expressions would re-scan the token
+    array ~7x per language)."""
+    langs = sorted(STOPWORDS)
+    toked = docs.select("*", tokens(F.col(text_col)).alias("__toks"))
+
+    def _hits(lg):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        return F.size(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(arr, t))
+        )
+
+    scored = toked.select(
+        "*", *[_hits(lg).alias(f"__s_{lg}") for lg in langs]
+    )
+    best_score = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
     pred = F.lit("und")
     for lg in reversed(langs):  # earlier alphabetical wins ties
-        pred = F.when(scores[lg] == best_score, F.lit(lg)).otherwise(pred)
+        pred = F.when(F.col(f"__s_{lg}") == best_score, F.lit(lg)).otherwise(pred)
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
-    cols = [docs[c] for c in docs.columns]
-    return docs.select(*cols, pred.alias("pred_lang"))
+    cols = [scored[c] for c in docs.columns]
+    return scored.select(*cols, pred.alias("pred_lang"))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,13 +90,26 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     composite [0,1] score — the standard cheap pre-filters a training
     pipeline applies before expensive model-based scoring."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_toks = simple_token_count(t)
-    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     all_stop = F.array(
         *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
     )
-    stop_hits = F.size(F.filter(tokens(t), lambda x: F.array_contains(all_stop, x)))
+    # stage the expensive per-row features once, then derive the score
+    # from attribute references (one regex pass, one token-array scan)
+    feats = docs.select(
+        "*",
+        F.length(t).alias("__n_chars"),
+        simple_token_count(t).alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias(
+            "n_punct"
+        ),
+        F.size(
+            F.filter(tokens(t), lambda x: F.array_contains(all_stop, x))
+        ).alias("n_stopwords"),
+    )
+    n_chars = F.col("__n_chars")
+    n_toks = F.col("n_tokens")
+    punct = F.col("n_punct")
+    stop_hits = F.col("n_stopwords")
     mean_tok_len = (n_chars - (n_toks - 1)) / n_toks.cast("double")
     score = (
         F.when((n_toks >= 5) & (n_toks <= 100000), 0.4).otherwise(0.0)
@@ -88,8 +117,8 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(punct / n_chars.cast("double") <= 0.2, 0.2).otherwise(0.0)
         + F.when(stop_hits > 0, 0.1).otherwise(0.0)
     )
-    cols = [docs[c] for c in docs.columns]
-    return docs.select(
+    cols = [feats[c] for c in docs.columns]
+    return feats.select(
         *cols,
         n_toks.alias("n_tokens"),
         punct.alias("n_punct"),
