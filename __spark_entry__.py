@@ -28,6 +28,7 @@ from olap_storage_engine_spark.operators.routing import bucket_id_col
 from olap_storage_engine_spark.sources.testdata import load_table
 from olap_storage_engine_spark.spec import BucketSpec, BucketType
 from olap_storage_engine_spark.streaming.events import (
+    run_fixture_stream_windowed,
     sessionize_batch,
     windowed_event_agg,
 )
@@ -378,9 +379,92 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_stream_window(spark, sf_dir):
+    """The same windowed aggregation executed as a real Structured
+    Streaming query (file source -> complete mode -> memory sink)."""
+    return run_fixture_stream_windowed(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Part B — relational surface (Spark-native; bench headliners)
 # ---------------------------------------------------------------------------
+
+
+def q_join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_topn_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rk").alias("rk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+def q_string_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.weekday(d).alias("wd"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+    )
+
+
+def q_having_filter(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+def q_agg_percentiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -516,12 +600,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
+        "events_stream_window": q_events_stream_window,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
         "window_running_total": q_window_running_total,
         "grouping_cube": q_grouping_cube,
         "set_except": q_set_except,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "topn_per_group": q_topn_per_group,
+        "string_date_funcs": q_string_date_funcs,
+        "having_filter": q_having_filter,
+        "agg_percentiles": q_agg_percentiles,
     }
 
 
@@ -1088,5 +1179,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders
             WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
               AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        """,
+        "events_stream_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1996-01-01')
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1996-01-01')
+        """,
+        "topn_per_group": """
+            SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
+                   o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "string_date_funcs": """
+            SELECT o_orderkey,
+                   upper(substr(o_orderpriority, 1, 3)) AS pri3,
+                   lpad(o_orderkey::VARCHAR, 10, '0') AS key_pad,
+                   concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+                   CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+                   CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS wd,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) AS INT) AS days_since
+            FROM orders WHERE o_orderkey < 1000
+        """,
+        "having_filter": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 HAVING count(*) > 10
+        """,
+        "agg_percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM orders GROUP BY 1
         """,
     }

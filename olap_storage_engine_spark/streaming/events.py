@@ -59,6 +59,43 @@ def stream_windowed_counts(
     return windowed_event_agg(stream, window)
 
 
+def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window aggregation as an actual Structured
+    Streaming query over the events fixture (file source, availableNow
+    trigger, complete mode into a memory sink) and return the final
+    result table — the streaming twin of ``windowed_event_agg`` with
+    identical output, so the same SQL oracle checks both.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F, types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file streaming source requires a directory; expose the
+    # read-only fixture file through a symlink in a temp dir
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"
