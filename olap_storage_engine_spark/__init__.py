@@ -17,6 +17,7 @@ DataFrame: Catalyst + Parquet replace the reference's segment/encoding/
 index layer entirely (SURVEY.md §4: zero custom rules needed).
 """
 
+from .catalog import OlapCatalog
 from .session import get_spark
 from .spec import (
     AggregateType,
@@ -24,6 +25,7 @@ from .spec import (
     BucketType,
     ColumnSpec,
     ColumnType,
+    EncodingHint,
     KeysType,
     PartitionPolicy,
     PartitionType,
@@ -37,7 +39,9 @@ __all__ = [
     "BucketType",
     "ColumnSpec",
     "ColumnType",
+    "EncodingHint",
     "KeysType",
+    "OlapCatalog",
     "PartitionPolicy",
     "PartitionType",
     "TableSpec",

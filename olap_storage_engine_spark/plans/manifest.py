@@ -24,10 +24,13 @@ from enum import Enum
 
 
 class RowsetState(str, Enum):
-    """reference: src/meta.rs:85 (Prepared/Committed are transient in
-    the reference and never observable; we persist only the two states
-    that affect reads)."""
+    """reference: src/meta.rs:85.  PREPARED rowsets have data on disk
+    but are invisible to reads until committed (two-phase publish);
+    VISIBLE rowsets form the version graph; STALE ones await GC.  (The
+    reference also declares Committed but never reaches it — SURVEY
+    §1.1; prepare->visible is the observable machine.)"""
 
+    PREPARED = "PREPARED"
     VISIBLE = "VISIBLE"
     STALE = "STALE"
 
@@ -178,6 +181,33 @@ class Manifest:
         self.doc["rowsets"].append(rs.to_dict())
         self.doc["max_version"] = max(self.max_version, rs.end_version)
         self.save()
+
+    def prepare(self, rs: RowsetMeta) -> None:
+        """Two-phase publish, phase 1: record the rowset with data on
+        disk but invisible to reads (excluded from the version graph)."""
+        if any(d["rowset_id"] == rs.rowset_id for d in self.doc["rowsets"]):
+            raise VersionGraphError(f"duplicate rowset id {rs.rowset_id}")
+        rs.state = RowsetState.PREPARED
+        rs.created_at = rs.created_at or time.time()
+        self.doc["rowsets"].append(rs.to_dict())
+        self.save()
+
+    def commit_rowset(self, rowset_id: int) -> None:
+        """Two-phase publish, phase 2: PREPARED -> VISIBLE, extend the
+        graph, bump max_version."""
+        for d in self.doc["rowsets"]:
+            if d["rowset_id"] == rowset_id:
+                if d["state"] != RowsetState.PREPARED.value:
+                    raise VersionGraphError(
+                        f"rowset {rowset_id} is {d['state']}, not PREPARED"
+                    )
+                d["state"] = RowsetState.VISIBLE.value
+                self.doc["max_version"] = max(
+                    self.max_version, d["end_version"]
+                )
+                self.save()
+                return
+        raise VersionGraphError(f"rowset {rowset_id} not found")
 
     def mark_stale(self, rowset_id: int) -> None:
         """reference: src/tablet.rs:155-165."""

@@ -87,6 +87,20 @@ _SPARK_TYPES: dict[ColumnType, T.DataType] = {
 }
 
 
+class EncodingHint(str, Enum):
+    """Per-column physical encoding choice (reference: src/encoding/
+    mod.rs codecs + src/field_type.rs:77-92 auto-selection).  Parquet
+    implements the actual codecs (PLAIN / RLE / DELTA_BINARY_PACKED /
+    RLE_DICTIONARY); the hint controls what we can control from the
+    writer: dictionary on/off.  AUTO = the reference's heuristic
+    (strings -> dictionary, everything else Parquet's default, which
+    itself applies delta-binary to ints)."""
+
+    AUTO = "AUTO"
+    DICTIONARY = "DICTIONARY"
+    PLAIN = "PLAIN"
+
+
 @dataclass
 class ColumnSpec:
     """One column (reference: src/meta.rs:13-49).
@@ -101,6 +115,20 @@ class ColumnSpec:
     nullable: bool = True
     aggregate_type: AggregateType = AggregateType.NONE
     length: int | None = None  # VARCHAR length hint; informational only
+    encoding: EncodingHint = EncodingHint.AUTO
+
+    def wants_dictionary(self) -> bool:
+        """The reference's encoding auto-selection (src/field_type.rs:
+        79-85): bytes/varchar -> dictionary; explicit hints override."""
+        enc = EncodingHint(self.encoding)
+        if enc == EncodingHint.DICTIONARY:
+            return True
+        if enc == EncodingHint.PLAIN:
+            return False
+        return ColumnType(self.column_type) == ColumnType.VARCHAR
+
+    def __post_init__(self) -> None:
+        self.encoding = EncodingHint(self.encoding)
 
     @classmethod
     def key(cls, name: str, column_type: ColumnType) -> "ColumnSpec":
@@ -112,9 +140,10 @@ class ColumnSpec:
         name: str,
         column_type: ColumnType,
         aggregate_type: AggregateType = AggregateType.NONE,
+        encoding: EncodingHint = EncodingHint.AUTO,
     ) -> "ColumnSpec":
         return cls(name, column_type, is_key=False, nullable=True,
-                   aggregate_type=aggregate_type)
+                   aggregate_type=aggregate_type, encoding=encoding)
 
     def spark_type(self) -> T.DataType:
         return _SPARK_TYPES[ColumnType(self.column_type)]
@@ -127,6 +156,7 @@ class ColumnSpec:
             "nullable": self.nullable,
             "aggregate_type": AggregateType(self.aggregate_type).value,
             "length": self.length,
+            "encoding": EncodingHint(self.encoding).value,
         }
 
     @classmethod
@@ -138,6 +168,7 @@ class ColumnSpec:
             nullable=d.get("nullable", True),
             aggregate_type=AggregateType(d.get("aggregate_type", "NONE")),
             length=d.get("length"),
+            encoding=EncodingHint(d.get("encoding", "AUTO")),
         )
 
 
@@ -299,6 +330,9 @@ class TableSpec:
     schema_version: int = 1
     partition: PartitionPolicy = field(default_factory=PartitionPolicy)
     bucket: BucketSpec = field(default_factory=BucketSpec)
+    # block compression codec (reference: src/compression/mod.rs — LZ4
+    # default there; zstd default here, both Parquet-supported)
+    compression: str = "zstd"
 
     def __post_init__(self) -> None:
         self.keys_type = KeysType(self.keys_type)
@@ -345,6 +379,7 @@ class TableSpec:
             "columns": [c.to_dict() for c in self.columns],
             "partition": self.partition.to_dict(),
             "bucket": self.bucket.to_dict(),
+            "compression": self.compression,
         }
 
     def to_json(self) -> str:
@@ -359,6 +394,7 @@ class TableSpec:
             schema_version=d.get("schema_version", 1),
             partition=PartitionPolicy.from_dict(d.get("partition", {})),
             bucket=BucketSpec.from_dict(d.get("bucket", {})),
+            compression=d.get("compression", "zstd"),
         )
 
     @classmethod

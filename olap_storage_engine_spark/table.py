@@ -101,12 +101,16 @@ class OlapTable:
         df: DataFrame,
         start_version: int | None = None,
         end_version: int | None = None,
+        publish: bool = True,
     ) -> RowsetMeta:
         """Route, sort, write one rowset, publish it.
 
         Default version interval is the next single version
         [max_version+1, max_version+1] — the normal ingest path; an
         explicit wider interval is the compaction-rewrite path.
+        ``publish=False`` runs phase 1 of the two-phase publish only:
+        the rowset lands PREPARED (data durable, invisible to reads)
+        until ``commit(rowset_id)``.
         """
         if start_version is None:
             start_version = self.manifest.max_version + 1
@@ -139,11 +143,20 @@ class OlapTable:
             # min/max page stats are always on; add bloom filters for the
             # leading key column (point-lookup skip, reference A17).
             .option("parquet.block.size", 128 * 1024 * 1024)
+            # block compression (reference: src/compression/mod.rs)
+            .option("compression", self.spec.compression)
         )
         if keys:
             writer = writer.option(
                 f"parquet.bloom.filter.enabled#{keys[0]}", "true"
             ).option("parquet.bloom.filter.max.bytes", 64 * 1024)
+        # per-column encoding hints (reference: src/field_type.rs:77-92
+        # auto-selection; Parquet owns the actual codecs)
+        for c in self.spec.columns:
+            if not c.wants_dictionary():
+                writer = writer.option(
+                    f"parquet.enable.dictionary#{c.name}", "false"
+                )
         writer.parquet(out_dir)
 
         stats = (
@@ -164,8 +177,34 @@ class OlapTable:
             num_rows=stats["n"],
             data_size=size,
         )
-        self.manifest.publish(rs)
+        if publish:
+            self.manifest.publish(rs)
+        else:
+            self.manifest.prepare(rs)
         return rs
+
+    def commit(self, rowset_id: int) -> None:
+        """Phase 2 of the two-phase publish: PREPARED -> VISIBLE."""
+        self.manifest.commit_rowset(rowset_id)
+
+    # -- schema evolution ------------------------------------------------
+    def add_column(self, col) -> None:
+        """Additive schema evolution (reference: schema_version /
+        schema_hash fields, src/meta.rs:55-66 — declared there,
+        executed here).  Only value columns can be added (key-set
+        changes would re-shape the collapse); existing rowsets surface
+        the column as typed nulls, new writes carry it physically."""
+        from .spec import ColumnSpec
+
+        assert isinstance(col, ColumnSpec)
+        if col.is_key:
+            raise ValueError("cannot add key columns after creation")
+        if col.name in self.spec.column_names():
+            raise ValueError(f"column exists: {col.name}")
+        self.spec.columns.append(col)
+        self.spec.schema_version += 1
+        with open(os.path.join(self.root, SPEC_FILE), "w") as f:
+            f.write(self.spec.to_json())
 
     # -- read path -------------------------------------------------------
     def scan(
@@ -180,9 +219,19 @@ class OlapTable:
         if not cover:
             return self.spark.createDataFrame([], self.spec.spark_schema())
         paths = [os.path.join(self.root, rs.path) for rs in cover]
-        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        reader = self.spark.read.option("basePath", self.root)
+        if self.spec.schema_version > 1:
+            # evolved tables mix file schemas; merge footers so new
+            # columns survive (single-version tables skip the cost)
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         # basePath keeps the __pt/__bk directory columns visible for
         # partition pruning; hide internals unless asked.
+        # additive schema evolution: rowsets written before an
+        # add_column lack the new column — surface it as typed nulls
+        for c in self.spec.columns:
+            if c.name not in df.columns:
+                df = df.withColumn(c.name, F.lit(None).cast(c.spark_type()))
         cols = self.spec.column_names()
         if with_hidden:
             cols = cols + [c for c in (VERSION_COL, SEQ_COL, PT_COL, BK_COL)
@@ -235,6 +284,29 @@ class OlapTable:
             df = df.filter(F.col(PT_COL).isin(labels))
         if pred is not None:
             df = df.filter(pred)
+        drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+        return collapse(df.drop(*drop), self.spec)
+
+    def read_point(
+        self, key_value, lo: int = 0, hi: int | None = None
+    ) -> DataFrame:
+        """Point lookup routed to one bucket (reference: src/table.rs:
+        32-41 tablet_for_row, surfaced read-side).
+
+        The FNV-1a bucket of the key is computed driver-side (scalar,
+        metadata-only); the scan then carries BOTH a __bk partition
+        filter (directory pruning — only 1/num_buckets of the files are
+        listed) and the key equality predicate (Parquet stats + bloom
+        filter page skipping inside the bucket).
+        """
+        from .operators.routing import fnv1a64
+
+        bucket = self.spec.bucket
+        df = self.scan(lo, hi, with_hidden=True)
+        if bucket.btype == BucketType.HASH and bucket.column is not None:
+            b = fnv1a64(str(key_value)) % bucket.num_buckets
+            df = df.filter(F.col(BK_COL) == b)
+            df = df.filter(F.col(bucket.column) == F.lit(key_value))
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
 

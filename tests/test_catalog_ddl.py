@@ -1,0 +1,161 @@
+"""DDL surface: catalog CRUD, two-phase publish, bucket-routed point
+lookups, per-column encodings, additive schema evolution."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from olap_storage_engine_spark.catalog import CatalogError, OlapCatalog
+from olap_storage_engine_spark.operators.routing import fnv1a64
+from olap_storage_engine_spark.plans.manifest import RowsetState, VersionGraphError
+from olap_storage_engine_spark.spec import (
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    EncodingHint,
+    KeysType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _spec(name="t", n_buckets=4):
+    return TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+            ColumnSpec.value("s", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", n_buckets),
+    )
+
+
+def _df(spark, n=50):
+    return spark.createDataFrame(
+        [(i, float(i), f"s{i % 5}") for i in range(n)], "k long, v double, s string"
+    )
+
+
+def test_catalog_crud(spark, warehouse):
+    cat = OlapCatalog(spark, warehouse)
+    cat.create_database("db1")
+    with pytest.raises(CatalogError):
+        cat.create_database("db1")
+    assert cat.list_databases() == ["db1"]
+
+    t = cat.create_table("db1", _spec("orders"))
+    t.write(_df(spark))
+    assert cat.list_tables("db1") == ["orders"]
+    assert cat.get_table("db1", "orders").read().count() == 50
+
+    with pytest.raises(CatalogError):
+        cat.get_table("db1", "nope")
+    with pytest.raises(CatalogError):
+        cat.drop_database("db1")  # not empty, no cascade
+    cat.drop_table("db1", "orders")
+    assert cat.list_tables("db1") == []
+    cat.drop_database("db1")
+    assert cat.list_databases() == []
+
+
+def test_catalog_register_views(spark, warehouse):
+    cat = OlapCatalog(spark, warehouse)
+    cat.create_database("db2")
+    cat.create_table("db2", _spec("facts")).write(_df(spark))
+    cat.register_views("db2")
+    assert spark.sql("SELECT count(*) n FROM db2_facts").collect()[0]["n"] == 50
+
+
+def test_two_phase_publish(spark, warehouse):
+    t = OlapTable.create(spark, _spec(), warehouse)
+    t.write(_df(spark, 10))
+    rs = t.write(_df(spark, 10), start_version=1, end_version=1, publish=False)
+    assert rs.state == RowsetState.PREPARED
+    assert t.read().count() == 10  # prepared rowset invisible
+    t.commit(rs.rowset_id)
+    assert t.read().count() == 20
+    with pytest.raises(VersionGraphError):
+        t.commit(rs.rowset_id)  # already VISIBLE
+
+
+def test_point_lookup_prunes_bucket(spark, warehouse):
+    t = OlapTable.create(spark, _spec(n_buckets=8), warehouse)
+    t.write(_df(spark, 200))
+    out = t.read_point(42)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 42
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    b = fnv1a64("42") % 8
+    assert f"__bk#" in plan or "__bk" in plan
+    assert f"= {b})" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_encoding_hints_reach_parquet(spark, warehouse):
+    import pyarrow.parquet as pq
+
+    spec = TableSpec(
+        name="enc",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("dict_s", ColumnType.VARCHAR),  # AUTO -> dict
+            ColumnSpec.value(
+                "plain_s", ColumnType.VARCHAR, encoding=EncodingHint.PLAIN
+            ),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        compression="snappy",
+    )
+    # one explicit encoding override on a dataclass field via init
+    spec.columns[2].encoding = EncodingHint.PLAIN
+    t = OlapTable.create(spark, spec, warehouse)
+    df = spark.createDataFrame(
+        [(i, f"x{i % 3}", f"y{i % 3}") for i in range(1000)],
+        "k long, dict_s string, plain_s string",
+    )
+    t.write(df)
+    # inspect one physical file
+    files = [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(t.root)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    meta = pq.ParquetFile(files[0]).metadata
+    encs = {}
+    comps = {}
+    rg = meta.row_group(0)
+    for i in range(rg.num_columns):
+        col = rg.column(i)
+        encs[col.path_in_schema] = set(col.encodings)
+        comps[col.path_in_schema] = col.compression
+    assert any("DICTIONARY" in e for e in encs["dict_s"])
+    assert not any("DICTIONARY" in e for e in encs["plain_s"])
+    assert comps["k"] == "SNAPPY"
+
+
+def test_schema_evolution_add_column(spark, warehouse):
+    t = OlapTable.create(spark, _spec(), warehouse)
+    t.write(_df(spark, 10))
+    t.add_column(ColumnSpec.value("extra", ColumnType.INT32))
+    assert t.spec.schema_version == 2
+    # old rowset surfaces nulls
+    assert t.read().filter(F.col("extra").isNull()).count() == 10
+    # new write carries the column
+    df2 = spark.createDataFrame(
+        [(100 + i, 1.0, "s", i) for i in range(5)],
+        "k long, v double, s string, extra int",
+    )
+    t.write(df2)
+    out = t.read()
+    assert out.count() == 15
+    assert out.filter(F.col("extra").isNotNull()).count() == 5
+    # reload from sidecar sees the evolved schema
+    t2 = OlapTable.load(spark, warehouse, "t")
+    assert t2.spec.schema_version == 2
+    assert "extra" in t2.spec.column_names()
+    with pytest.raises(ValueError):
+        t.add_column(ColumnSpec.key("k2", ColumnType.INT64))
