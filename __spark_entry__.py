@@ -379,6 +379,54 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_bucket_point_lookup(spark, sf_dir):
+    """Point lookup routed to one bucket directory (driver-side FNV
+    routing -> __bk partition filter + bloom/stats skip)."""
+    t = get_table(spark, sf_dir, "orders_dup")
+    min_key = t.read().agg(F.min("o_custkey")).collect()[0][0]
+    return t.read_point(min_key).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q_rollup_routed_read(spark, sf_dir):
+    """Aggregate read routed to the coarsest covering materialization:
+    grouping by o_orderdate alone routes to the 1-key rollup table, not
+    the 2-key base (reference A15, both halves implemented)."""
+    from olap_storage_engine_spark.operators.rollup import route_read
+
+    base = get_table(spark, sf_dir, "orders_agg")
+    rollup = get_table(spark, sf_dir, "orders_rollup")
+    chosen = route_read([base, rollup], ["o_orderdate"])
+    assert chosen.spec.name == "orders_rollup"  # routing invariant
+    return (
+        chosen.read()
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_orderdate")
+        .agg(
+            F.round(F.sum("sum_price"), 2).alias("sum_price"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+def q_grouping_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price")
+    )
+
+
+def q_sketch_profile(spark, sf_dir):
+    """Sketch roll-up (HLL distinct + null counts + min/max) — sketch
+    estimates are engine-specific, so this is a rows-only check; tests
+    bound the estimates against exact counts."""
+    from olap_storage_engine_spark.operators.sketches import column_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(li, ["l_orderkey", "l_partkey", "l_returnflag"])
+
+
 def q_events_stream_window(spark, sf_dir):
     """The same windowed aggregation executed as a real Structured
     Streaming query (file source -> complete mode -> memory sink)."""
@@ -601,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
         "events_stream_window": q_events_stream_window,
+        "bucket_point_lookup": q_bucket_point_lookup,
+        "rollup_routed_read": q_rollup_routed_read,
+        "grouping_rollup": q_grouping_rollup,
+        "sketch_profile": q_sketch_profile,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -1237,4 +1289,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders GROUP BY 1
         """,
+        "bucket_point_lookup": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+        """,
+        "rollup_routed_read": """
+            SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE year(CAST(o_orderdate AS DATE)) = 1996
+            GROUP BY 1
+        """,
+        "grouping_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # sketch_profile: intentionally no oracle — HLL estimates are
+        # engine-specific; the driver records a rows-only check and
+        # tests/test_sketches.py bounds the estimates vs exact counts.
     }

@@ -1,0 +1,60 @@
+"""Rollup (materialized pre-aggregation) routing — reference A15.
+
+The reference declares ``rollup_indexes`` per partition
+(src/partition.rs:75,88-89) — alternate pre-aggregated projections with
+a coarser key set — but never populates or routes to them.  Here both
+halves are real: a rollup is an AGGREGATE-model OlapTable derived from
+a base table (built in fixtures / by the user), and ``route_read``
+picks the best materialization for a requested key subset the way a
+Doris query planner picks a rollup index: the table with the FEWEST key
+columns that still covers the requested keys (coarser = less data to
+re-aggregate).
+
+Routing is correct only for re-aggregatable value semantics
+(SUM/MIN/MAX compose; REPLACE does not — those columns disqualify a
+rollup unless the requested keys equal its full key set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..spec import AggregateType, KeysType
+from ..table import OlapTable
+
+
+def covers(table: OlapTable, group_keys: list[str]) -> bool:
+    """Can this materialization answer a group-by on ``group_keys``?"""
+    keys = set(table.spec.key_names())
+    if not set(group_keys) <= keys:
+        return False
+    if set(group_keys) == keys:
+        return True
+    # strict subset -> values will be re-aggregated; only associative
+    # aggregate types survive a second collapse
+    reagg_ok = {AggregateType.SUM, AggregateType.MIN, AggregateType.MAX}
+    return all(
+        AggregateType(c.aggregate_type) in reagg_ok
+        for c in table.spec.value_columns()
+    )
+
+
+def route_read(
+    candidates: list[OlapTable], group_keys: list[str]
+) -> OlapTable:
+    """Pick the coarsest covering materialization (fewest key columns);
+    raises if none covers."""
+    viable = [t for t in candidates if covers(t, group_keys)]
+    if not viable:
+        raise ValueError(
+            f"no materialization covers group keys {group_keys}"
+        )
+    return min(viable, key=lambda t: len(t.spec.key_names()))
+
+
+def rollup_read(
+    candidates: list[OlapTable], group_keys: list[str]
+) -> DataFrame:
+    """Routed read: collapse view of the chosen materialization,
+    ready for the caller's groupBy(group_keys)."""
+    return route_read(candidates, group_keys).read()

@@ -1,0 +1,76 @@
+"""Approximate sketch operators for corpus-scale profiling.
+
+The reference has no sketch layer; these are part of the
+training-pipeline extension surface: cardinality (HyperLogLog++),
+quantiles (Greenwald-Khanna), heavy hitters, and a column-profile
+roll-up combining them.  All are Spark built-ins — distributed,
+mergeable sketch state with map-side partial aggregation — wrapped so
+callers get one consistent surface.
+
+Sketch outputs are engine-specific (a DuckDB HLL gives different
+estimates), so the declared query for this family uses the driver's
+rows-only check; tests bound the estimates against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def approx_distinct(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """HLL++ distinct-count estimate per column (one pass, all
+    columns)."""
+    return df.agg(
+        *[
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_distinct")
+            for c in cols
+        ]
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles as one row."""
+    probs = "array(" + ", ".join(str(p) for p in probabilities) + ")"
+    return df.agg(
+        F.expr(f"approx_percentile({col}, {probs}, {accuracy})").alias(
+            "quantiles"
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_share: float = 0.01
+) -> DataFrame:
+    """Values appearing in at least ``min_share`` of rows.  Exact
+    counting kept deliberately: a hash aggregate on the column is one
+    shuffle and composes with AQE; use this over freqItems when the
+    output feeds decisions (freqItems is one-pass but over-reports)."""
+    total = df.count()
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= total * min_share)
+        .withColumn("share", F.round(F.col("cnt") / total, 6))
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass profile per column: nulls, approx distinct, min/max.
+    The whole profile is a single aggregate — one job regardless of
+    column count."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+            F.approx_count_distinct(c).alias(f"{c}_distinct"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return df.agg(*aggs)

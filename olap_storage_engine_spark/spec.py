@@ -334,12 +334,22 @@ class TableSpec:
     # default there; zstd default here, both Parquet-supported)
     compression: str = "zstd"
 
+    # names used internally by the write/read path (hidden metadata and
+    # directory columns) — user columns must not collide
+    RESERVED = frozenset({"__pt", "__bk", "__rsv", "__version", "__seq"})
+
     def __post_init__(self) -> None:
         self.keys_type = KeysType(self.keys_type)
         if self.keys_type != KeysType.DUPLICATE and not self.key_columns():
             raise ValueError(
                 f"{self.keys_type.value} table {self.name!r} needs >=1 key column"
             )
+        bad = [c.name for c in self.columns if c.name in self.RESERVED]
+        if bad:
+            raise ValueError(f"reserved column names: {bad}")
+        names = [c.name for c in self.columns]
+        if len(names) != len(set(names)):
+            raise ValueError(f"duplicate column names in {self.name!r}")
 
     def key_columns(self) -> list[ColumnSpec]:
         return [c for c in self.columns if c.is_key]

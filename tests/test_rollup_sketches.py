@@ -1,0 +1,126 @@
+"""Rollup routing (A15) and sketch-operator bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.operators.rollup import covers, route_read
+from olap_storage_engine_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    column_profile,
+    heavy_hitters,
+)
+from olap_storage_engine_spark.spec import (
+    AggregateType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _agg_table(spark, warehouse, name, key_names, replace=False):
+    cols = [ColumnSpec.key(k, ColumnType.INT64) for k in key_names]
+    cols.append(
+        ColumnSpec.value(
+            "v",
+            ColumnType.FLOAT64,
+            AggregateType.REPLACE if replace else AggregateType.SUM,
+        )
+    )
+    spec = TableSpec(name=name, columns=cols, keys_type=KeysType.AGGREGATE)
+    t = OlapTable.create(spark, spec, warehouse)
+    n_keys = len(key_names)
+    rows = [tuple([i % 7, i % 3][:n_keys] + [float(i)]) for i in range(50)]
+    schema = ", ".join(f"{k} long" for k in key_names) + ", v double"
+    t.write(spark.createDataFrame(rows, schema))
+    return t
+
+
+def test_route_picks_coarsest_cover(spark, warehouse):
+    base = _agg_table(spark, warehouse, "base", ["a", "b"])
+    roll = _agg_table(spark, warehouse, "roll", ["a"])
+    assert route_read([base, roll], ["a"]).spec.name == "roll"
+    assert route_read([base, roll], ["a", "b"]).spec.name == "base"
+    with pytest.raises(ValueError):
+        route_read([base, roll], ["c"])
+
+
+def test_replace_disqualifies_coarser_rollup(spark, warehouse):
+    rep = _agg_table(spark, warehouse, "rep", ["a", "b"], replace=True)
+    # full key set: fine; subset: REPLACE can't re-aggregate
+    assert covers(rep, ["a", "b"])
+    assert not covers(rep, ["a"])
+
+
+def test_rollup_answers_match_base(spark, warehouse):
+    base = _agg_table(spark, warehouse, "base2", ["a", "b"])
+    roll_df = base.read().groupBy("a").agg(F.sum("v").alias("v"))
+    spec = TableSpec(
+        name="roll2",
+        columns=[
+            ColumnSpec.key("a", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+    )
+    roll = OlapTable.create(spark, spec, warehouse)
+    roll.write(roll_df)
+    via_base = {
+        r["a"]: r["s"]
+        for r in base.read().groupBy("a").agg(F.sum("v").alias("s")).collect()
+    }
+    via_roll = {
+        r["a"]: r["s"]
+        for r in route_read([base, roll], ["a"])
+        .read()
+        .groupBy("a")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    assert via_base == via_roll
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "lineitem")
+
+
+def test_approx_distinct_within_rsd(spark, lineitem):
+    est = approx_distinct(lineitem, ["l_orderkey"], rsd=0.02).collect()[0]
+    exact = lineitem.select("l_orderkey").distinct().count()
+    assert abs(est["l_orderkey_distinct"] - exact) <= 0.1 * exact
+
+
+def test_approx_quantiles_bounds(spark, lineitem):
+    qs = approx_quantiles(lineitem, "l_quantity", [0.5]).collect()[0][
+        "quantiles"
+    ]
+    lo, hi = (
+        lineitem.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    )
+    assert lo <= qs[0] <= hi
+
+
+def test_heavy_hitters_exact(spark, lineitem):
+    hh = {r["l_returnflag"]: r for r in heavy_hitters(lineitem, "l_returnflag", 0.1).collect()}
+    total = lineitem.count()
+    exact = {
+        r["l_returnflag"]: r["cnt"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for flag, cnt in exact.items():
+        if cnt >= 0.1 * total:
+            assert flag in hh and hh[flag]["cnt"] == cnt
+
+
+def test_column_profile_shape(spark, lineitem):
+    prof = column_profile(lineitem, ["l_orderkey", "l_returnflag"]).collect()[0]
+    assert prof["l_orderkey_nulls"] == 0
+    assert prof["l_returnflag_min"] in ("A", "N", "R")
+    assert prof["l_orderkey_distinct"] > 0
