@@ -54,9 +54,10 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
     """Rewrite the version cover [lo, hi] into one rowset.
 
     Reads the cover, applies the keys-model collapse physically, writes
-    a single new rowset spanning the merged interval, then marks the
-    old cover STALE (reference: src/tablet.rs:155-165).  Query results
-    are invariant under compaction — pinned by tests.
+    a single new rowset spanning the merged interval (flagged
+    ``collapsed`` so steady-state reads skip merge-on-read), then marks
+    the old cover STALE (reference: src/tablet.rs:155-165).  Query
+    results are invariant under compaction — pinned by tests.
     """
     if hi is None:
         hi = table.manifest.max_version
@@ -66,9 +67,34 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
     merged = table.read(lo, hi)
     # The collapsed result is version-stamped at `hi` on write; the new
     # rowset covers [lo, hi] so existing snapshots keep resolving.
-    table.write(merged, start_version=lo, end_version=hi)
+    table.write(merged, start_version=lo, end_version=hi, collapsed=True)
     for rs in cover:
         table.manifest.mark_stale(rs.rowset_id)
+
+
+def compact_cumulative(table: OlapTable) -> None:
+    """Cumulative compaction (reference: src/common.rs:63 Cumulative +
+    src/meta.rs:139 cumulative_layer_point, write-only there): merge
+    only the rowsets ABOVE the cumulative layer point — the recent
+    small ingests — then advance the point past them.  Base data below
+    the point is untouched, so the frequent compaction job stays small.
+    """
+    clp = table.manifest.cumulative_layer_point
+    hi = table.manifest.max_version
+    if hi < clp:
+        return
+    compact(table, clp, hi)
+    table.manifest.cumulative_layer_point = hi + 1
+
+
+def compact_base(table: OlapTable) -> None:
+    """Base compaction (reference: src/common.rs:63 Base): merge
+    everything below the cumulative layer point into one base rowset —
+    the infrequent heavy job."""
+    clp = table.manifest.cumulative_layer_point
+    if clp <= 0:
+        return
+    compact(table, 0, clp - 1)
 
 
 def garbage_collect(table: OlapTable) -> list[str]:

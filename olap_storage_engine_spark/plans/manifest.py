@@ -48,6 +48,10 @@ class RowsetMeta:
     data_size: int = 0
     state: RowsetState = RowsetState.VISIBLE
     created_at: float = 0.0
+    # True when this rowset's files physically hold the keys-model
+    # collapsed data (written by compaction) — reads of a single
+    # collapsed rowset skip the merge-on-read work entirely
+    collapsed: bool = False
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -71,6 +75,7 @@ class RowsetMeta:
             "data_size": self.data_size,
             "state": self.state.value,
             "created_at": self.created_at,
+            "collapsed": self.collapsed,
         }
 
     @classmethod
@@ -135,7 +140,15 @@ class Manifest:
 
     def __init__(self, table_root: str, doc: dict | None = None):
         self.table_root = table_root
-        self.doc = doc or {"rowsets": [], "max_version": -1, "next_rowset_id": 1}
+        self.doc = doc or {
+            "rowsets": [],
+            "max_version": -1,
+            "next_rowset_id": 1,
+            # boundary between base data and the cumulative layer
+            # (reference: src/meta.rs:139 cumulative_layer_point — a
+            # write-only field there; advanced by compaction here)
+            "cumulative_layer_point": 0,
+        }
 
     # -- persistence ---------------------------------------------------
     @property
@@ -164,6 +177,15 @@ class Manifest:
     @property
     def max_version(self) -> int:
         return self.doc["max_version"]
+
+    @property
+    def cumulative_layer_point(self) -> int:
+        return self.doc.get("cumulative_layer_point", 0)
+
+    @cumulative_layer_point.setter
+    def cumulative_layer_point(self, v: int) -> None:
+        self.doc["cumulative_layer_point"] = v
+        self.save()
 
     def next_rowset_id(self) -> int:
         rid = self.doc.get("next_rowset_id", 1)

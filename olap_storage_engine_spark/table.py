@@ -102,6 +102,8 @@ class OlapTable:
         start_version: int | None = None,
         end_version: int | None = None,
         publish: bool = True,
+        collapsed: bool = False,
+        strict_routing: bool = True,
     ) -> RowsetMeta:
         """Route, sort, write one rowset, publish it.
 
@@ -159,6 +161,19 @@ class OlapTable:
                 )
         writer.parquet(out_dir)
 
+        if strict_routing and self.spec.partition.ptype != PartitionType.UNPARTITIONED:
+            # the reference errors when no partition accepts a key
+            # (src/partition.rs find_partition -> Err); detect rows that
+            # landed in the sentinel directory
+            bad_dir = os.path.join(out_dir, f"{PT_COL}=__unrouted__")
+            if os.path.exists(bad_dir):
+                shutil.rmtree(out_dir)  # abort: no orphan data files
+                raise ValueError(
+                    f"{self.spec.name}: rows outside every partition bound; "
+                    "pass strict_routing=False to keep them in the "
+                    "__unrouted__ partition"
+                )
+
         stats = (
             self.spark.read.parquet(out_dir)
             .agg(F.count(F.lit(1)).alias("n"))
@@ -176,6 +191,7 @@ class OlapTable:
             path=rel,
             num_rows=stats["n"],
             data_size=size,
+            collapsed=collapsed,
         )
         if publish:
             self.manifest.publish(rs)
@@ -239,7 +255,15 @@ class OlapTable:
         return df.select(*cols)
 
     def read(self, lo: int = 0, hi: int | None = None) -> DataFrame:
-        """Snapshot read through the keys-model collapse view."""
+        """Snapshot read through the keys-model collapse view.
+
+        Fast path: when the cover is a single compaction-written
+        rowset, its files already hold the collapsed data — skip the
+        merge-on-read window/aggregate entirely (steady state after
+        compaction)."""
+        cover = self.manifest.capture_consistent_versions(lo, hi)
+        if len(cover) == 1 and cover[0].collapsed:
+            return self.scan(lo, hi)
         df = self.scan(lo, hi, with_hidden=True)
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
@@ -313,6 +337,21 @@ class OlapTable:
     # -- ops ------------------------------------------------------------
     def compaction_score(self) -> int:
         return self.manifest.compaction_score()
+
+    def stats(self) -> dict:
+        """Table statistics from the manifest (reference D6: num_rows /
+        data sizes) — metadata-only, no scan."""
+        visible = self.manifest.visible_rowsets()
+        return {
+            "table": self.spec.name,
+            "keys_type": self.spec.keys_type.value,
+            "num_rows": sum(r.num_rows for r in visible),
+            "data_size": sum(r.data_size for r in visible),
+            "num_rowsets": len(visible),
+            "num_files": self.visible_file_count(),
+            "max_version": self.manifest.max_version,
+            "schema_version": self.spec.schema_version,
+        }
 
     def visible_file_count(self) -> int:
         cover = self.manifest.visible_rowsets()
