@@ -302,6 +302,28 @@ def q_similarity_ann_lsh(spark, sf_dir):
     )
 
 
+def q_similarity_ann_ivf(spark, sf_dir):
+    return sim.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
+def q_text_vocab(spark, sf_dir):
+    """Top-20 vocabulary terms by document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.shingles(docs, n=1)  # 1-grams, distinct per doc
+    return (
+        toks.groupBy(F.col("shingle").alias("token"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -637,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -838,6 +862,59 @@ s AS (
   SELECT p.probe_id, e.vec_id, {_cos_sql('e.embedding', 'p.pe')} AS cos
   FROM embeddings e CROSS JOIN p
   WHERE e.vec_id <> p.probe_id
+),
+r AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _similarity_ann_ivf_oracle(
+    k=10, n_centroids=16, n_probe=4, n_probes=5
+) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.cent_vec")
+    cos_pc = _cos_sql("p.probe_vec", "c.cent_vec")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+cell AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS cr
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE cr = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+),
+pcell AS (
+  SELECT probe_id, cent_id FROM (
+    SELECT p.probe_id, c.cent_id,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {cos_pc} DESC, c.cent_id) AS cr
+    FROM probes p CROSS JOIN cents c)
+  WHERE cr <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT pcell.probe_id, cell.vec_id
+  FROM cell JOIN pcell USING (cent_id)
+  WHERE cell.vec_id <> pcell.probe_id
+),
+s AS (
+  SELECT cand.probe_id, cand.vec_id,
+         {_cos_sql('e.embedding', 'pe.embedding')} AS cos
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id
 ),
 r AS (
   SELECT probe_id, vec_id, cos,
@@ -1097,6 +1174,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
+        "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
+        "text_vocab": """
+            SELECT token, count(*) AS df FROM (
+              SELECT DISTINCT doc_id, tok AS token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents)
+            ) GROUP BY token
+            ORDER BY df DESC, token LIMIT 20
+        """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -129,6 +129,78 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: the ``n_centroids`` corpus vectors with the
+    lowest ids serve as deterministic centroids (a fixed "sample" —
+    real deployments run k-means offline; determinism here makes the
+    operator oracle-checkable end to end).  Every corpus vector is
+    assigned to its nearest centroid (one broadcast pass); a probe
+    scores only the cells of its ``n_probe`` nearest centroids.
+
+    Scale shape: assignment is a broadcast map-side pass (no corpus
+    shuffle); the cell join fans each probe out to n_probe cells ≈
+    n_probe/n_centroids of the corpus scored, and the final top-k
+    window is per-probe tiny.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    # nearest centroid per corpus vector (and n_probe nearest per probe)
+    def assign(df: DataFrame, keep: list[str], vcol: str, top: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            *keep,
+            "cent_id",
+            cosine(F.col(vcol), F.col("cent_vec")).alias("cent_cos"),
+        )
+        w = Window.partitionBy(*keep[:1]).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("cr", F.row_number().over(w))
+            .filter(F.col("cr") <= top)
+            .drop("cr", "cent_cos")
+        )
+
+    cells = assign(corpus.select(id_col, vec_col), [id_col, vec_col], vec_col, 1)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    probe_cells = assign(p, ["probe_id", "probe_vec"], "probe_vec", n_probe)
+    cand = (
+        cells.join(F.broadcast(probe_cells), "cent_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, vec_col, "probe_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
 def pandas_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1,0 +1,53 @@
+"""Streaming ingest into an OlapTable — the routine-load analogue:
+each micro-batch becomes one published rowset (routed, sorted,
+version-stamped), so streaming writes get the same MVCC snapshot
+semantics as batch loads and are immediately visible to the collapse
+view.
+
+Delivery semantics: at-least-once.  ``foreachBatch`` re-runs a batch
+after a crash; a replayed batch publishes a new rowset (rowset ids are
+not derived from batch ids).  For exactly-once, key the table UNIQUE on
+a natural key — replayed rows collapse away at read time, which is the
+idiomatic lakehouse answer rather than a two-phase sink.
+
+Scale notes: the per-batch write inherits the table's partition/bucket
+routing (one shuffle per batch); rowset count grows with trigger rate —
+pair with compact_cumulative on a schedule, exactly like the
+reference's cumulative compaction loop.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from ..table import OlapTable
+
+
+def stream_ingest(
+    table: OlapTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start a streaming query that publishes each micro-batch as a
+    rowset of ``table``.  Returns the StreamingQuery handle."""
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="olap_ingest_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.write(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
