@@ -28,7 +28,20 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """TIMESTAMP(NANOS) parquet columns crash Spark's reader unless
+    nanosAsLong is on.  It is a runtime SQL conf, so set it here as
+    well as in get_spark — the driver may hand us a session built
+    without our defaults."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already-set or restricted conf: proceed and let read fail loudly
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the fixture; with

@@ -72,6 +72,9 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F, types as T
 
+    from ..sources.testdata import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
     # the file streaming source requires a directory; expose the
     # read-only fixture file through a symlink in a temp dir
