@@ -537,6 +537,31 @@ def q_agg_percentiles(spark, sf_dir):
     )
 
 
+def q_pandas_udaf_weighted_avg(spark, sf_dir):
+    """Arrow-batched grouped-aggregate pandas UDF (the UDAF surface):
+    quantity-weighted average price per return flag.  Kept exactly
+    SQL-expressible (sum(p*q)/sum(q)) so the oracle checks the Arrow
+    path end to end."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wavg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    # real type objects: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf signature inference
+    _wavg.__annotations__ = {"price": pd.Series, "qty": pd.Series,
+                             "return": float}
+    wavg = pandas_udf(_wavg, "double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .select("l_returnflag", F.round("wavg_price", 2).alias("wavg_price"))
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -689,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_date_funcs": q_string_date_funcs,
         "having_filter": q_having_filter,
         "agg_percentiles": q_agg_percentiles,
+        "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
     }
 
 
@@ -1394,6 +1420,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS sum_price
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pandas_udaf_weighted_avg": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+                     AS wavg_price
+            FROM lineitem GROUP BY 1
         """,
         # sketch_profile: intentionally no oracle — HLL estimates are
         # engine-specific; the driver records a rows-only check and

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure-Python engine parts
+— SURVEY §5 strategy #3.  Spark-free, so hundreds of examples are
+cheap."""
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from olap_storage_engine_spark.operators.routing import fnv1a64, fnv1a64_np
+from olap_storage_engine_spark.plans.manifest import RowsetMeta, VersionGraph
+from olap_storage_engine_spark.spec import PartitionPolicy, PartitionType
+
+
+@given(st.lists(st.text(max_size=40), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_fnv_vectorized_equals_scalar(strings):
+    out = fnv1a64_np(pd.Series(strings, dtype=object))
+    assert [int(h) for h in out] == [fnv1a64(s) for s in strings]
+
+
+@given(
+    st.lists(
+        st.tuples(st.text("abc", min_size=1, max_size=4),
+                  st.text("0123456789", min_size=1, max_size=6)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.text("0123456789", max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_range_routing_matches_linear_model(bounds, key):
+    """Binary-search routing == the reference's linear first-match scan
+    over sorted bounds (src/partition.rs:180-184)."""
+    policy = PartitionPolicy(PartitionType.RANGE, "c", bounds=bounds)
+    expect = None
+    for name, upper in policy.bounds:  # sorted ascending by upper
+        if key < upper:
+            expect = name
+            break
+    assert policy.find_partition(key) == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 3)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 9),
+)
+@settings(max_examples=300, deadline=None)
+def test_version_cover_is_valid_chain(intervals, hi):
+    """Any cover the BFS returns is a gapless chain lo..hi; and when it
+    returns None, no single rowset alone covers the range either."""
+    rowsets = [
+        RowsetMeta(i + 1, lo, lo + span, f"v{i}")
+        for i, (lo, span) in enumerate(intervals)
+    ]
+    g = VersionGraph(rowsets)
+    cover = g.find_covering_path(0, hi)
+    if cover is not None:
+        pos = 0
+        for rs in cover:
+            assert rs.start_version == pos
+            pos = rs.end_version + 1
+        assert pos == hi + 1
+    else:
+        assert not any(
+            rs.start_version == 0 and rs.end_version == hi for rs in rowsets
+        )
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_partitions_for_range_covers_routing(keys):
+    """Every key routed to a partition must have that partition in the
+    pruning result for any range containing the key."""
+    policy = PartitionPolicy(
+        PartitionType.RANGE, "c",
+        bounds=[("p0", "2"), ("p1", "4"), ("p2", "9")],
+    )
+    for k in keys:
+        name = policy.find_partition(str(k))
+        if name is None:
+            continue
+        labels = policy.partitions_for_range(str(k), str(k + 1))
+        assert name in labels
