@@ -311,6 +311,20 @@ class OlapTable:
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
 
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel: snapshot as of a wall-clock time — reads the
+        cover [0, v] where v is the highest version whose rowset was
+        published at or before ``ts`` (publish times live in the
+        manifest; resolution is metadata-only)."""
+        versions = [
+            rs.end_version
+            for rs in self.manifest.rowsets()
+            if rs.created_at <= ts
+        ]
+        if not versions:
+            return self.spark.createDataFrame([], self.spec.spark_schema())
+        return self.read(0, max(versions))
+
     def read_point(
         self, key_value, lo: int = 0, hi: int | None = None
     ) -> DataFrame:

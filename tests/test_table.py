@@ -88,6 +88,24 @@ def test_snapshot_versions(spark, warehouse):
         t.read(0, 99).count()
 
 
+def test_read_as_of_time_travel(spark, warehouse):
+    import time
+
+    t = OlapTable.create(spark, _dup_spec(), warehouse)
+    df = spark.createDataFrame(_rows(30), "d string, k long, v double, s string")
+    t.write(df.filter(F.col("k") < 10))
+    t1 = time.time()
+    time.sleep(0.05)
+    t.write(df.filter((F.col("k") >= 10) & (F.col("k") < 20)))
+    t2 = time.time()
+    time.sleep(0.05)
+    t.write(df.filter(F.col("k") >= 20))
+    assert t.read_as_of(t1).count() == 10
+    assert t.read_as_of(t2).count() == 20
+    assert t.read_as_of(time.time()).count() == 30
+    assert t.read_as_of(0.0).count() == 0
+
+
 def test_partition_pruning_in_plan(spark, warehouse):
     """Partition-label filters must prune at planning time: a filter on
     the partitioning column reaches the scan as a __pt partition filter
