@@ -99,6 +99,22 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key,
+    with state bounded by the watermark (keys older than the watermark
+    are evicted — the streaming twin of the batch exact-dedup
+    operator).  dropDuplicates state is per-key and the watermark
+    bounds it, so this runs indefinitely at ingest scale."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        key_cols + [ts_col]
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"

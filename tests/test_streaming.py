@@ -52,6 +52,29 @@ def test_stream_equals_batch(spark, events, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_exact_dedup(spark, events, tmp_path):
+    from olap_storage_engine_spark.streaming.events import stream_exact_dedup
+
+    src = str(tmp_path / "dup_src")
+    # write the same events twice -> every row duplicated across files
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 400
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_exact_dedup(stream, ["event_id"], watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_test")
+    assert out.count() == 200  # each event_id kept once
+    assert out.select("event_id").distinct().count() == 200
+
+
 def test_sessionize_batch_gap_semantics(spark):
     import datetime as dt
 
