@@ -537,6 +537,21 @@ def q_agg_percentiles(spark, sf_dir):
     )
 
 
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join; orders priced above their customer's average."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM orders_v i
+          WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def q_pandas_udaf_weighted_avg(spark, sf_dir):
     """Arrow-batched grouped-aggregate pandas UDF (the UDAF surface):
     quantity-weighted average price per return flag.  Kept exactly
@@ -715,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_filter": q_having_filter,
         "agg_percentiles": q_agg_percentiles,
         "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
+        "correlated_subquery": q_correlated_subquery,
     }
 
 
@@ -1420,6 +1436,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS sum_price
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "correlated_subquery": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders o
+            WHERE o_totalprice > 1.5 * (
+              SELECT avg(o_totalprice) FROM orders i
+              WHERE i.o_custkey = o.o_custkey)
         """,
         "pandas_udaf_weighted_avg": """
             SELECT l_returnflag,
