@@ -174,22 +174,25 @@ class OlapTable:
                     "__unrouted__ partition"
                 )
 
-        stats = (
-            self.spark.read.parquet(out_dir)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()[0]
-        )
-        size = sum(
-            os.path.getsize(os.path.join(dp, fn))
-            for dp, _, fns in os.walk(out_dir)
-            for fn in fns
-        )
+        # rowset stats from parquet FOOTERS only — a data re-scan to
+        # count rows would re-read the entire rowset (ruinous at scale);
+        # footer metadata carries exact row counts for free.
+        import pyarrow.parquet as pq
+
+        n_rows = 0
+        size = 0
+        for dp, _, fns in os.walk(out_dir):
+            for fn in fns:
+                fp = os.path.join(dp, fn)
+                size += os.path.getsize(fp)
+                if fn.endswith(".parquet"):
+                    n_rows += pq.ParquetFile(fp).metadata.num_rows
         rs = RowsetMeta(
             rowset_id=self.manifest.next_rowset_id(),
             start_version=start_version,
             end_version=end_version,
             path=rel,
-            num_rows=stats["n"],
+            num_rows=n_rows,
             data_size=size,
             collapsed=collapsed,
         )
