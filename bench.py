@@ -28,7 +28,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from olap_storage_engine_spark import get_spark
-    from olap_storage_engine_spark.fixtures import _BUILDERS, get_table
+    from olap_storage_engine_spark.fixtures import build_all
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,8 +36,7 @@ def main() -> None:
     qs = entrymod.queries()
 
     t_setup = time.time()
-    for name in _BUILDERS:  # build fixture tables up front (timed apart)
-        get_table(spark, SF_DIR, name)
+    build_all(spark, SF_DIR)  # fixture tables up front (timed apart)
     setup_sec = round(time.time() - t_setup, 3)
 
     timings: dict[str, float] = {}

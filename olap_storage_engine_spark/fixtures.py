@@ -32,22 +32,43 @@ from .spec import (
 )
 from .table import OlapTable
 
+import threading
+
 _WAREHOUSE: dict[str, str] = {}
 _TABLES: dict[tuple[str, str], OlapTable] = {}
+_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_META_LOCK = threading.Lock()
 
 
 def warehouse_for(sf_dir: str) -> str:
-    if sf_dir not in _WAREHOUSE:
-        _WAREHOUSE[sf_dir] = tempfile.mkdtemp(prefix="olap_wh_")
-    return _WAREHOUSE[sf_dir]
+    with _META_LOCK:
+        if sf_dir not in _WAREHOUSE:
+            _WAREHOUSE[sf_dir] = tempfile.mkdtemp(prefix="olap_wh_")
+        return _WAREHOUSE[sf_dir]
 
 
 def get_table(spark: SparkSession, sf_dir: str, name: str) -> OlapTable:
     key = (sf_dir, name)
-    if key not in _TABLES:
-        builder = _BUILDERS[name]
-        _TABLES[key] = builder(spark, sf_dir)
-    return _TABLES[key]
+    with _META_LOCK:
+        if key in _TABLES:
+            return _TABLES[key]
+        lock = _LOCKS.setdefault(key, threading.Lock())
+    with lock:  # one builder per table; Spark jobs from other threads proceed
+        if key not in _TABLES:
+            _TABLES[key] = _BUILDERS[name](spark, sf_dir)
+        return _TABLES[key]
+
+
+def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
+    """Build every fixture table, ``parallelism`` at a time — Spark's
+    scheduler runs jobs from separate driver threads concurrently, so
+    wall time is bounded by the largest tables, not the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # orders_rollup reads orders_agg: build dependencies first
+    get_table(spark, sf_dir, "orders_agg")
+    with ThreadPoolExecutor(max_workers=parallelism) as ex:
+        list(ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS))
 
 
 # ---------------------------------------------------------------- orders
