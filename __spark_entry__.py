@@ -177,10 +177,12 @@ def q_partition_prune_list(spark, sf_dir):
 
 
 def q_rollup_coarser_agg(spark, sf_dir):
+    # read_pruned, not filter(year(...)==1995): a predicate over the
+    # data column can't match the __pt directory label, so it would
+    # list every partition — a full-table listing for a one-year read.
     t = get_table(spark, sf_dir, "orders_rollup")
     return (
-        t.read()
-        .filter(F.year("o_orderdate") == 1995)
+        t.read_pruned(range_lo="1995-01-01", range_hi="1996-01-01")
         .select(
             "o_orderdate",
             F.round("sum_price", 2).alias("sum_price"),
@@ -415,15 +417,20 @@ def q_rollup_routed_read(spark, sf_dir):
     """Aggregate read routed to the coarsest covering materialization:
     grouping by o_orderdate alone routes to the 1-key rollup table, not
     the 2-key base (reference A15, both halves implemented)."""
-    from olap_storage_engine_spark.operators.rollup import route_read
+    from olap_storage_engine_spark.operators.rollup import route_read, rollup_read
 
     base = get_table(spark, sf_dir, "orders_agg")
     rollup = get_table(spark, sf_dir, "orders_rollup")
-    chosen = route_read([base, rollup], ["o_orderdate"])
-    assert chosen.spec.name == "orders_rollup"  # routing invariant
+    assert route_read([base, rollup], ["o_orderdate"]).spec.name == "orders_rollup"
+    # pruned routed read: __pt directory filter (partition pruning) +
+    # residual predicate, via the rollup's own RANGE policy
     return (
-        chosen.read()
-        .filter(F.year("o_orderdate") == 1996)
+        rollup_read(
+            [base, rollup],
+            ["o_orderdate"],
+            range_lo="1996-01-01",
+            range_hi="1997-01-01",
+        )
         .groupBy("o_orderdate")
         .agg(
             F.round(F.sum("sum_price"), 2).alias("sum_price"),

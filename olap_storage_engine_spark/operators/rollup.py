@@ -53,8 +53,23 @@ def route_read(
 
 
 def rollup_read(
-    candidates: list[OlapTable], group_keys: list[str]
+    candidates: list[OlapTable],
+    group_keys: list[str],
+    range_lo: str | None = None,
+    range_hi: str | None = None,
+    in_values: list | None = None,
 ) -> DataFrame:
-    """Routed read: collapse view of the chosen materialization,
-    ready for the caller's groupBy(group_keys)."""
-    return route_read(candidates, group_keys).read()
+    """Routed read: collapse view of the chosen materialization, ready
+    for the caller's groupBy(group_keys).
+
+    Pruning bounds pass straight through to ``read_pruned`` so a routed
+    read keeps the base table's partition-directory pruning — without
+    this, a one-year read of a RANGE-partitioned rollup lists every
+    partition (reference: src/partition.rs:172-189 routes reads AND
+    writes through find_partition; so do we)."""
+    chosen = route_read(candidates, group_keys)
+    if range_lo is None and range_hi is None and in_values is None:
+        return chosen.read()
+    return chosen.read_pruned(
+        range_lo=range_lo, range_hi=range_hi, in_values=in_values
+    )

@@ -1,10 +1,22 @@
 """Plan-shape regression tests: the physical plans the 100 TB posture
 depends on (SURVEY §4) — partition-directory pruning, parquet pushdown,
-broadcast joins, no cartesian products."""
+broadcast joins, no cartesian products.
+
+All assertions drive off formatted explain (untruncated scan metadata);
+the round-2 versions regexed executedPlan().toString(), whose FileScan
+lines truncate at spark.sql.maxMetadataStringLength and could both
+under-report pushdown and pass spuriously on ReadSchema text.
+"""
 
 import re
 
 import pytest
+
+from olap_storage_engine_spark.plans.explain import (
+    formatted_plan,
+    partition_filters,
+    pushed_filters,
+)
 
 
 @pytest.fixture(scope="module")
@@ -17,57 +29,76 @@ def entrymod():
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, entrymod, name):
-    df = entrymod.queries()[name](spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+def _df(spark, entrymod, name):
+    return entrymod.queries()[name](spark, SF)
 
 
 def test_range_prune_hits_partition_dirs(spark, entrymod):
-    plan = _plan(spark, entrymod, "partition_prune_range")
-    pf = re.findall(r"PartitionFilters: \[[^\]]+\]", plan)
+    pf = partition_filters(_df(spark, entrymod, "partition_prune_range"))
     assert any("__pt" in f for f in pf), pf
 
 
 def test_list_prune_hits_partition_dirs(spark, entrymod):
-    plan = _plan(spark, entrymod, "partition_prune_list")
-    pf = re.findall(r"PartitionFilters: \[[^\]]+\]", plan)
+    pf = partition_filters(_df(spark, entrymod, "partition_prune_list"))
     assert any("__pt" in f and "IN" in f for f in pf), pf
 
 
+def test_rollup_coarser_read_prunes_partitions(spark, entrymod):
+    # the A15 thesis: a one-year rollup read must NOT list every
+    # partition directory — year() over the data column can't match
+    # __pt, read_pruned's label filter can
+    pf = partition_filters(_df(spark, entrymod, "rollup_coarser_agg"))
+    assert any("__pt" in f for f in pf), pf
+
+
+def test_rollup_routed_read_prunes_partitions(spark, entrymod):
+    pf = partition_filters(_df(spark, entrymod, "rollup_routed_read"))
+    assert any("__pt" in f for f in pf), pf
+
+
 def test_zonemap_filter_pushes_to_parquet(spark, entrymod):
-    plan = _plan(spark, entrymod, "filter_range_zonemap")
-    assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    pushed = pushed_filters(_df(spark, entrymod, "filter_range_zonemap"))
+    joined = " ".join(pushed)
+    # both range bounds reach the scan, not just IsNotNull
+    assert "GreaterThanOrEqual(l_shipdate" in joined, pushed
+    assert "LessThan(l_shipdate" in joined, pushed
 
 
 def test_point_lookup_pushes_to_parquet(spark, entrymod):
-    plan = _plan(spark, entrymod, "filter_equality_point")
-    pushed = plan.split("PushedFilters:")[1][:200]
-    assert "l_orderkey" in pushed
+    pushed = " ".join(pushed_filters(_df(spark, entrymod, "filter_equality_point")))
+    assert "EqualTo(l_orderkey" in pushed, pushed
+
+
+def test_bucket_point_lookup_prunes_bucket_dir(spark, entrymod):
+    df = _df(spark, entrymod, "bucket_point_lookup")
+    pf = " ".join(partition_filters(df))
+    assert "__bk" in pf, pf  # directory pruning to one bucket
+    pushed = " ".join(pushed_filters(df))
+    assert "EqualTo(o_custkey" in pushed, pushed
 
 
 def test_star_join_broadcasts_dims(spark, entrymod):
-    plan = _plan(spark, entrymod, "join_star_revenue")
-    assert plan.count("BroadcastHashJoin") >= 3
+    plan = formatted_plan(_df(spark, entrymod, "join_star_revenue"))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
     assert "CartesianProduct" not in plan
 
 
 def test_no_cartesian_in_similarity(spark, entrymod):
     # broadcast nested-loop against the tiny probe set is the intended
     # plan; an un-broadcast cartesian product is not
-    plan = _plan(spark, entrymod, "similarity_topk")
+    plan = formatted_plan(_df(spark, entrymod, "similarity_topk"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_no_cartesian_in_minhash(spark, entrymod):
-    plan = _plan(spark, entrymod, "dedup_minhash")
+    plan = formatted_plan(_df(spark, entrymod, "dedup_minhash"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_scan_projection_prunes_columns(spark, entrymod):
-    plan = _plan(spark, entrymod, "scan_projection")
+    plan = formatted_plan(_df(spark, entrymod, "scan_projection"))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, "no ReadSchema in plan"
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
