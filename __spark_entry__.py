@@ -288,6 +288,23 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution: minhash candidate pairs -> connected
+    components -> (doc_id, cluster_id), cluster_id = elected canonical
+    (lowest member id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidates(docs, num_hashes=8, band_rows=2, n=3)
+    return dd.neardup_clusters(docs, pairs)
+
+
+def q_dedup_keepset(spark, sf_dir):
+    """The dedup last mile: the corpus after dropping non-canonical
+    near-dup cluster members (anti-join against the drop-set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidates(docs, num_hashes=8, band_rows=2, n=3)
+    return dd.neardup_filter(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
         load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
@@ -703,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keepset": q_dedup_keepset,
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -748,7 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _MD5INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+def _minhash_ctes(num_hashes=8, band_rows=2, n=3) -> str:
+    """The shared CTE chain computing banded-minhash candidate pairs
+    (terminal CTE: ``mh_pairs``) — used by the pair oracle and, under
+    WITH RECURSIVE, by the cluster-resolution oracles."""
     from olap_storage_engine_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -769,8 +791,7 @@ def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
         )
         for b in range(num_bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 sh AS (
@@ -788,10 +809,51 @@ mh AS (
 ),
 bands AS (
 {band_selects}
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+mh_pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+)"""
+
+
+def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    return (
+        f"WITH {_minhash_ctes(num_hashes, band_rows, n)}\n"
+        "SELECT doc_a, doc_b FROM mh_pairs"
+    )
+
+
+def _cc_ctes(num_hashes=8, band_rows=2, n=3) -> str:
+    """Connected components over the minhash pair graph as a recursive
+    reachability closure; cc = (id, comp) with comp = min reachable id."""
+    return f"""{_minhash_ctes(num_hashes, band_rows, n)},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+cc AS (
+  SELECT id, min(reach) AS comp FROM walk GROUP BY id
+)"""
+
+
+def _dedup_clusters_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    return (
+        f"WITH RECURSIVE {_cc_ctes(num_hashes, band_rows, n)}\n"
+        "SELECT id AS doc_id, comp AS cluster_id FROM cc"
+    )
+
+
+def _dedup_keepset_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    return f"""WITH RECURSIVE {_cc_ctes(num_hashes, band_rows, n)}
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
 """
 
 
@@ -1218,6 +1280,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_keepset": _dedup_keepset_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

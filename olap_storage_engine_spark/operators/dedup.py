@@ -343,6 +343,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph.
+
+    Iterative DataFrame min-label propagation with pointer jumping:
+    each round every vertex takes the min label over itself and its
+    neighbors, then shortcuts through its current label's label
+    (label(v) <- label(label(v))).  The neighbor step moves a min one
+    hop per round; the jump step doubles the chain it has crossed, so
+    convergence is O(log diameter) rounds — and dedup pair graphs are
+    near-cliques from shared LSH buckets, so 2-3 rounds in practice.
+    Terminates early when a round changes no label.
+
+    Returns (id, component) for every vertex that appears in ``pairs``;
+    component = min vertex id of the component.
+
+    100 TB posture: each round is two key-shuffle joins (neighbor min,
+    pointer jump) with map-side combine on the groupBy — no driver-side
+    graph state; the only driver action per round is the scalar
+    convergence count.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_min", labels["label"])
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label(v) <- label(label(v)) (labels always point
+        # at graph vertices, so the self-join is total)
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["pid"])
+            .select(stepped["id"], F.col("plabel").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Cluster resolution over near-dup candidate pairs: (doc_id,
+    cluster_id) for every document in a cluster; cluster_id is the
+    lowest member id (the elected canonical document)."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    return cc.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def neardup_filter(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 12,
+) -> DataFrame:
+    """The dedup last mile: drop every non-canonical cluster member
+    from the corpus (keep the lowest-id doc per cluster plus all
+    unclustered docs) — an anti-join against the small drop-set, so the
+    corpus itself is filtered in one pass without shuffling its rows."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    drop = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, on=id_col, how="anti")
+
+
 def hyperplane_weights(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
     w[p][d] = (md5int('plane{p}d{d}') % 1000)/1000 - 0.5.  Computed

@@ -220,3 +220,39 @@ def test_multimodal_payload_and_features(spark, docs):
 def test_multimodal_real_decode_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         mm.decode_features(mm.attach_binary_payload(docs), fake=False)
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def test_connected_components_chain(spark):
+    # a 6-vertex path: worst case for plain propagation, exercises the
+    # pointer-jumping shortcut (converges in O(log n) rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert cc == {i: 1 for i in range(1, 7)}
+
+
+def test_connected_components_disjoint_cliques(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_neardup_filter_keeps_canonicals(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = dd.neardup_filter(docs, pairs)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4, 5}
+    clusters = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.neardup_clusters(docs, pairs).collect()
+    }
+    assert clusters == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.connected_components(pairs).count() == 0
