@@ -985,16 +985,57 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _kmeans_ctes(
+    n_centroids=16, sample_mod=4, iters=2, dim=64, round_dp=6
+) -> str:
+    """Deterministic sampled k-means, unrolled — mirrors
+    operators/similarity.train_ivf_centroids step for step (same
+    sample, same init, same tie order, same per-iteration rounding of
+    the per-dimension means, which is what absorbs the engines'
+    differing float-summation orders)."""
+    parts = [
+        f"""sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {sample_mod} = 0
+),
+c0 AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec
+  FROM sample ORDER BY vec_id LIMIT {n_centroids}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        cos_sc = _cos_sql("s.embedding", "c.cent_vec", dim)
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT s.vec_id, s.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {cos_sc} DESC, c.cent_id) AS rn
+    FROM sample s CROSS JOIN {prev} c) WHERE rn = 1
+),
+d{it} AS (
+  SELECT cent_id, i AS pos, embedding[i]::DOUBLE AS val
+  FROM a{it} CROSS JOIN range(1, {dim + 1}) t(i)
+),
+m{it} AS (
+  SELECT cent_id, pos, round(avg(val), {round_dp}) AS m
+  FROM d{it} GROUP BY 1, 2
+),
+c{it} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cent_vec FROM m{it} GROUP BY cent_id
+)"""
+        )
+    parts.append(f"cents AS (SELECT cent_id, cent_vec FROM c{iters})")
+    return ",\n".join(parts)
+
+
 def _similarity_ann_ivf_oracle(
-    k=10, n_centroids=16, n_probe=4, n_probes=5
+    k=10, n_centroids=16, n_probe=4, n_probes=5, sample_mod=4, iters=2
 ) -> str:
     cos_ec = _cos_sql("e.embedding", "c.cent_vec")
     cos_pc = _cos_sql("p.probe_vec", "c.cent_vec")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cent_vec
-  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
-),
+WITH {_kmeans_ctes(n_centroids, sample_mod, iters)},
 cell AS (
   SELECT vec_id, cent_id FROM (
     SELECT e.vec_id, c.cent_id,

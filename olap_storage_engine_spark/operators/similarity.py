@@ -129,6 +129,78 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_mod: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic sampled k-means coarse quantizer.
+
+    Sample = rows with ``id % sample_mod == 0`` (deterministic, scale-
+    independent); init = the ``n_centroids`` lowest-id sample vectors;
+    then ``iters`` Lloyd iterations: assign each sample vector to its
+    max-cosine centroid (ties by cent_id), recompute each centroid as
+    the per-dimension mean of its members.  Means are ROUNDED to
+    ``round_dp`` decimals every iteration — that makes the trained
+    centroids reproducible bit-for-bit across engines (Spark's partial
+    aggregation and DuckDB's parallel avg sum doubles in different
+    orders; the ~1e-15 jitter is absorbed by the rounding), which is
+    what keeps the IVF operator oracle-checkable end to end.
+
+    Centroids that lose all members drop out (inner-join semantics,
+    identical in the SQL oracle).  Returns (cent_id, cent_vec).
+
+    100 TB posture: the sample is a pushed-down filter scan; each
+    iteration is one broadcast of ≤n_centroids vectors + one
+    (vec, pos)-keyed aggregate over the sample only — the corpus is
+    never shuffled; training cost is bounded by sample size.
+    """
+    sample = corpus.filter(
+        F.pmod(F.col(id_col), F.lit(sample_mod)) == 0
+    ).select(id_col, vec_col)
+    cents = (
+        sample.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    for _ in range(iters):
+        scored = sample.join(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cent_id",
+            cosine(F.col(vec_col), F.col("cent_vec")).alias("cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cos").desc(), F.col("cent_id").asc()
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cent_id", vec_col)
+        )
+        dims = best.select(
+            "cent_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = dims.groupBy("cent_id", "pos").agg(
+            F.round(F.avg("val"), round_dp).alias("m")
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cent_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cent_vec"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -137,28 +209,46 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = True,
+    sample_mod: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: the ``n_centroids`` corpus vectors with the
-    lowest ids serve as deterministic centroids (a fixed "sample" —
-    real deployments run k-means offline; determinism here makes the
-    operator oracle-checkable end to end).  Every corpus vector is
-    assigned to its nearest centroid (one broadcast pass); a probe
-    scores only the cells of its ``n_probe`` nearest centroids.
+    Coarse quantizer: deterministic sampled k-means
+    (``train_ivf_centroids``) by default; ``trained=False`` falls back
+    to the n lowest-id corpus vectors (the round-2 plumbing-only
+    quantizer).  Every corpus vector is assigned to its nearest
+    centroid (one broadcast pass); a probe scores only the cells of its
+    ``n_probe`` nearest centroids.
+
+    The trained centroids are collected driver-side (≤n_centroids rows
+    — metadata scale) and re-broadcast as a literal table, so the
+    serving plan is identical to an offline-trained IVF index: the
+    training job and the query never entangle.
 
     Scale shape: assignment is a broadcast map-side pass (no corpus
     shuffle); the cell join fans each probe out to n_probe cells ≈
     n_probe/n_centroids of the corpus scored, and the final top-k
     window is per-probe tiny.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    if trained:
+        spark = corpus.sparkSession
+        rows = train_ivf_centroids(
+            corpus, n_centroids, sample_mod, train_iters, id_col, vec_col
+        ).collect()
+        cents = spark.createDataFrame(
+            [(r["cent_id"], r["cent_vec"]) for r in rows],
+            "cent_id long, cent_vec array<double>",
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     # nearest centroid per corpus vector (and n_probe nearest per probe)
     def assign(df: DataFrame, keep: list[str], vcol: str, top: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(

@@ -256,3 +256,31 @@ def test_neardup_filter_keeps_canonicals(spark, docs):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dd.connected_components(pairs).count() == 0
+
+
+def test_train_ivf_centroids_deterministic(spark, embeddings):
+    df, _ = embeddings
+    c1 = sim.train_ivf_centroids(df, n_centroids=4, sample_mod=2).collect()
+    c2 = sim.train_ivf_centroids(df, n_centroids=4, sample_mod=2).collect()
+    assert sorted((r["cent_id"], tuple(r["cent_vec"])) for r in c1) == sorted(
+        (r["cent_id"], tuple(r["cent_vec"])) for r in c2
+    )
+    assert 0 < len(c1) <= 4
+    assert all(len(r["cent_vec"]) == 64 for r in c1)
+
+
+def test_ivf_trained_recall_vs_brute(spark, embeddings):
+    df, _ = embeddings
+    probes = df.filter("vec_id < 2")
+    brute = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.brute_topk(df, probes, k=3).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.ivf_topk(
+            df, probes, k=3, n_centroids=4, n_probe=4, sample_mod=2
+        ).collect()
+    }
+    # n_probe == n_centroids scores every cell -> exact results
+    assert ivf == brute
