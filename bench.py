@@ -48,22 +48,58 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # per-query DuckDB oracle baseline on the same data — regressions
+    # show per query, not just in the aggregate (set
+    # SPARK_GRAFT_BENCH_ORACLE=0 to skip the baseline pass)
+    oracle_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        for name, sql in entrymod.oracle_sql().items():
+            if name in SKIP:
+                continue
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                oracle_timings[name] = round(time.time() - t0, 3)
+            except Exception:
+                oracle_timings[name] = -1.0
+
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "setup_sec": setup_sec,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_set_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "setup_sec": setup_sec,
+        "n_queries": len(timings),
+    }
+    if oracle_timings:
+        ok = [v for v in oracle_timings.values() if v >= 0]
+        out["oracle_queries"] = oracle_timings
+        out["oracle_total_sec"] = round(sum(ok), 3)
+        if sum(ok):
+            # spark wall over oracle wall, same queries, same sf
+            shared = [
+                n for n in timings if oracle_timings.get(n, -1) >= 0
+            ]
+            out["ratio_vs_oracle"] = round(
+                sum(timings[n] for n in shared)
+                / max(sum(oracle_timings[n] for n in shared), 1e-9),
+                3,
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -97,14 +97,32 @@ def compact_base(table: OlapTable) -> None:
     compact(table, 0, clp - 1)
 
 
-def garbage_collect(table: OlapTable) -> list[str]:
+def garbage_collect(
+    table: OlapTable,
+    prepared_ttl_sec: float | None = 24 * 3600.0,
+    now: float | None = None,
+) -> list[str]:
     """Delete the data directories of STALE rowsets (the reference only
-    marks GC intent; physical deletion is deferred — we do both)."""
+    marks GC intent; physical deletion is deferred — we do both), and
+    abort orphaned two-phase publishes: a PREPARED rowset older than
+    ``prepared_ttl_sec`` is a crashed phase-1 write whose committer is
+    never coming back — it's marked STALE and reclaimed with the rest.
+    Pass ``prepared_ttl_sec=None`` to leave PREPARED rowsets alone."""
     import os
     import shutil
+    import time
 
+    if now is None:
+        now = time.time()
     removed = []
     for rs in table.manifest.rowsets():
+        if (
+            rs.state == RowsetState.PREPARED
+            and prepared_ttl_sec is not None
+            and now - rs.created_at > prepared_ttl_sec
+        ):
+            table.manifest.mark_stale(rs.rowset_id)
+            rs.state = RowsetState.STALE
         if rs.state == RowsetState.STALE:
             d = os.path.join(table.root, rs.path)
             if os.path.exists(d):

@@ -74,11 +74,18 @@ def shingles(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_size: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles, one row per (doc, distinct shingle).
 
-    Built from the token array with transform+slice (JVM-side), then
-    exploded; distinct so a repeated shingle counts once per doc.
+    Per-doc dedup happens BEFORE the explode via ``array_distinct`` —
+    entirely inside the row, no shuffle; the round-2 version exploded
+    then ran a row-level ``.distinct()``, a full exchange that every
+    downstream consumer (minhash, jaccard, vocab) paid for.
+
+    ``with_size=True`` adds the per-doc distinct-shingle count as a
+    ``sz`` column — computed in the same projection, so consumers that
+    need set sizes (jaccard) don't re-aggregate the index for them.
     """
     # tokenize ONCE into a materialized column: referencing tokens()
     # directly inside the transform lambda would re-run the regex split
@@ -90,17 +97,23 @@ def shingles(
     toks = F.col("__toks")
     # guard: sequence(1, k) with k < 1 would generate a DESCENDING
     # sequence in Spark; short documents get an empty shingle set.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        toked.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
+    g = toked.select(F.col(id_col), grams.alias("__grams"))
+    if with_size:
+        return g.select(
+            F.col(id_col),
+            F.size("__grams").alias("sz"),
+            F.explode("__grams").alias("shingle"),
+        )
+    return g.select(F.col(id_col), F.explode("__grams").alias("shingle"))
 
 
 # Affine min-hash family over one base hash: h_i(s) = (a_i*h + b_i) mod P
@@ -209,13 +222,16 @@ def simhash(
     low ``bits`` bit positions votes +1/-1; the fingerprint sets bit j
     when the vote sum is positive.
 
-    Plan shape: explode tokens (distinct per doc), then ONE groupBy(doc)
-    computing all bit-sums as independent aggregate columns — bits stay
-    columnar, no per-bit explosion."""
+    Plan shape: explode tokens (deduped per doc BEFORE the explode via
+    array_distinct — no shuffle), then ONE groupBy(doc) computing all
+    bit-sums as independent aggregate columns — bits stay columnar, no
+    per-bit explosion."""
     tok = (
         _spread(docs)
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .distinct()
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
         .withColumn("th", md5int(F.col("tok")))
     )
     bit_sums = [
@@ -299,16 +315,22 @@ def ngram_jaccard_pairs(
     per-key fan-out, which is what makes the plan survive 100 TB; a
     shingle shared by D docs would otherwise emit D² pair rows.
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    Plan shape (the round-2 version had 22 exchanges; this has 3): the
+    index is repartitioned by ``shingle`` ONCE and persisted, so the
+    doc-frequency aggregate, the frequency-cap join, and the self-join
+    all reuse that partitioning with zero further exchanges; per-doc set
+    sizes ride along as an index column (computed pre-explode), so the
+    jaccard denominator needs no extra joins — the only shuffles are
+    the one repartition and the final (doc_a, doc_b) pair aggregate.
     """
-    # the shingle index feeds three consumers (sizes, doc-frequency cap,
-    # join input); cache it once instead of re-tokenizing three times —
-    # it is bounded (one row per distinct (doc, shingle)) and spills.
     from pyspark import StorageLevel
 
-    sh = shingles(docs, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        shingles(docs, n, text_col, id_col, with_size=True)
+        .repartition(F.col("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
@@ -325,15 +347,13 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),

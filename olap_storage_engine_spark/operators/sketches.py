@@ -51,13 +51,18 @@ def heavy_hitters(
     """Values appearing in at least ``min_share`` of rows.  Exact
     counting kept deliberately: a hash aggregate on the column is one
     shuffle and composes with AQE; use this over freqItems when the
-    output feeds decisions (freqItems is one-pass but over-reports)."""
-    total = df.count()
+    output feeds decisions (freqItems is one-pass but over-reports).
+
+    Single pass over the input: the total row count is the sum of the
+    group counts (a tiny second-stage aggregate broadcast back onto
+    them) — no separate df.count() action re-scanning the data."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        df.groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= total * min_share)
-        .withColumn("share", F.round(F.col("cnt") / total, 6))
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("__total") * min_share)
+        .withColumn("share", F.round(F.col("cnt") / F.col("__total"), 6))
+        .drop("__total")
     )
 
 

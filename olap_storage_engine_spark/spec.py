@@ -367,9 +367,20 @@ class TableSpec:
         return [c.name for c in self.columns]
 
     def schema_hash(self) -> int:
+        """Stable fingerprint of the column layout (position, name,
+        type, keyness, aggregate type).  The round-2 version hashed the
+        bare enumerate index — column 0 contributed nothing and renames
+        were invisible; now each column's identity is crc32-mixed before
+        the Knuth multiply so any layout change moves the hash."""
+        import zlib
+
         h = 0
-        for i, _ in enumerate(self.columns):
-            h ^= (i * _KNUTH) & 0xFFFFFFFF
+        for i, c in enumerate(self.columns):
+            ident = (
+                f"{i}:{c.name}:{ColumnType(c.column_type).value}:"
+                f"{int(c.is_key)}:{AggregateType(c.aggregate_type).value}"
+            )
+            h ^= ((zlib.crc32(ident.encode()) + 1) * _KNUTH) & 0xFFFFFFFF
         return h
 
     def spark_schema(self) -> T.StructType:

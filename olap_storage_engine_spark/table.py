@@ -46,6 +46,12 @@ BK_COL = "__bk"  # bucket id directory column
 SPEC_FILE = "_spec.json"
 
 
+class SchemaHashMismatch(ValueError):
+    """The spec's recomputed schema hash disagrees with the stored one
+    (reference: src/storage.rs:79-87 — publish resolves the tablet by
+    (tablet_id, schema_hash), so a drifted schema can't publish)."""
+
+
 class OlapTable:
     """One table = spec + manifest + versioned Parquet directories."""
 
@@ -73,14 +79,28 @@ class OlapTable:
         os.makedirs(root)
         with open(os.path.join(root, SPEC_FILE), "w") as f:
             f.write(spec.to_json())
-        Manifest(root).save()
+        m = Manifest(root)
+        # the manifest pins the schema hash it was created under; every
+        # publish re-checks it (reference: src/storage.rs:79-87
+        # get_tablet(tablet_id, schema_hash))
+        m.doc["schema_hash"] = spec.schema_hash()
+        m.save()
         return cls(spark, spec, root)
 
     @classmethod
     def load(cls, spark: SparkSession, warehouse: str, name: str) -> "OlapTable":
+        import json as _json
+
         root = os.path.join(warehouse, name)
         with open(os.path.join(root, SPEC_FILE)) as f:
-            spec = TableSpec.from_json(f.read())
+            doc = _json.load(f)
+        spec = TableSpec.from_dict(doc)
+        stored = doc.get("schema_hash")
+        if stored is not None and stored != spec.schema_hash():
+            raise SchemaHashMismatch(
+                f"table {name!r}: spec file schema_hash {stored} != "
+                f"recomputed {spec.schema_hash()} — spec edited out of band"
+            )
         return cls(spark, spec, root)
 
     @classmethod
@@ -114,6 +134,13 @@ class OlapTable:
         the rowset lands PREPARED (data durable, invisible to reads)
         until ``commit(rowset_id)``.
         """
+        expected = self.manifest.doc.get("schema_hash")
+        if expected is not None and expected != self.spec.schema_hash():
+            raise SchemaHashMismatch(
+                f"table {self.spec.name!r}: spec hash "
+                f"{self.spec.schema_hash()} != manifest hash {expected} — "
+                "refusing to publish against a drifted schema"
+            )
         if start_version is None:
             start_version = self.manifest.max_version + 1
         if end_version is None:
@@ -224,6 +251,10 @@ class OlapTable:
         self.spec.schema_version += 1
         with open(os.path.join(self.root, SPEC_FILE), "w") as f:
             f.write(self.spec.to_json())
+        # evolve the manifest's pinned hash in the same step, so the
+        # next publish validates against the new layout
+        self.manifest.doc["schema_hash"] = self.spec.schema_hash()
+        self.manifest.save()
 
     # -- read path -------------------------------------------------------
     def scan(
@@ -369,6 +400,37 @@ class OlapTable:
             "max_version": self.manifest.max_version,
             "schema_version": self.spec.schema_version,
         }
+
+    def column_min(self, col: str):
+        """Exact global minimum of a column from Parquet FOOTER
+        statistics only — a driver-side metadata read, no data scan.
+        This is how probe keys should be picked at 100 TB: the round-2
+        fixture queries ran ``df.agg(min(...)).collect()``, a full
+        column scan to choose a constant."""
+        import pyarrow.parquet as pq
+
+        best = None
+        for rs in self.manifest.visible_rowsets():
+            d = os.path.join(self.root, rs.path)
+            for dp, _, fns in os.walk(d):
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(dp, fn)).metadata
+                    ci = None
+                    for i in range(md.num_columns):
+                        if md.schema.column(i).path == col:
+                            ci = i
+                            break
+                    if ci is None:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is not None and st.has_min_max:
+                            v = st.min
+                            if best is None or v < best:
+                                best = v
+        return best
 
     def visible_file_count(self) -> int:
         cover = self.manifest.visible_rowsets()

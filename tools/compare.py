@@ -8,6 +8,7 @@ Usage:  python tools/compare.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 
@@ -111,15 +112,27 @@ def main():
     os_ = e.oracle_sql()
     names = sys.argv[2:] or list(qs)
     failed = []
+    results = {}
     for name in names:
         try:
             r = compare_query(spark, name, sf_dir, qs, os_)
         except Exception as ex:
             r = {"name": name, "status": "ERROR", "detail": str(ex)[:300]}
+        results[name] = r
         line = f"{r['name']:28s} {r['status']:18s} {r.get('rows', '')} {r.get('detail', '')[:220]}"
         print(line, flush=True)
         if r["status"] not in ("OK", "rows_only"):
             failed.append(r["name"])
+    out_path = os.environ.get("LOCALCHECK_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n": len(names), "failed": failed,
+                 "results": results},
+                f, indent=1,
+            )
     print(f"\n{len(names) - len(failed)}/{len(names)} green; failed: {failed}")
     sys.exit(1 if failed else 0)
 
