@@ -419,6 +419,76 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_join_asof(spark, sf_dir):
+    """Backward as-of join (point-in-time join): each click event gets
+    the user's most recent purchase at or before it — one shuffle on
+    user_id via the union/sort-window plan, no range-join explosion."""
+    from olap_storage_engine_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="user_id", prefix="purchase_")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+def q_join_band(spark, sf_dir):
+    """Equi + band join: clicks by the same user within the hour before
+    each purchase; equi key (user_id) drives the shuffle, the time band
+    is a residual predicate — never a cross product."""
+    from olap_storage_engine_spark.operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = band_join(
+        purchases,
+        clicks,
+        on="user_id",
+        band_before="1 hour",
+        band_after="0 seconds",
+    )
+    return (
+        j.select("__l.purchase_id", "__l.user_id")
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_before"))
+    )
+
+
+def q_join_range(spark, sf_dir):
+    """Interval range join with NO equi key, planned as a hash
+    equi-join via time chunking: events vs daily 09:00-17:00 peak
+    windows derived from the event dates themselves."""
+    from olap_storage_engine_spark.operators.temporal import range_join_chunked
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .select(
+            (F.to_timestamp("d") + F.expr("INTERVAL 9 HOURS")).alias("start"),
+            (F.to_timestamp("d") + F.expr("INTERVAL 17 HOURS")).alias("end"),
+        )
+    )
+    j = range_join_chunked(ev, intervals, chunk_seconds=3600)
+    return j.groupBy(F.col("start").alias("interval_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_bucket_point_lookup(spark, sf_dir):
     """Point lookup routed to one bucket directory (driver-side FNV
     routing -> __bk partition filter + bloom/stats skip)."""
@@ -759,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
         "events_stream_window": q_events_stream_window,
+        "join_asof": q_join_asof,
+        "join_band": q_join_band,
+        "join_range": q_join_range,
         "bucket_point_lookup": q_bucket_point_lookup,
         "rollup_routed_read": q_rollup_routed_read,
         "grouping_rollup": q_grouping_rollup,
@@ -1500,6 +1573,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "join_asof": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS purchase_ts,
+                   round(p.value, 4) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "join_band": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   count(*) AS n_clicks_before
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            GROUP BY 1, 2
+        """,
+        "join_range": """
+            WITH iv AS (
+              SELECT d::TIMESTAMP + INTERVAL 9 HOUR AS lo,
+                     d::TIMESTAMP + INTERVAL 17 HOUR AS hi
+              FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+            )
+            SELECT iv.lo AS interval_start, count(*) AS n_events,
+                   round(sum(e.value), 4) AS sum_value
+            FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+            GROUP BY 1
         """,
         "join_semi": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -1,0 +1,153 @@
+"""Temporal join operators: as-of, band, chunked interval range join.
+
+Golden tests on hand-built frames (incl. unmatched rows, inclusive
+equality, null payload fields) plus an equivalence check of the
+chunked range join against the naive filter formulation.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.operators.temporal import (
+    asof_join,
+    band_join,
+    range_join_chunked,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:05:00"), 101.0),
+            ("A", _ts("2024-01-01 10:30:00"), None),  # null payload field
+            ("B", _ts("2024-01-01 09:00:00"), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:05:00"), 7),   # equal ts -> inclusive
+            ("A", _ts("2024-01-01 10:20:00"), 8),   # between quotes
+            ("A", _ts("2024-01-01 10:40:00"), 9),   # after null-px quote
+            ("B", _ts("2024-01-01 08:00:00"), 1),   # before any quote
+            ("C", _ts("2024-01-01 12:00:00"), 2),   # key with no quotes
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_and_unmatched(self, spark):
+        out = asof_join(
+            _trades(spark), _quotes(spark), on="sym", prefix="q_"
+        ).orderBy("sym", "ts")
+        rows = {(r["sym"], r["qty"]): (r["q_ts"], r["q_px"]) for r in out.collect()}
+        assert rows[("A", 7)] == (_ts("2024-01-01 10:05:00"), 101.0)
+        assert rows[("A", 8)] == (_ts("2024-01-01 10:05:00"), 101.0)
+        # row-atomic carry: the 10:30 quote (px NULL) must win whole,
+        # not stitch px from the 10:05 row
+        assert rows[("A", 9)] == (_ts("2024-01-01 10:30:00"), None)
+        assert rows[("B", 1)] == (None, None)
+        assert rows[("C", 2)] == (None, None)
+        assert out.count() == 5
+
+    def test_inner_drops_unmatched(self, spark):
+        out = asof_join(
+            _trades(spark), _quotes(spark), on="sym", how="inner"
+        )
+        assert out.count() == 3
+        assert {r["sym"] for r in out.collect()} == {"A"}
+
+    def test_single_shuffle_no_join(self, spark):
+        plan = asof_join(
+            _trades(spark), _quotes(spark), on="sym"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union + window, never a join node
+
+
+class TestBandJoin:
+    def test_band_membership(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"))], "uid int, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 08:59:59")),  # outside (>1h before)
+                (1, _ts("2024-01-01 09:00:00")),  # boundary: included
+                (1, _ts("2024-01-01 10:00:00")),  # boundary: included
+                (1, _ts("2024-01-01 10:00:01")),  # after: excluded
+                (2, _ts("2024-01-01 09:30:00")),  # wrong key
+            ],
+            "uid int, ts timestamp",
+        )
+        out = band_join(left, right, on="uid", band_before="1 hour")
+        assert out.count() == 2
+
+    def test_plan_is_equi_join(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"))], "uid int, ts timestamp"
+        )
+        plan = (
+            band_join(left, left, on="uid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestRangeJoinChunked:
+    def test_matches_naive_filter(self, spark):
+        ev = spark.range(0, 500).select(
+            F.col("id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("id") * 7)
+            ).alias("ts"),
+        )
+        iv = spark.createDataFrame(
+            [
+                (_ts("2024-01-01 03:00:00"), _ts("2024-01-01 05:30:00")),
+                (_ts("2024-01-01 20:10:00"), _ts("2024-01-02 01:00:00")),
+            ],
+            "start timestamp, end timestamp",
+        )
+        chunked = range_join_chunked(ev, iv, chunk_seconds=3600)
+        naive = ev.crossJoin(iv).filter(
+            (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+        )
+        assert sorted(
+            (r["id"], r["start"]) for r in chunked.collect()
+        ) == sorted((r["id"], r["start"]) for r in naive.collect())
+        assert chunked.count() > 0
+
+    def test_plan_is_equi_join(self, spark):
+        # ts must be non-constant: a literal folds the chunk equality
+        # into a constant filter, leaving no join key at all
+        ev = spark.range(0, 10).select(
+            F.col("id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(hours=F.col("id"))
+            ).alias("ts"),
+        )
+        iv = spark.createDataFrame(
+            [(_ts("2024-01-01 03:00:00"), _ts("2024-01-01 05:00:00"))],
+            "start timestamp, end timestamp",
+        )
+        plan = (
+            range_join_chunked(ev, iv)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
