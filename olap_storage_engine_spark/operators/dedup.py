@@ -106,6 +106,12 @@ def shingles(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+    # NOTE: exploding a projected attribute is only safe because
+    # session.py / sources.testdata exclude InferFiltersFromGenerate —
+    # its inferred size(attr)>0 filter otherwise gets substituted
+    # through this projection and pushed below the spread repartition,
+    # re-running tokenize+transform+array_distinct on the single scan
+    # partition (measured 6s vs 0.4s per pass at sf0.1).
     g = toked.select(F.col(id_col), grams.alias("__grams"))
     if with_size:
         return g.select(
@@ -371,22 +377,24 @@ def connected_components(
 ) -> DataFrame:
     """Connected components over a candidate-pair graph.
 
-    Iterative DataFrame min-label propagation with pointer jumping:
-    each round every vertex takes the min label over itself and its
-    neighbors, then shortcuts through its current label's label
-    (label(v) <- label(label(v))).  The neighbor step moves a min one
-    hop per round; the jump step doubles the chain it has crossed, so
-    convergence is O(log diameter) rounds — and dedup pair graphs are
-    near-cliques from shared LSH buckets, so 2-3 rounds in practice.
-    Terminates early when a round changes no label.
+    Iterative DataFrame min-label propagation: each round every vertex
+    takes the min label over itself and its neighbors — ONE key-shuffle
+    join (messages) plus ONE groupBy (min with map-side combine) per
+    round.  Convergence is O(graph diameter) rounds; dedup pair graphs
+    are near-cliques from shared LSH buckets (diameter 2-3), so the
+    ``max_iter`` bound is a safety net, not the expected path.
+    Terminates early via a monotone convergence check: labels only ever
+    decrease, so an unchanged sum(label) over an unchanged vertex count
+    means a fixpoint — ONE scalar aggregate per round, no join against
+    the previous labels.
 
     Returns (id, component) for every vertex that appears in ``pairs``;
     component = min vertex id of the component.
 
-    100 TB posture: each round is two key-shuffle joins (neighbor min,
-    pointer jump) with map-side combine on the groupBy — no driver-side
-    graph state; the only driver action per round is the scalar
-    convergence count.
+    100 TB posture: no driver-side graph state — the per-round driver
+    action is a single scalar row; each round's shuffle is keyed by
+    vertex id, and hot vertices (giant near-cliques) are exactly the
+    keys AQE skew-split handles.
     """
     from pyspark import StorageLevel
 
@@ -401,40 +409,25 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        msgs = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("label")
         )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_min", labels["label"])
-                ).alias("label"),
-            )
-        )
-        # pointer jump: label(v) <- label(label(v)) (labels always point
-        # at graph vertices, so the self-join is total)
-        ptr = stepped.select(
-            F.col("id").alias("pid"), F.col("label").alias("plabel")
-        )
-        jumped = (
-            stepped.join(ptr, stepped["label"] == ptr["pid"])
-            .select(stepped["id"], F.col("plabel").alias("label"))
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        row = new_labels.agg(
+            F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
         labels.unpersist()
-        labels = jumped
-        if changed == 0:
+        labels = new_labels
+        if prev_sum == (row["s"], row["n"]):
             break
+        prev_sum = (row["s"], row["n"])
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))
 

@@ -56,6 +56,18 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert on load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns explode(attr) into a
+        # size(attr)>0 filter that predicate pushdown substitutes
+        # through the projections and pushes below repartitions —
+        # re-running the expensive tokenize/shingle expressions on the
+        # unspread scan partition (measured 6s vs 0.4s per shingle
+        # pass at sf0.1).  Row-dropping from empty arrays is not worth
+        # a duplicated heavy expression in any of our plans.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -39,7 +39,22 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # already-set or restricted conf: proceed and let read fail loudly
 
 
+def ensure_optimizer_conf(spark: SparkSession) -> None:
+    """Exclude InferFiltersFromGenerate on externally-built sessions
+    too (see session.py: its inferred size()>0 filter duplicates the
+    heavy shingle expressions below the spread repartition)."""
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_optimizer_conf(spark)
     if name == "events":
         ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
