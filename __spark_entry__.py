@@ -304,6 +304,30 @@ def q_dedup_keepset(spark, sf_dir):
     return dd.neardup_filter(docs, pairs).select("doc_id", "lang", "n_chars")
 
 
+def q_corpus_prep(spark, sf_dir):
+    """The end-to-end training-corpus preparation pipeline — the
+    north-star composition: quality scoring -> language ID -> quality
+    filter -> exact dedup -> minhash near-dup cluster keepset -> token
+    counting, rolled up per predicted language.  Every stage is one of
+    the engine's first-class operators chained as DataFrames, so the
+    whole pipeline is a single Catalyst plan per stage boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs)
+    lid = tx.language_id(scored)
+    filtered = lid.filter(F.col("quality") >= 0.95)
+    ex = dd.exact_dedup(filtered)
+    pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
+    kept = dd.neardup_filter(ex, pairs)
+    tk = tx.token_counts(kept)
+    return tk.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
         load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
@@ -812,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
+        "corpus_prep": q_corpus_prep,
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -863,7 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _MD5INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def _minhash_ctes(num_hashes=8, band_rows=2, n=3) -> str:
+def _minhash_ctes(num_hashes=8, band_rows=2, n=3, src="documents") -> str:
     """The shared CTE chain computing banded-minhash candidate pairs
     (terminal CTE: ``mh_pairs``) — used by the pair oracle and, under
     WITH RECURSIVE, by the cluster-resolution oracles."""
@@ -888,7 +913,7 @@ def _minhash_ctes(num_hashes=8, band_rows=2, n=3) -> str:
         for b in range(num_bands)
     )
     return f"""toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -920,10 +945,10 @@ def _minhash_oracle(num_hashes=8, band_rows=2, n=3) -> str:
     )
 
 
-def _cc_ctes(num_hashes=8, band_rows=2, n=3) -> str:
+def _cc_ctes(num_hashes=8, band_rows=2, n=3, src="documents") -> str:
     """Connected components over the minhash pair graph as a recursive
     reachability closure; cc = (id, comp) with comp = min reachable id."""
-    return f"""{_minhash_ctes(num_hashes, band_rows, n)},
+    return f"""{_minhash_ctes(num_hashes, band_rows, n, src)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
   UNION
@@ -950,6 +975,84 @@ def _dedup_keepset_oracle(num_hashes=8, band_rows=2, n=3) -> str:
     return f"""WITH RECURSIVE {_cc_ctes(num_hashes, band_rows, n)}
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
+"""
+
+
+def _corpus_prep_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    """The pipeline oracle: quality + langid features -> filter ->
+    exact dedup (min doc_id per text) -> minhash CC keepset (the
+    recursive CTEs run against the deduped corpus) -> per-language
+    token roll-up."""
+    from olap_storage_engine_spark.operators.text import STOPWORDS
+
+    all_words = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"x -> x IN ({words}))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""WITH RECURSIVE
+qf AS (
+  SELECT doc_id, text, lang, n_chars,
+    {_WS_TOKENS} AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)
+      AS n_punct,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         x -> x IN ({all_words}))) AS INT) AS n_stopwords,
+    {", ".join(score_cols)}
+  FROM documents
+),
+qm AS (
+  SELECT *,
+    (length(text) - (n_tokens - 1)) / n_tokens::DOUBLE AS mtl,
+    {best} AS best
+  FROM qf
+),
+scored AS (
+  SELECT doc_id, text, lang, n_chars, n_tokens,
+    round(
+      (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN n_punct / length(text)::DOUBLE <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN n_stopwords > 0 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END), 2) AS quality,
+    CASE WHEN best > 0 THEN (CASE {cases} END) ELSE 'und' END AS pred_lang
+  FROM qm
+),
+corpus AS (SELECT * FROM scored WHERE quality >= 0.95),
+exdup AS (
+  SELECT * FROM corpus
+  WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+),
+{_minhash_ctes(num_hashes, band_rows, n, src="exdup")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+cc AS (
+  SELECT id, min(reach) AS comp FROM walk GROUP BY id
+),
+kept AS (
+  SELECT * FROM exdup
+  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
+)
+SELECT lang, pred_lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+       round(avg(quality), 4) AS avg_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY 1, 2
 """
 
 
@@ -1419,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keepset": _dedup_keepset_oracle(),
+        "corpus_prep": _corpus_prep_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
