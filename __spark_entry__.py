@@ -443,6 +443,18 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_stream_append(spark, sf_dir):
+    """Append-mode watermarked streaming (the production output mode):
+    each window is emitted exactly once when the watermark passes its
+    end; state is watermark-bounded.  Two-file multi-batch run, so the
+    watermark really advances between triggers."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_append,
+    )
+
+    return run_fixture_stream_append(spark, sf_dir)
+
+
 def q_join_asof(spark, sf_dir):
     """Backward as-of join (point-in-time join): each click event gets
     the user's most recent purchase at or before it — one shuffle on
@@ -854,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
         "events_stream_window": q_events_stream_window,
+        "events_stream_append": q_events_stream_append,
         "join_asof": q_join_asof,
         "join_band": q_join_band,
         "join_range": q_join_range,
@@ -1677,6 +1690,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_stream_append": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+                  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+            GROUP BY 1, 2
         """,
         "join_asof": """
             SELECT c.event_id, c.user_id, c.ts,

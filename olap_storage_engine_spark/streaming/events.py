@@ -99,6 +99,66 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_fixture_stream_append(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-16 00:00:00",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Append-mode watermarked streaming: the production output mode.
+
+    Complete mode re-emits all state every trigger — fine for a memory
+    sink fixture, unusable at scale.  Append mode emits each window
+    exactly once, when the watermark passes its end, and the watermark
+    bounds the state store — this is the mode a 100 TB ingest actually
+    runs.  The fixture is split into two files at ``cutoff`` and fed
+    one file per trigger, so the watermark advances across a real
+    multi-batch run; the data arrives in file order (no true late
+    rows), so every emitted window holds its complete count and the
+    result is deterministic: all windows whose end <= final watermark
+    (max event time - delay), which is what the SQL oracle computes.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="events_append_")
+    f1 = os.path.join(src_dir, "batch1")
+    f2 = os.path.join(src_dir, "batch2")
+    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
+    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
+    # file source orders by modification time; pin it
+    now = 1_700_000_000
+    for i, d in enumerate([f1, f2]):
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + i, now + i))
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "*"))
+        .withWatermark("ts", watermark)
+    )
+    name = f"app_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     key_cols: list[str],

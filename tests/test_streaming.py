@@ -119,3 +119,27 @@ def test_sessionize_stream_runs(spark, events, tmp_path):
     assert spark.table("sess_test").columns == [
         "user_id", "session_start", "session_end", "n_events", "total_value"
     ]
+
+
+def test_stream_append_watermark_semantics(spark):
+    """Append mode emits exactly the windows the watermark has closed
+    (end <= max event time - delay), each with its complete count."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emitted = run_fixture_stream_append(spark, sf)
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = windowed_event_agg(ev).filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    e = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in emitted.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in batch.collect()}
+    assert e == b and len(e) > 0
