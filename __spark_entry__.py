@@ -799,6 +799,85 @@ def q_set_except(spark, sf_dir):
     return in95.subtract(in96)
 
 
+def q_time_travel_read(spark, sf_dir):
+    """Time travel: snapshot as of the second rowset's publish
+    wall-clock time — manifest-only resolution to the cover [0,1]
+    (reference V2 semantics keyed by time instead of version)."""
+    t = get_table(spark, sf_dir, "orders_versions")
+    rss = sorted(t.manifest.rowsets(), key=lambda r: r.end_version)
+    as_of = rss[1].created_at
+    return (
+        t.read_as_of(as_of)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """groupBy().pivot(): order totals per priority, one column per
+    order status (explicit value list keeps the schema static — at
+    scale an implicit pivot runs an extra distinct scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_dsum("o_totalprice"))
+    )
+
+
+def q_window_lead_lag(spark, sf_dir):
+    """lead/lag/ntile window surface over per-customer order history."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 highest-revenue unshipped orders for one
+    market segment — join + agg + deterministic top-k."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(_dsum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT: customers active in both 1995 and 1996."""
+    o = load_table(spark, sf_dir, "orders")
+    in95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select("o_custkey")
+    in96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    return in95.intersect(in96)
+
+
 # CORRECTNESS_r02 recorded exactly 50 rows for 56 declared queries —
 # the 6 dict-tail queries were the ones without rows, so the driver's
 # correctness pass appears bounded (count or time).  Ordering policy:
@@ -888,6 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
         "correlated_subquery": q_correlated_subquery,
+        "time_travel_read": q_time_travel_read,
+        "pivot_status": q_pivot_status,
+        "window_lead_lag": q_window_lead_lag,
+        "tpch_q3": q_tpch_q3,
+        "set_intersect": q_set_intersect,
     }
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
@@ -1808,6 +1892,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > 1.5 * (
               SELECT avg(o_totalprice) FROM orders i
               WHERE i.o_custkey = o.o_custkey)
+        """,
+        "time_travel_read": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+              round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "F",
+              round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "O",
+              round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "P"
+            FROM orders GROUP BY 1
+        """,
+        "window_lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   round(lag(o_totalprice) OVER w, 2) AS prev_price,
+                   round(lead(o_totalprice) OVER w, 2) AS next_price,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "set_intersect": """
+            SELECT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         """,
         "pandas_udaf_weighted_avg": """
             SELECT l_returnflag,
