@@ -799,6 +799,80 @@ def q_set_except(spark, sf_dir):
     return in95.subtract(in96)
 
 
+_INGEST_CACHE: dict = {}
+
+
+def _ingest_export(spark, sf_dir, fmt: str) -> str:
+    """One-time per (sf_dir, fmt) export of a fixture table to a text
+    interchange format, cached in the process warehouse."""
+    import os
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+
+    key = (fmt, sf_dir)
+    if key not in _INGEST_CACHE:
+        path = os.path.join(warehouse_for(sf_dir), f"ingest_{fmt}")
+        if fmt == "jsonl":
+            load_table(spark, sf_dir, "documents").write.mode(
+                "overwrite"
+            ).json(path)
+        else:
+            load_table(spark, sf_dir, "orders").write.mode(
+                "overwrite"
+            ).option("header", "true").option("escape", '"').csv(path)
+        _INGEST_CACHE[key] = path
+    return _INGEST_CACHE[key]
+
+
+def q_ingest_jsonl(spark, sf_dir):
+    """JSON-lines ingestion: schema-applied distributed load (no
+    inference pass, corrupt-row quarantine) -> per-language roll-up."""
+    from pyspark.sql import types as T
+
+    from olap_storage_engine_spark.sources.ingest import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    df = read_jsonl(spark, _ingest_export(spark, sf_dir, "jsonl"), schema)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_ingest_csv(spark, sf_dir):
+    """CSV ingestion (RFC-4180 quoting, explicit schema) -> status
+    roll-up; values round-trip bit-exact vs the parquet original."""
+    from pyspark.sql import types as T
+
+    from olap_storage_engine_spark.sources.ingest import read_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, _ingest_export(spark, sf_dir, "csv"), schema)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("o_totalprice").alias("sum_price"),
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+    )
+
+
 def q_time_travel_read(spark, sf_dir):
     """Time travel: snapshot as of the second rowset's publish
     wall-clock time — manifest-only resolution to the cover [0,1]
@@ -972,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "tpch_q3": q_tpch_q3,
         "set_intersect": q_set_intersect,
+        "ingest_jsonl": q_ingest_jsonl,
+        "ingest_csv": q_ingest_csv,
     }
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
@@ -1938,6 +2014,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders
             WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
               AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        """,
+        "ingest_jsonl": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY 1
+        """,
+        "ingest_csv": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price,
+                   max(CAST(o_orderdate AS DATE)) AS last_date
+            FROM orders GROUP BY 1
         """,
         "pandas_udaf_weighted_avg": """
             SELECT l_returnflag,

@@ -1,0 +1,46 @@
+"""Text-format ingestion: schema-applied loads, corrupt-row
+quarantine, strict mode, CSV quoting round-trip."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from olap_storage_engine_spark.sources.ingest import read_csv, read_jsonl
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_jsonl_quarantines_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    out = read_jsonl(spark, str(p), DOC_SCHEMA)
+    rows = sorted(r["doc_id"] for r in out.collect())
+    assert rows == [1, 2]
+
+
+def test_jsonl_strict_raises(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"doc_id": 1}\nnope\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), DOC_SCHEMA, strict=True).collect()
+
+
+def test_csv_quoted_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, 'has,comma and "quote"'), (2, "plain"), (3, "line\nbreak")],
+        DOC_SCHEMA,
+    )
+    out_dir = str(tmp_path / "csv")
+    src.write.option("header", "true").option("escape", '"').csv(out_dir)
+    back = read_csv(spark, out_dir, DOC_SCHEMA)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in back.collect()
+    ) == sorted((r["doc_id"], r["text"]) for r in src.collect())
