@@ -377,16 +377,21 @@ def connected_components(
 ) -> DataFrame:
     """Connected components over a candidate-pair graph.
 
-    Iterative DataFrame min-label propagation: each round every vertex
-    takes the min label over itself and its neighbors — ONE key-shuffle
-    join (messages) plus ONE groupBy (min with map-side combine) per
-    round.  Convergence is O(graph diameter) rounds; dedup pair graphs
-    are near-cliques from shared LSH buckets (diameter 2-3), so the
-    ``max_iter`` bound is a safety net, not the expected path.
-    Terminates early via a monotone convergence check: labels only ever
-    decrease, so an unchanged sum(label) over an unchanged vertex count
-    means a fixpoint — ONE scalar aggregate per round, no join against
-    the previous labels.
+    Iterative DataFrame min-label propagation with pointer jumping:
+    each round every vertex takes the min label over itself and its
+    neighbors (ONE key-shuffle join + ONE combine-enabled groupBy),
+    then shortcuts through its label's label (ONE more self-join:
+    label(v) <- label(label(v))).  The neighbor step moves a min one
+    hop per round; the jump step doubles the chain already crossed, so
+    convergence is O(log diameter) — pure min-propagation alone is
+    O(diameter), which a long path graph would push past ``max_iter``
+    and silently mislabel.  Dedup pair graphs are near-cliques from
+    shared LSH buckets, so 2-3 rounds in practice.
+
+    Terminates early via a monotone convergence check: labels only
+    ever decrease, so an unchanged sum(label) over an unchanged vertex
+    count means a fixpoint — ONE scalar aggregate per round, no join
+    against the previous labels.
 
     Returns (id, component) for every vertex that appears in ``pairs``;
     component = min vertex id of the component.
@@ -414,11 +419,27 @@ def connected_components(
         msgs = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("label")
         )
-        new_labels = (
+        stepped = (
             msgs.union(labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # pointer jump: labels always point at graph vertices, so the
+        # self-join is total and keeps one row per vertex
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        # localCheckpoint, not persist: the self-join references
+        # `stepped` twice, so the logical plan doubles every round —
+        # persist caches data but the analyzer still walks the full
+        # tree (2^rounds nodes, driver OOM by round ~8).  Eager
+        # checkpoint truncates lineage to the materialized frame; on a
+        # cluster swap for checkpoint() on reliable storage if executor
+        # loss during the (short) CC job matters.
+        new_labels = (
+            stepped.join(ptr, stepped["label"] == ptr["pid"])
+            .select(stepped["id"], F.col("plabel").alias("label"))
+            .localCheckpoint(eager=True)
         )
         row = new_labels.agg(
             F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")

@@ -235,6 +235,17 @@ def test_connected_components_chain(spark):
     assert cc == {i: 1 for i in range(1, 7)}
 
 
+def test_connected_components_long_path(spark):
+    # 40-vertex path: diameter >> max_iter, so plain min-propagation
+    # would silently mislabel — pointer jumping must close it in
+    # O(log diameter) rounds within the default iteration budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert cc == {i: 1 for i in range(1, 41)}
+
+
 def test_connected_components_disjoint_cliques(spark):
     edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
