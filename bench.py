@@ -39,6 +39,8 @@ def main() -> None:
     build_all(spark, SF_DIR)  # fixture tables up front (timed apart)
     setup_sec = round(time.time() - t_setup, 3)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         if name in SKIP:
@@ -47,6 +49,12 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # isolate queries: drop persisted/checkpointed intermediates the
+        # query left behind (dedup index caches, CC checkpoints) so one
+        # query's leftovers don't GC-tax its successors — each timed
+        # query models an independent job submission
+        spark.catalog.clearCache()
+        gc.collect()
 
     # per-query DuckDB oracle baseline on the same data — regressions
     # show per query, not just in the aggregate (set

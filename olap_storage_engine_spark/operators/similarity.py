@@ -176,13 +176,21 @@ def train_ivf_centroids(
             "cent_id",
             cosine(F.col(vec_col), F.col("cent_vec")).alias("cos"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cos").desc(), F.col("cent_id").asc()
-        )
+        # argmax as ONE hash aggregate (max_by over the (cos, -cent_id)
+        # tie-break struct) instead of a sort window — same assignment,
+        # one combine-enabled shuffle, no per-key sort
         best = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cent_id", vec_col)
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col(vec_col)),
+                    F.struct(F.col("cos"), -F.col("cent_id")),
+                ).alias("__b")
+            )
+            .select(
+                F.col("__b.cent_id").alias("cent_id"),
+                F.col(f"__b.{vec_col}").alias(vec_col),
+            )
         )
         dims = best.select(
             "cent_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
@@ -256,6 +264,22 @@ def ivf_topk(
             "cent_id",
             cosine(F.col(vcol), F.col("cent_vec")).alias("cent_cos"),
         )
+        if top == 1:
+            # top-1 assignment is an argmax: one max_by hash aggregate,
+            # no sort window (tie-break (cos desc, cent_id asc) via the
+            # (cos, -cent_id) comparison struct)
+            key, rest = keep[0], keep[1:]
+            picked = scored.groupBy(key).agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), *[F.col(c) for c in rest]),
+                    F.struct(F.col("cent_cos"), -F.col("cent_id")),
+                ).alias("__b")
+            )
+            return picked.select(
+                key,
+                *[F.col(f"__b.{c}").alias(c) for c in rest],
+                F.col("__b.cent_id").alias("cent_id"),
+            )
         w = Window.partitionBy(*keep[:1]).orderBy(
             F.col("cent_cos").desc(), F.col("cent_id").asc()
         )
