@@ -328,6 +328,44 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_text_chunking(spark, sf_dir):
+    """Context-window chunking: overlapping token windows per doc
+    (64-token chunks, stride 48) — all JVM-side sequence/transform/
+    slice, no UDF; chunk identity checked via sha256 of the chunk
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.sha2("chunk_text", 256).alias("chunk_sha"),
+        "n_tokens",
+    )
+
+
+def q_sample_packing(spark, sf_dir):
+    """Sample packing: documents into fixed 2048-token bins by running
+    total per language (one cumulative window = one shuffle), rolled up
+    per bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tx.token_counts(docs)
+    binned = tx.pack_token_bins(tk, budget=2048)
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("bin_tokens"),
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val split (95/5) — stable across
+    runs and engines, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.hash_split(docs, train_pct=95).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
         load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
@@ -964,6 +1002,9 @@ def q_set_intersect(spark, sf_dir):
 _DRIVER_CHECK_HEAD = [
     # new in round 3 — no driver row yet
     "corpus_prep",
+    "text_chunking",
+    "sample_packing",
+    "train_val_split",
     "events_stream_append",
     "join_asof",
     "join_band",
@@ -1027,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
         "corpus_prep": q_corpus_prep,
+        "text_chunking": q_text_chunking,
+        "sample_packing": q_sample_packing,
+        "train_val_split": q_train_val_split,
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -1723,6 +1767,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keepset": _dedup_keepset_oracle(),
         "corpus_prep": _corpus_prep_oracle(),
+        "text_chunking": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_id,
+                   sha256(array_to_string(t[s:s+63], ' ')) AS chunk_sha,
+                   CAST(least(64, len(t) - s + 1) AS INT) AS n_tokens
+            FROM st
+        """,
+        "sample_packing": """
+            WITH t AS (
+              SELECT doc_id, lang, {ws} AS wt FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang, wt,
+                     coalesce(sum(wt) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cb
+              FROM t
+            )
+            SELECT lang, CAST(floor(cb / 2048.0) AS BIGINT) AS bin,
+                   count(*) AS n_docs, CAST(sum(wt) AS BIGINT) AS bin_tokens
+            FROM c GROUP BY 1, 2
+        """.format(ws=_WS_TOKENS),
+        "train_val_split": f"""
+            SELECT lang,
+                   CASE WHEN {_MD5INT.format(expr="doc_id::VARCHAR")} % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1, 2
+        """,
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

@@ -145,3 +145,84 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *cols,
         rolling_fingerprint(tokens(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: overlapping token windows per document
+    — the split step that feeds fixed-context training.  One row per
+    (doc, chunk) with the chunk's text, token count and 0-based id.
+
+    All JVM-side: tokenize once, generate the stride-spaced start
+    offsets with ``sequence``, build every chunk inside one
+    ``transform`` (slice + join), explode.  No UDF, no shuffle — the
+    fan-out is per-row and bounded by ceil(n_tokens / stride)."""
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda s: F.struct(
+            ((s - F.lit(1)) / F.lit(stride)).cast("int").alias("chunk_id"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - s + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )
+    g = toked.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return g.select(
+        id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def pack_token_bins(
+    docs_with_tokens: DataFrame,
+    budget: int = 2048,
+    token_col: str = "ws_tokens",
+    order_col: str = "doc_id",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Sample packing: assign documents to fixed token-budget bins by
+    running total (deterministic order within each partition column) —
+    the sequential greedy packer expressed as ONE cumulative window, so
+    it scales as a single shuffle on the partition column."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs_with_tokens.withColumn(
+        "bin", F.floor(cum_before / F.lit(budget)).cast("long")
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    train_pct: int = 95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/validation split by id hash — stable across
+    runs and engines (md5-based, no RNG state), uniform regardless of
+    id distribution."""
+    from ..functions.hashes import md5int
+
+    return docs.withColumn(
+        "split",
+        F.when(
+            md5int(F.col(id_col).cast("string")) % 100 < train_pct,
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )

@@ -295,3 +295,45 @@ def test_ivf_trained_recall_vs_brute(spark, embeddings):
     }
     # n_probe == n_centroids scores every cell -> exact results
     assert ivf == brute
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from olap_storage_engine_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "one two")],
+        "doc_id long, text string",
+    )
+    ch = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 1,4,7,10 -> chunks of 4,4,4,1 tokens w/ 1-token overlap
+    assert ch[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert ch[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert ch[(1, 3)] == ("t9", 1)
+    # short doc: one partial chunk
+    assert ch[(2, 0)] == ("one two", 2)
+    assert len(ch) == 5
+
+
+def test_pack_token_bins_budget(spark):
+    from olap_storage_engine_spark.operators.text import pack_token_bins
+
+    rows = [(i, "en", 1000) for i in range(1, 7)]  # 6 docs x 1000 tokens
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ws_tokens int")
+    out = {r["doc_id"]: r["bin"] for r in pack_token_bins(df, 2048).collect()}
+    # cumulative-before: 0,1000,2000,3000,4000,5000 -> bins 0,0,0,1,1,2
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 2}
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from olap_storage_engine_spark.operators.text import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b and set(a.values()) == {"train", "val"}
+    assert 150 < sum(v == "train" for v in a.values()) < 200
