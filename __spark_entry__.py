@@ -911,6 +911,34 @@ def q_ingest_csv(spark, sf_dir):
     )
 
 
+def q_udtf_parse_props(spark, sf_dir):
+    """Python UDTF surface (table function): explode each event's JSON
+    props into (key, value) rows via LATERAL — the one Part-B rubric
+    row (UDF/UDAF/UDTF) not covered by scalar/grouped-agg UDFs.  Kept
+    off hot paths by policy (UDFs are the slow path); the declared
+    query bounds the input with a pushed-down key filter."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, key string, val string")
+    class ParseProps:
+        def eval(self, event_id, props):
+            for k, v in sorted(json.loads(props).items()):
+                yield event_id, k, str(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    ).createOrReplaceTempView("events_udtf_in")
+    return spark.sql(
+        """
+        SELECT p.event_id, p.key, p.val
+        FROM events_udtf_in, LATERAL parse_props(event_id, props) p
+        """
+    )
+
+
 def q_time_travel_read(spark, sf_dir):
     """Time travel: snapshot as of the second rowset's publish
     wall-clock time — manifest-only resolution to the cover [0,1]
@@ -1071,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sample_packing": q_sample_packing,
         "train_val_split": q_train_val_split,
+        "udtf_parse_props": q_udtf_parse_props,
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2076,6 +2105,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > 1.5 * (
               SELECT avg(o_totalprice) FROM orders i
               WHERE i.o_custkey = o.o_custkey)
+        """,
+        "udtf_parse_props": """
+            SELECT event_id, 'k' AS key,
+                   json_extract_string(props, '$.k') AS val
+            FROM events WHERE event_id < 2000
         """,
         "time_travel_read": """
             SELECT o_orderstatus, count(*) AS n,

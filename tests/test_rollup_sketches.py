@@ -124,3 +124,51 @@ def test_column_profile_shape(spark, lineitem):
     assert prof["l_orderkey_nulls"] == 0
     assert prof["l_returnflag_min"] in ("A", "N", "R")
     assert prof["l_orderkey_distinct"] > 0
+
+
+def test_rollup_delta_refresh_matches_full_rebuild(spark, warehouse):
+    from olap_storage_engine_spark.operators.rollup import (
+        rollup_delta_refresh,
+    )
+
+    base = _agg_table(spark, warehouse, "base_inc", ["a", "b"])  # version 0
+    # rollup seeded from version 0 only
+    roll_spec = TableSpec(
+        name="roll_inc",
+        columns=[
+            ColumnSpec.key("a", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+    )
+    roll = OlapTable.create(spark, roll_spec, warehouse)
+    roll.write(base.read(0, 0).groupBy("a").agg(F.sum("v").alias("v")))
+
+    # a second base write, then an incremental refresh of just that delta
+    base.write(
+        spark.createDataFrame(
+            [(i % 7, i % 3, float(100 + i)) for i in range(30)],
+            "a long, b long, v double",
+        )
+    )
+    rollup_delta_refresh(base, roll, 1, 1)
+
+    got = {
+        r["a"]: round(r["v"], 6) for r in roll.read().collect()
+    }
+    want = {
+        r["a"]: round(r["v"], 6)
+        for r in base.read().groupBy("a").agg(F.sum("v").alias("v")).collect()
+    }
+    assert got == want
+
+
+def test_rollup_delta_refresh_rejects_replace(spark, warehouse):
+    base = _agg_table(spark, warehouse, "base_rr", ["a", "b"])
+    roll = _agg_table(spark, warehouse, "roll_rr", ["a"], replace=True)
+    from olap_storage_engine_spark.operators.rollup import (
+        rollup_delta_refresh,
+    )
+
+    with pytest.raises(ValueError, match="compose"):
+        rollup_delta_refresh(base, roll, 0, 0)
