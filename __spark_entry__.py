@@ -493,6 +493,17 @@ def q_events_stream_append(spark, sf_dir):
     return run_fixture_stream_append(spark, sf_dir)
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Stream-stream inner join (watermarked, event-time-bounded state)
+    — purchases x same-user clicks in the preceding hour, emitted
+    exactly once as matches form."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_join,
+    )
+
+    return run_fixture_stream_join(spark, sf_dir)
+
+
 def q_join_asof(spark, sf_dir):
     """Backward as-of join (point-in-time join): each click event gets
     the user's most recent purchase at or before it — one shuffle on
@@ -1102,6 +1113,7 @@ _DRIVER_CHECK_HEAD = [
     "sample_packing",
     "train_val_split",
     "events_stream_append",
+    "events_stream_join",
     "join_asof",
     "join_band",
     "join_range",
@@ -1190,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
+        "events_stream_join": q_events_stream_join,
         "join_asof": q_join_asof,
         "join_band": q_join_band,
         "join_range": q_join_range,
@@ -2067,6 +2080,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
                   (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
+        """,
+        "events_stream_join": """
+            SELECT p.event_id AS purchase_id, p.user_id, c.ts AS c_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         """,
         "join_asof": """
             SELECT c.event_id, c.user_id, c.ts,

@@ -99,6 +99,90 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
+    """File-source stream over the events fixture split into two files
+    at ``cutoff`` (one file per trigger, modification times pinned so
+    batch order is deterministic)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="events_stream2_")
+    f1 = os.path.join(src_dir, "batch1")
+    f2 = os.path.join(src_dir, "batch2")
+    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
+    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
+    now = 1_700_000_000
+    for i, d in enumerate([f1, f2]):
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + i, now + i))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "*"))
+    )
+
+
+def run_fixture_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-16 00:00:00",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks in the preceding hour, as a real Structured
+    Streaming join — both sides watermarked, the event-time band
+    bounds the join state (clicks older than the band + watermark are
+    evicted), matches emit exactly once as they form.  Inner joins
+    emit every match regardless of batching, so the final table equals
+    the batch band join and the same SQL oracle checks both."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    purchases = (
+        _two_batch_stream(spark, sf_dir, cutoff)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        _two_batch_stream(spark, sf_dir, cutoff)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "c_ts")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def run_fixture_stream_append(
     spark: SparkSession,
     sf_dir: str,
@@ -126,25 +210,8 @@ def run_fixture_stream_append(
 
     from ..sources.testdata import load_table
 
-    ev = load_table(spark, sf_dir, "events")
-    src_dir = tempfile.mkdtemp(prefix="events_append_")
-    f1 = os.path.join(src_dir, "batch1")
-    f2 = os.path.join(src_dir, "batch2")
-    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
-    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
-    # file source orders by modification time; pin it
-    now = 1_700_000_000
-    for i, d in enumerate([f1, f2]):
-        for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (now + i, now + i))
-
-    schema = ev.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(os.path.join(src_dir, "*"))
-        .withWatermark("ts", watermark)
+    stream = _two_batch_stream(spark, sf_dir, cutoff).withWatermark(
+        "ts", watermark
     )
     name = f"app_{uuid.uuid4().hex[:8]}"
     q = (
