@@ -1018,6 +1018,18 @@ def q_udtf_parse_props(spark, sf_dir):
     )
 
 
+def q_delete_rows(spark, sf_dir):
+    """Row-level DELETE (copy-on-write rewrite, MVCC): post-delete
+    snapshot has no 'F' orders; version 0 still does (time travel —
+    asserted in tests)."""
+    t = get_table(spark, sf_dir, "orders_delete")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
 def q_time_travel_read(spark, sf_dir):
     """Time travel: snapshot as of the second rowset's publish
     wall-clock time — manifest-only resolution to the cover [0,1]
@@ -1117,6 +1129,7 @@ _DRIVER_CHECK_HEAD = [
     "join_asof",
     "join_band",
     "join_range",
+    "delete_rows",
     "time_travel_read",
     "pivot_status",
     "window_lead_lag",
@@ -1224,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
         "correlated_subquery": q_correlated_subquery,
+        "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
         "window_lead_lag": q_window_lead_lag,
@@ -2241,6 +2255,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> x::DOUBLE * x::DOUBLE))), 6) AS l2
             FROM embeddings
+        """,
+        "delete_rows": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price
+            FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1
         """,
         "time_travel_read": """
             SELECT o_orderstatus, count(*) AS n,

@@ -477,8 +477,36 @@ def _build_lineitem_rt(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_delete(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """DELETE fixture: duplicate-model orders with all 'F'-status rows
+    deleted through the copy-on-write rewrite — version 0 keeps the
+    full data (time travel sees it), version 1 is the post-delete
+    state."""
+    from .operators.compaction import delete_where
+
+    spec = TableSpec(
+        name="orders_delete",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(
+        _orders_df(spark, sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    delete_where(t, F.col("o_orderstatus") == "F")
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
+    "orders_delete": _build_orders_delete,
     "orders_agg": _build_orders_agg,
     "lineitem_agg": _build_lineitem_agg,
     "orders_unique": _build_orders_unique,

@@ -129,3 +129,31 @@ def garbage_collect(
                 shutil.rmtree(d)
                 removed.append(rs.path)
     return removed
+
+
+def delete_where(table: OlapTable, predicate) -> int:
+    """Row-level DELETE as a copy-on-write rewrite — beyond the
+    reference (which has no delete path at all), following the
+    Doris-family semantics its data model implies: the surviving rows
+    are written as ONE new rowset covering [0, max_version + 1], so
+
+    * reads at the new version see the deletion,
+    * every prior snapshot (``read(0, v)`` / ``read_as_of``) still
+      resolves to the untouched old rowsets — deletes are MVCC events,
+      not in-place mutations;
+    * the old cover is left VISIBLE for time travel and reclaimed by
+      normal compaction/GC policy later.
+
+    Returns the number of rows deleted.  Scale: one filter-rewrite job
+    over the current cover (executor-side); at 100 TB run it
+    per-partition like compaction.
+    """
+    hi = table.manifest.max_version
+    current = table.read(0, hi)
+    n_before = current.count()
+    remaining = current.filter(~predicate)
+    n_after = remaining.count()
+    table.write(
+        remaining, start_version=0, end_version=hi + 1, collapsed=True
+    )
+    return n_before - n_after

@@ -186,3 +186,41 @@ def test_schedule_compaction_ranks(spark, warehouse):
         specs.append(t)
     tasks = schedule_compaction(specs, top_k=2)
     assert [c.table_name for c in tasks] == ["a", "c"]
+
+
+def test_delete_where_mvcc(spark, warehouse):
+    from olap_storage_engine_spark.operators.compaction import delete_where
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+    from pyspark.sql import functions as F
+
+    spec = TableSpec(
+        name="del_t",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    t.write(
+        spark.createDataFrame(
+            [(i, "del" if i % 3 == 0 else "keep") for i in range(30)],
+            "k long, v string",
+        )
+    )
+    n = delete_where(t, F.col("v") == "del")
+    assert n == 10
+    # post-delete snapshot: deleted rows gone
+    assert t.read().count() == 20
+    assert t.read().filter(F.col("v") == "del").count() == 0
+    # prior version still sees them (MVCC, time travel)
+    assert t.read(0, 0).count() == 30
