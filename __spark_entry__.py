@@ -660,6 +660,28 @@ def q_join_anti(spark, sf_dir):
     ).select("c_custkey", "c_mktsegment")
 
 
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER join: per-customer order counts for 1995 vs 1996,
+    keeping customers active in only one of the years (null side)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(f"n_{y}"))
+        )
+
+    a, b = year_counts(1995), year_counts(1996)
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select("o_custkey", "n_1995", "n_1996")
+    )
+
+
 def q_topn_per_group(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
@@ -1130,6 +1152,7 @@ _DRIVER_CHECK_HEAD = [
     "join_band",
     "join_range",
     "delete_rows",
+    "join_full_outer",
     "time_travel_read",
     "pivot_status",
     "window_lead_lag",
@@ -1231,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
+        "join_full_outer": q_join_full_outer,
         "topn_per_group": q_topn_per_group,
         "string_date_funcs": q_string_date_funcs,
         "having_filter": q_having_filter,
@@ -2151,6 +2175,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_custkey = c_custkey
                 AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
                 AND CAST(o_orderdate AS DATE) < DATE '1996-01-01')
+        """,
+        "join_full_outer": """
+            WITH a AS (
+              SELECT o_custkey, count(*) AS n_1995 FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+              GROUP BY 1),
+            b AS (
+              SELECT o_custkey, count(*) AS n_1996 FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+              GROUP BY 1)
+            SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   n_1995, n_1996
+            FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
         """,
         "topn_per_group": """
             SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
