@@ -99,10 +99,15 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_SPLIT_CACHE: dict = {}
+
+
 def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
     """File-source stream over the events fixture split into two files
     at ``cutoff`` (one file per trigger, modification times pinned so
-    batch order is deterministic)."""
+    batch order is deterministic).  The split export is cached per
+    (sf_dir, cutoff) — a query timing a streaming run should not also
+    pay two batch exports per source."""
     import os
     import tempfile
 
@@ -111,20 +116,23 @@ def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
     from ..sources.testdata import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    src_dir = tempfile.mkdtemp(prefix="events_stream2_")
-    f1 = os.path.join(src_dir, "batch1")
-    f2 = os.path.join(src_dir, "batch2")
-    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
-    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
-    now = 1_700_000_000
-    for i, d in enumerate([f1, f2]):
-        for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (now + i, now + i))
+    key = (sf_dir, cutoff)
+    if key not in _SPLIT_CACHE:
+        src_dir = tempfile.mkdtemp(prefix="events_stream2_")
+        f1 = os.path.join(src_dir, "batch1")
+        f2 = os.path.join(src_dir, "batch2")
+        ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
+        ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
+        now = 1_700_000_000
+        for i, d in enumerate([f1, f2]):
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i, now + i))
+        _SPLIT_CACHE[key] = src_dir
     return (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
-        .parquet(os.path.join(src_dir, "*"))
+        .parquet(os.path.join(_SPLIT_CACHE[key], "*"))
     )
 
 
