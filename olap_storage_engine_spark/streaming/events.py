@@ -15,6 +15,8 @@ evicted on timeout.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -87,16 +89,29 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     name = f"win_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_agg(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = (
+            windowed_event_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
+
+
+@contextmanager
+def _shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily scope spark.sql.shuffle.partitions (the state-store
+    partition count for a streaming query started inside the scope)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 _SPLIT_CACHE: dict = {}
@@ -180,14 +195,20 @@ def run_fixture_stream_join(
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "c_ts")
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stream-stream joins run 4 state-store tasks per shuffle partition
+    # per microbatch; the fixture's state fits in a handful — state
+    # partition count is a per-query knob (read at stream start; the
+    # fresh checkpoint pins it), sized to state volume, not to the
+    # batch session default
+    with _shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -222,15 +243,16 @@ def run_fixture_stream_append(
         "ts", watermark
     )
     name = f"app_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_agg(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = (
+            windowed_event_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
