@@ -1040,6 +1040,21 @@ def q_udtf_parse_props(spark, sf_dir):
     )
 
 
+def q_inverted_index_search(spark, sf_dir):
+    """Inverted-index text search: term -> postings via a secondary
+    OlapTable HASH-bucketed by term; the term probe is a bucket-routed
+    point read (__bk directory pruning + pushed equality), then a semi
+    join back to the corpus — a full-scan LIKE becomes two pruned
+    lookups.  Probe term = footer-stats min (metadata-only)."""
+    idx = get_table(spark, sf_dir, "doc_postings")
+    term = idx.column_min("term")
+    hits = idx.read_point(term).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(hits, "doc_id", "semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_delete_rows(spark, sf_dir):
     """Row-level DELETE (copy-on-write rewrite, MVCC): post-delete
     snapshot has no 'F' orders; version 0 still does (time travel —
@@ -1152,6 +1167,7 @@ _DRIVER_CHECK_HEAD = [
     "join_band",
     "join_range",
     "delete_rows",
+    "inverted_index_search",
     "join_full_outer",
     "time_travel_read",
     "pivot_status",
@@ -1261,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
         "correlated_subquery": q_correlated_subquery,
+        "inverted_index_search": q_inverted_index_search,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -2294,6 +2311,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> x::DOUBLE * x::DOUBLE))), 6) AS l2
             FROM embeddings
+        """,
+        "inverted_index_search": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, tok AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents)
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT doc_id FROM tok
+              WHERE term = (SELECT min(term) FROM tok))
         """,
         "delete_rows": """
             SELECT o_orderstatus, count(*) AS n,

@@ -504,9 +504,37 @@ def _build_orders_delete(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_doc_postings(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Inverted text index as a secondary-index table: one row per
+    (term, doc_id), HASH-bucketed by term so a term lookup is a
+    bucket-routed point read (1/num_buckets of the files listed, then
+    stats/bloom skipping inside the bucket) — the Doris inverted-index
+    idea built from the engine's own primitives."""
+    from .operators.dedup import shingles
+
+    spec = TableSpec(
+        name="doc_postings",
+        columns=[
+            ColumnSpec.key("term", ColumnType.VARCHAR),
+            ColumnSpec.value("doc_id", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "term", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    docs = load_table(spark, sf_dir, "documents")
+    t.write(
+        shingles(docs, n=1).select(
+            F.col("shingle").alias("term"), "doc_id"
+        )
+    )
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
+    "doc_postings": _build_doc_postings,
     "orders_agg": _build_orders_agg,
     "lineitem_agg": _build_lineitem_agg,
     "orders_unique": _build_orders_unique,
