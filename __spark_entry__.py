@@ -919,6 +919,28 @@ def q_ingest_jsonl(spark, sf_dir):
     )
 
 
+def q_ingest_orc(spark, sf_dir):
+    """ORC ingestion: the third interchange format, exported once and
+    read back through Spark's native vectorized ORC reader."""
+    import os
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+
+    key = ("orc", sf_dir)
+    if key not in _INGEST_CACHE:
+        path = os.path.join(warehouse_for(sf_dir), "ingest_orc")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").orc(path)
+        _INGEST_CACHE[key] = path
+    df = spark.read.orc(_INGEST_CACHE[key])
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_extendedprice").alias("sum_price"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_ingest_csv(spark, sf_dir):
     """CSV ingestion (RFC-4180 quoting, explicit schema) -> status
     roll-up; values round-trip bit-exact vs the parquet original."""
@@ -1132,6 +1154,14 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_set_union(spark, sf_dir):
+    """UNION (distinct) across two filtered scans."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    pri = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.union(pri).distinct()
+
+
 def q_set_intersect(spark, sf_dir):
     """INTERSECT: customers active in both 1995 and 1996."""
     o = load_table(spark, sf_dir, "orders")
@@ -1173,7 +1203,9 @@ _DRIVER_CHECK_HEAD = [
     "pivot_status",
     "window_lead_lag",
     "tpch_q3",
+    "set_union",
     "set_intersect",
+    "ingest_orc",
     "ingest_jsonl",
     "ingest_csv",
     # added after the round-2 driver run — no driver row yet
@@ -1283,8 +1315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "window_lead_lag": q_window_lead_lag,
         "tpch_q3": q_tpch_q3,
+        "set_union": q_set_union,
         "set_intersect": q_set_intersect,
         "ingest_jsonl": q_ingest_jsonl,
+        "ingest_orc": q_ingest_orc,
         "ingest_csv": q_ingest_csv,
     }
     ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD}
@@ -2367,6 +2401,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
+        "set_union": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
         "set_intersect": """
             SELECT o_custkey FROM orders
             WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
@@ -2381,6 +2420,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY 1
+        """,
+        "ingest_orc": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_qty
+            FROM lineitem GROUP BY 1
         """,
         "ingest_csv": """
             SELECT o_orderstatus, count(*) AS n,
