@@ -312,9 +312,7 @@ def q_corpus_prep(spark, sf_dir):
     the engine's first-class operators chained as DataFrames, so the
     whole pipeline is a single Catalyst plan per stage boundary."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = tx.quality_score(docs)
-    lid = tx.language_id(scored)
-    filtered = lid.filter(F.col("quality") >= 0.95)
+    filtered = tx.enrich(docs).filter(F.col("quality") >= 0.95)
     ex = dd.exact_dedup(filtered)
     pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
     kept = dd.neardup_filter(ex, pairs)

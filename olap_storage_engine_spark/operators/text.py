@@ -226,3 +226,62 @@ def hash_split(
             F.lit("train"),
         ).otherwise(F.lit("val")),
     )
+
+
+def enrich(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + language ID in ONE tokenize pass — the fused
+    projection ``corpus_prep`` uses.  ``quality_score`` and
+    ``language_id`` each stage their own token array; run back to back
+    they tokenize the corpus twice.  At 100 TB that second pass is a
+    full-corpus regex scan for nothing: this operator stages one token
+    array and derives both the quality features and the per-language
+    stopword scores from it.  Output = input columns + the
+    ``quality_score`` feature columns + ``pred_lang``; the math is
+    identical (same oracle formulations)."""
+    t = F.col(text_col)
+    langs = sorted(STOPWORDS)
+    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    toked = docs.select("*", tokens(t).alias("__toks"))
+
+    def _hits(lg):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        return F.size(
+            F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x))
+        )
+
+    feats = toked.select(
+        "*",
+        F.length(t).alias("__n_chars"),
+        simple_token_count(t).alias("__n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias(
+            "__n_punct"
+        ),
+        F.size(
+            F.filter(F.col("__toks"), lambda x: F.array_contains(all_stop, x))
+        ).alias("__n_stop"),
+        *[_hits(lg).alias(f"__s_{lg}") for lg in langs],
+    )
+    n_chars, n_toks = F.col("__n_chars"), F.col("__n_tokens")
+    punct, stop_hits = F.col("__n_punct"), F.col("__n_stop")
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks.cast("double")
+    score = (
+        F.when((n_toks >= 5) & (n_toks <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 0.3).otherwise(0.0)
+        + F.when(punct / n_chars.cast("double") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.1).otherwise(0.0)
+    )
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"__s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    cols = [feats[c] for c in docs.columns]
+    return feats.select(
+        *cols,
+        n_toks.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(score, 2).alias("quality"),
+        pred.alias("pred_lang"),
+    )

@@ -337,3 +337,19 @@ def test_hash_split_deterministic_and_complete(spark):
     b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
     assert a == b and set(a.values()) == {"train", "val"}
     assert 150 < sum(v == "train" for v in a.values()) < 200
+
+
+def test_enrich_matches_composed_operators(spark, docs):
+    from olap_storage_engine_spark.operators.text import (
+        enrich,
+        language_id,
+        quality_score,
+    )
+
+    fused = enrich(docs)
+    composed = language_id(quality_score(docs))
+    cols = ["doc_id", "n_tokens", "n_punct", "n_stopwords",
+            "mean_token_len", "quality", "pred_lang"]
+    assert sorted(map(tuple, fused.select(cols).collect())) == sorted(
+        map(tuple, composed.select(cols).collect())
+    )
