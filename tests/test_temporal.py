@@ -151,3 +151,45 @@ class TestRangeJoinChunked:
             .toString()
         )
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_randomized_vs_python_reference(spark):
+    """Seeded random frames, compared against a brute-force Python
+    as-of reference (greatest right_ts <= left_ts per key)."""
+    import random
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        base = 1_700_000_000
+        left_rows = [
+            (rng.randrange(5), base + rng.randrange(10_000), i)
+            for i in range(120)
+        ]
+        right_rows = [
+            (rng.randrange(5), base + rng.randrange(10_000), 100 + i)
+            for i in range(80)
+        ]
+        # unique (key, ts) on the right so the match is well-defined
+        seen = set()
+        right_rows = [
+            r for r in right_rows
+            if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        left = spark.createDataFrame(
+            [(k, dt.datetime.utcfromtimestamp(t), i) for k, t, i in left_rows],
+            "k long, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(k, dt.datetime.utcfromtimestamp(t), v) for k, t, v in right_rows],
+            "k long, ts timestamp, rv long",
+        )
+        got = {
+            r["lid"]: r["r_rv"]
+            for r in asof_join(left, right, on="k").collect()
+        }
+        want = {}
+        for k, t, i in left_rows:
+            cands = [(rt, rv) for rk, rt, rv in right_rows
+                     if rk == k and rt <= t]
+            want[i] = max(cands)[1] if cands else None
+        assert got == want, f"seed {seed}"
