@@ -1184,49 +1184,49 @@ def q_set_intersect(spark, sf_dir):
 # full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # new in round 3 — no driver row yet
-    "corpus_prep",
-    "text_chunking",
-    "sample_packing",
-    "train_val_split",
-    "events_stream_append",
-    "events_stream_join",
-    "join_asof",
-    "join_band",
-    "join_range",
-    "delete_rows",
-    "inverted_index_search",
-    "join_full_outer",
-    "time_travel_read",
-    "pivot_status",
-    "window_lead_lag",
-    "tpch_q3",
-    "set_union",
-    "set_intersect",
-    "ingest_orc",
-    "ingest_jsonl",
-    "ingest_csv",
-    # added after the round-2 driver run — no driver row yet
-    "dedup_clusters",
-    "dedup_keepset",
-    # declared in round 2 but past the driver's 50-row bound
-    "topn_per_group",
-    "string_date_funcs",
-    "having_filter",
-    "agg_percentiles",
-    "pandas_udaf_weighted_avg",
-    "correlated_subquery",
+    # new in round 4 — no driver row yet
+    "merge_upsert",
+    "inverted_index_fresh",
+    "bucketed_join",
+    # added late in round 3, past the cap — NEVER driver-checked
+    "window_range_frame",
+    "grouping_sets_id",
+    "array_funcs",
+    # round-2-green only (no r3 row; the driver caps at ~50 rows/round,
+    # so the head rotates each round to the queries longest unchecked)
+    "embedding_neardup",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "text_vocab",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_join",
+    "multimodal_features",
+    "events_window_agg",
+    "events_sessionize",
+    "events_json_extract",
+    "events_stream_window",
+    "bucket_point_lookup",
+    "rollup_routed_read",
+    "grouping_rollup",
+    "sketch_profile",
+    "tpch_q1",
+    "join_star_revenue",
+    "set_except",
+    "join_semi",
+    "scan_count",
+    "agg_model_min_max",
+    "partition_prune_list",
+    "multimodal_meta",
+    "text_tokens",
+    "join_anti",
+    "grouping_cube",
+    "window_running_total",
 ]
-_DRIVER_CHECK_TAIL = [
-    "scan_count",            # twin: scan_projection
-    "agg_model_min_max",     # twin: agg_model_sum / agg_model_replace
-    "partition_prune_list",  # twin: partition_prune_range (+ plan tests)
-    "multimodal_meta",       # twin: multimodal_join / multimodal_features
-    "text_tokens",           # twin: text_stats / text_quality
-    "join_anti",             # twin: join_semi
-    "grouping_cube",         # twin: grouping_rollup
-    "window_running_total",  # twin: topn_per_group (window family)
-]
+_DRIVER_CHECK_TAIL: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1319,7 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_orc": q_ingest_orc,
         "ingest_csv": q_ingest_csv,
     }
-    ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD}
+    ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD if name in qmap}
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
     ordered.update(qmap)
