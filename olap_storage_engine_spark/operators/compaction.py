@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import functions as F
+
 from ..plans.manifest import RowsetState
 from ..table import OlapTable
 
@@ -147,13 +149,17 @@ def delete_where(table: OlapTable, predicate) -> int:
     Returns the number of rows deleted.  Scale: one filter-rewrite job
     over the current cover (executor-side); at 100 TB run it
     per-partition like compaction.
+
+    NULL semantics match SQL DELETE: only rows where the predicate is
+    TRUE are removed — rows where it evaluates to NULL (e.g. a null
+    column under ``>``) survive, which plain ``filter(~predicate)``
+    would silently drop.
     """
     hi = table.manifest.max_version
     current = table.read(0, hi)
     n_before = current.count()
-    remaining = current.filter(~predicate)
-    n_after = remaining.count()
-    table.write(
+    remaining = current.filter(~(predicate.eqNullSafe(F.lit(True))))
+    rs = table.write(
         remaining, start_version=0, end_version=hi + 1, collapsed=True
     )
-    return n_before - n_after
+    return n_before - rs.num_rows

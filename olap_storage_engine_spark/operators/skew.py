@@ -41,7 +41,16 @@ def salted_join(
     deterministic salt (defaults to the first join key — fine when the
     skew is in VALUES per key, e.g. a hot key with many rows spread by
     another attribute; pass a row-unique column like an id for the
-    general case)."""
+    general case).
+
+    Only inner and left joins are supported: the replicated right side
+    would emit each unmatched right row ``salt_factor`` times under
+    right/full outer joins."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the right side is "
+            "replicated per salt, so right/full outer results diverge"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     src = salt_source or keys[0]
     l_salted = left.withColumn(

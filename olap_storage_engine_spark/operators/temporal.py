@@ -50,6 +50,12 @@ def asof_join(
     ``last(ignorenulls)`` carry-forward is row-atomic — per-column
     carry would stitch fields from different right rows when a payload
     field is legitimately null.
+
+    Duplicate right rows at the same (key, right_ts) are tie-broken
+    deterministically by the payload struct itself (lexicographic by
+    field — the greatest payload wins), provided every payload type is
+    orderable; with an unorderable payload field (map) the winner among
+    exact duplicates is engine-chosen.
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
@@ -82,9 +88,23 @@ def asof_join(
 
     # at equal timestamps the right row sorts first (side 0 < 1), so
     # the match is inclusive: right rows AT left_ts are visible
+    def _orderable(dt):
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    sort_cols = ["__ats", "__side"]
+    if all(_orderable(right.schema[c].dataType) for c in payload_cols):
+        sort_cols.append("__r")  # deterministic tie-break on dup (key, ts)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ats", "__side")
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

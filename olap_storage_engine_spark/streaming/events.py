@@ -98,8 +98,20 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
+
+
+def _await_or_raise(q, timeout_sec: int = 300) -> None:
+    """awaitTermination returns False on timeout with the query still
+    running — a partially-populated memory sink would then read as a
+    wrong-but-plausible result.  Stop the query and fail loudly."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after "
+            f"{timeout_sec}s — memory sink would be incomplete"
+        )
 
 
 @contextmanager
@@ -208,7 +220,7 @@ def run_fixture_stream_join(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
 
 
@@ -252,7 +264,7 @@ def run_fixture_stream_append(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
 
 

@@ -224,3 +224,37 @@ def test_delete_where_mvcc(spark, warehouse):
     assert t.read().filter(F.col("v") == "del").count() == 0
     # prior version still sees them (MVCC, time travel)
     assert t.read(0, 0).count() == 30
+
+
+def test_delete_where_null_predicate(spark, warehouse):
+    """SQL DELETE removes only predicate-TRUE rows; rows where the
+    predicate is NULL (null column under a comparison) must survive."""
+    from olap_storage_engine_spark.operators.compaction import delete_where
+    from olap_storage_engine_spark.spec import (
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+    from pyspark.sql import functions as F
+
+    spec = TableSpec(
+        name="del_null_t",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    t.write(
+        spark.createDataFrame(
+            [(0, 1), (1, 5), (2, None), (3, None), (4, 9)],
+            "k long, x long",
+        )
+    )
+    n = delete_where(t, F.col("x") > 4)  # NULL for k=2,3 — must survive
+    assert n == 2
+    kept = {r.k for r in t.read().select("k").collect()}
+    assert kept == {0, 2, 3}
