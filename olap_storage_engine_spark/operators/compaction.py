@@ -133,6 +133,51 @@ def garbage_collect(
     return removed
 
 
+def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
+    """MERGE INTO — copy-on-write upsert, the DML sibling of
+    ``delete_where``:
+
+    * rows whose key tuple matches a source row take the SOURCE row
+      (update),
+    * target rows with no source match survive unchanged,
+    * source rows with a new key tuple are inserted,
+
+    all in ONE rewrite: the current collapsed snapshot anti-joined
+    against the source keys, unioned with the source, written as a
+    single collapsed rowset covering [0, max_version + 1].  Like
+    DELETE, the merge is an MVCC event — every prior snapshot
+    (``read(0, v)`` / ``read_as_of``) still resolves to the untouched
+    old rowsets (pinned by tests).
+
+    The reference declares exactly these semantics in its Unique keys
+    model (src/common.rs:40-41 — "equal key tuple collapses to the
+    latest version's row") but has no targeted DML; on a UNIQUE table a
+    plain ``write(source)`` is already an upsert *at read time* — this
+    operator is the compacted form: post-merge reads take the
+    single-collapsed-rowset fast path instead of merge-on-read.
+
+    Precondition: ``source`` has one row per key tuple and the target's
+    exact column set.  Scale: one key-shuffle (or broadcast, when the
+    source is dim-sized — Catalyst decides) anti-join plus the rewrite;
+    at 100 TB run it per-partition like compaction, touching only
+    partitions the source keys route to.
+
+    Returns the published RowsetMeta of the merged rowset.
+    """
+    if key_cols is None:
+        key_cols = table.spec.key_names()
+    hi = table.manifest.max_version
+    current = table.read(0, hi)
+    src = source.select(*current.columns)
+    remaining = current.join(
+        src.select(*key_cols), on=key_cols, how="anti"
+    )
+    merged = remaining.unionByName(src)
+    return table.write(
+        merged, start_version=0, end_version=hi + 1, collapsed=True
+    )
+
+
 def delete_where(table: OlapTable, predicate) -> int:
     """Row-level DELETE as a copy-on-write rewrite — beyond the
     reference (which has no delete path at all), following the

@@ -220,27 +220,35 @@ def ivf_topk(
     trained: bool = True,
     sample_mod: int = 4,
     train_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: deterministic sampled k-means
-    (``train_ivf_centroids``) by default; ``trained=False`` falls back
-    to the n lowest-id corpus vectors (the round-2 plumbing-only
-    quantizer).  Every corpus vector is assigned to its nearest
-    centroid (one broadcast pass); a probe scores only the cells of its
-    ``n_probe`` nearest centroids.
+    Coarse quantizer, in preference order:
 
-    The trained centroids are collected driver-side (≤n_centroids rows
-    — metadata scale) and re-broadcast as a literal table, so the
-    serving plan is identical to an offline-trained IVF index: the
-    training job and the query never entangle.
+    - ``centroids`` — a persisted (cent_id, cent_vec) index table
+      trained offline (``train_ivf_centroids`` at index-build time,
+      e.g. fixtures.ivf_centroids).  This is the production serving
+      path: the query plan only broadcasts the tiny index table —
+      training cost is paid once per corpus publish, never per query.
+    - ``trained=True`` without ``centroids`` — train inline (the
+      deterministic sampled k-means).  Correct but entangles the
+      training job with serving; use for ad-hoc one-shot queries only.
+    - ``trained=False`` — the n lowest-id corpus vectors (the round-2
+      plumbing-only quantizer).
+
+    Every corpus vector is assigned to its nearest centroid (one
+    broadcast pass); a probe scores only the cells of its ``n_probe``
+    nearest centroids.
 
     Scale shape: assignment is a broadcast map-side pass (no corpus
     shuffle); the cell join fans each probe out to n_probe cells ≈
     n_probe/n_centroids of the corpus scored, and the final top-k
     window is per-probe tiny.
     """
-    if trained:
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_vec")
+    elif trained:
         spark = corpus.sparkSession
         rows = train_ivf_centroids(
             corpus, n_centroids, sample_mod, train_iters, id_col, vec_col

@@ -401,16 +401,24 @@ class OlapTable:
             "schema_version": self.spec.schema_version,
         }
 
-    def column_min(self, col: str):
+    def column_min(self, col: str, lo: int = 0, hi: int | None = None):
         """Exact global minimum of a column from Parquet FOOTER
         statistics only — a driver-side metadata read, no data scan.
         This is how probe keys should be picked at 100 TB: the round-2
         fixture queries ran ``df.agg(min(...)).collect()``, a full
-        column scan to choose a constant."""
+        column scan to choose a constant.
+
+        ``lo``/``hi`` restrict the walk to the version cover [lo, hi]
+        (default: all visible rowsets) — e.g. the min key within just
+        the most recently published delta."""
         import pyarrow.parquet as pq
 
+        if lo == 0 and hi is None:
+            cover = self.manifest.visible_rowsets()
+        else:
+            cover = self.manifest.capture_consistent_versions(lo, hi)
         best = None
-        for rs in self.manifest.visible_rowsets():
+        for rs in cover:
             d = os.path.join(self.root, rs.path)
             for dp, _, fns in os.walk(d):
                 for fn in fns:

@@ -1,0 +1,49 @@
+"""Storage-partitioned (bucket-aware) join — fixtures.bucketed_pair.
+
+The 100 TB claim under test: two tables co-bucketed on the join key
+join with ZERO exchanges (no shuffle on either side), and a downstream
+aggregate keyed on the same column reuses the bucket partitioning.
+"""
+
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.fixtures import bucketed_pair
+from olap_storage_engine_spark.plans.explain import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bucketed_join_df(spark):
+    o_name, c_name = bucketed_pair(spark, SF)
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    return (
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    plan = formatted_plan(_bucketed_join_df(spark))
+    assert "SortMergeJoin" in plan  # the merge hint held: not broadcast
+    assert "Exchange" not in plan  # neither join side NOR the aggregate
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    bucketed = {
+        (r["c_custkey"], r["n_orders"])
+        for r in _bucketed_join_df(spark).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plain = {
+        (r["c_custkey"], r["n_orders"])
+        for r in (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .collect()
+        )
+    }
+    assert bucketed == plain

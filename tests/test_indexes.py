@@ -1,0 +1,107 @@
+"""Incremental secondary-index maintenance — operators/indexes.
+
+Invariant under test: refresh-per-publish ≡ rebuild-from-scratch
+(reference A15 materialized-index metadata, src/partition.rs:75, made
+operational)."""
+
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.operators.indexes import (
+    postings_delta_refresh,
+    postings_from,
+)
+from olap_storage_engine_spark.spec import (
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _docs_table(spark, warehouse):
+    spec = TableSpec(
+        name="docs_v",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.value("text", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 2),
+    )
+    return OlapTable.create(spark, spec, warehouse, overwrite=True)
+
+
+def _postings_table(spark, warehouse, name="post"):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("term", ColumnType.VARCHAR),
+            ColumnSpec.value("doc_id", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "term", 4),
+    )
+    return OlapTable.create(spark, spec, warehouse, overwrite=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("term", "doc_id").collect())
+
+
+def test_refreshed_equals_rebuilt(spark, warehouse):
+    docs = _docs_table(spark, warehouse)
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "gamma epsilon"), (4, "zeta alpha")], "doc_id long, text string"
+    )
+    docs.write(base)  # version 0
+    docs.write(delta)  # version 1
+
+    # incremental: build from the base rowset, refresh for the delta
+    inc = _postings_table(spark, warehouse, "post_inc")
+    inc.write(postings_from(docs.read(0, 0)))
+    postings_delta_refresh(docs, inc, 1, 1)
+
+    # from-scratch rebuild over the full corpus
+    full = _postings_table(spark, warehouse, "post_full")
+    full.write(postings_from(docs.read()))
+
+    assert _rows(inc.read()) == _rows(full.read())
+
+
+def test_refresh_touches_only_delta(spark, warehouse):
+    """The refresh's new rowset holds exactly the delta docs' postings
+    — proof it never re-shingled the base corpus."""
+    docs = _docs_table(spark, warehouse)
+    docs.write(
+        spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    )
+    docs.write(spark.createDataFrame([(10, "x y")], "doc_id long, text string"))
+
+    post = _postings_table(spark, warehouse)
+    post.write(postings_from(docs.read(0, 0)))
+    postings_delta_refresh(docs, post, 1, 1)
+
+    delta_rows = _rows(post.read(1, 1))
+    assert delta_rows == [("x", 10), ("y", 10)]
+    # and the full index serves terms from both rowsets
+    assert _rows(post.read().filter(F.col("term") == "b")) == [("b", 1), ("b", 2)]
+
+
+def test_delta_min_term_from_footers(spark, warehouse):
+    """column_min with version bounds resolves the probe term from the
+    delta rowset's parquet footers only."""
+    docs = _docs_table(spark, warehouse)
+    docs.write(spark.createDataFrame([(1, "mm nn")], "doc_id long, text string"))
+    docs.write(spark.createDataFrame([(2, "aa zz")], "doc_id long, text string"))
+    post = _postings_table(spark, warehouse)
+    post.write(postings_from(docs.read(0, 0)))
+    postings_delta_refresh(docs, post, 1, 1)
+    assert post.column_min("term") == "aa"
+    assert post.column_min("term", lo=0, hi=0) == "mm"
+    assert post.column_min("term", lo=1, hi=1) == "aa"
