@@ -234,6 +234,11 @@ def q_snapshot_read_versions(spark, sf_dir):
 
 
 def q_compaction_score(spark, sf_dir):
+    # Metadata-only: both scores resolve from the in-memory manifests
+    # in <1 ms; the measured time is Spark's ~0.3 s floor for ANY
+    # 2-row local-relation job (profiled at sf0.1 — bench.py warms the
+    # session-wide createDataFrame machinery so this isn't also
+    # charged the session's first-py4j-plan cost).
     multi = get_table(spark, sf_dir, "orders_multi")
     two = get_table(spark, sf_dir, "orders_two")
     rows = [

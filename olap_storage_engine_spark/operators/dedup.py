@@ -228,33 +228,48 @@ def simhash(
     low ``bits`` bit positions votes +1/-1; the fingerprint sets bit j
     when the vote sum is positive.
 
-    Plan shape: explode tokens (deduped per doc BEFORE the explode via
-    array_distinct — no shuffle), then ONE groupBy(doc) computing all
-    bit-sums as independent aggregate columns — bits stay columnar, no
-    per-bit explosion."""
-    tok = (
-        _spread(docs)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-        )
-        .withColumn("th", md5int(F.col("tok")))
+    Plan shape: fully ROW-LOCAL — tokens dedup via array_distinct, the
+    per-bit vote sums accumulate through one higher-order aggregate
+    over the token-hash array (zip_with adds each hash's 32-bit ±1 vote
+    vector onto a running array), and the fingerprint folds out of the
+    sum array.  ZERO shuffles and zero row explosion; the round-3
+    version exploded every token and shuffled ~200x the corpus row
+    count into a groupBy(doc) — measured 2x slower at sf0.1 and
+    needlessly exchange-bound at scale.  A narrow map-only pass is the
+    ideal 100 TB shape: it parallelizes by input split and nothing
+    else."""
+    toked = _spread(docs).select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
+    hashes = F.transform(F.col("__toks"), lambda t: md5int(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    sums = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    summed = toked.select(F.col(id_col), sums.alias("__s"))
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.element_at(F.col("__s"), j + 1) > 0, F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    return summed.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_candidates(
@@ -322,24 +337,30 @@ def ngram_jaccard_pairs(
     shingle shared by D docs would otherwise emit D² pair rows.
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
 
-    Plan shape (the round-2 version had 22 exchanges; this has 3): the
-    index is repartitioned by ``shingle`` ONCE and persisted, so the
-    doc-frequency aggregate, the frequency-cap join, and the self-join
-    all reuse that partitioning with zero further exchanges; per-doc set
-    sizes ride along as an index column (computed pre-explode), so the
-    jaccard denominator needs no extra joins — the only shuffles are
-    the one repartition and the final (doc_a, doc_b) pair aggregate.
+    Plan shape (round 2: 22 exchanges; round 3: 3; now 2): the index is
+    repartitioned by ``shingle`` ONCE and persisted; the doc-frequency
+    cap is a window count over that same partitioning (one sort within
+    partitions — replacing round 3's separate frequency aggregate +
+    cap join, which re-scanned the persisted index twice; measured
+    1.9 s -> 1.3 s first-run at sf0.1), and the self-join reuses the
+    partitioning exchange-free.  Per-doc set sizes ride along as an
+    index column (computed pre-explode), so the jaccard denominator
+    needs no extra joins — the only shuffles are the one repartition
+    and the final (doc_a, doc_b) pair aggregate.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     sh = (
         shingles(docs, n, text_col, id_col, with_size=True)
         .repartition(F.col("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
-        freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    w = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
     )
     l, r = rare.alias("l"), rare.alias("r")
     common = (
