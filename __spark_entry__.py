@@ -1718,8 +1718,17 @@ c{it} AS (
 def _similarity_ann_ivf_oracle(
     k=10, n_centroids=16, n_probe=4, n_probes=5, sample_mod=4, iters=2
 ) -> str:
-    cos_ec = _cos_sql("e.embedding", "c.cent_vec")
-    cos_pc = _cos_sql("p.probe_vec", "c.cent_vec")
+    # assignment ranks by dot/|c| — the probe's own norm cancels out of
+    # the argmax; mirrors ivf_topk's serving expression exactly so
+    # near-tie float behavior matches (final cosine stays exact)
+    cos_ec = (
+        f"({_dot_sql('e.embedding', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
+    cos_pc = (
+        f"({_dot_sql('p.probe_vec', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
     return f"""
 WITH {_kmeans_ctes(n_centroids, sample_mod, iters)},
 cell AS (

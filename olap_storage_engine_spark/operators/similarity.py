@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, l2norm
 from .dedup import lsh_bucket_col
 
 
@@ -241,10 +241,18 @@ def ivf_topk(
     broadcast pass); a probe scores only the cells of its ``n_probe``
     nearest centroids.
 
-    Scale shape: assignment is a broadcast map-side pass (no corpus
-    shuffle); the cell join fans each probe out to n_probe cells ≈
-    n_probe/n_centroids of the corpus scored, and the final top-k
-    window is per-probe tiny.
+    Assignment ranks by ``dot(v, c) / |c|`` — the query vector's own
+    norm is constant across centroids, so it cancels out of the argmax
+    and the per-pair vector math drops from three array passes
+    (dot + both norms) to one dot against a precomputed ``|c|``.  The
+    SQL oracle ranks by the identical expression, so near-tie float
+    behavior matches engine to engine; the returned ``cosine`` is
+    still the full exact formula, computed only for candidates.
+
+    Scale shape: assignment is a broadcast map-side pass followed by
+    one argmax aggregate (no corpus join shuffle); the cell join fans
+    each probe out to n_probe cells ≈ n_probe/n_centroids of the
+    corpus scored, and the final top-k window is per-probe tiny.
     """
     if centroids is not None:
         cents = centroids.select("cent_id", "cent_vec")
@@ -265,17 +273,27 @@ def ivf_topk(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )
         )
-    # nearest centroid per corpus vector (and n_probe nearest per probe)
+    cents = cents.withColumn("cent_norm", l2norm(F.col("cent_vec")))
+
+    # nearest centroid per corpus vector (and n_probe nearest per probe).
+    # NOTE a fully row-local variant (centroids shipped as literal
+    # arrays, per-row array_max argmax — the LSH-weights pattern) was
+    # measured 3x SLOWER than this broadcast-join + max_by shape at
+    # sf0.1: zip_with against literal arrays evaluates poorly, while
+    # the join keeps the dot inside whole-stage codegen.  Kept the
+    # measured winner.
     def assign(df: DataFrame, keep: list[str], vcol: str, top: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(
             *keep,
             "cent_id",
-            cosine(F.col(vcol), F.col("cent_vec")).alias("cent_cos"),
+            (dot(F.col(vcol), F.col("cent_vec")) / F.col("cent_norm")).alias(
+                "cent_cos"
+            ),
         )
         if top == 1:
             # top-1 assignment is an argmax: one max_by hash aggregate,
-            # no sort window (tie-break (cos desc, cent_id asc) via the
-            # (cos, -cent_id) comparison struct)
+            # no sort window (tie-break (score desc, cent_id asc) via
+            # the (score, -cent_id) comparison struct)
             key, rest = keep[0], keep[1:]
             picked = scored.groupBy(key).agg(
                 F.max_by(
@@ -302,11 +320,15 @@ def ivf_topk(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
     probe_cells = assign(p, ["probe_id", "probe_vec"], "probe_vec", n_probe)
+    # no dedup needed (unlike lsh_topk's multi-table buckets): each
+    # corpus vector lives in exactly ONE cell and a probe's n_probe
+    # cells are distinct, so the join emits each (probe, vec) at most
+    # once — a distinct here would shuffle two 64-float arrays per row
+    # for nothing
     cand = (
         cells.join(F.broadcast(probe_cells), "cent_id")
         .filter(F.col(id_col) != F.col("probe_id"))
         .select("probe_id", id_col, vec_col, "probe_vec")
-        .distinct()
     )
     scored = cand.select(
         "probe_id",
