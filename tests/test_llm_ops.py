@@ -225,32 +225,83 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
 # ---------------------------------------------------------------- clusters
 
 
-def test_connected_components_chain(spark):
+# thr=big -> driver union-find fast path; thr=0 -> distributed
+# label-propagation path.  Both must produce identical components.
+import pytest as _pytest
+
+_CC_PATHS = _pytest.mark.parametrize("thr", [200_000, 0], ids=["driver", "dist"])
+
+
+@_CC_PATHS
+def test_connected_components_chain(spark, thr):
     # a 6-vertex path: worst case for plain propagation, exercises the
     # pointer-jumping shortcut (converges in O(log n) rounds)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
     )
-    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    cc = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            pairs, driver_edge_threshold=thr
+        ).collect()
+    }
     assert cc == {i: 1 for i in range(1, 7)}
 
 
-def test_connected_components_long_path(spark):
+@_CC_PATHS
+def test_connected_components_long_path(spark, thr):
     # 40-vertex path: diameter >> max_iter, so plain min-propagation
     # would silently mislabel — pointer jumping must close it in
     # O(log diameter) rounds within the default iteration budget
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
     )
-    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    cc = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            pairs, driver_edge_threshold=thr
+        ).collect()
+    }
     assert cc == {i: 1 for i in range(1, 41)}
 
 
-def test_connected_components_disjoint_cliques(spark):
+@_CC_PATHS
+def test_connected_components_disjoint_cliques(spark, thr):
     edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    cc = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            pairs, driver_edge_threshold=thr
+        ).collect()
+    }
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_paths_agree_random(spark):
+    """Randomized cross-check: the driver union-find and the
+    distributed label-propagation paths label identically."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(120)
+    ]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(
+            pairs, driver_edge_threshold=10**6
+        ).collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(
+            pairs, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast == dist
 
 
 def test_neardup_filter_keeps_canonicals(spark, docs):
