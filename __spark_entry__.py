@@ -1114,6 +1114,31 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_table_stats(spark, sf_dir):
+    """Table statistics (reference D6) — resolved from manifest +
+    parquet footers ONLY, no data scan; the oracle recounts the data,
+    so a green row proves the metadata accounting is exact."""
+    t = get_table(spark, sf_dir, "lineitem_rt")
+    s = t.stats()
+    return spark.createDataFrame(
+        [(s["table"], s["num_rows"], s["num_rowsets"])],
+        "table_name string, num_rows long, num_rowsets int",
+    )
+
+
+def q_schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution: rowset 0 predates the ``note``
+    column (surfaced as typed nulls), rowset 1 carries it — one read
+    across both file schemas (reference: schema_version/schema_hash,
+    src/meta.rs:55-66, declared there, executed here)."""
+    t = get_table(spark, sf_dir, "orders_evolve")
+    return t.read().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "note",
+    )
+
+
 def q_delete_rows(spark, sf_dir):
     """Row-level DELETE (copy-on-write rewrite, MVCC): post-delete
     snapshot has no 'F' orders; version 0 still does (time travel —
@@ -1227,6 +1252,8 @@ _DRIVER_CHECK_HEAD = [
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
+    "table_stats",
+    "schema_evolution_read",
     # added late in round 3, past the cap — NEVER driver-checked
     "window_range_frame",
     "grouping_sets_id",
@@ -1350,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_fresh": q_inverted_index_fresh,
         "merge_upsert": q_merge_upsert,
         "bucketed_join": q_bucketed_join,
+        "table_stats": q_table_stats,
+        "schema_evolution_read": q_schema_evolution_read,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -2445,6 +2474,17 @@ def oracle_sql() -> dict[str, str]:
                    max(c_mktsegment) AS c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "table_stats": """
+            SELECT 'lineitem_rt' AS table_name,
+                   count(*) AS num_rows,
+                   CAST(1 AS INT) AS num_rowsets
+            FROM lineitem
+        """,
+        "schema_evolution_read": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 1 THEN 'v2' END AS note
+            FROM orders
         """,
         "delete_rows": """
             SELECT o_orderstatus, count(*) AS n,

@@ -755,6 +755,32 @@ def _build_doc_postings_fresh(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Additive schema evolution fixture: rowset 0 written under the
+    v1 schema (no ``note`` column), then ``add_column``, then rowset 1
+    written with it — reads must surface the old rowset's missing
+    column as typed nulls and the new rowset's values verbatim."""
+    spec = TableSpec(
+        name="orders_evolve",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t.write(base.filter(F.col("o_orderkey") % 2 == 0))
+    t.add_column(ColumnSpec.value("note", ColumnType.VARCHAR))
+    t.write(
+        base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "note", F.lit("v2")
+        )
+    )
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -775,4 +801,5 @@ _BUILDERS = {
     "orders_merge": _build_orders_merge,
     "documents_ver": _build_documents_ver,
     "doc_postings_fresh": _build_doc_postings_fresh,
+    "orders_evolve": _build_orders_evolve,
 }

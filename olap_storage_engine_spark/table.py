@@ -410,35 +410,51 @@ class OlapTable:
 
         ``lo``/``hi`` restrict the walk to the version cover [lo, hi]
         (default: all visible rowsets) — e.g. the min key within just
-        the most recently published delta."""
+        the most recently published delta.
+
+        Footers are read CONCURRENTLY (thread pool — pyarrow releases
+        the GIL during I/O), so wall time is bounded by storage
+        latency, not footer count.  The listing itself uses os.walk
+        (local/posix warehouse); an object-store deployment would swap
+        in the store's listing API here — the rest is unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         if lo == 0 and hi is None:
             cover = self.manifest.visible_rowsets()
         else:
             cover = self.manifest.capture_consistent_versions(lo, hi)
-        best = None
-        for rs in cover:
-            d = os.path.join(self.root, rs.path)
-            for dp, _, fns in os.walk(d):
-                for fn in fns:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    md = pq.ParquetFile(os.path.join(dp, fn)).metadata
-                    ci = None
-                    for i in range(md.num_columns):
-                        if md.schema.column(i).path == col:
-                            ci = i
-                            break
-                    if ci is None:
-                        continue
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is not None and st.has_min_max:
-                            v = st.min
-                            if best is None or v < best:
-                                best = v
-        return best
+        files = [
+            os.path.join(dp, fn)
+            for rs in cover
+            for dp, _, fns in os.walk(os.path.join(self.root, rs.path))
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+
+        def file_min(fp: str):
+            md = pq.ParquetFile(fp).metadata
+            ci = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).path == col:
+                    ci = i
+                    break
+            if ci is None:
+                return None
+            vals = [
+                st.min
+                for rg in range(md.num_row_groups)
+                if (st := md.row_group(rg).column(ci).statistics) is not None
+                and st.has_min_max
+            ]
+            return min(vals) if vals else None
+
+        if not files:
+            return None
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            mins = [m for m in ex.map(file_min, files) if m is not None]
+        return min(mins) if mins else None
 
     def visible_file_count(self) -> int:
         cover = self.manifest.visible_rowsets()
