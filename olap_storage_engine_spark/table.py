@@ -382,6 +382,42 @@ class OlapTable:
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
 
+    def register_bucketed(
+        self, table_name: str, num_buckets: int | None = None
+    ) -> str:
+        """Materialize the current collapse view as a managed Spark
+        bucketed table on this table's bucket column.
+
+        The engine's own ``__bk`` directories are FNV-routed for
+        point-lookup pruning, but Catalyst cannot see that layout
+        through ``spark.read.parquet`` — so a join of two co-bucketed
+        OlapTables still shuffles both sides.  Registering a bucketed
+        read replica through the session catalog makes the bucket spec
+        visible to the planner: equi-joins on the bucket column (and
+        same-key aggregates) run with zero exchanges
+        (tests/test_bucketed.py pins the plan).  Refresh it on publish
+        the way the rollup/postings deltas refresh — or re-register,
+        since it is a derived artifact, never the source of truth.
+
+        At 100 TB this is the read-replica trade: one extra copy of the
+        collapsed data in exchange for removing the shuffle from every
+        join keyed on the bucket column."""
+        bucket = self.spec.bucket
+        if bucket.btype != BucketType.HASH or bucket.column is None:
+            raise ValueError(
+                f"{self.spec.name}: register_bucketed needs a HASH bucket spec"
+            )
+        n = num_buckets or bucket.num_buckets
+        (
+            self.read()
+            .write.bucketBy(n, bucket.column)
+            .sortBy(bucket.column)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(table_name)
+        )
+        return table_name
+
     # -- ops ------------------------------------------------------------
     def compaction_score(self) -> int:
         return self.manifest.compaction_score()

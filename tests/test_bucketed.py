@@ -30,6 +30,51 @@ def test_bucketed_join_has_zero_exchanges(spark):
     assert "Exchange" not in plan  # neither join side NOR the aggregate
 
 
+def test_register_bucketed_engine_table_joins_shuffle_free(spark, warehouse):
+    """Two OlapTables co-bucketed on the same key, registered as
+    managed bucketed replicas -> their equi-join has zero exchanges."""
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+
+    def mk(name, valcol):
+        spec = TableSpec(
+            name=name,
+            columns=[
+                ColumnSpec.key("k", ColumnType.INT64),
+                ColumnSpec.value(valcol, ColumnType.FLOAT64),
+            ],
+            keys_type=KeysType.DUPLICATE,
+            bucket=BucketSpec(BucketType.HASH, "k", 4),
+        )
+        t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+        t.write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(200)], f"k long, {valcol} double"
+            )
+        )
+        return t
+
+    a = mk("bkt_a", "va")
+    b = mk("bkt_b", "vb")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_test")
+    a.register_bucketed("bkt_test.a_by_k")
+    b.register_bucketed("bkt_test.b_by_k")
+    ta = spark.table("bkt_test.a_by_k")
+    tb = spark.table("bkt_test.b_by_k")
+    j = ta.join(tb.hint("merge"), "k")
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert j.count() == 200
+
+
 def test_bucketed_join_matches_plain_join(spark):
     bucketed = {
         (r["c_custkey"], r["n_orders"])
