@@ -77,6 +77,16 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ORC reader/writer init is its own ~1 s first-touch (separate from
+    # the parquet path every other query warms) — exercised here so
+    # ingest_orc times the read, not the format bring-up
+    import tempfile
+
+    orc_warm = os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "o")
+    spark.range(100).write.orc(orc_warm)
+    spark.read.orc(orc_warm).agg(F.count(F.lit(1))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

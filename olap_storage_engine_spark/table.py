@@ -408,6 +408,17 @@ class OlapTable:
                 f"{self.spec.name}: register_bucketed needs a HASH bucket spec"
             )
         n = num_buckets or bucket.num_buckets
+        # A crashed run can leave the warehouse directory on disk with no
+        # catalog entry (fresh Derby metastore); saveAsTable then refuses
+        # the orphaned location, so clear both before writing.
+        self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = wh.removeprefix("file:")
+        db, _, tbl = table_name.rpartition(".")
+        loc = os.path.join(wh_path, f"{db}.db", tbl) if db else os.path.join(
+            wh_path, tbl
+        )
+        shutil.rmtree(loc, ignore_errors=True)
         (
             self.read()
             .write.bucketBy(n, bucket.column)
