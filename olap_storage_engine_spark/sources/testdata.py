@@ -59,15 +59,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the fixture; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long —
-        # truncate to microseconds (matching DuckDB's TIMESTAMP cast).
+        # Normalize ts to session-TZ TIMESTAMP (LTZ) whatever the
+        # fixture's physical type. Event time must be LTZ for
+        # Structured Streaming watermarks (NTZ is rejected); with the
+        # UTC session timezone the cast is a pure relabel, so batch
+        # results still match the DuckDB oracle's naive timestamps.
         from pyspark.sql import functions as F, types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer division — float division loses precision on
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) fixture read under nanosAsLong —
+            # integer division: float division loses precision on
             # 19-digit nanosecond values (> 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # timestamp[us] fixture (isAdjustedToUTC=false) arrives as
+            # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
