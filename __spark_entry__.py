@@ -401,6 +401,43 @@ def q_similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def q_similarity_ann_ivf_cells(spark, sf_dir):
+    """IVF serving from the PERSISTED cell table — the 100 TB layout.
+
+    ``emb_cells`` stores every corpus vector with its cell id,
+    LIST-partitioned by cent_id and maintained incrementally on
+    publish (fixtures._build_emb_cells).  Serving is then:
+
+    1. resolve each probe's n_probe nearest cells against the 16-row
+       centroid index (the query-router step — collected, it is at
+       most n_probes x n_probe rows by contract),
+    2. read ONLY those cells' partition directories (read_pruned:
+       ``__pt`` PartitionFilters — untouched cells' files never enter
+       the listing),
+    3. exact-cosine rescore + per-probe top-k.
+
+    Unlike ``similarity_ann_ivf`` (which re-assigns the whole corpus
+    to cells inside the query plan), no full-corpus pass exists here —
+    the scan is n_probe/n_centroids of the data by construction, which
+    is the entire point of IVF at scale.  Same results, same oracle.
+    """
+    from olap_storage_engine_spark.fixtures import ivf_centroids
+
+    cells_t = get_table(spark, sf_dir, "emb_cells")
+    cents = ivf_centroids(spark, sf_dir)
+    pc = sim.ivf_probe_cells(_probes(spark, sf_dir), cents, n_probe=4)
+    pc_rows = pc.collect()
+    cell_ids = sorted({r["cent_id"] for r in pc_rows})
+    probe_cells = spark.createDataFrame(
+        [(r["probe_id"], r["probe_vec"], r["cent_id"]) for r in pc_rows],
+        "probe_id long, probe_vec array<float>, cent_id long",
+    )
+    cells = cells_t.read_pruned(in_values=cell_ids).select(
+        "cent_id", "vec_id", "embedding"
+    )
+    return sim.rank_cell_candidates(cells, probe_cells, k=10)
+
+
 def q_text_vocab(spark, sf_dir):
     """Top-20 vocabulary terms by document frequency."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1249,6 +1286,7 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # new in round 4 — no driver row yet
+    "similarity_ann_ivf_cells",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1336,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_ivf_cells": q_similarity_ann_ivf_cells,
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -2091,6 +2130,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _similarity_topk_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
+        # the cell-table variant serves the SAME logical result from a
+        # different physical layout (persisted partition-pruned cells)
+        "similarity_ann_ivf_cells": _similarity_ann_ivf_oracle(),
         "text_vocab": """
             SELECT token, count(*) AS df FROM (
               SELECT DISTINCT doc_id, tok AS token FROM (

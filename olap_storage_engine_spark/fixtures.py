@@ -755,6 +755,66 @@ def _build_doc_postings_fresh(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_embeddings_ver(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Embeddings as a two-rowset engine table: version 0 = the base
+    corpus (vec_id % 10 != 0), version 1 = a later published delta
+    (vec_id % 10 == 0) — the versioned source for incremental
+    ANN-index maintenance on publish."""
+    spec = TableSpec(
+        name="embeddings_ver",
+        columns=[
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("embedding", ColumnType.ARRAY_FLOAT),
+            ColumnSpec.value("label", ColumnType.INT32),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "vec_id", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t.write(emb.filter(F.col("vec_id") % 10 != 0))  # version 0: base
+    t.write(emb.filter(F.col("vec_id") % 10 == 0))  # version 1: delta
+    return t
+
+
+def _build_emb_cells(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Persisted IVF cell table: every corpus vector stored WITH its
+    coarse-quantizer cell id, LIST-partitioned by cent_id — the real
+    100 TB IVF layout, where serving reads ONLY the probed cells'
+    partition directories instead of re-assigning the whole corpus per
+    query (reference A15 materialized-index metadata made physical).
+
+    Built incrementally like doc_postings_fresh: full assignment of the
+    base rowset, then ``ivf_cells_delta_refresh`` for the delta publish
+    — so the fixture also pins publish-time ANN-index maintenance.
+    The LIST partition values are the trained cent_ids (known at
+    index-build time, exactly when the table is created)."""
+    from .operators.indexes import ivf_cells_delta_refresh
+    from .operators.similarity import ivf_cell_assign
+
+    ev = get_table(spark, sf_dir, "embeddings_ver")
+    cents = ivf_centroids(spark, sf_dir)
+    cent_ids = sorted(r["cent_id"] for r in cents.select("cent_id").collect())
+    spec = TableSpec(
+        name="emb_cells",
+        columns=[
+            ColumnSpec.key("cent_id", ColumnType.INT64),
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("embedding", ColumnType.ARRAY_FLOAT),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.LIST,
+            "cent_id",
+            mapping={str(c): f"c{c}" for c in cent_ids},
+        ),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    t.write(ivf_cell_assign(ev.read(0, 0), cents))  # full build: base
+    ivf_cells_delta_refresh(ev, t, cents, 1, 1)  # incremental: delta
+    return t
+
+
 def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Additive schema evolution fixture: rowset 0 written under the
     v1 schema (no ``note`` column), then ``add_column``, then rowset 1
@@ -801,5 +861,7 @@ _BUILDERS = {
     "orders_merge": _build_orders_merge,
     "documents_ver": _build_documents_ver,
     "doc_postings_fresh": _build_doc_postings_fresh,
+    "embeddings_ver": _build_embeddings_ver,
+    "emb_cells": _build_emb_cells,
     "orders_evolve": _build_orders_evolve,
 }

@@ -36,6 +36,33 @@ def postings_from(docs: DataFrame, n: int = 1) -> DataFrame:
     )
 
 
+def ivf_cells_delta_refresh(
+    emb_table: OlapTable,
+    cells: OlapTable,
+    centroids: DataFrame,
+    lo: int,
+    hi: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ANN-index maintenance: assign ONLY the embedding
+    rowsets covering versions [lo, hi] to their coarse-quantizer cells
+    and append them to the persisted cell table.
+
+    The centroid index is fixed between (re)trainings, so a delta
+    assignment is embarrassingly parallel: one broadcast of the
+    centroids + one map-side argmax over the delta rows, routed into
+    the cell table's cent_id LIST partitions on write.  Same invariant
+    as the postings refresh (pinned by tests/test_indexes.py): after
+    refreshing for every published delta, the index equals a
+    from-scratch rebuild.
+    """
+    from .similarity import ivf_cell_assign
+
+    delta = emb_table.read(lo, hi)
+    cells.write(ivf_cell_assign(delta, centroids, id_col, vec_col))
+
+
 def postings_delta_refresh(
     docs_table: OlapTable,
     postings: OlapTable,

@@ -209,6 +209,134 @@ def train_ivf_centroids(
     return cents
 
 
+def _with_cent_norm(centroids: DataFrame) -> DataFrame:
+    return centroids.select("cent_id", "cent_vec").withColumn(
+        "cent_norm", l2norm(F.col("cent_vec"))
+    )
+
+
+def _cell_assign(
+    cents: DataFrame, df: DataFrame, keep: list[str], vcol: str, top: int
+) -> DataFrame:
+    """Nearest-centroid assignment against a (cent_id, cent_vec,
+    cent_norm) broadcast.  Ranks by ``dot(v, c) / |c|`` — the query
+    vector's own norm is constant across centroids so it cancels out of
+    the argmax; ties break toward the lower cent_id.
+
+    NOTE a fully row-local variant (centroids shipped as literal
+    arrays, per-row array_max argmax — the LSH-weights pattern) was
+    measured 3x SLOWER than this broadcast-join + max_by shape at
+    sf0.1: zip_with against literal arrays evaluates poorly, while the
+    join keeps the dot inside whole-stage codegen.  Kept the measured
+    winner.
+    """
+    scored = df.join(F.broadcast(cents)).select(
+        *keep,
+        "cent_id",
+        (dot(F.col(vcol), F.col("cent_vec")) / F.col("cent_norm")).alias(
+            "cent_cos"
+        ),
+    )
+    if top == 1:
+        # top-1 assignment is an argmax: one max_by hash aggregate,
+        # no sort window (tie-break (score desc, cent_id asc) via
+        # the (score, -cent_id) comparison struct)
+        key, rest = keep[0], keep[1:]
+        picked = scored.groupBy(key).agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), *[F.col(c) for c in rest]),
+                F.struct(F.col("cent_cos"), -F.col("cent_id")),
+            ).alias("__b")
+        )
+        return picked.select(
+            key,
+            *[F.col(f"__b.{c}").alias(c) for c in rest],
+            F.col("__b.cent_id").alias("cent_id"),
+        )
+    w = Window.partitionBy(*keep[:1]).orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("cr", F.row_number().over(w))
+        .filter(F.col("cr") <= top)
+        .drop("cr", "cent_cos")
+    )
+
+
+def ivf_cell_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its coarse-quantizer cell: the one
+    shared derivation for full index builds AND publish-time delta
+    refreshes (indexes.ivf_cells_delta_refresh).  Returns
+    (cent_id, id_col, vec_col) — the row shape of the persisted cell
+    table.  One broadcast of the centroid index + one map-side dot per
+    (vector, centroid); the corpus never shuffles its vectors."""
+    cents = _with_cent_norm(centroids)
+    assigned = _cell_assign(
+        cents, vectors.select(id_col, vec_col), [id_col, vec_col], vec_col, 1
+    )
+    return assigned.select("cent_id", id_col, vec_col)
+
+
+def ivf_probe_cells(
+    probes: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query-router resolve step: each probe's ``n_probe`` nearest
+    cells.  Returns (probe_id, probe_vec, cent_id), one row per
+    (probe, cell) — tiny by contract (probe sets are small), so the
+    caller may collect it to drive partition pruning of the cell
+    table."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    return _cell_assign(
+        _with_cent_norm(centroids), p, ["probe_id", "probe_vec"], "probe_vec", n_probe
+    )
+
+
+def rank_cell_candidates(
+    cells: DataFrame,
+    probe_cells: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score and rank pre-assigned cell rows against resolved probe
+    cells — the serving tail shared by ``ivf_topk`` (cells computed
+    inline) and the persisted-cell-table query (cells read partition-
+    pruned from disk).  Exact cosine on candidates only; one per-probe
+    top-k window.  No dedup needed: each corpus vector lives in
+    exactly ONE cell and a probe's n_probe cells are distinct, so the
+    join emits each (probe, vec) at most once — a distinct here would
+    shuffle two 64-float arrays per row for nothing."""
+    cand = (
+        cells.join(F.broadcast(probe_cells), "cent_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, vec_col, "probe_vec")
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -273,76 +401,15 @@ def ivf_topk(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )
         )
-    cents = cents.withColumn("cent_norm", l2norm(F.col("cent_vec")))
-
-    # nearest centroid per corpus vector (and n_probe nearest per probe).
-    # NOTE a fully row-local variant (centroids shipped as literal
-    # arrays, per-row array_max argmax — the LSH-weights pattern) was
-    # measured 3x SLOWER than this broadcast-join + max_by shape at
-    # sf0.1: zip_with against literal arrays evaluates poorly, while
-    # the join keeps the dot inside whole-stage codegen.  Kept the
-    # measured winner.
-    def assign(df: DataFrame, keep: list[str], vcol: str, top: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            *keep,
-            "cent_id",
-            (dot(F.col(vcol), F.col("cent_vec")) / F.col("cent_norm")).alias(
-                "cent_cos"
-            ),
-        )
-        if top == 1:
-            # top-1 assignment is an argmax: one max_by hash aggregate,
-            # no sort window (tie-break (score desc, cent_id asc) via
-            # the (score, -cent_id) comparison struct)
-            key, rest = keep[0], keep[1:]
-            picked = scored.groupBy(key).agg(
-                F.max_by(
-                    F.struct(F.col("cent_id"), *[F.col(c) for c in rest]),
-                    F.struct(F.col("cent_cos"), -F.col("cent_id")),
-                ).alias("__b")
-            )
-            return picked.select(
-                key,
-                *[F.col(f"__b.{c}").alias(c) for c in rest],
-                F.col("__b.cent_id").alias("cent_id"),
-            )
-        w = Window.partitionBy(*keep[:1]).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("cr", F.row_number().over(w))
-            .filter(F.col("cr") <= top)
-            .drop("cr", "cent_cos")
-        )
-
-    cells = assign(corpus.select(id_col, vec_col), [id_col, vec_col], vec_col, 1)
+    cents = _with_cent_norm(cents)
+    cells = _cell_assign(
+        cents, corpus.select(id_col, vec_col), [id_col, vec_col], vec_col, 1
+    )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    probe_cells = assign(p, ["probe_id", "probe_vec"], "probe_vec", n_probe)
-    # no dedup needed (unlike lsh_topk's multi-table buckets): each
-    # corpus vector lives in exactly ONE cell and a probe's n_probe
-    # cells are distinct, so the join emits each (probe, vec) at most
-    # once — a distinct here would shuffle two 64-float arrays per row
-    # for nothing
-    cand = (
-        cells.join(F.broadcast(probe_cells), "cent_id")
-        .filter(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col, vec_col, "probe_vec")
-    )
-    scored = cand.select(
-        "probe_id",
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank")
-    )
+    probe_cells = _cell_assign(cents, p, ["probe_id", "probe_vec"], "probe_vec", n_probe)
+    return rank_cell_candidates(cells, probe_cells, k, id_col, vec_col)
 
 
 def pandas_topk(

@@ -93,6 +93,105 @@ def test_refresh_touches_only_delta(spark, warehouse):
     assert _rows(post.read().filter(F.col("term") == "b")) == [("b", 1), ("b", 2)]
 
 
+def _emb_table(spark, warehouse, name="emb_v"):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("embedding", ColumnType.ARRAY_FLOAT),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "vec_id", 2),
+    )
+    return OlapTable.create(spark, spec, warehouse, overwrite=True)
+
+
+def _cells_table(spark, warehouse, cent_ids, name="cells"):
+    from olap_storage_engine_spark.spec import PartitionPolicy, PartitionType
+
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("cent_id", ColumnType.INT64),
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("embedding", ColumnType.ARRAY_FLOAT),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.LIST,
+            "cent_id",
+            mapping={str(c): f"c{c}" for c in cent_ids},
+        ),
+    )
+    return OlapTable.create(spark, spec, warehouse, overwrite=True)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_cells_refresh_equals_rebuild(spark, warehouse):
+    """ANN-index sibling of the postings invariant: per-publish cell
+    refresh ≡ from-scratch assignment of the full corpus."""
+    from olap_storage_engine_spark.operators.indexes import (
+        ivf_cells_delta_refresh,
+    )
+    from olap_storage_engine_spark.operators.similarity import ivf_cell_assign
+
+    emb = _emb_table(spark, warehouse)
+    emb.write(
+        _vecs(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])])
+    )  # version 0: base
+    emb.write(
+        _vecs(spark, [(4, [0.1, 0.9]), (5, [1.0, 0.1])])
+    )  # version 1: delta
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "cent_id long, cent_vec array<double>"
+    )
+
+    inc = _cells_table(spark, warehouse, [1, 3], "cells_inc")
+    inc.write(ivf_cell_assign(emb.read(0, 0), cents))
+    ivf_cells_delta_refresh(emb, inc, cents, 1, 1)
+
+    full = _cells_table(spark, warehouse, [1, 3], "cells_full")
+    full.write(ivf_cell_assign(emb.read(), cents))
+
+    def rows(t):
+        return sorted(
+            (r["cent_id"], r["vec_id"])
+            for r in t.read().select("cent_id", "vec_id").collect()
+        )
+
+    assert rows(inc) == rows(full)
+    # the refresh's own rowset holds exactly the delta's assignments —
+    # proof the base corpus was never re-assigned
+    assert sorted(
+        (r["cent_id"], r["vec_id"])
+        for r in inc.read(1, 1).select("cent_id", "vec_id").collect()
+    ) == [(1, 5), (3, 4)]
+
+
+def test_ivf_cells_read_pruned_lists_only_probed_cells(spark, warehouse):
+    """read_pruned on the cell table keeps unprobed cells' files out of
+    the scan: the 100 TB serving property (PartitionFilters on __pt)."""
+    from olap_storage_engine_spark.operators.similarity import ivf_cell_assign
+
+    emb = _emb_table(spark, warehouse, "emb_p")
+    emb.write(
+        _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.95, 0.05])])
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cent_id long, cent_vec array<double>"
+    )
+    cells = _cells_table(spark, warehouse, [1, 2], "cells_p")
+    cells.write(ivf_cell_assign(emb.read(), cents))
+
+    pruned = cells.read_pruned(in_values=[1])
+    assert sorted(r["vec_id"] for r in pruned.collect()) == [1, 3]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__pt" in plan  # directory-level pruning, not a row filter
+
+
 def test_delta_min_term_from_footers(spark, warehouse):
     """column_min with version bounds resolves the probe term from the
     delta rowset's parquet footers only."""
