@@ -1127,6 +1127,58 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_cdc_changes(spark, sf_dir):
+    """Change-data-capture between MVCC snapshots: the derivative of
+    time travel.  Diff of the orders_merge UNIQUE table pre-merge (v0)
+    vs post-merge (v1) as typed change rows — every 7th key surfaces
+    as an ``update`` carrying the new values, the shifted keys as
+    ``insert``s.  One key-partitioned full-outer join of the two
+    collapsed snapshots; nothing driver-side
+    (operators/cdc.py::snapshot_changes)."""
+    from olap_storage_engine_spark.operators.cdc import snapshot_changes
+
+    t = get_table(spark, sf_dir, "orders_merge")
+    return snapshot_changes(t, 0, 1).select(
+        "change_op",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region
+    and one order year — the 6-table join.  The dim chain
+    (region->nation->supplier, customer) broadcasts; the only
+    shuffle-joined pair is orders||lineitem, exactly the two tables
+    that are actually big at 100 TB."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dsum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 def q_bucketed_join(spark, sf_dir):
     """Storage-partitioned (bucket-aware) join: orders and customer
     both bucketBy(8, custkey) through the session catalog, so the
@@ -1287,6 +1339,8 @@ def q_set_intersect(spark, sf_dir):
 _DRIVER_CHECK_HEAD = [
     # new in round 4 — no driver row yet
     "similarity_ann_ivf_cells",
+    "cdc_changes",
+    "tpch_q5",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1415,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_search": q_inverted_index_search,
         "inverted_index_fresh": q_inverted_index_fresh,
         "merge_upsert": q_merge_upsert,
+        "cdc_changes": q_cdc_changes,
+        "tpch_q5": q_tpch_q5,
         "bucketed_join": q_bucketed_join,
         "table_stats": q_table_stats,
         "schema_evolution_read": q_schema_evolution_read,
@@ -2508,6 +2564,33 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT * FROM src
             )
+        """,
+        "cdc_changes": """
+            SELECT 'update' AS change_op, o_orderkey, o_custkey,
+                   'MERGED' AS o_orderstatus,
+                   round(o_totalprice * 2, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT 'insert', o_orderkey + 10000000, o_custkey, 'NEWROW',
+                   round(o_totalprice, 2)
+            FROM orders WHERE o_orderkey % 1000 = 0
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "bucketed_join": """
             SELECT c_custkey, count(*) AS n_orders,
