@@ -420,17 +420,23 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     to cells inside the query plan), no full-corpus pass exists here —
     the scan is n_probe/n_centroids of the data by construction, which
     is the entire point of IVF at scale.  Same results, same oracle.
+
+    The router resolve is DRIVER-side (ivf_probe_cells_local over the
+    pyarrow-read 16-row index + the collected probe set): the whole
+    query is one small probe-collect job plus ONE distributed serve
+    job over the pruned cells.
     """
-    from olap_storage_engine_spark.fixtures import ivf_centroids
+    from olap_storage_engine_spark.fixtures import ivf_centroids_rows
 
     cells_t = get_table(spark, sf_dir, "emb_cells")
-    cents = ivf_centroids(spark, sf_dir)
-    pc = sim.ivf_probe_cells(_probes(spark, sf_dir), cents, n_probe=4)
-    pc_rows = pc.collect()
-    cell_ids = sorted({r["cent_id"] for r in pc_rows})
+    cent_rows = ivf_centroids_rows(spark, sf_dir)
+    probe_rows = [
+        (r["vec_id"], r["embedding"]) for r in _probes(spark, sf_dir).collect()
+    ]
+    pc = sim.ivf_probe_cells_local(probe_rows, cent_rows, n_probe=4)
+    cell_ids = sorted({cid for _, _, cid in pc})
     probe_cells = spark.createDataFrame(
-        [(r["probe_id"], r["probe_vec"], r["cent_id"]) for r in pc_rows],
-        "probe_id long, probe_vec array<float>, cent_id long",
+        pc, "probe_id long, probe_vec array<float>, cent_id long"
     )
     cells = cells_t.read_pruned(in_values=cell_ids).select(
         "cent_id", "vec_id", "embedding"

@@ -587,6 +587,24 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_aux_cached("ivf_centroids", sf_dir, build))
 
 
+def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The centroid index as driver-resident rows — the form an ANN
+    query router actually holds it in (a handful of (cent_id,
+    cent_vec) tuples in memory).  Read via pyarrow straight from the
+    index parquet: resolving a probe's cells must not cost a
+    distributed job."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ivf_centroids(spark, sf_dir)  # ensure built
+    path = _AUX[("ivf_centroids", sf_dir)]
+    tbl = pq.read_table(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    return sorted(
+        zip(tbl["cent_id"].to_pylist(), tbl["cent_vec"].to_pylist())
+    )
+
+
 def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """One-time per (sf_dir, fmt) export of a source table to a text/
     columnar interchange format (jsonl/csv/orc) — build-time setup for

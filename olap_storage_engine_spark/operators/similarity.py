@@ -302,6 +302,51 @@ def ivf_probe_cells(
     )
 
 
+def ivf_probe_cells_local(
+    probe_rows: list,
+    cent_rows: list,
+    n_probe: int = 4,
+) -> list:
+    """Driver-side query-router resolve: the ``ivf_probe_cells``
+    assignment computed in plain Python over collected rows — the
+    shape a production ANN router actually has (the centroid index is
+    a handful of rows held in router memory; resolving a probe's cells
+    must not cost a distributed job).
+
+    Bit-identical to the distributed/SQL versions: the dot is the same
+    SEQUENTIAL left fold over doubles (functions/vectors.dot is
+    ``aggregate(zip_with(...), 0.0, acc + x)``; DuckDB's ``list_sum``
+    likewise), ranking by dot/|c| with ties toward the lower cent_id —
+    IEEE double ops are deterministic given the order, so near-tie
+    behavior matches engine to engine.
+
+    ``probe_rows``: (probe_id, probe_vec) pairs; ``cent_rows``:
+    (cent_id, cent_vec) pairs.  Returns (probe_id, probe_vec, cent_id)
+    tuples, one per (probe, cell).
+    """
+
+    def sdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    import math
+
+    cents = [
+        (cid, cvec, math.sqrt(sdot(cvec, cvec))) for cid, cvec in cent_rows
+    ]
+    out = []
+    for pid, pvec in probe_rows:
+        scored = sorted(
+            ((sdot(pvec, cvec) / cnorm, -cid) for cid, cvec, cnorm in cents),
+            reverse=True,
+        )
+        for score, neg_cid in scored[:n_probe]:
+            out.append((pid, pvec, -neg_cid))
+    return out
+
+
 def rank_cell_candidates(
     cells: DataFrame,
     probe_cells: DataFrame,

@@ -192,6 +192,38 @@ def test_ivf_cells_read_pruned_lists_only_probed_cells(spark, warehouse):
     assert "__pt" in plan  # directory-level pruning, not a row filter
 
 
+def test_ivf_probe_cells_local_matches_distributed(spark, warehouse):
+    """The driver-side router resolve is bit-identical to the
+    distributed assignment (same sequential double fold, same
+    tie-break) — including on a deliberate near-tie."""
+    from olap_storage_engine_spark.operators.similarity import (
+        ivf_probe_cells,
+        ivf_probe_cells_local,
+    )
+
+    probes = _vecs(
+        spark,
+        [(1, [1.0, 1.0]), (2, [0.3, 0.7]), (3, [0.5, 0.5])],  # 3 = exact tie
+    )
+    cent_rows = [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [0.6, 0.8])]
+    cents = spark.createDataFrame(
+        cent_rows, "cent_id long, cent_vec array<double>"
+    )
+    dist = sorted(
+        (r["probe_id"], r["cent_id"])
+        for r in ivf_probe_cells(probes, cents, n_probe=2).collect()
+    )
+    local = sorted(
+        (pid, cid)
+        for pid, _, cid in ivf_probe_cells_local(
+            [(r["vec_id"], r["embedding"]) for r in probes.collect()],
+            cent_rows,
+            n_probe=2,
+        )
+    )
+    assert dist == local
+
+
 def test_delta_min_term_from_footers(spark, warehouse):
     """column_min with version bounds resolves the probe term from the
     delta rowset's parquet footers only."""
