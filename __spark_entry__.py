@@ -679,6 +679,21 @@ def q_sketch_profile(spark, sf_dir):
     return column_profile(li, ["l_orderkey", "l_partkey", "l_returnflag"])
 
 
+def q_sketch_rollup_distinct(spark, sf_dir):
+    """Distinct users per day served from the PERSISTED mergeable-
+    sketch rollup (events_sketch: per-day HLL partials across two
+    publishes) — the query union-merges stored partials and never
+    rescans the raw events.  Estimates are engine-specific (Apache
+    DataSketches HLL), so rows-only; tests pin merge ≡ direct in the
+    exact regime and bound drift vs exact counts at sf0.1."""
+    from olap_storage_engine_spark.operators.sketches import (
+        merge_sketch_estimates,
+    )
+
+    t = get_table(spark, sf_dir, "events_sketch")
+    return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
+
+
 def q_events_stream_window(spark, sf_dir):
     """The same windowed aggregation executed as a real Structured
     Streaming query (file source -> complete mode -> memory sink)."""
@@ -1133,6 +1148,33 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series gap filling + LOCF (the hypertable
+    ``time_bucket_gapfill``/``locf`` pair): daily high-value event
+    counts per type over a dense per-type day spine — missing days
+    surface with n=0 and the most recent daily total carried forward.
+    Spine cost is (#groups x #days), independent of raw event volume
+    (operators/temporal.py::gap_fill_locf)."""
+    from olap_storage_engine_spark.operators.temporal import gap_fill_locf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 200)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("total"),
+    )
+    return gap_fill_locf(
+        daily,
+        group_cols=["event_type"],
+        time_col="day",
+        count_cols=["n"],
+        locf_cols=["total"],
+    )
+
+
 def q_cdc_changes(spark, sf_dir):
     """Change-data-capture between MVCC snapshots: the derivative of
     time travel.  Diff of the orders_merge UNIQUE table pre-merge (v0)
@@ -1347,6 +1389,8 @@ _DRIVER_CHECK_HEAD = [
     "similarity_ann_ivf_cells",
     "cdc_changes",
     "tpch_q5",
+    "events_gap_fill",
+    "sketch_rollup_distinct",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1457,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_routed_read": q_rollup_routed_read,
         "grouping_rollup": q_grouping_rollup,
         "sketch_profile": q_sketch_profile,
+        "sketch_rollup_distinct": q_sketch_rollup_distinct,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -1475,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_search": q_inverted_index_search,
         "inverted_index_fresh": q_inverted_index_fresh,
         "merge_upsert": q_merge_upsert,
+        "events_gap_fill": q_events_gap_fill,
         "cdc_changes": q_cdc_changes,
         "tpch_q5": q_tpch_q5,
         "bucketed_join": q_bucketed_join,
@@ -2570,6 +2616,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT * FROM src
             )
+        """,
+        "events_gap_fill": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     count(*) AS n,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                       AS total
+              FROM events WHERE value > 200 GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1
+            ),
+            spine AS (
+              SELECT event_type,
+                     CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM b
+            )
+            SELECT s.event_type, s.day,
+                   coalesce(d.n, 0) AS n,
+                   last_value(d.total IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS total_locf
+            FROM spine s
+            LEFT JOIN daily d
+              ON s.event_type = d.event_type AND s.day = d.day
         """,
         "cdc_changes": """
             SELECT 'update' AS change_op, o_orderkey, o_custkey,

@@ -833,6 +833,32 @@ def _build_emb_cells(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Persisted mergeable-sketch rollup: per-day HLL sketches of
+    distinct users, written as TWO publishes of partial sketches
+    (event_id % 4 splits — every day gets partials in both rowsets, so
+    the read-time union genuinely merges).  The sketch algebra makes
+    publish-time maintenance append-only: no read-modify-write, each
+    new rowset just adds its partials."""
+    from .operators.sketches import group_sketch
+
+    spec = TableSpec(
+        name="events_sketch",
+        columns=[
+            ColumnSpec.key("day", ColumnType.DATE),
+            ColumnSpec.value("sketch", ColumnType.BINARY),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("day")
+    )
+    t.write(group_sketch(ev.filter(F.col("event_id") % 4 != 0), ["day"], "user_id"))
+    t.write(group_sketch(ev.filter(F.col("event_id") % 4 == 0), ["day"], "user_id"))
+    return t
+
+
 def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Additive schema evolution fixture: rowset 0 written under the
     v1 schema (no ``note`` column), then ``add_column``, then rowset 1
@@ -881,5 +907,6 @@ _BUILDERS = {
     "doc_postings_fresh": _build_doc_postings_fresh,
     "embeddings_ver": _build_embeddings_ver,
     "emb_cells": _build_emb_cells,
+    "events_sketch": _build_events_sketch,
     "orders_evolve": _build_orders_evolve,
 }

@@ -79,3 +79,32 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).alias(f"{c}_max"),
         ]
     return df.agg(*aggs)
+
+
+def group_sketch(
+    df: DataFrame, group_cols: list[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketch rows — the ingest-time
+    derivation for a PERSISTED sketch rollup table.
+
+    This is the mergeable-sketch pattern that makes distinct-count
+    queries cheap at 100 TB: each published rowset contributes partial
+    sketches (binary, ~2^lgk bytes each), appended to a DUPLICATE-model
+    rollup table with no read-modify-write — union-merging partials at
+    read time is exactly what the sketch algebra guarantees.  Serving
+    never rescans raw data; cost is (#groups x #rowsets) tiny binary
+    rows."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def merge_sketch_estimates(
+    sketches: DataFrame, group_cols: list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """Serve distinct-count estimates by union-merging stored partial
+    sketches per group.  One hash aggregate over the (tiny) sketch
+    table; map-side combine merges partials early."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
+    )

@@ -190,3 +190,56 @@ def range_join_chunked(
         *[F.col(f"__l.{c}") for c in left.columns],
         *[F.col(f"__iv.{c}") for c in intervals.columns],
     )
+
+
+def gap_fill_locf(
+    daily: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    count_cols: list[str] | None = None,
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable-family ``time_bucket_gapfill`` + ``locf`` composed
+    from built-in ops.
+
+    ``daily`` is an already-bucketed frame (one row per (group, bucket)
+    that HAS data).  Per group, a dense bucket spine spans
+    [min(bucket), max(bucket)]; missing buckets get 0 for
+    ``count_cols`` and the most recent prior value for ``locf_cols``.
+
+    Scale shape: the spine derives from a per-group min/max aggregate
+    (output = one row per group — tiny), explodes to one row per
+    (group, bucket), and left-joins the data back on (group, bucket) —
+    both sides hash-partitioned by the same keys, no range blowup.
+    The LOCF window sorts each group's buckets once; state is one
+    carried value per group.  Dense-spine row count is bounded by
+    groups x span/bucket, independent of the raw event volume — at
+    100 TB the heavy input was already reduced by the upstream
+    aggregate, so gap filling costs (#groups x #buckets), not (#rows).
+    """
+    count_cols = count_cols or []
+    locf_cols = locf_cols or []
+    bounds = daily.groupBy(*group_cols).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(time_col),
+    )
+    j = spine.join(daily, [*group_cols, time_col], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = [*group_cols, time_col]
+    sel = [F.col(c) for c in out]
+    sel += [
+        F.coalesce(F.col(c), F.lit(0)).alias(c) for c in count_cols
+    ]
+    sel += [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}_locf")
+        for c in locf_cols
+    ]
+    return j.select(*sel)

@@ -172,3 +172,67 @@ def test_rollup_delta_refresh_rejects_replace(spark, warehouse):
 
     with pytest.raises(ValueError, match="compose"):
         rollup_delta_refresh(base, roll, 0, 0)
+
+
+# ---------------------------------------------------- mergeable sketches
+
+
+def test_sketch_merge_equals_direct_exact_regime(spark, warehouse):
+    """Union-merging per-publish partial sketches equals one direct
+    sketch over all the data — bit-exact below the sparse-mode
+    threshold (the regime where DataSketches HLL is an exact set)."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_sketch,
+        merge_sketch_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 97) for i in range(2000)], "id long, g long, u long"
+    )
+    parts = [
+        group_sketch(df.filter(F.col("id") % 3 == m), ["g"], "u")
+        for m in range(3)
+    ]
+    merged = merge_sketch_estimates(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), ["g"]
+    )
+    got = {r["g"]: r["n_distinct"] for r in merged.collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_sketch_rollup_estimate_bounded(spark, warehouse):
+    """Above the exact regime the merged estimate stays close to the
+    exact count, and merging costs no accuracy: the bound (10%) covers
+    the direct sketch's own observed error at lgk=12 (~7% worst group
+    here); the merged estimate equals the direct sketch's estimate."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_sketch,
+        merge_sketch_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 40000) for i in range(120000)],
+        "id long, g long, u long",
+    )
+    parts = group_sketch(df.filter(F.col("id") % 2 == 0), ["g"], "u").unionByName(
+        group_sketch(df.filter(F.col("id") % 2 == 1), ["g"], "u")
+    )
+    got = {r["g"]: r["n_distinct"] for r in merge_sketch_estimates(parts, ["g"]).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(got[g] - n) / n < 0.10
+    # merging partials costs nothing vs sketching all rows at once
+    direct = {
+        r["g"]: r["e"]
+        for r in df.groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("u", 12)).alias("e"))
+        .collect()
+    }
+    assert got == direct
