@@ -104,3 +104,35 @@ def test_scan_projection_prunes_columns(spark, entrymod):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     # only the projected columns (plus nothing else) are read
     assert cols == {"l_orderkey", "l_extendedprice"}, cols
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark, entrymod):
+    """The six-table join: every dim side broadcasts; the only
+    shuffle-joined pair is orders-lineitem."""
+    plan = formatted_plan(_df(spark, entrymod, "tpch_q5"))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_ivf_cells_serving_prunes_partitions(spark, entrymod):
+    """The persisted-cell ANN serve reads only the probed cells'
+    partition directories — no full-corpus assignment pass."""
+    pf = partition_filters(_df(spark, entrymod, "similarity_ann_ivf_cells"))
+    assert any("__pt" in f and "IN" in f for f in pf), pf
+
+
+def test_gap_fill_no_cartesian(spark, entrymod):
+    """Spine join is a hash equi-join on (group, bucket), never a
+    range/cross product."""
+    plan = formatted_plan(_df(spark, entrymod, "events_gap_fill"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_single_key_join(spark, entrymod):
+    """CDC is ONE full-outer join of the two snapshots on the key."""
+    plan = formatted_plan(_df(spark, entrymod, "cdc_changes"))
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, joins
