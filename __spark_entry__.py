@@ -679,6 +679,20 @@ def q_sketch_profile(spark, sf_dir):
     return column_profile(li, ["l_orderkey", "l_partkey", "l_returnflag"])
 
 
+def q_events_stream_replay_dedup(spark, sf_dir):
+    """Exactly-once ingest under source replay: the two-batch stream
+    with batch 1 delivered TWICE, watermark-deduplicated on event_id
+    before the windowed aggregate — the memory sink equals the batch
+    aggregate over the original events (same oracle as
+    events_stream_window), proving idempotent ingestion under the
+    at-least-once failure mode every real source has."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_replay_dedup,
+    )
+
+    return run_fixture_stream_replay_dedup(spark, sf_dir)
+
+
 def q_sketch_rollup_distinct(spark, sf_dir):
     """Distinct users per day served from the PERSISTED mergeable-
     sketch rollup (events_sketch: per-day HLL partials across two
@@ -1391,6 +1405,7 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q5",
     "events_gap_fill",
     "sketch_rollup_distinct",
+    "events_stream_replay_dedup",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1494,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
         "events_stream_join": q_events_stream_join,
+        "events_stream_replay_dedup": q_events_stream_replay_dedup,
         "join_asof": q_join_asof,
         "join_band": q_join_band,
         "join_range": q_join_range,
@@ -2386,6 +2402,13 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         """,
         "events_stream_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # replay-dedup: the replayed file is fully deduplicated, so the
+        # oracle is the plain batch aggregate over the original events
+        "events_stream_replay_dedup": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2

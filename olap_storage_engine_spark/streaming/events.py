@@ -329,6 +329,75 @@ def _sessionize_fn(key, pdfs, state: GroupState):
     yield  # generator form required
 
 
+def run_fixture_stream_replay_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-16 00:00:00",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once ingest under SOURCE REPLAY: the two-file stream
+    with the first file fed TWICE (a distinct copy, later modification
+    time — the at-least-once delivery failure mode every real ingest
+    has), deduplicated by event_id under a watermark before the
+    windowed aggregate.
+
+    Replayed rows either hit live dedup state (duplicate -> dropped)
+    or fall behind the watermark (late -> dropped); the two conditions
+    share the same watermark value, so eviction and late-drop can't
+    disagree and the result is deterministic under availableNow's
+    pinned batch order.  State is bounded by the watermark horizon —
+    this runs indefinitely at ingest scale.  The memory sink equals
+    the batch aggregate over the ORIGINAL (unreplayed) events, so the
+    events_stream_window oracle checks idempotence end to end.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    key = (sf_dir, cutoff, "replay")
+    if key not in _SPLIT_CACHE:
+        src_dir = tempfile.mkdtemp(prefix="events_replay_")
+        f1 = os.path.join(src_dir, "batch1")
+        f2 = os.path.join(src_dir, "batch2")
+        ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
+        ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
+        # the replay: batch1's data delivered again as a new file
+        f1r = os.path.join(src_dir, "batch1_replay")
+        shutil.copytree(f1, f1r)
+        now = 1_700_000_000
+        for i, d in enumerate([f1, f1r, f2]):
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i, now + i))
+        _SPLIT_CACHE[key] = src_dir
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(_SPLIT_CACHE[key], "*"))
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id"]
+    )
+    name = f"rdd_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            windowed_event_agg(deduped)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)
+
+
 def sessionize_stream(events_stream: DataFrame) -> DataFrame:
     """Stateful sessionization over a streaming events DataFrame."""
     return events_stream.groupBy("user_id").applyInPandasWithState(

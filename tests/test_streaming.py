@@ -143,3 +143,27 @@ def test_stream_append_watermark_semantics(spark):
     b = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
          for r in batch.collect()}
     assert e == b and len(e) > 0
+
+
+def test_stream_replay_dedup_idempotent(spark):
+    """Source replay (batch 1 delivered twice) leaves the windowed
+    aggregate EQUAL to the batch aggregate over the original events —
+    watermarked event_id dedup makes ingestion idempotent."""
+    from olap_storage_engine_spark.sources.testdata import load_table
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_replay_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_fixture_stream_replay_dedup(spark, sf)
+    ev = load_table(spark, sf, "events")
+    batch = windowed_event_agg(ev)
+    g = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+         for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
+    # sanity: the replay really delivered duplicates — without dedup
+    # the first batch's windows would double-count
+    n_events_total = sum(v[0] for v in g.values())
+    assert n_events_total == ev.count()
