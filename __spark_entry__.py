@@ -1331,6 +1331,58 @@ def q_pivot_status(spark, sf_dir):
     )
 
 
+def q_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (melt): per-status wide aggregate turned into
+    (status, metric, value) long form via the native unpivot operator
+    — the inverse of q_pivot_status's pivot, a row-local generate
+    (no shuffle beyond the upstream aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        _dsum("o_totalprice").alias("sum_price"),
+        F.round(
+            F.avg(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            4,
+        ).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        "o_orderstatus",
+        ["sum_price", "avg_price", "n_orders"],
+        "metric",
+        "value",
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, joined back to customer —
+    the big-agg -> semi-filter -> enrich pattern.  The quantity rollup
+    is one map-side-combined aggregate on the fact table; the
+    threshold keeps the enrich join tiny, and customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_window_lead_lag(spark, sf_dir):
     """lead/lag/ntile window surface over per-customer order history."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -1406,6 +1458,8 @@ _DRIVER_CHECK_HEAD = [
     "events_gap_fill",
     "sketch_rollup_distinct",
     "events_stream_replay_dedup",
+    "unpivot_metrics",
+    "tpch_q18",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1545,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
+        "unpivot_metrics": q_unpivot_metrics,
+        "tpch_q18": q_tpch_q18,
         "window_lead_lag": q_window_lead_lag,
         "tpch_q3": q_tpch_q3,
         "set_union": q_set_union,
@@ -2734,6 +2790,39 @@ def oracle_sql() -> dict[str, str]:
               round(CAST(sum(CASE WHEN o_orderstatus = 'P'
                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "P"
             FROM orders GROUP BY 1
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+              SELECT o_orderstatus,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS sum_price,
+                     round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 4) AS avg_price,
+                     CAST(count(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING total_qty > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+                     AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
         """,
         "window_lead_lag": """
             SELECT o_custkey, o_orderkey,
