@@ -1035,6 +1035,29 @@ def q_join_salted(spark, sf_dir):
     )
 
 
+def q_agg_salted_skew(spark, sf_dir):
+    """Skew-mitigated two-stage aggregation: events grouped by
+    event_type (5 hot keys — the worst-case skewed GROUP BY), partial
+    aggregate on (key, salt), final re-fold on key.  Decimal sums keep
+    the salted partial order irrelevant; result identical to the plain
+    aggregate, which is what the oracle checks."""
+    from olap_storage_engine_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.lit(1).alias("one"),
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"v": "sum", "one": "count"}, salt_factor=8
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("v").cast("double"), 4).alias("sum_value"),
+        F.col("one").cast("long").alias("n"),
+    )
+
+
 def q_window_range_frame(spark, sf_dir):
     """RANGE-frame window: per customer, revenue in the 90 days up to
     and including each order (value-based frame, not row-based)."""
@@ -1460,6 +1483,7 @@ _DRIVER_CHECK_HEAD = [
     "events_stream_replay_dedup",
     "unpivot_metrics",
     "tpch_q18",
+    "agg_salted_skew",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1540,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "udtf_parse_props": q_udtf_parse_props,
         "join_salted": q_join_salted,
+        "agg_salted_skew": q_agg_salted_skew,
         "window_range_frame": q_window_range_frame,
         "grouping_sets_id": q_grouping_sets_id,
         "array_funcs": q_array_funcs,
@@ -2622,6 +2647,13 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "agg_salted_skew": """
+            SELECT event_type,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "window_range_frame": """
             SELECT o_custkey, o_orderkey,
