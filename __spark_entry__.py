@@ -1288,6 +1288,35 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_bucketed_fact_join(spark, sf_dir):
+    """Storage-partitioned FACT-to-FACT join: orders and lineitem both
+    bucketBy(16, orderkey), so the orderkey sort-merge join AND the
+    per-orderkey quantity rollup run with ZERO exchanges — the one
+    shuffle left is the final tiny top-k.  At 100 TB this is the
+    workload's most expensive exchange removed; unlike the fact-dim
+    pair, neither side could ever broadcast."""
+    from olap_storage_engine_spark.fixtures import bucketed_fact_pair
+
+    o_name, li_name = bucketed_fact_pair(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(li_name)
+    return (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_table_stats(spark, sf_dir):
     """Table statistics (reference D6) — resolved from manifest +
     parquet footers ONLY, no data scan; the oracle recounts the data,
@@ -1484,6 +1513,7 @@ _DRIVER_CHECK_HEAD = [
     "unpivot_metrics",
     "tpch_q18",
     "agg_salted_skew",
+    "bucketed_fact_join",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1617,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "events_gap_fill": q_events_gap_fill,
         "cdc_changes": q_cdc_changes,
+        "bucketed_fact_join": q_bucketed_fact_join,
         "tpch_q5": q_tpch_q5,
         "bucketed_join": q_bucketed_join,
         "table_stats": q_table_stats,
@@ -2782,6 +2813,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "bucketed_fact_join": """
+            SELECT o_orderkey, o_orderstatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 HAVING total_qty > 150
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
         """,
         "bucketed_join": """
             SELECT c_custkey, count(*) AS n_orders,

@@ -78,6 +78,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: ingest_export(spark, sf_dir, "csv"),
         lambda: ingest_export(spark, sf_dir, "orc"),
         lambda: bucketed_pair(spark, sf_dir),
+        lambda: bucketed_fact_pair(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)
@@ -681,6 +682,47 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         with _META_LOCK:
             _AUX.pop(("bucketed_pair", sf_dir), None)
     return _aux_cached("bucketed_pair", sf_dir, build)
+
+
+def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Managed bucketed tables for the FACT-to-FACT co-located join:
+    orders and lineitem both ``bucketBy(16, orderkey)`` + sorted.  The
+    fact-dim case (bucketed_pair) could fall back to a broadcast at
+    dim-sized inputs — this pair can't: at 100 TB BOTH sides are huge,
+    the orderkey shuffle of lineitem is the single most expensive
+    exchange in the whole TPC-H-shaped workload, and co-bucketing is
+    the only way to remove it.  Returns the two qualified names."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    db = f"bkt_{tag}"
+    names = (f"{db}.orders_by_orderkey", f"{db}.lineitem_by_orderkey")
+
+    def build():
+        loc = os.path.join(warehouse_for(sf_dir), "bucketed_db")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.write.bucketBy(16, "o_orderkey")
+            .sortBy("o_orderkey")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(names[0])
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.write.bucketBy(16, "l_orderkey")
+            .sortBy("l_orderkey")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(names[1])
+        )
+        return names
+
+    if not spark.catalog.tableExists(names[0]):
+        with _META_LOCK:
+            _AUX.pop(("bucketed_fact_pair", sf_dir), None)
+    return _aux_cached("bucketed_fact_pair", sf_dir, build)
 
 
 def _build_orders_merge(spark: SparkSession, sf_dir: str) -> OlapTable:

@@ -136,3 +136,12 @@ def test_cdc_single_key_join(spark, entrymod):
     assert "CartesianProduct" not in plan
     joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, joins
+
+
+def test_bucketed_fact_join_zero_exchanges(spark, entrymod):
+    """The fact-to-fact co-bucketed join: SMJ + per-orderkey rollup +
+    top-k with ZERO Exchange nodes — the workload's most expensive
+    shuffle removed by storage partitioning."""
+    plan = formatted_plan(_df(spark, entrymod, "bucketed_fact_join"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
