@@ -102,3 +102,62 @@ def test_cdc_spans_multiple_versions(spark, warehouse):
         ("insert", 2, "B", 9.0),
         ("update", 1, "A2", 3.0),
     ]
+
+
+def test_cdc_randomized_vs_python_reference(spark, warehouse):
+    """Seeded random merge/delete histories, CDC diffed against a
+    brute-force Python dict reference over every snapshot pair."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = _t(spark, warehouse, f"cdc_r{seed}")
+        # version 0: random base
+        state_by_ver = []
+        base = {
+            k: (f"s{rng.randrange(4)}", float(rng.randrange(100)))
+            for k in rng.sample(range(30), 12)
+        }
+        t.write(
+            spark.createDataFrame(
+                [(k, s, a) for k, (s, a) in base.items()],
+                "k long, status string, amount double",
+            )
+        )
+        state_by_ver.append(dict(base))
+        cur = dict(base)
+        # versions 1..3: random merges and deletes
+        for v in range(1, 4):
+            if rng.random() < 0.4 and cur:
+                doomed = rng.sample(sorted(cur), max(1, len(cur) // 4))
+                delete_where(t, F.col("k").isin(doomed))
+                for k in doomed:
+                    cur.pop(k)
+            else:
+                src = {
+                    k: (f"s{rng.randrange(4)}", float(rng.randrange(100)))
+                    for k in rng.sample(range(40), 6)
+                }
+                merge_into(
+                    t,
+                    spark.createDataFrame(
+                        [(k, s, a) for k, (s, a) in src.items()],
+                        "k long, status string, amount double",
+                    ),
+                )
+                cur.update(src)
+            state_by_ver.append(dict(cur))
+
+        for lo in range(4):
+            for hi in range(lo, 4):
+                old, new = state_by_ver[lo], state_by_ver[hi]
+                want = []
+                for k in sorted(set(old) | set(new)):
+                    if k not in old:
+                        want.append(("insert", k, *new[k]))
+                    elif k not in new:
+                        want.append(("delete", k, *old[k]))
+                    elif old[k] != new[k]:
+                        want.append(("update", k, *new[k]))
+                got = _rows(snapshot_changes(t, lo, hi))
+                assert got == sorted(want), (seed, lo, hi)

@@ -193,3 +193,49 @@ def test_asof_join_randomized_vs_python_reference(spark):
                      if rk == k and rt <= t]
             want[i] = max(cands)[1] if cands else None
         assert got == want, f"seed {seed}"
+
+
+def test_gap_fill_locf_randomized_vs_python_reference(spark):
+    """Seeded random sparse daily frames; the spine, zero-fill, and
+    LOCF checked against a brute-force Python reference."""
+    import datetime
+    import random
+
+    from olap_storage_engine_spark.operators.temporal import gap_fill_locf
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = []
+        data = {}
+        for g in ("a", "b"):
+            days = sorted(rng.sample(range(60), rng.randrange(3, 10)))
+            for d in days:
+                day = datetime.date(2024, 1, 1) + datetime.timedelta(days=d)
+                n = rng.randrange(1, 5)
+                total = round(rng.uniform(0, 100), 4)
+                rows.append((g, day, n, total))
+                data[(g, day)] = (n, total)
+        daily = spark.createDataFrame(
+            rows, "g string, day date, n long, total double"
+        )
+        got = {
+            (r["g"], r["day"]): (r["n"], r["total_locf"])
+            for r in gap_fill_locf(
+                daily, ["g"], "day", count_cols=["n"], locf_cols=["total"]
+            ).collect()
+        }
+        want = {}
+        for g in ("a", "b"):
+            days = sorted(d for (gg, d) in data if gg == g)
+            lo, hi = days[0], days[-1]
+            carry = None
+            d = lo
+            while d <= hi:
+                if (g, d) in data:
+                    n, total = data[(g, d)]
+                    carry = total
+                else:
+                    n = 0
+                want[(g, d)] = (n, carry)
+                d += datetime.timedelta(days=1)
+        assert got == want, seed
