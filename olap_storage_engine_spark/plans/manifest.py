@@ -11,6 +11,15 @@ O(#rowsets) in size) and is read/written on the driver; executors only
 ever see the resolved list of Parquet paths.  This is the same division
 of labor as Delta/Iceberg metadata vs data, at 1/1000 the complexity —
 at 100 TB the manifest for a 10k-rowset table is still <10 MB of JSON.
+
+Concurrency model: SINGLE WRITER per table, the same contract as the
+reference's per-tablet meta (one owner mutates a tablet's version
+graph).  Concurrent readers are safe — the JSON is rewritten
+atomically per publish and snapshot reads resolve from an in-memory
+copy.  Multi-writer coordination (CAS on the manifest file, a
+metastore, or a log) is deployment infrastructure the engine
+deliberately leaves to the catalog layer, exactly as Delta does with
+its LogStore.
 """
 
 from __future__ import annotations
