@@ -533,6 +533,30 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_variant_extract(spark, sf_dir):
+    """Semi-structured props through Spark 4's VARIANT type: parse the
+    JSON ONCE into the binary variant encoding, then typed
+    ``variant_get`` field access — the modern semi-structured story
+    (at 100 TB you store VARIANT and pay the parse at ingest, not a
+    string re-parse per query; contrast q_events_json_extract's
+    string path)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_events_stream_append(spark, sf_dir):
     """Append-mode watermarked streaming (the production output mode):
     each window is emitted exactly once when the watermark passes its
@@ -1514,6 +1538,7 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q18",
     "agg_salted_skew",
     "bucketed_fact_join",
+    "events_variant_extract",
     "merge_upsert",
     "inverted_index_fresh",
     "bucketed_join",
@@ -1615,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
+        "events_variant_extract": q_events_variant_extract,
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
         "events_stream_join": q_events_stream_join,
@@ -2455,6 +2481,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_k,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
                      AS avg_k
+            FROM events GROUP BY 1
+        """,
+        "events_variant_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k,
+                   CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS n_distinct_k
             FROM events GROUP BY 1
         """,
         # ---- Part B ----
