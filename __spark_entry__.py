@@ -1527,60 +1527,60 @@ def q_set_intersect(spark, sf_dir):
 # full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # new in round 4 — no driver row yet
-    "similarity_ann_ivf_cells",
-    "cdc_changes",
-    "tpch_q5",
-    "events_gap_fill",
-    "sketch_rollup_distinct",
-    "events_stream_replay_dedup",
-    "unpivot_metrics",
-    "tpch_q18",
-    "agg_salted_skew",
-    "bucketed_fact_join",
-    "events_variant_extract",
-    "merge_upsert",
-    "inverted_index_fresh",
-    "bucketed_join",
-    "table_stats",
-    "schema_evolution_read",
-    # added late in round 3, past the cap — NEVER driver-checked
-    "window_range_frame",
-    "grouping_sets_id",
-    "array_funcs",
-    # round-2-green only (no r3 row; the driver caps at ~50 rows/round,
-    # so the head rotates each round to the queries longest unchecked)
-    "embedding_neardup",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "text_vocab",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "doc_fingerprint",
-    "multimodal_join",
-    "multimodal_features",
-    "events_window_agg",
-    "events_sessionize",
-    "events_json_extract",
-    "events_stream_window",
-    "bucket_point_lookup",
-    "rollup_routed_read",
-    "grouping_rollup",
-    "sketch_profile",
-    "tpch_q1",
-    "join_star_revenue",
-    "set_except",
-    "join_semi",
-    "scan_count",
-    "agg_model_min_max",
-    "partition_prune_list",
-    "multimodal_meta",
-    "text_tokens",
-    "join_anti",
-    "grouping_cube",
-    "window_running_total",
+    # Round-5 rotation: exactly the 50 queries with NO CORRECTNESS_r04 row
+    # (their newest driver check is r3, which ran against the PREVIOUS
+    # round's regenerated testdata).  r4's 50 green rows + these 50 give
+    # every query a driver row against current-generation fixtures.
+    "scan_projection",
+    "write_read_roundtrip",
+    "bucket_routing_hash",
+    "duplicate_model_scan",
+    "unique_key_latest",
+    "agg_model_sum",
+    "agg_model_replace",
+    "partition_prune_range",
+    "rollup_coarser_agg",
+    "filter_range_zonemap",
+    "filter_equality_point",
+    "shortkey_prefix_seek",
+    "snapshot_read_versions",
+    "compaction_score",
+    "compaction_rewrite",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keepset",
+    "corpus_prep",
+    "text_chunking",
+    "sample_packing",
+    "train_val_split",
+    "udtf_parse_props",
+    "join_salted",
+    "events_stream_append",
+    "events_stream_join",
+    "join_asof",
+    "join_band",
+    "join_range",
+    "join_full_outer",
+    "topn_per_group",
+    "string_date_funcs",
+    "having_filter",
+    "agg_percentiles",
+    "pandas_udaf_weighted_avg",
+    "correlated_subquery",
+    "inverted_index_search",
+    "delete_rows",
+    "time_travel_read",
+    "pivot_status",
+    "window_lead_lag",
+    "tpch_q3",
+    "set_union",
+    "set_intersect",
+    "ingest_jsonl",
+    "ingest_orc",
+    "ingest_csv",
 ]
 _DRIVER_CHECK_TAIL: list[str] = []
 
