@@ -577,6 +577,13 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids from the same corpus (the per-iteration mean rounding
     absorbs float-summation order)."""
 
+    return spark.read.parquet(_ivf_centroids_path(spark, sf_dir))
+
+
+def _ivf_centroids_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the centroid index parquet (via _aux_cached,
+    so callers never index _AUX directly)."""
+
     def build():
         from .operators.similarity import train_ivf_centroids
 
@@ -585,7 +592,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids(emb).write.mode("overwrite").parquet(path)
         return path
 
-    return spark.read.parquet(_aux_cached("ivf_centroids", sf_dir, build))
+    return _aux_cached("ivf_centroids", sf_dir, build)
 
 
 def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
@@ -598,8 +605,7 @@ def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
 
     import pyarrow.parquet as pq
 
-    ivf_centroids(spark, sf_dir)  # ensure built
-    path = _AUX[("ivf_centroids", sf_dir)]
+    path = _ivf_centroids_path(spark, sf_dir)
     tbl = pq.read_table(sorted(glob.glob(os.path.join(path, "*.parquet"))))
     return sorted(
         zip(tbl["cent_id"].to_pylist(), tbl["cent_vec"].to_pylist())
@@ -677,8 +683,9 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     # the bucket spec lives in the session catalog; a new session must
     # re-register even when the cache dict survived (tests share one
-    # process but may cycle sessions)
-    if not spark.catalog.tableExists(names[0]):
+    # process but may cycle sessions).  Check BOTH names: a partial
+    # drop/interrupted registration must not be trusted.
+    if not all(spark.catalog.tableExists(n) for n in names):
         with _META_LOCK:
             _AUX.pop(("bucketed_pair", sf_dir), None)
     return _aux_cached("bucketed_pair", sf_dir, build)
@@ -719,7 +726,7 @@ def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         return names
 
-    if not spark.catalog.tableExists(names[0]):
+    if not all(spark.catalog.tableExists(n) for n in names):
         with _META_LOCK:
             _AUX.pop(("bucketed_fact_pair", sf_dir), None)
     return _aux_cached("bucketed_fact_pair", sf_dir, build)

@@ -32,6 +32,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..spec import KeysType
 from ..table import OlapTable
 
 
@@ -48,25 +49,37 @@ def snapshot_changes(
     keys = table.spec.key_names()
     if not keys:
         raise ValueError("snapshot_changes requires a keyed table")
+    if table.spec.keys_type == KeysType.DUPLICATE:
+        # Key tuples are not row identity on a DUPLICATE table — the
+        # full-outer diff would silently go many-to-many.
+        raise ValueError(
+            "snapshot_changes is defined only for UNIQUE/AGGREGATE key "
+            f"models; table {table.spec.name!r} is DUPLICATE"
+        )
     cols = [c.name for c in table.spec.columns]
     vals = [c for c in cols if c not in keys]
 
     old = table.read(0, v_from)
     new = table.read(0, v_to)
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    # Presence comes from literal marker columns, not key-isNotNull —
+    # a genuinely-NULL key column (joined via eqNullSafe) would
+    # otherwise misclassify the row as insert+delete.
+    o = old.select(
+        [F.col(c).alias(f"__o_{c}") for c in cols]
+        + [F.lit(True).alias("__o_present")]
+    )
+    n = new.select(
+        [F.col(c).alias(f"__n_{c}") for c in cols]
+        + [F.lit(True).alias("__n_present")]
+    )
     cond = reduce(
         lambda a, b: a & b,
         [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in keys],
     )
     j = o.join(n, cond, "full_outer")
 
-    in_old = reduce(
-        lambda a, b: a | b, [F.col(f"__o_{k}").isNotNull() for k in keys]
-    )
-    in_new = reduce(
-        lambda a, b: a | b, [F.col(f"__n_{k}").isNotNull() for k in keys]
-    )
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     same_vals = (
         reduce(
             lambda a, b: a & b,

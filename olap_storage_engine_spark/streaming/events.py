@@ -381,8 +381,12 @@ def run_fixture_stream_replay_dedup(
         .option("latestFirst", "false")
         .parquet(os.path.join(_SPLIT_CACHE[key], "*"))
     )
+    # ts (the watermarked event-time column) must be IN the dedup keys:
+    # Spark only evicts dropDuplicates state via the watermark when the
+    # event-time column participates, and replayed rows carry identical
+    # ts, so dedup still holds while state stays watermark-bounded.
     deduped = stream.withWatermark("ts", watermark).dropDuplicates(
-        ["event_id"]
+        ["event_id", "ts"]
     )
     name = f"rdd_{uuid.uuid4().hex[:8]}"
     with _shuffle_partitions(spark, 8):

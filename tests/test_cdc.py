@@ -104,6 +104,47 @@ def test_cdc_spans_multiple_versions(spark, warehouse):
     ]
 
 
+def test_cdc_rejects_duplicate_model(spark, warehouse):
+    """Key tuples are not row identity on a DUPLICATE table — the diff
+    must refuse rather than silently go many-to-many."""
+    import pytest
+
+    spec = TableSpec(
+        name="cdc_dup",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("amount", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, amount double"))
+    with pytest.raises(ValueError, match="DUPLICATE"):
+        snapshot_changes(t, 0, 0)
+
+
+def test_cdc_null_key_classified_correctly(spark, warehouse):
+    """Presence is a literal marker, not key-isNotNull: a row whose key
+    column is genuinely NULL (matched across snapshots via eqNullSafe)
+    must diff as update/unchanged, never as insert+delete."""
+    t = _t(spark, warehouse, "cdc_nullk")
+    t.write(
+        spark.createDataFrame(
+            [(None, "A", 10.0), (2, "B", 20.0)],
+            "k long, status string, amount double",
+        )
+    )  # v0
+    t.write(
+        spark.createDataFrame(
+            [(None, "A9", 11.0)], "k long, status string, amount double"
+        )
+    )  # v1: NULL-key row updated (UNIQUE collapse via eqNullSafe grouping)
+    ch = _rows(snapshot_changes(t, 0, 1))
+    assert ch == [("update", None, "A9", 11.0)]
+    assert _rows(snapshot_changes(t, 0, 0)) == []
+
+
 def test_cdc_randomized_vs_python_reference(spark, warehouse):
     """Seeded random merge/delete histories, CDC diffed against a
     brute-force Python dict reference over every snapshot pair."""
