@@ -24,7 +24,10 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from ..plans.manifest import RowsetState
-from ..table import OlapTable
+from ..spec import PartitionType
+from ..table import BK_COL, PT_COL, OlapTable
+from .keys_model import collapse
+from .routing import partition_label_col
 
 DEFAULT_CANDIDATES = 10  # reference: src/storage.rs:96
 
@@ -63,6 +66,22 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
     """
     if hi is None:
         hi = table.manifest.max_version
+    if table.manifest.has_scoped_rowsets():
+        # partition-scoped DML left per-partition version chains;
+        # compaction folds everything back into ONE global rowset and
+        # retires every rowset inside [lo, hi] (scoped or not).
+        covered = [
+            rs
+            for rs in table.manifest.visible_rowsets()
+            if lo <= rs.start_version and rs.end_version <= hi
+        ]
+        if len(covered) <= 1:
+            return
+        merged = table.read(lo, hi)
+        table.write(merged, start_version=lo, end_version=hi, collapsed=True)
+        for rs in covered:
+            table.manifest.mark_stale(rs.rowset_id)
+        return
     cover = table.manifest.capture_consistent_versions(lo, hi)
     if len(cover) <= 1:
         return  # nothing to merge
@@ -157,24 +176,51 @@ def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
     single-collapsed-rowset fast path instead of merge-on-read.
 
     Precondition: ``source`` has one row per key tuple and the target's
-    exact column set.  Scale: one key-shuffle (or broadcast, when the
-    source is dim-sized — Catalyst decides) anti-join plus the rewrite;
-    at 100 TB run it per-partition like compaction, touching only
-    partitions the source keys route to.
+    exact column set.
+
+    Scale: the rewrite is PARTITION-SCOPED — the source rows' partition
+    labels are derived first (a distinct over <= #partitions values),
+    only those ``__pt`` directories are read (metadata-pruned scan) and
+    rewritten, and the new rowset is published with that partition
+    scope; untouched partitions' files are left byte-identical (pinned
+    by tests/test_partition_scoped_dml.py).  A one-key upsert on a
+    100 TB table therefore costs one partition, not the table — the
+    reference's per-tablet rowset granularity (src/meta.rs:90-121).
+    UNPARTITIONED tables are one partition by definition and take the
+    full rewrite.
 
     Returns the published RowsetMeta of the merged rowset.
     """
     if key_cols is None:
         key_cols = table.spec.key_names()
     hi = table.manifest.max_version
-    current = table.read(0, hi)
-    src = source.select(*current.columns)
-    remaining = current.join(
-        src.select(*key_cols), on=key_cols, how="anti"
+    cols = table.spec.column_names()
+    src = source.select(*cols)
+    policy = table.spec.partition
+    if policy.ptype == PartitionType.UNPARTITIONED:
+        current = table.read(0, hi)
+        remaining = current.join(
+            src.select(*key_cols), on=key_cols, how="anti"
+        )
+        merged = remaining.unionByName(src)
+        return table.write(
+            merged, start_version=0, end_version=hi + 1, collapsed=True
+        )
+    labels = sorted(
+        r[0]
+        for r in src.select(partition_label_col(policy).alias("__l"))
+        .distinct()
+        .collect()
     )
+    current = _read_partitions(table, hi, labels)
+    remaining = current.join(src.select(*key_cols), on=key_cols, how="anti")
     merged = remaining.unionByName(src)
     return table.write(
-        merged, start_version=0, end_version=hi + 1, collapsed=True
+        merged,
+        start_version=0,
+        end_version=hi + 1,
+        collapsed=True,
+        partitions=labels,
     )
 
 
@@ -191,9 +237,17 @@ def delete_where(table: OlapTable, predicate) -> int:
     * the old cover is left VISIBLE for time travel and reclaimed by
       normal compaction/GC policy later.
 
-    Returns the number of rows deleted.  Scale: one filter-rewrite job
-    over the current cover (executor-side); at 100 TB run it
-    per-partition like compaction.
+    Returns the number of rows deleted.
+
+    Scale: PARTITION-SCOPED like ``merge_into`` — the partitions that
+    actually contain matching rows are found first (one pruned
+    discovery pass over the CURRENT collapsed state, reading only the
+    predicate's columns), then only those ``__pt`` directories are
+    rewritten and the surviving rows published as a partition-scoped
+    rowset.  Discovery runs on the collapsed view, not the raw scan: on
+    an AGGREGATE table the predicate can be true of an aggregated value
+    without being true of any raw row.  A predicate touching no rows
+    rewrites nothing.
 
     NULL semantics match SQL DELETE: only rows where the predicate is
     TRUE are removed — rows where it evaluates to NULL (e.g. a null
@@ -201,10 +255,45 @@ def delete_where(table: OlapTable, predicate) -> int:
     would silently drop.
     """
     hi = table.manifest.max_version
-    current = table.read(0, hi)
+    policy = table.spec.partition
+    is_true = predicate.eqNullSafe(F.lit(True))
+    if policy.ptype == PartitionType.UNPARTITIONED:
+        current = table.read(0, hi)
+        n_before = current.count()
+        remaining = current.filter(~is_true)
+        rs = table.write(
+            remaining, start_version=0, end_version=hi + 1, collapsed=True
+        )
+        return n_before - rs.num_rows
+    labels = sorted(
+        r[0]
+        for r in table.read(0, hi)
+        .filter(is_true)
+        .select(partition_label_col(policy).alias("__l"))
+        .distinct()
+        .collect()
+    )
+    if not labels:
+        return 0
+    current = _read_partitions(table, hi, labels)
     n_before = current.count()
-    remaining = current.filter(~(predicate.eqNullSafe(F.lit(True))))
+    remaining = current.filter(~is_true)
     rs = table.write(
-        remaining, start_version=0, end_version=hi + 1, collapsed=True
+        remaining,
+        start_version=0,
+        end_version=hi + 1,
+        collapsed=True,
+        partitions=labels,
     )
     return n_before - rs.num_rows
+
+
+def _read_partitions(table: OlapTable, hi: int, labels: list[str]):
+    """Collapsed current state of ONLY the given partition labels —
+    the ``__pt`` directory filter prunes every other partition's files
+    out of the scan (a metadata operation, like read_pruned)."""
+    df = table.scan(0, hi, with_hidden=True).filter(
+        F.col(PT_COL).isin(labels)
+    )
+    drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+    return collapse(df.drop(*drop), table.spec)

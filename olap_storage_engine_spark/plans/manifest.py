@@ -61,6 +61,14 @@ class RowsetMeta:
     # collapsed data (written by compaction) — reads of a single
     # collapsed rowset skip the merge-on-read work entirely
     collapsed: bool = False
+    # Partition scope: None = the rowset spans the whole table (every
+    # legacy rowset); a list of partition labels = the rowset's version
+    # interval applies ONLY to those partitions (the reference's
+    # per-tablet rowsets, src/meta.rs:90-121 — a rowset belongs to one
+    # tablet there, so DML rewrites touch one tablet, never the table).
+    # Partition-scoped rowsets are what make MERGE/DELETE O(affected
+    # partitions) instead of O(table) at 100 TB.
+    partitions: list[str] | None = None
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -85,6 +93,7 @@ class RowsetMeta:
             "state": self.state.value,
             "created_at": self.created_at,
             "collapsed": self.collapsed,
+            "partitions": self.partitions,
         }
 
     @classmethod
@@ -265,6 +274,127 @@ class Manifest:
                 f"version hole: no consistent cover for [{lo}, {hi}]"
             )
         return cover
+
+    def has_scoped_rowsets(self) -> bool:
+        """True when any VISIBLE rowset is partition-scoped."""
+        return any(r.partitions for r in self.visible_rowsets())
+
+    def capture_scoped_plan(
+        self, lo: int = 0, hi: int | None = None
+    ) -> list[tuple[RowsetMeta, str | None, list[str] | None]]:
+        """Resolve the read plan for [lo, hi] when partition-scoped
+        rowsets may exist.  Returns (rowset, mode, labels) triples:
+
+        * mode ``None``      — read every file of the rowset,
+        * mode ``"include"`` — read only ``__pt`` in ``labels``,
+        * mode ``"exclude"`` — read only ``__pt`` NOT in ``labels``.
+
+        Semantics: each partition label has its OWN version chain (the
+        reference's per-tablet version graph, src/tablet.rs:14-69) made
+        of the global rowsets plus the scoped rowsets naming it.
+        Version numbers are GLOBAL, so another partition's scoped write
+        consumes a version this chain never sees — chains are therefore
+        resolved in compressed (chain-local) coordinates, where
+        adjacency means "the next version this chain owns", and each
+        chain is clamped to its highest version <= hi (absence of
+        writes, not a hole).  Genuine holes — a version no visible
+        rowset covers at all — still raise, via a table-wide interval
+        union check.  Tables with no scoped rowsets take the legacy
+        global BFS unchanged, including its strict raise on
+        hi > max_version.
+
+        Driver cost: one BFS per touched partition label over that
+        label's rowsets — metadata-only, O(#labels x #rowsets)."""
+        if hi is None:
+            hi = self.max_version
+        if hi < lo:
+            return []
+        visible = self.visible_rowsets()
+        scoped = [rs for rs in visible if rs.partitions]
+        if not scoped:
+            return [
+                (rs, None, None)
+                for rs in self.capture_consistent_versions(lo, hi)
+            ]
+        glob = [rs for rs in visible if not rs.partitions]
+        labels = sorted({l for rs in scoped for l in rs.partitions})
+
+        # table-wide hole check: every version in [lo, min(hi, max end)]
+        # must be covered by SOME visible rowset's interval
+        ival = sorted(
+            (r.start_version, r.end_version)
+            for r in visible
+            if r.end_version >= lo and r.start_version <= hi
+        )
+        reach = lo - 1
+        for s, e in ival:
+            if s > reach + 1:
+                raise VersionGraphError(
+                    f"version hole: no rowset covers [{reach + 1}, {s - 1}]"
+                )
+            reach = max(reach, e)
+
+        def cover_for(rowsets: list[RowsetMeta]) -> list[RowsetMeta]:
+            """BFS cover in chain-local coordinates (see docstring)."""
+            usable = [
+                r
+                for r in rowsets
+                if lo <= r.start_version and r.end_version <= hi
+            ]
+            if not usable:
+                return []
+            points = sorted(
+                {v for r in usable for v in (r.start_version, r.end_version)}
+                | {lo}
+            )
+            rank = {v: i for i, v in enumerate(points)}
+            target = rank[max(r.end_version for r in usable)] + 1
+            edges: dict[int, list[tuple[int, RowsetMeta]]] = {}
+            for r in usable:
+                edges.setdefault(rank[r.start_version], []).append(
+                    (rank[r.end_version] + 1, r)
+                )
+            for outs in edges.values():
+                outs.sort(key=lambda t: -t[0])  # widest reach first
+            best: dict[int, list[RowsetMeta]] = {rank[lo]: []}
+            q: deque[int] = deque([rank[lo]])
+            while q:
+                node = q.popleft()
+                if node == target:
+                    return best[node]
+                for nxt, r in edges.get(node, []):
+                    if nxt <= target and nxt not in best:
+                        best[nxt] = best[node] + [r]
+                        q.append(nxt)
+            raise VersionGraphError(
+                f"version hole: no consistent chain cover for [{lo}, {hi}]"
+            )
+
+        rest_cover = cover_for(glob)
+        in_label = {
+            l: {
+                r.rowset_id
+                for r in cover_for(
+                    glob + [rs for rs in scoped if l in rs.partitions]
+                )
+            }
+            for l in labels
+        }
+        rest_ids = {r.rowset_id for r in rest_cover}
+        plan: list[tuple[RowsetMeta, str | None, list[str] | None]] = []
+        for rs in visible:
+            if rs.rowset_id in rest_ids:
+                excl = [
+                    l for l in labels if rs.rowset_id not in in_label[l]
+                ]
+                plan.append(
+                    (rs, "exclude", excl) if excl else (rs, None, None)
+                )
+            else:
+                inc = [l for l in labels if rs.rowset_id in in_label[l]]
+                if inc:
+                    plan.append((rs, "include", inc))
+        return plan
 
     def compaction_score(self) -> int:
         """Count of VISIBLE rowsets (reference: src/tablet.rs:147-152)."""

@@ -124,6 +124,7 @@ class OlapTable:
         publish: bool = True,
         collapsed: bool = False,
         strict_routing: bool = True,
+        partitions: list[str] | None = None,
     ) -> RowsetMeta:
         """Route, sort, write one rowset, publish it.
 
@@ -133,6 +134,12 @@ class OlapTable:
         ``publish=False`` runs phase 1 of the two-phase publish only:
         the rowset lands PREPARED (data durable, invisible to reads)
         until ``commit(rowset_id)``.
+
+        ``partitions``: restrict the rowset's version interval to those
+        partition labels (partition-scoped DML — the reference's
+        per-tablet rowsets).  The write verifies every row actually
+        routed inside the scope; reads resolve scoped rowsets through
+        the per-partition version chains (Manifest.capture_scoped_plan).
         """
         expected = self.manifest.doc.get("schema_hash")
         if expected is not None and expected != self.spec.schema_hash():
@@ -149,6 +156,14 @@ class OlapTable:
         # k=v directory into a column; a plain "v=0_0" dir would
         # shadow a user column named "v" on read.
         rel = f"__rsv={start_version}_{end_version}"
+        # two rowsets may share a version interval (a partition-scoped
+        # rewrite and a later global compaction of the same [s, e]);
+        # the directory just needs to be unique — identity lives in the
+        # manifest, nothing parses the path
+        n = 2
+        while os.path.exists(os.path.join(self.root, rel)):
+            rel = f"__rsv={start_version}_{end_version}_{n}"
+            n += 1
         out_dir = os.path.join(self.root, rel)
 
         routed = self._routed(with_write_metadata(df, end_version))
@@ -200,6 +215,22 @@ class OlapTable:
                     "pass strict_routing=False to keep them in the "
                     "__unrouted__ partition"
                 )
+        if partitions is not None:
+            # a scoped rowset must contain ONLY its declared partitions —
+            # a stray row would be silently shadowed at read time
+            written = {
+                d.split("=", 1)[1]
+                for d in os.listdir(out_dir)
+                if d.startswith(f"{PT_COL}=")
+            }
+            stray = written - set(partitions)
+            if stray:
+                shutil.rmtree(out_dir)
+                raise ValueError(
+                    f"{self.spec.name}: rows routed to partitions "
+                    f"{sorted(stray)} outside the declared scope "
+                    f"{sorted(partitions)}"
+                )
 
         # rowset stats from parquet FOOTERS only — a data re-scan to
         # count rows would re-read the entire rowset (ruinous at scale);
@@ -222,6 +253,7 @@ class OlapTable:
             num_rows=n_rows,
             data_size=size,
             collapsed=collapsed,
+            partitions=sorted(partitions) if partitions is not None else None,
         )
         if publish:
             self.manifest.publish(rs)
@@ -264,17 +296,44 @@ class OlapTable:
         with_hidden: bool = False,
     ) -> DataFrame:
         """Raw snapshot scan: the file union of the version cover,
-        before keys-model collapse."""
-        cover = self.manifest.capture_consistent_versions(lo, hi)
-        if not cover:
+        before keys-model collapse.
+
+        With partition-scoped rowsets in the cover, the scan is a union
+        of sub-reads, each restricted by a ``__pt`` directory filter
+        (metadata-only pruning): a scoped rowset serves only its labels,
+        and global rowsets are masked out of the labels a scoped rowset
+        supersedes."""
+        plan = self.manifest.capture_scoped_plan(lo, hi)
+        if not plan:
             return self.spark.createDataFrame([], self.spec.spark_schema())
-        paths = [os.path.join(self.root, rs.path) for rs in cover]
-        reader = self.spark.read.option("basePath", self.root)
-        if self.spec.schema_version > 1:
-            # evolved tables mix file schemas; merge footers so new
-            # columns survive (single-version tables skip the cost)
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
+
+        def _reader():
+            r = self.spark.read.option("basePath", self.root)
+            if self.spec.schema_version > 1:
+                # evolved tables mix file schemas; merge footers so new
+                # columns survive (single-version tables skip the cost)
+                r = r.option("mergeSchema", "true")
+            return r
+
+        # one parquet scan per distinct filter shape, so the unscoped
+        # case stays a single reader over the path union (unchanged)
+        groups: dict[tuple, list[str]] = {}
+        for rs, mode, labels in plan:
+            key = (mode, tuple(labels) if labels else ())
+            groups.setdefault(key, []).append(
+                os.path.join(self.root, rs.path)
+            )
+        parts = []
+        for (mode, labels), paths in groups.items():
+            part = _reader().parquet(*paths)
+            if mode == "include":
+                part = part.filter(F.col(PT_COL).isin(list(labels)))
+            elif mode == "exclude":
+                part = part.filter(~F.col(PT_COL).isin(list(labels)))
+            parts.append(part)
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part, allowMissingColumns=True)
         # basePath keeps the __pt/__bk directory columns visible for
         # partition pruning; hide internals unless asked.
         # additive schema evolution: rowsets written before an
@@ -295,8 +354,8 @@ class OlapTable:
         rowset, its files already hold the collapsed data — skip the
         merge-on-read window/aggregate entirely (steady state after
         compaction)."""
-        cover = self.manifest.capture_consistent_versions(lo, hi)
-        if len(cover) == 1 and cover[0].collapsed:
+        plan = self.manifest.capture_scoped_plan(lo, hi)
+        if len(plan) == 1 and plan[0][0].collapsed:
             return self.scan(lo, hi)
         df = self.scan(lo, hi, with_hidden=True)
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]

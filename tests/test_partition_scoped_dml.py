@@ -1,0 +1,251 @@
+"""Partition-scoped copy-on-write MERGE/DELETE.
+
+The 100 TB contract: DML cost is O(affected partitions), not O(table).
+A merge whose source routes to one partition must publish a rowset
+containing ONLY that partition's directories and leave every other
+partition's files byte-identical (the reference's per-tablet rowsets,
+src/meta.rs:90-121 — a rewrite touches one tablet, never the table).
+"""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.operators.compaction import (
+    compact,
+    delete_where,
+    merge_into,
+)
+from olap_storage_engine_spark.spec import (
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    PartitionPolicy,
+    PartitionType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _table(spark, warehouse, name="psd"):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("d", ColumnType.VARCHAR),
+            ColumnSpec.value("amount", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE,
+            "d",
+            bounds=[
+                ("p1", "2024-02-01"),
+                ("p2", "2024-03-01"),
+                ("p3", "2024-04-01"),
+            ],
+        ),
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    base = [
+        (1, "2024-01-10", 10.0),
+        (2, "2024-01-20", 20.0),
+        (3, "2024-02-10", 30.0),
+        (4, "2024-02-20", 40.0),
+        (5, "2024-03-10", 50.0),
+        (6, "2024-03-20", 60.0),
+    ]
+    t.write(
+        spark.createDataFrame(base, "k long, d string, amount double")
+    )  # v0: two keys per partition
+    return t
+
+
+def _inventory(root):
+    """{relative parquet path: md5} over the whole table tree."""
+    inv = {}
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                fp = os.path.join(dp, fn)
+                with open(fp, "rb") as f:
+                    inv[os.path.relpath(fp, root)] = hashlib.md5(
+                        f.read()
+                    ).hexdigest()
+    return inv
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_rewrites_only_affected_partition(spark, warehouse):
+    t = _table(spark, warehouse)
+    before = _inventory(t.root)
+    src = spark.createDataFrame(
+        [(3, "2024-02-10", 300.0), (99, "2024-02-25", 990.0)],
+        "k long, d string, amount double",
+    )  # both rows route to p2
+    rs = merge_into(t, src)
+    assert rs.partitions == ["p2"]
+
+    # every pre-merge file is untouched, byte for byte
+    after = _inventory(t.root)
+    assert before == {p: h for p, h in after.items() if p in before}
+    # the new rowset holds ONLY the affected partition's directories
+    new_files = [p for p in after if p not in before]
+    assert new_files and all("__pt=p2" in p for p in new_files)
+
+    assert _rows(t.read()) == [
+        (1, "2024-01-10", 10.0),
+        (2, "2024-01-20", 20.0),
+        (3, "2024-02-10", 300.0),
+        (4, "2024-02-20", 40.0),
+        (5, "2024-03-10", 50.0),
+        (6, "2024-03-20", 60.0),
+        (99, "2024-02-25", 990.0),
+    ]
+    # time travel: the pre-merge snapshot still resolves
+    assert _rows(t.read(0, 0)) == [
+        (1, "2024-01-10", 10.0),
+        (2, "2024-01-20", 20.0),
+        (3, "2024-02-10", 30.0),
+        (4, "2024-02-20", 40.0),
+        (5, "2024-03-10", 50.0),
+        (6, "2024-03-20", 60.0),
+    ]
+
+
+def test_delete_rewrites_only_matching_partitions(spark, warehouse):
+    t = _table(spark, warehouse, "psd_del")
+    before = _inventory(t.root)
+    n = delete_where(t, F.col("k") == 5)  # k=5 lives in p3
+    assert n == 1
+    after = _inventory(t.root)
+    assert before == {p: h for p, h in after.items() if p in before}
+    new_files = [p for p in after if p not in before]
+    assert new_files and all("__pt=p3" in p for p in new_files)
+    assert _rows(t.read().select("k")) == [(1,), (2,), (3,), (4,), (6,)]
+    assert _rows(t.read(0, 0).select("k")) == [
+        (1,), (2,), (3,), (4,), (5,), (6,),
+    ]
+
+
+def test_delete_no_match_rewrites_nothing(spark, warehouse):
+    t = _table(spark, warehouse, "psd_nm")
+    before = _inventory(t.root)
+    assert delete_where(t, F.col("amount") > 1e9) == 0
+    assert _inventory(t.root) == before
+    assert t.manifest.max_version == 0
+
+
+def test_successive_scoped_dml_and_later_ingest(spark, warehouse):
+    """Two scoped DMLs on different partitions, then a normal global
+    ingest on top — the per-partition chains and the global delta must
+    compose."""
+    t = _table(spark, warehouse, "psd_seq")
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(1, "2024-01-10", 111.0)], "k long, d string, amount double"
+        ),
+    )  # v1, scope p1
+    delete_where(t, F.col("k") == 6)  # v2, scope p3
+    t.write(
+        spark.createDataFrame(
+            [(3, "2024-02-10", 333.0), (7, "2024-03-25", 70.0)],
+            "k long, d string, amount double",
+        )
+    )  # v3: plain global ingest (UNIQUE upsert at read time)
+    assert _rows(t.read()) == [
+        (1, "2024-01-10", 111.0),
+        (2, "2024-01-20", 20.0),
+        (3, "2024-02-10", 333.0),
+        (4, "2024-02-20", 40.0),
+        (5, "2024-03-10", 50.0),
+        (7, "2024-03-25", 70.0),
+    ]
+    # intermediate snapshots resolve per-partition
+    assert _rows(t.read(0, 1).select("k", "amount")) == [
+        (1, 111.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0), (6, 60.0),
+    ]
+    assert _rows(t.read(0, 2).select("k", "amount")) == [
+        (1, 111.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0),
+    ]
+
+
+def test_merge_same_partition_twice(spark, warehouse):
+    """A second merge over an already-scoped partition reads the scoped
+    state, not the base."""
+    t = _table(spark, warehouse, "psd_twice")
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(3, "2024-02-10", 300.0)], "k long, d string, amount double"
+        ),
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(4, "2024-02-20", 400.0)], "k long, d string, amount double"
+        ),
+    )
+    assert _rows(t.read().select("k", "amount")) == [
+        (1, 10.0), (2, 20.0), (3, 300.0), (4, 400.0), (5, 50.0), (6, 60.0),
+    ]
+    assert _rows(t.read(0, 1).select("k", "amount")) == [
+        (1, 10.0), (2, 20.0), (3, 300.0), (4, 40.0), (5, 50.0), (6, 60.0),
+    ]
+
+
+def test_compact_folds_scoped_chains(spark, warehouse):
+    t = _table(spark, warehouse, "psd_cmp")
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(3, "2024-02-10", 300.0)], "k long, d string, amount double"
+        ),
+    )
+    want = _rows(t.read())
+    compact(t)
+    assert t.compaction_score() == 1
+    assert not t.manifest.has_scoped_rowsets()
+    assert _rows(t.read()) == want
+
+
+def test_scoped_write_rejects_out_of_scope_rows(spark, warehouse):
+    t = _table(spark, warehouse, "psd_oos")
+    with pytest.raises(ValueError, match="outside the declared scope"):
+        t.write(
+            spark.createDataFrame(
+                [(8, "2024-03-15", 1.0)], "k long, d string, amount double"
+            ),
+            start_version=0,
+            end_version=1,
+            collapsed=True,
+            partitions=["p1"],
+        )
+
+
+def test_unpartitioned_merge_still_full_rewrite(spark, warehouse):
+    spec = TableSpec(
+        name="psd_unpart",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    t.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    rs = merge_into(
+        t, spark.createDataFrame([(2, 22.0), (3, 3.0)], "k long, v double")
+    )
+    assert rs.partitions is None
+    assert _rows(t.read()) == [(1, 1.0), (2, 22.0), (3, 3.0)]
