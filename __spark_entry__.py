@@ -1209,6 +1209,24 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_merge_scoped(spark, sf_dir):
+    """Partition-scoped MERGE INTO: the source rows all fall in one
+    RANGE partition (order year 1996), so the copy-on-write rewrite
+    reads and rewrites ONLY that partition's ``__pt`` directories and
+    publishes a partition-scoped rowset — every other year's files
+    remain byte-identical (O(affected partitions) DML; the reference's
+    per-tablet rowset granularity, src/meta.rs:90-121).  The read
+    resolves per-partition version chains: the scoped rowset serves
+    1996, the base rowset serves the rest."""
+    t = get_table(spark, sf_dir, "orders_part_merge")
+    return t.read().select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def q_events_gap_fill(spark, sf_dir):
     """Time-series gap filling + LOCF (the hypertable
     ``time_bucket_gapfill``/``locf`` pair): daily high-value event
@@ -1581,6 +1599,9 @@ _DRIVER_CHECK_HEAD = [
     "ingest_jsonl",
     "ingest_orc",
     "ingest_csv",
+    # new in round 5 — after the 50-query rotation block, so the
+    # longest-unchecked queries keep gate priority
+    "merge_scoped",
 ]
 _DRIVER_CHECK_TAIL: list[str] = []
 
@@ -1671,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_search": q_inverted_index_search,
         "inverted_index_fresh": q_inverted_index_fresh,
         "merge_upsert": q_merge_upsert,
+        "merge_scoped": q_merge_scoped,
         "events_gap_fill": q_events_gap_fill,
         "cdc_changes": q_cdc_changes,
         "bucketed_fact_join": q_bucketed_fact_join,
@@ -2789,6 +2811,34 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS o_totalprice
             FROM (
               SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src
+            )
+        """,
+        "merge_scoped": """
+            WITH src AS (
+              SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                     'SCOPED' AS o_orderstatus,
+                     o_totalprice * 2 AS o_totalprice
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                AND o_orderkey % 11 = 0
+              UNION ALL
+              SELECT o_orderkey + 20000000, CAST(o_orderdate AS DATE),
+                     'NEWROW', o_totalprice
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                AND o_orderkey % 500 = 0
+            )
+            SELECT o_orderkey, o_orderdate, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (
+              SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                     o_orderstatus, o_totalprice
               FROM orders
               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
               UNION ALL

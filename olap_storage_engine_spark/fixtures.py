@@ -772,6 +772,55 @@ def _build_orders_merge(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_part_merge(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Partition-scoped MERGE fixture: RANGE-partitioned (by order
+    year) UNIQUE orders, one merge whose source rows all fall in 1996 —
+    published as a rowset scoped to the single partition ``p1996``
+    (operators/compaction.py merge_into), so every other year's files
+    stay byte-identical.  This is the O(affected partitions) DML path
+    the reference's per-tablet rowsets imply (src/meta.rs:90-121);
+    the one-partition-only property is pinned at build time here and
+    in tests/test_partition_scoped_dml.py."""
+    from .operators.compaction import merge_into
+
+    spec = TableSpec(
+        name="orders_part_merge",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderdate", ColumnType.DATE),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "o_orderdate", bounds=ORDER_RANGE_BOUNDS
+        ),
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 8),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    t.write(base)
+    in_1996 = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    updates = (
+        base.filter(in_1996 & (F.col("o_orderkey") % 11 == 0))
+        .withColumn("o_orderstatus", F.lit("SCOPED"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = base.filter(in_1996 & (F.col("o_orderkey") % 500 == 0)).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_orderdate",
+        F.lit("NEWROW").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    rs = merge_into(t, updates.unionByName(inserts))
+    assert rs.partitions == ["p1996"], rs.partitions
+    return t
+
+
 def _build_documents_ver(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Documents as a two-rowset engine table: version 0 = the base
     corpus (doc_id % 5 != 0), version 1 = a later published delta
@@ -952,6 +1001,7 @@ _BUILDERS = {
     "orders_two": _build_orders_two,
     "lineitem_rt": _build_lineitem_rt,
     "orders_merge": _build_orders_merge,
+    "orders_part_merge": _build_orders_part_merge,
     "documents_ver": _build_documents_ver,
     "doc_postings_fresh": _build_doc_postings_fresh,
     "embeddings_ver": _build_embeddings_ver,
