@@ -14,12 +14,16 @@ at 100 TB the manifest for a 10k-rowset table is still <10 MB of JSON.
 
 Concurrency model: SINGLE WRITER per table, the same contract as the
 reference's per-tablet meta (one owner mutates a tablet's version
-graph).  Concurrent readers are safe — the JSON is rewritten
-atomically per publish and snapshot reads resolve from an in-memory
-copy.  Multi-writer coordination (CAS on the manifest file, a
-metastore, or a log) is deployment infrastructure the engine
-deliberately leaves to the catalog layer, exactly as Delta does with
-its LogStore.
+graph) — and since round 5 the contract is ENFORCED, not just
+documented: every manifest carries a generation counter and ``save()``
+is a compare-and-swap (re-read the on-disk generation under a file
+lock, verify it matches the generation this instance last observed,
+bump, atomic rename).  A second writer that lost the race raises
+``ManifestConflictError`` instead of silently clobbering the winner's
+publish; it must reload and retry.  Concurrent readers are safe — the
+JSON is rewritten atomically and snapshot reads resolve from an
+in-memory copy.  On an object store, the flock+rename pair swaps for
+the store's conditional-put, exactly as Delta's LogStore does.
 """
 
 from __future__ import annotations
@@ -105,6 +109,13 @@ class VersionGraphError(Exception):
     """Raised on version holes or invalid publishes."""
 
 
+class ManifestConflictError(Exception):
+    """Another writer published to this table since this manifest was
+    loaded — the compare-and-swap in ``save()`` found a newer
+    generation on disk.  The losing writer's in-memory state is
+    unsaved; reload the manifest and retry the operation."""
+
+
 class VersionGraph:
     """Version-interval cover resolution (reference: src/tablet.rs:14-69).
 
@@ -179,11 +190,31 @@ class Manifest:
             return cls(table_root, json.load(f))
 
     def save(self) -> None:
+        """Compare-and-swap persist: verify the on-disk generation is
+        the one this instance last observed (under an exclusive file
+        lock), bump it, write, atomic rename.  Raises
+        ``ManifestConflictError`` when another writer got there first —
+        the single-writer-per-table contract, enforced."""
+        import fcntl
+
         os.makedirs(self.table_root, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.doc, f, indent=1)
-        os.replace(tmp, self.path)  # atomic on POSIX
+        with open(self.path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            mine = self.doc.get("generation", 0)
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    disk_gen = json.load(f).get("generation", 0)
+                if disk_gen != mine:
+                    raise ManifestConflictError(
+                        f"{self.path}: on-disk generation {disk_gen} != "
+                        f"loaded generation {mine} — another writer "
+                        "published; reload and retry"
+                    )
+            self.doc["generation"] = mine + 1
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.doc, f, indent=1)
+            os.replace(tmp, self.path)  # atomic on POSIX
 
     # -- rowset accounting ---------------------------------------------
     def rowsets(self) -> list[RowsetMeta]:

@@ -2,6 +2,7 @@ import pytest
 
 from olap_storage_engine_spark.plans.manifest import (
     Manifest,
+    ManifestConflictError,
     RowsetMeta,
     RowsetState,
     VersionGraph,
@@ -124,3 +125,41 @@ def test_random_graphs_cover_matches_bruteforce():
         assert (cover is not None) == any_chain
         if cover is not None and lo <= hi:
             assert chains(cover)
+
+
+def test_concurrent_publish_one_wins_one_raises(tmp_path):
+    """The single-writer contract is ENFORCED: two manifest instances
+    loaded at the same generation race a publish — the first save wins,
+    the second raises ManifestConflictError and the winner's rowset is
+    intact on disk (no silent lost update)."""
+    root = str(tmp_path / "t")
+    m = Manifest(root)
+    m.save()
+
+    a = Manifest.load(root)
+    b = Manifest.load(root)
+    a.publish(rs(a.next_rowset_id(), 0, 0))
+    with pytest.raises(ManifestConflictError):
+        b.publish(rs(b.next_rowset_id(), 0, 0))
+
+    on_disk = Manifest.load(root)
+    assert [r.rowset_id for r in on_disk.visible_rowsets()] == [1]
+    assert on_disk.max_version == 0
+    # the loser recovers by reloading and retrying
+    b2 = Manifest.load(root)
+    b2.publish(rs(b2.next_rowset_id(), 1, 1))
+    assert Manifest.load(root).max_version == 1
+
+
+def test_generation_monotone_across_saves(tmp_path):
+    root = str(tmp_path / "t2")
+    m = Manifest(root)
+    m.save()
+    g1 = m.doc["generation"]
+    m.publish(rs(1, 0, 0))
+    m.mark_stale(1)
+    m2 = Manifest.load(root)
+    assert m2.doc["generation"] == g1 + 2
+    # same instance keeps saving fine (its generation tracks disk)
+    m.publish(rs(2, 1, 1))
+    assert Manifest.load(root).doc["generation"] == g1 + 3
