@@ -52,6 +52,12 @@ class SchemaHashMismatch(ValueError):
     (tablet_id, schema_hash), so a drifted schema can't publish)."""
 
 
+class StaleReplicaError(RuntimeError):
+    """A bucketed read replica reflects an older base-table version
+    than the current manifest — refresh it (``read_bucketed`` default)
+    or re-register."""
+
+
 class OlapTable:
     """One table = spec + manifest + versioned Parquet directories."""
 
@@ -454,9 +460,14 @@ class OlapTable:
         read replica through the session catalog makes the bucket spec
         visible to the planner: equi-joins on the bucket column (and
         same-key aggregates) run with zero exchanges
-        (tests/test_bucketed.py pins the plan).  Refresh it on publish
-        the way the rollup/postings deltas refresh — or re-register,
-        since it is a derived artifact, never the source of truth.
+        (tests/test_bucketed.py pins the plan).
+
+        The replica is VERSION-PINNED: the base table's max_version at
+        registration time is recorded as a table property, so staleness
+        is detectable (``bucketed_is_stale``) and the guarded read path
+        (``read_bucketed``) refreshes — or refuses — a replica that no
+        longer reflects the base (tests/test_bucketed.py pins
+        publish-then-join seeing the delta).
 
         At 100 TB this is the read-replica trade: one extra copy of the
         collapsed data in exchange for removing the shuffle from every
@@ -486,7 +497,53 @@ class OlapTable:
             .mode("overwrite")
             .saveAsTable(table_name)
         )
+        # pin the base version the replica reflects — staleness becomes
+        # a metadata comparison, not a guess
+        self.spark.sql(
+            f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+            f"('{self.REPLICA_VERSION_PROP}'='{self.manifest.max_version}')"
+        )
         return table_name
+
+    REPLICA_VERSION_PROP = "olap.replica_of_version"
+
+    def bucketed_replica_version(self, table_name: str) -> int | None:
+        """The base max_version a replica was registered at, from its
+        table property; None for a pre-pinning or foreign table."""
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {table_name}"
+        ).collect()
+        props = {r["key"]: r["value"] for r in rows}
+        v = props.get(self.REPLICA_VERSION_PROP)
+        return int(v) if v is not None else None
+
+    def bucketed_is_stale(self, table_name: str) -> bool:
+        """True when the base table has published past the version the
+        replica was registered at (or the pin is missing)."""
+        v = self.bucketed_replica_version(table_name)
+        return v is None or v < self.manifest.max_version
+
+    def read_bucketed(
+        self, table_name: str, on_stale: str = "refresh"
+    ) -> DataFrame:
+        """Read the bucketed replica through the staleness guard.
+
+        ``on_stale``: ``"refresh"`` re-registers from the current
+        snapshot (the postings/cell-index refresh-on-read policy),
+        ``"raise"`` refuses with StaleReplicaError, ``"allow"`` serves
+        the pinned older snapshot knowingly (a legitimate choice for an
+        immutable training run)."""
+        if on_stale not in ("refresh", "raise", "allow"):
+            raise ValueError(f"on_stale: {on_stale!r}")
+        if on_stale != "allow" and self.bucketed_is_stale(table_name):
+            if on_stale == "raise":
+                raise StaleReplicaError(
+                    f"{table_name}: replica pinned at version "
+                    f"{self.bucketed_replica_version(table_name)}, base "
+                    f"{self.spec.name} is at {self.manifest.max_version}"
+                )
+            self.register_bucketed(table_name)
+        return self.spark.table(table_name)
 
     # -- ops ------------------------------------------------------------
     def compaction_score(self) -> int:

@@ -92,3 +92,66 @@ def test_bucketed_join_matches_plain_join(spark):
         )
     }
     assert bucketed == plain
+
+
+def test_replica_staleness_detected_and_refreshed(spark, warehouse):
+    """Publish to the base after registering -> the replica is stale;
+    read_bucketed refuses on 'raise', refreshes by default, and the
+    refreshed co-bucketed join still has zero exchanges."""
+    import pytest
+
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable, StaleReplicaError
+
+    def mk(name, valcol):
+        spec = TableSpec(
+            name=name,
+            columns=[
+                ColumnSpec.key("k", ColumnType.INT64),
+                ColumnSpec.value(valcol, ColumnType.FLOAT64),
+            ],
+            keys_type=KeysType.DUPLICATE,
+            bucket=BucketSpec(BucketType.HASH, "k", 4),
+        )
+        t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+        t.write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(100)], f"k long, {valcol} double"
+            )
+        )
+        return t
+
+    a = mk("bkt_sa", "va")
+    b = mk("bkt_sb", "vb")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_stale")
+    a.register_bucketed("bkt_stale.a_by_k")
+    b.register_bucketed("bkt_stale.b_by_k")
+    assert not a.bucketed_is_stale("bkt_stale.a_by_k")
+
+    # base publishes a delta -> the replica no longer reflects it
+    a.write(
+        spark.createDataFrame([(1000, 1000.0)], "k long, va double")
+    )
+    assert a.bucketed_is_stale("bkt_stale.a_by_k")
+    with pytest.raises(StaleReplicaError):
+        a.read_bucketed("bkt_stale.a_by_k", on_stale="raise")
+    # 'allow' serves the pinned older snapshot knowingly
+    assert a.read_bucketed("bkt_stale.a_by_k", on_stale="allow").count() == 100
+
+    # default refreshes: the join sees the delta, still zero exchanges
+    ta = a.read_bucketed("bkt_stale.a_by_k")
+    assert not a.bucketed_is_stale("bkt_stale.a_by_k")
+    assert ta.count() == 101
+    tb = b.read_bucketed("bkt_stale.b_by_k")
+    j = ta.join(tb.hint("merge"), "k")
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert j.count() == 100  # delta key 1000 has no match in b
