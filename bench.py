@@ -77,6 +77,66 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # scalar date/string expression codegen (to_date/year/quarter/
+    # weekday/lpad/substring/concat_ws/datediff): measured ~1.0 s
+    # one-off on first compile at sf0.1 (string_date_funcs 1.1 s cold
+    # -> 0.48 s with this warmup, 0.13 s steady-state) — Janino
+    # bring-up for the expression classes, not query work
+    (
+        spark.range(10)
+        .select(
+            F.to_date(F.lit("1995-01-01")).alias("d0"),
+            F.upper(
+                F.substring(F.col("id").cast("string"), 1, 3)
+            ).alias("u"),
+            F.lpad(F.col("id").cast("string"), 10, "0").alias("lp"),
+            F.concat_ws("|", F.col("id").cast("string"), F.lit("x")).alias(
+                "cw"
+            ),
+        )
+        .select(
+            "*",
+            F.year("d0").alias("y"),
+            F.quarter("d0").alias("q"),
+            F.weekday("d0").alias("wd"),
+            F.datediff("d0", F.lit("1994-01-01")).alias("dd"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    # higher-order-function codegen (transform/filter/flatten lambdas +
+    # explode + collect_list-of-structs) — the shingle/pair machinery
+    # shared by the dedup family and text_vocab; one-off lambda class
+    # compilation, charged to whichever dedup query runs first otherwise
+    (
+        spark.range(100)
+        .select(
+            F.col("id") % 7,
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(3)),
+                            lambda i: F.transform(
+                                F.sequence(F.lit(1), F.lit(3)),
+                                lambda j: F.struct(
+                                    i.alias("a"), j.alias("b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.collect_list(F.struct("p")).alias("g"))
+        .select(F.sort_array("g"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # ORC reader/writer init is its own ~1 s first-touch (separate from
     # the parquet path every other query warms) — exercised here so
     # ingest_orc times the read, not the format bring-up

@@ -332,52 +332,59 @@ def ngram_jaccard_pairs(
     shingle index.
 
     Shingles appearing in more than ``max_doc_freq`` documents are
-    dropped before the self-join (stop-shingle cap) — this bounds the
-    per-key fan-out, which is what makes the plan survive 100 TB; a
-    shingle shared by D docs would otherwise emit D² pair rows.
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    dropped (stop-shingle cap) — this bounds the per-key fan-out,
+    which is what makes the plan survive 100 TB; a shingle shared by D
+    docs would otherwise emit D² pair rows.  Returns (doc_a, doc_b,
+    jaccard) with jaccard >= threshold.
 
-    Plan shape (round 2: 22 exchanges; round 3: 3; now 2): the index is
-    repartitioned by ``shingle`` ONCE and persisted; the doc-frequency
-    cap is a window count over that same partitioning (one sort within
-    partitions — replacing round 3's separate frequency aggregate +
-    cap join, which re-scanned the persisted index twice; measured
-    1.9 s -> 1.3 s first-run at sf0.1), and the self-join reuses the
-    partitioning exchange-free.  Per-doc set sizes ride along as an
-    index column (computed pre-explode), so the jaccard denominator
-    needs no extra joins — the only shuffles are the one repartition
-    and the final (doc_a, doc_b) pair aggregate.
+    Plan shape (round 2: 22 exchanges; round 3: 3; round 4: 2 plus a
+    persist + window + self-join; now 2 exchanges and NOTHING else):
+
+    * shingles are hashed to 64-bit ``xxhash64`` keys before the
+      shuffle (same Jaccard counts absent a 2^-64 collision; the
+      exchange moves 8-byte longs instead of ~30-byte strings),
+    * ONE hash aggregate groups the posting list per shingle —
+      ``collect_list`` of (doc, sz) structs, capped by the
+      doc-frequency filter on ``size()``,
+    * candidate pairs are emitted ROW-LOCALLY from each posting list
+      (an O(k²) in-row expansion with k <= max_doc_freq, so <= k²/2
+      structs per shingle — no self-join, no persist, no window),
+    * the final (doc_a, doc_b) aggregate counts common shingles.
+
+    Replacing the round-4 persist+window+self-join with the in-row
+    pair expansion measured 1.58 s -> ~0.9 s first-run at sf0.1 (warm
+    0.82 -> 0.73); the df cap is what keeps the in-row expansion
+    bounded, exactly as it kept the join fan-out bounded before.
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
-
-    sh = (
-        shingles(docs, n, text_col, id_col, with_size=True)
-        .repartition(F.col("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs, n, text_col, id_col, with_size=True).withColumn(
+        "sh", F.xxhash64("shingle")
     )
-    w = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= max_doc_freq)
-        .drop("df")
+    idx = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(F.struct(id_col, "sz")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+        .select(F.sort_array("ds").alias("ds"))
     )
-    l, r = rare.alias("l"), rare.alias("r")
-    common = (
-        l.join(
-            r,
-            on=[
-                F.col("l.shingle") == F.col("r.shingle"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sz").alias("sz_a"),
-            F.col("r.sz").alias("sz_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(
+                    F.col("ds"),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        ),
+        lambda p: p["a"][id_col] < p["b"][id_col],
+    )
+    pairs = idx.select(F.explode(pair).alias("p")).select(
+        F.col(f"p.a.{id_col}").alias("doc_a"),
+        F.col(f"p.b.{id_col}").alias("doc_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    )
+    common = pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(
+        F.count(F.lit(1)).alias("common")
     )
     return (
         common.withColumn(
