@@ -1719,6 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_orc": q_ingest_orc,
         "ingest_csv": q_ingest_csv,
     }
+    from olap_storage_engine_spark.tpch import TPCH_QUERIES
+
+    qmap.update(TPCH_QUERIES)
     ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD if name in qmap}
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
@@ -2250,6 +2253,8 @@ def _fnv_sql(expr: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from olap_storage_engine_spark.tpch import TPCH_ORACLES
+
     fp_mod = 2147483647
     return {
         # ---- Part A ----
@@ -3053,4 +3058,5 @@ def oracle_sql() -> dict[str, str]:
         # sketch_profile: intentionally no oracle — HLL estimates are
         # engine-specific; the driver records a rows-only check and
         # tests/test_sketches.py bounds the estimates vs exact counts.
+        **TPCH_ORACLES,
     }

@@ -1,0 +1,90 @@
+"""Round-5 adapted TPC-H suite (Q4/Q6/Q7/Q9/Q10/Q12-Q17/Q19/Q21/Q22):
+oracle parity at sf0.001 plus the plan properties the 100 TB posture
+depends on — dims broadcast, correlated subqueries become semi/anti
+joins, no cartesian product anywhere.
+"""
+
+import pytest
+
+from olap_storage_engine_spark.tpch import TPCH_ORACLES, TPCH_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.mark.parametrize("name", sorted(TPCH_QUERIES))
+def test_matches_duckdb_oracle(spark, entrymod, name):
+    from tools.compare import compare_query
+
+    r = compare_query(
+        spark, name, SF, entrymod.queries(), entrymod.oracle_sql()
+    )
+    assert r["status"] == "OK", r
+
+
+@pytest.mark.parametrize("name", sorted(TPCH_QUERIES))
+def test_no_cartesian_product(spark, name):
+    plan = (
+        TPCH_QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    # the only BNLJ allowed is a 1-row scalar broadcast (q15 max, q22
+    # global avg) — never a data-sized nested loop
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in ("tpch_q15", "tpch_q22"), name
+
+
+@pytest.mark.parametrize(
+    "name,n_bhj",
+    [
+        ("tpch_q7", 4),   # customer, supplier, nation x2
+        ("tpch_q9", 3),   # part, supplier, nation
+        ("tpch_q10", 2),  # customer, nation
+        ("tpch_q19", 1),  # part
+    ],
+)
+def test_dims_broadcast(spark, name, n_bhj):
+    plan = (
+        TPCH_QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= n_bhj, (name, plan[:2000])
+
+
+@pytest.mark.parametrize(
+    "name,kind",
+    [("tpch_q4", "LeftSemi"), ("tpch_q16", "LeftAnti"), ("tpch_q22", "LeftAnti")],
+)
+def test_correlations_become_semi_anti_joins(spark, name, kind):
+    plan = (
+        TPCH_QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert kind in plan, (name, plan[:2000])
+
+
+def test_q21_has_semi_and_anti_legs(spark):
+    plan = (
+        TPCH_QUERIES["tpch_q21"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_every_tpch_query_has_an_oracle():
+    assert set(TPCH_ORACLES) == set(TPCH_QUERIES)
