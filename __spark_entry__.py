@@ -510,6 +510,28 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode end-to-end: build a genuine 24-bit BMP per
+    document (content a deterministic function of doc_id), then parse
+    the format for real — signature, DIB header, bottom-up padded
+    rows — and reduce the decoded pixel array to per-channel means
+    (operators/multimodal.py round 5).  The oracle recomputes the
+    expected stats in closed form from doc_id, so a decoder that skips
+    the actual byte parsing (wrong padding, wrong channel order,
+    wrong row direction) hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_bmp_features(mm.attach_image_payload(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "n_bytes",
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -1664,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_join": q_multimodal_join,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -2482,6 +2505,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(range(1, length(text) + 1),
                          i -> ord(substr(text, i, 1))))::DOUBLE / length(text), 4)
                      AS byte_mean
+            FROM documents
+        """,
+        # multimodal_decode: expected stats in CLOSED FORM from doc_id —
+        # the Spark side must reproduce them by actually encoding and
+        # then actually parsing the BMP byte format (header offsets,
+        # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 25 AS INT) AS width,
+                   CAST(4 + doc_id % 13 AS INT) AS height,
+                   round((8 + doc_id % 25 - 1) / 2.0, 4) AS mean_r,
+                   round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g,
+                   round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b,
+                   CAST(54 + ((3 * (8 + doc_id % 25) + 3) // 4) * 4
+                        * (4 + doc_id % 13) AS INT) AS n_bytes
             FROM documents
         """,
         "events_window_agg": """

@@ -10,6 +10,15 @@ STUBBED because no image/audio libraries exist in this container:
 the default deterministic fake derives features from the bytes so tests
 have stable expectations.
 
+Round 5: the codec stops being plumbing-only for one format — BMP
+(Windows device-independent bitmap, 24-bit uncompressed) is simple
+enough to encode AND decode in pure numpy, so ``attach_image_payload``
+builds REAL image files and ``decode_bmp_features`` REALLY parses them
+(signature, DIB header, bottom-up row order, 4-byte row padding) and
+computes per-channel statistics from the pixel array.  Formats that
+need external codecs (JPEG/PNG/audio/video) remain stubbed behind
+``decode_features(fake=False)``.
+
 Scale notes: binary payloads ride the normal columnar path (Parquet
 keeps them contiguous per page); mapInPandas streams Arrow record
 batches so peak memory is one batch of payloads per core, not one
@@ -19,6 +28,7 @@ to Parquet column pruning.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -72,8 +82,9 @@ def decode_features(
     """
     if not fake:
         raise NotImplementedError(
-            "real media decode needs image/audio libs not present in "
-            "this container; wire PIL/torchaudio here"
+            "real decode for formats needing external codecs "
+            "(JPEG/PNG/audio/video) — wire PIL/torchaudio here; BMP "
+            "has a real pure-python path in decode_bmp_features"
         )
 
     schema = f"{id_col} long, n_bytes int, first_byte int, last_byte int, byte_mean double"
@@ -103,6 +114,122 @@ def decode_features(
             )
 
     return mm.select(id_col, "payload").mapInPandas(extract, schema=schema)
+
+
+def encode_bmp(width: int, height: int, red_row: "list[int]", g: int, b: int) -> bytes:
+    """Pure-python 24-bit uncompressed BMP writer: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (BI_RGB), bottom-up rows padded to 4 bytes.  The
+    red channel varies along x (``red_row[x]``); green/blue are flat —
+    enough structure that a decoder faking the parse (e.g. reading
+    bytes at fixed offsets without honoring row padding) gets the
+    channel means wrong."""
+    import numpy as np
+
+    row_size = (3 * width + 3) // 4 * 4
+    pixel_bytes = row_size * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    row = np.zeros(row_size, dtype=np.uint8)
+    # BMP stores BGR; padding bytes stay zero
+    row[2 : 3 * width : 3] = np.asarray(red_row, dtype=np.uint8)
+    row[1 : 3 * width : 3] = g
+    row[0 : 3 * width : 3] = b
+    return header + dib + row.tobytes() * height
+
+
+def attach_image_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable) BMP image per document, its content a
+    deterministic function of the id: width 8 + id%25, height
+    4 + id%13, red ramps 0..width-1 along x, green = (id*7)%256,
+    blue = id%256.  Runs as an Arrow-batched mapInPandas so encoding
+    is distributed with the rows; determinism makes the decode
+    round-trip oracle-checkable in closed form."""
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields]
+    schema = ", ".join(
+        fields + ["payload binary", "img_w int", "img_h int"]
+    )
+
+    def attach(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ws = (8 + ids % 25).astype("int32")
+            hs = (4 + ids % 13).astype("int32")
+            payloads = [
+                encode_bmp(int(w), int(h), list(range(int(w))), int(i * 7 % 256), int(i % 256))
+                for i, w, h in zip(ids, ws, hs)
+            ]
+            out = pdf.copy()
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            out["img_w"] = ws
+            out["img_h"] = hs
+            yield out
+
+    return docs.mapInPandas(attach, schema=schema)
+
+
+def decode_bmp_features(
+    mm: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode: parse each BMP payload — signature, pixel
+    offset, DIB width/height/bpp/compression, per-row 4-byte padding,
+    bottom-up row order — and compute per-channel pixel means from the
+    decoded array.  Arrow-batched mapInPandas, one numpy reshape per
+    image, no Python-per-pixel work.  Raises on malformed payloads
+    rather than guessing (a corrupt 100 TB ingest should fail loudly,
+    not average garbage)."""
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, n_bytes int"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(buf: bytes):
+            if buf[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (off,) = struct.unpack_from("<I", buf, 10)
+            dib_size, w, h = struct.unpack_from("<Iii", buf, 14)
+            planes, bpp, comp = struct.unpack_from("<HHI", buf, 26)
+            if dib_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+                raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={comp}")
+            top_down = h < 0
+            h = abs(h)
+            row_size = (3 * w + 3) // 4 * 4
+            px = np.frombuffer(buf, dtype=np.uint8, count=row_size * h, offset=off)
+            rows = px.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+            if not top_down:
+                rows = rows[::-1]
+            bgr = rows.astype(np.float64)
+            return (
+                w,
+                h,
+                float(bgr[:, :, 2].mean()),
+                float(bgr[:, :, 1].mean()),
+                float(bgr[:, :, 0].mean()),
+                len(buf),
+            )
+
+        for pdf in batches:
+            decoded = [one(b) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["width", "height", "mean_r", "mean_g", "mean_b", "n_bytes"],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)
 
 
 def multimodal_join(

@@ -1,0 +1,92 @@
+"""Round-5 real BMP codec: the decoder must actually parse the byte
+format, not pattern-match the encoder's happy path — pinned by a
+top-down (negative height) image the encoder never emits, malformed
+payloads raising, and padding-sensitive channel means.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from olap_storage_engine_spark.operators import multimodal as mm
+
+
+def test_encode_header_fields():
+    buf = mm.encode_bmp(10, 3, list(range(10)), 7, 9)
+    assert buf[:2] == b"BM"
+    (off,) = struct.unpack_from("<I", buf, 10)
+    dib_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", buf, 26)
+    assert (off, dib_size, w, h, planes, bpp, comp) == (54, 40, 10, 3, 1, 24, 0)
+    row_size = (3 * 10 + 3) // 4 * 4
+    assert len(buf) == 54 + row_size * 3
+
+
+def test_roundtrip_means(spark):
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    from pyspark.sql import functions as F
+
+    imgs = mm.attach_image_payload(df)
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_bmp_features(imgs).collect()
+    }
+    for i in range(40):
+        w, h = 8 + i % 25, 4 + i % 13
+        r = out[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_r"] == pytest.approx((w - 1) / 2.0, abs=0)
+        assert r["mean_g"] == (i * 7) % 256
+        assert r["mean_b"] == i % 256
+
+
+def test_topdown_negative_height_rows(spark):
+    """Hand-build a top-down BMP (negative height) with DIFFERENT rows
+    so honoring row direction matters, and a red ramp so honoring
+    3-byte stride + padding matters."""
+    w, h = 5, 2
+    row_size = (3 * w + 3) // 4 * 4
+    off = 54
+    header = struct.pack("<2sIHHI", b"BM", off + row_size * h, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, row_size * h, 0, 0, 0, 0)
+    top = np.zeros(row_size, dtype=np.uint8)
+    bot = np.zeros(row_size, dtype=np.uint8)
+    top[2 : 3 * w : 3] = [0, 1, 2, 3, 4]   # red ramp, green/blue 0
+    bot[2 : 3 * w : 3] = 100               # flat red 100
+    buf = header + dib + top.tobytes() + bot.tobytes()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [buf]})
+    sdf = spark.createDataFrame(pdf)
+    r = mm.decode_bmp_features(sdf).collect()[0]
+    assert (r["width"], r["height"]) == (w, h)
+    # mean over both rows: (0+1+2+3+4 + 5*100) / 10
+    assert r["mean_r"] == pytest.approx(51.0)
+    assert r["mean_g"] == 0.0 and r["mean_b"] == 0.0
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"XX" + b[2:],                       # bad signature
+        lambda b: b[:28] + struct.pack("<H", 8) + b[30:],   # 8bpp
+        lambda b: b[:30] + struct.pack("<I", 1) + b[34:],   # RLE compression
+    ],
+)
+def test_malformed_payload_raises(spark, mutate):
+    import pandas as pd
+
+    buf = mutate(mm.encode_bmp(4, 2, [0, 1, 2, 3], 5, 6))
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [buf]}))
+    with pytest.raises(Exception):
+        mm.decode_bmp_features(sdf).collect()
+
+
+def test_fake_false_still_stubbed_for_non_bmp(spark):
+    """decode_features(fake=False) remains the documented stub for
+    formats needing external codecs; BMP has the real path."""
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(df, fake=False)
