@@ -754,6 +754,36 @@ def q_sketch_rollup_distinct(spark, sf_dir):
     return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
 
 
+def q_sketch_rollup_quantiles(spark, sf_dir):
+    """Per-day value quantiles (p50/p95/p99) served from the PERSISTED
+    KLL rollup (events_qsketch: per-day partials across two
+    publishes) — merge partials, read quantiles, never rescan raw
+    events.  KLL's quantile-selection rule is engine-specific, so
+    rows-only; tests pin merged ≡ direct and bound rank error vs the
+    exact percentile."""
+    from olap_storage_engine_spark.operators.sketches import (
+        merge_kll_quantiles,
+    )
+
+    t = get_table(spark, sf_dir, "events_qsketch")
+    return merge_kll_quantiles(t.read().select("day", "kll"), ["day"])
+
+
+def q_sketch_theta_retention(spark, sf_dir):
+    """Day-over-day retained distinct users served from the PERSISTED
+    Theta rollup — sketch INTERSECTION, the set operation HLL cannot
+    do from pre-aggregated state.  At fixture cardinalities (≤1.4k
+    users/day < 2^14 nominal entries) Theta is in its exact regime,
+    so this gets a FULL DuckDB oracle (the distinct self-join over
+    raw events) — the estimate must equal the exact answer."""
+    from olap_storage_engine_spark.operators.sketches import (
+        theta_day_over_day_retention,
+    )
+
+    t = get_table(spark, sf_dir, "events_qsketch")
+    return theta_day_over_day_retention(t.read().select("day", "theta"))
+
+
 def q_events_stream_window(spark, sf_dir):
     """The same windowed aggregation executed as a real Structured
     Streaming query (file source -> complete mode -> memory sink)."""
@@ -1703,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_rollup": q_grouping_rollup,
         "sketch_profile": q_sketch_profile,
         "sketch_rollup_distinct": q_sketch_rollup_distinct,
+        "sketch_rollup_quantiles": q_sketch_rollup_quantiles,
+        "sketch_theta_retention": q_sketch_theta_retention,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3093,8 +3125,21 @@ def oracle_sql() -> dict[str, str]:
                      AS wavg_price
             FROM lineitem GROUP BY 1
         """,
-        # sketch_profile: intentionally no oracle — HLL estimates are
-        # engine-specific; the driver records a rows-only check and
-        # tests/test_sketches.py bounds the estimates vs exact counts.
+        # sketch_profile / sketch_rollup_quantiles: intentionally no
+        # oracle — HLL estimates and KLL quantile-selection are
+        # engine-specific; the driver records rows-only checks and
+        # tests bound the estimates vs exact answers.
+        # sketch_theta_retention DOES get an oracle: Theta is exact at
+        # fixture cardinalities, so the sketch-intersection estimate
+        # must equal the raw distinct self-join.
+        "sketch_theta_retention": """
+            WITH du AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+            SELECT d2.day AS day, CAST(count(*) AS BIGINT) AS retained_users
+            FROM du d1 JOIN du d2
+              ON d2.day = d1.day + INTERVAL 1 DAY
+             AND d1.user_id = d2.user_id
+            GROUP BY 1 ORDER BY 1
+        """,
         **TPCH_ORACLES,
     }

@@ -957,6 +957,34 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_events_qsketch(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Round-5 sibling of events_sketch for the OTHER two mergeable
+    sketch families: per-day KLL quantile partials over the event
+    value and Theta set-operation partials over user_id, again as two
+    publishes so read-time merging is genuinely exercised."""
+    from .operators.sketches import group_kll_sketch, group_theta_sketch
+
+    spec = TableSpec(
+        name="events_qsketch",
+        columns=[
+            ColumnSpec.key("day", ColumnType.DATE),
+            ColumnSpec.value("kll", ColumnType.BINARY),
+            ColumnSpec.value("theta", ColumnType.BINARY),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    for part in [ev.filter(F.col("event_id") % 4 != 0),
+                 ev.filter(F.col("event_id") % 4 == 0)]:
+        kll = group_kll_sketch(part, ["day"], "value")
+        theta = group_theta_sketch(part, ["day"], "user_id")
+        t.write(kll.join(theta, "day"))
+    return t
+
+
 def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Additive schema evolution fixture: rowset 0 written under the
     v1 schema (no ``note`` column), then ``add_column``, then rowset 1
@@ -1007,5 +1035,6 @@ _BUILDERS = {
     "embeddings_ver": _build_embeddings_ver,
     "emb_cells": _build_emb_cells,
     "events_sketch": _build_events_sketch,
+    "events_qsketch": _build_events_qsketch,
     "orders_evolve": _build_orders_evolve,
 }

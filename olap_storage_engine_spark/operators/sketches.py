@@ -108,3 +108,89 @@ def merge_sketch_estimates(
     return sketches.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
     )
+
+
+def group_kll_sketch(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 8192
+) -> DataFrame:
+    """Per-group Apache DataSketches KLL quantile sketch partials —
+    the quantile analog of group_sketch: each publish appends partial
+    sketches over its delta; serving merges partials and reads
+    quantiles off the merged sketch, never rescanning raw rows.
+
+    k=8192 keeps the sketch EXACT (no compaction) for groups up to
+    ~8k values — the fixture regime — while bounding rank error to
+    ~0.4%% beyond it; at 100 TB per-day groups the sketch is a few KB
+    regardless of row count."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(col).cast("double"), F.lit(k)).alias(
+            "kll"
+        )
+    )
+
+
+def merge_kll_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    probabilities: list[float] = (0.5, 0.95, 0.99),
+    k: int = 8192,
+) -> DataFrame:
+    """Serve per-group quantiles from stored KLL partials: one hash
+    aggregate merging the partials, then get_quantile per requested
+    rank on the merged sketch."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double("kll", F.lit(k)).alias("kll")
+    )
+    qcols = [
+        F.round(
+            F.kll_sketch_get_quantile_double("kll", F.lit(float(p))), 6
+        ).alias(f"p{str(p).replace('0.', '')}")
+        for p in probabilities
+    ]
+    return merged.select(*group_cols, *qcols)
+
+
+def group_theta_sketch(
+    df: DataFrame, group_cols: list[str], col: str, lg_k: int = 14
+) -> DataFrame:
+    """Per-group Theta sketch partials.  Unlike HLL, Theta supports
+    SET OPERATIONS (intersection / difference) on the sketches
+    themselves — the only way to answer 'users active on BOTH days'
+    from pre-aggregated state, since distinct counts don't compose
+    across intersections.  Exact below 2^lg_k retained entries, ~1-2%%
+    relative error beyond."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias("theta")
+    )
+
+
+def theta_day_over_day_retention(
+    sketches: DataFrame, day_col: str = "day", lg_k: int = 14
+) -> DataFrame:
+    """Day-over-day retained distinct count from stored Theta
+    partials: union-merge each day's partials, self-join consecutive
+    days (the merged table is #days rows — broadcast-sized at any raw
+    volume), intersect the two sketches, estimate.
+
+    Raw-data equivalent is a distinct self-join over the full event
+    log; this serves from sketch state that is O(days x 2^lg_k)
+    bytes, independent of event volume."""
+    merged = sketches.groupBy(day_col).agg(
+        F.theta_union_agg("theta", F.lit(lg_k)).alias("theta")
+    )
+    prev = merged.select(
+        F.date_add(F.col(day_col), 1).alias("__next_day"),
+        F.col("theta").alias("__prev_theta"),
+    )
+    return (
+        merged.join(
+            F.broadcast(prev), merged[day_col] == F.col("__next_day")
+        )
+        .select(
+            F.col(day_col),
+            F.theta_sketch_estimate(
+                F.theta_intersection("__prev_theta", "theta")
+            ).alias("retained_users"),
+        )
+        .orderBy(day_col)
+    )

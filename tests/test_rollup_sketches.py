@@ -236,3 +236,83 @@ def test_sketch_rollup_estimate_bounded(spark, warehouse):
         .collect()
     }
     assert got == direct
+
+
+def test_kll_merge_equals_direct_exact_regime(spark):
+    """Merging per-publish KLL partials equals one direct sketch when
+    k exceeds the group size (no compaction anywhere -> the sketch IS
+    the sorted data), and the quantiles are exact order statistics."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_kll_sketch,
+        merge_kll_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(4000)], "id long, g long, v double"
+    )
+    parts = group_kll_sketch(df.filter(F.col("id") % 2 == 0), ["g"], "v").unionByName(
+        group_kll_sketch(df.filter(F.col("id") % 2 == 1), ["g"], "v")
+    )
+    merged = {
+        r["g"]: r for r in merge_kll_quantiles(parts, ["g"], [0.5]).collect()
+    }
+    direct = {
+        r["g"]: r
+        for r in merge_kll_quantiles(
+            group_kll_sketch(df, ["g"], "v"), ["g"], [0.5]
+        ).collect()
+    }
+    for g in merged:
+        assert merged[g]["p5"] == direct[g]["p5"]
+        # the median of {g, g+4, ..., g+3996} must be a member value
+        assert (merged[g]["p5"] - g) % 4 == 0
+
+
+def test_kll_rank_error_bounded_vs_exact(spark):
+    """Beyond the exact regime (n > k) the merged quantile stays
+    within KLL's rank-error bound of the exact percentile."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_kll_sketch,
+        merge_kll_quantiles,
+    )
+
+    n = 50000
+    df = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(n)], "id long, g long, v double"
+    )
+    parts = group_kll_sketch(df.filter(F.col("id") % 2 == 0), ["g"], "v", k=1024).unionByName(
+        group_kll_sketch(df.filter(F.col("id") % 2 == 1), ["g"], "v", k=1024)
+    )
+    got = merge_kll_quantiles(parts, ["g"], [0.5, 0.95], k=1024).collect()[0]
+    # k=1024 -> eps ~ 1.7%/sqrt-ish; 2% rank slack is generous
+    assert abs(got["p5"] - 0.5 * n) <= 0.02 * n
+    assert abs(got["p95"] - 0.95 * n) <= 0.02 * n
+
+
+def test_theta_retention_matches_exact_self_join(spark):
+    """Theta intersection estimates equal the exact day-over-day
+    distinct overlap in the exact regime (fixture cardinalities)."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_theta_sketch,
+        theta_day_over_day_retention,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    sk = group_theta_sketch(ev, ["day"], "user_id")
+    got = {
+        r["day"]: r["retained_users"]
+        for r in theta_day_over_day_retention(sk).collect()
+    }
+    du = ev.distinct()
+    prev = du.select(F.date_add("day", 1).alias("day"), "user_id")
+    exact = {
+        r["day"]: r["n"]
+        for r in du.join(prev, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact
