@@ -456,6 +456,15 @@ def q_text_vocab(spark, sf_dir):
     )
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query over the corpus —
+    tokenize-once tf+doclen aggregate, query-term filter BEFORE the
+    shuffle, broadcast df/corpus-stats, top-50 by rounded score
+    (operators/text.bm25_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_rank(docs, ["vector", "merge", "filter"])
+
+
 def q_text_stats(spark, sf_dir):
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1709,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf_cells": q_similarity_ann_ivf_cells,
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
+        "text_bm25": q_text_bm25,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -3132,6 +3142,38 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "text_bm25": """
+            WITH toked AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            lens AS (
+              SELECT doc_id, len(toks) AS dl FROM toked),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+            tf AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+              WHERE tok IN ('vector', 'merge', 'filter')
+              GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 50
+        """,
         "sketch_theta_retention": """
             WITH du AS (
               SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)

