@@ -763,6 +763,31 @@ def q_sketch_rollup_distinct(spark, sf_dir):
     return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
 
 
+def q_zorder_scan(spark, sf_dir):
+    """2-D box filter over the Z-order-clustered lineitem copy
+    (operators/clustering.zorder_write, Morton interleave of
+    (l_partkey, l_suppkey) bucket ranks): both predicates reach the
+    parquet scan, and because the layout clusters BOTH dimensions, the
+    row-group stats prune most of the file in each — 1-D sorting can
+    only do that for its leading column.  tests/test_clustering.py
+    measures the footer-stats pruning directly."""
+    from olap_storage_engine_spark.fixtures import zorder_lineitem_path
+
+    li = spark.read.parquet(zorder_lineitem_path(spark, sf_dir))
+    return (
+        li.filter(
+            F.col("l_partkey").between(100, 300)
+            & F.col("l_suppkey").between(10, 30)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_sketch_rollup_quantiles(spark, sf_dir):
     """Per-day value quantiles (p50/p95/p99) served from the PERSISTED
     KLL rollup (events_qsketch: per-day partials across two
@@ -1745,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_distinct": q_sketch_rollup_distinct,
         "sketch_rollup_quantiles": q_sketch_rollup_quantiles,
         "sketch_theta_retention": q_sketch_theta_retention,
+        "zorder_scan": q_zorder_scan,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3142,6 +3168,15 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "zorder_scan": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM lineitem
+            WHERE l_partkey BETWEEN 100 AND 300
+              AND l_suppkey BETWEEN 10 AND 30
+            GROUP BY 1 ORDER BY 1
+        """,
         "text_bm25": """
             WITH toked AS (
               SELECT doc_id,

@@ -957,6 +957,26 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the Z-order-clustered lineitem copy
+    (clustered on (l_partkey, l_suppkey)) — the write-path layout
+    transform; readers scan it like any parquet table and rely on
+    row-group stats for 2-D box pruning."""
+
+    def build():
+        from .operators.clustering import zorder_write
+
+        path = os.path.join(warehouse_for(sf_dir), "lineitem_zorder")
+        zorder_write(
+            load_table(spark, sf_dir, "lineitem"),
+            path,
+            ["l_partkey", "l_suppkey"],
+        )
+        return path
+
+    return _aux_cached("zorder_lineitem", sf_dir, build)
+
+
 def _build_events_qsketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Round-5 sibling of events_sketch for the OTHER two mergeable
     sketch families: per-day KLL quantile partials over the event
