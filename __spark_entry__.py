@@ -763,6 +763,17 @@ def q_sketch_rollup_distinct(spark, sf_dir):
     return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
 
 
+def q_events_ohlc(spark, sf_dir):
+    """Per-user daily OHLC bars from the event stream — time-series
+    downsampling as ONE map-side-combined aggregate (open/close via
+    total-ordered struct min/max, no windows, no second pass;
+    operators/temporal.ohlc_resample)."""
+    from olap_storage_engine_spark.operators.temporal import ohlc_resample
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return ohlc_resample(ev, ["user_id"])
+
+
 def q_zorder_scan(spark, sf_dir):
     """2-D box filter over the Z-order-clustered lineitem copy
     (operators/clustering.zorder_write, Morton interleave of
@@ -1771,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_quantiles": q_sketch_rollup_quantiles,
         "sketch_theta_retention": q_sketch_theta_retention,
         "zorder_scan": q_zorder_scan,
+        "events_ohlc": q_events_ohlc,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3168,6 +3180,25 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "events_ohlc": """
+            WITH t AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                     ts, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events WHERE user_id < 40)
+            SELECT user_id, bucket,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+                   round(max(value), 4) AS high,
+                   round(min(value), 4) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+                   count(*) AS volume
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "zorder_scan": """
             SELECT l_returnflag, count(*) AS n,
                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))

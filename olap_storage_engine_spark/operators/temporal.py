@@ -243,3 +243,39 @@ def gap_fill_locf(
         for c in locf_cols
     ]
     return j.select(*sel)
+
+
+def ohlc_resample(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample a tick stream to per-bucket OHLC bars (open / high /
+    low / close + volume) — the hypertable-rollup shape for time
+    series.
+
+    ONE hash aggregate does everything: open and close come from
+    struct-ordered min/max over (ts, tie, value) — the tie column
+    makes the ordering total, so equal-timestamp ticks resolve
+    deterministically — and high/low/volume are plain min/max/count in
+    the same combine.  No window functions, no second pass: at 100 TB
+    this is a single map-side-combined shuffle on (group, bucket),
+    and it composes as a persisted AGGREGATE-model rollup (min/max
+    re-aggregate; open/close re-aggregate through the same struct
+    ordering)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("date").alias("bucket")
+    ordered = F.struct(F.col(ts_col), F.col(tie_col), F.col(value_col))
+    return (
+        events.groupBy(*group_cols, b)
+        .agg(
+            F.round(F.min(ordered)[value_col], 4).alias("open"),
+            F.round(F.max(value_col), 4).alias("high"),
+            F.round(F.min(value_col), 4).alias("low"),
+            F.round(F.max(ordered)[value_col], 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy(*group_cols, "bucket")
+    )

@@ -239,3 +239,29 @@ def test_gap_fill_locf_randomized_vs_python_reference(spark):
                 want[(g, d)] = (n, carry)
                 d += datetime.timedelta(days=1)
         assert got == want, seed
+
+
+def test_ohlc_resample_invariants_and_ties(spark):
+    from olap_storage_engine_spark.operators.temporal import ohlc_resample
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # duplicate timestamps: tie broken by event_id (total order)
+        (1, 10, t0, 5.0),
+        (1, 11, t0, 3.0),          # same ts, higher event_id
+        (1, 12, t0 + dt.timedelta(hours=2), 9.0),
+        (1, 13, t0 + dt.timedelta(hours=3), 1.0),
+        (2, 20, t0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in ohlc_resample(df, ["user_id"]).collect()}
+    u1 = out[1]
+    assert u1["open"] == 5.0      # event_id 10 wins the ts tie
+    assert u1["close"] == 1.0
+    assert u1["high"] == 9.0 and u1["low"] == 1.0 and u1["volume"] == 4
+    for r in out.values():
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
