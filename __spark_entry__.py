@@ -401,6 +401,31 @@ def q_similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def q_similarity_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: the corpus serves from its PERSISTED
+    m-byte PQ codes (fixtures.pq_index_paths — trained and encoded at
+    build time, ~64x smaller than the vectors), scored by
+    asymmetric-distance lookup against a broadcast probe-LUT, then
+    exact-rescored on the candidate set only.  Codebook training is
+    the same deterministic sampled k-means as IVF run per subspace,
+    so the whole path — codebooks, codes, ADC candidates, final
+    ranks — is oracle-reproducible in SQL."""
+    from olap_storage_engine_spark.fixtures import pq_index_paths
+
+    cb_path, codes_path = pq_index_paths(spark, sf_dir)
+    probes = _probes(spark, sf_dir).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return sim.pq_topk(
+        probes,
+        spark.read.parquet(codes_path),
+        spark.read.parquet(cb_path),
+        load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_candidates=50,
+    )
+
+
 def q_similarity_ann_ivf_cells(spark, sf_dir):
     """IVF serving from the PERSISTED cell table — the 100 TB layout.
 
@@ -1752,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_cells": q_similarity_ann_ivf_cells,
+        "similarity_ann_pq": q_similarity_ann_pq,
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_bm25": q_text_bm25,
@@ -2136,46 +2162,57 @@ FROM r WHERE rank <= {k}
 
 
 def _kmeans_ctes(
-    n_centroids=16, sample_mod=4, iters=2, dim=64, round_dp=6
+    n_centroids=16, sample_mod=4, iters=2, dim=64, round_dp=6,
+    prefix="", vec_expr="embedding",
 ) -> str:
     """Deterministic sampled k-means, unrolled — mirrors
     operators/similarity.train_ivf_centroids step for step (same
     sample, same init, same tie order, same per-iteration rounding of
     the per-dimension means, which is what absorbs the engines'
-    differing float-summation orders)."""
+    differing float-summation orders).
+
+    ``prefix`` namespaces every CTE (terminal: ``{prefix}cents``) and
+    ``vec_expr`` selects the trained vector — a list-slice of
+    ``embedding`` for the per-subspace PQ codebooks."""
+    p = prefix
+    src = (
+        "embedding"
+        if vec_expr == "embedding"
+        else f"{vec_expr} AS embedding"
+    )
     parts = [
-        f"""sample AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {sample_mod} = 0
+        f"""{p}sample AS (
+  SELECT vec_id, {src} FROM embeddings WHERE vec_id % {sample_mod} = 0
 ),
-c0 AS (
+{p}c0 AS (
   SELECT vec_id AS cent_id, embedding AS cent_vec
-  FROM sample ORDER BY vec_id LIMIT {n_centroids}
+  FROM {p}sample ORDER BY vec_id LIMIT {n_centroids}
 )"""
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{p}c{it - 1}"
         cos_sc = _cos_sql("s.embedding", "c.cent_vec", dim)
         parts.append(
-            f"""a{it} AS (
+            f"""{p}a{it} AS (
   SELECT vec_id, embedding, cent_id FROM (
     SELECT s.vec_id, s.embedding, c.cent_id,
            row_number() OVER (PARTITION BY s.vec_id
              ORDER BY {cos_sc} DESC, c.cent_id) AS rn
-    FROM sample s CROSS JOIN {prev} c) WHERE rn = 1
+    FROM {p}sample s CROSS JOIN {prev} c) WHERE rn = 1
 ),
-d{it} AS (
+{p}d{it} AS (
   SELECT cent_id, i AS pos, embedding[i]::DOUBLE AS val
-  FROM a{it} CROSS JOIN range(1, {dim + 1}) t(i)
+  FROM {p}a{it} CROSS JOIN range(1, {dim + 1}) t(i)
 ),
-m{it} AS (
+{p}m{it} AS (
   SELECT cent_id, pos, round(avg(val), {round_dp}) AS m
-  FROM d{it} GROUP BY 1, 2
+  FROM {p}d{it} GROUP BY 1, 2
 ),
-c{it} AS (
-  SELECT cent_id, list(m ORDER BY pos) AS cent_vec FROM m{it} GROUP BY cent_id
+{p}c{it} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cent_vec FROM {p}m{it} GROUP BY cent_id
 )"""
         )
-    parts.append(f"cents AS (SELECT cent_id, cent_vec FROM c{iters})")
+    parts.append(f"{p}cents AS (SELECT cent_id, cent_vec FROM {p}c{iters})")
     return ",\n".join(parts)
 
 
@@ -2232,6 +2269,91 @@ r AS (
          row_number() OVER (PARTITION BY probe_id
                             ORDER BY cos DESC, vec_id) AS rank
   FROM s
+)
+SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _similarity_ann_pq_oracle(
+    k=10, n_candidates=50, m=4, n_codes=16, dim=64, n_probes=5,
+    sample_mod=4, iters=2,
+) -> str:
+    """PQ end to end in SQL: per-subspace k-means codebooks (the same
+    deterministic recipe as IVF, on list-sliced sub-vectors), code
+    assignment, ADC scoring via an ordered list_sum (matching the
+    Spark side's sequential sub_id fold), candidate cut on the ROUNDED
+    ADC score (absorbs float-summation-order ulps), exact rescore."""
+    sub_dim = dim // m
+    books = []
+    code_ctes = []
+    lut_ctes = []
+    part_selects = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        books.append(
+            _kmeans_ctes(
+                n_codes, sample_mod, iters, dim=sub_dim,
+                prefix=f"s{s}_", vec_expr=f"embedding[{lo}:{hi}]",
+            )
+        )
+        cos_ec = _cos_sql(f"e.embedding[{lo}:{hi}]", "c.cent_vec", sub_dim)
+        code_ctes.append(
+            f"""s{s}_codes AS (
+  SELECT vec_id, cent_id AS code_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN s{s}_cents c) WHERE rn = 1
+)"""
+        )
+        pdot = _dot_sql(f"p.probe_vec[{lo}:{hi}]", "c.cent_vec", sub_dim)
+        lut_ctes.append(
+            f"""s{s}_lut AS (
+  SELECT p.probe_id, c.cent_id AS code_id, {pdot} AS pdot
+  FROM probes p CROSS JOIN s{s}_cents c
+)"""
+        )
+        part_selects.append(
+            f"SELECT {s} AS sub_id, cs.vec_id, l.probe_id, l.pdot "
+            f"FROM s{s}_codes cs JOIN s{s}_lut l USING (code_id)"
+        )
+    parts_union = "\nUNION ALL\n".join(part_selects)
+    return f"""
+WITH {','.join(books)},
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+),
+{','.join(code_ctes)},
+{','.join(lut_ctes)},
+parts AS (
+{parts_union}
+),
+adc AS (
+  SELECT probe_id, vec_id,
+         list_sum(list(pdot ORDER BY sub_id)) AS adc
+  FROM parts WHERE vec_id <> probe_id GROUP BY 1, 2
+),
+cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY round(adc, 6) DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {n_candidates}
+),
+sc AS (
+  SELECT cand.probe_id, cand.vec_id,
+         {_cos_sql('e.embedding', 'pe.embedding')} AS cos
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id
+),
+r AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sc
 )
 SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}
@@ -2528,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _similarity_topk_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
+        "similarity_ann_pq": _similarity_ann_pq_oracle(),
         # the cell-table variant serves the SAME logical result from a
         # different physical layout (persisted partition-pruned cells)
         "similarity_ann_ivf_cells": _similarity_ann_ivf_oracle(),

@@ -79,6 +79,8 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: ingest_export(spark, sf_dir, "orc"),
         lambda: bucketed_pair(spark, sf_dir),
         lambda: bucketed_fact_pair(spark, sf_dir),
+        lambda: zorder_lineitem_path(spark, sf_dir),
+        lambda: pq_index_paths(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)
@@ -955,6 +957,27 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     t.write(group_sketch(ev.filter(F.col("event_id") % 4 != 0), ["day"], "user_id"))
     t.write(group_sketch(ev.filter(F.col("event_id") % 4 == 0), ["day"], "user_id"))
     return t
+
+
+def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once (codebooks, codes) parquet paths for the PQ index:
+    per-subspace deterministic k-means codebooks plus every corpus
+    vector's m-byte code row — the compressed representation a 100 TB
+    deployment scans INSTEAD of raw vectors.  Training and encoding
+    run at fixture-build time; queries only read."""
+
+    def build():
+        from .operators.similarity import pq_encode, train_pq_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb_path = os.path.join(warehouse_for(sf_dir), "pq_codebooks")
+        train_pq_codebooks(emb).write.mode("overwrite").parquet(cb_path)
+        cb = spark.read.parquet(cb_path)
+        codes_path = os.path.join(warehouse_for(sf_dir), "pq_codes")
+        pq_encode(emb, cb).write.mode("overwrite").parquet(codes_path)
+        return (cb_path, codes_path)
+
+    return _aux_cached("pq_index", sf_dir, build)
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:

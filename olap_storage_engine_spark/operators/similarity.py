@@ -507,3 +507,196 @@ def pandas_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    sample_mod: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` contiguous subspaces and each gets its own deterministic
+    sampled k-means codebook (EXACTLY train_ivf_centroids run on the
+    sliced sub-vectors — same sample, same init, same per-iteration
+    mean rounding, so the codebooks are oracle-reproducible).
+
+    Returns (sub_id, code_id, code_vec).  m * n_codes rows total —
+    broadcast-sized forever.  PQ is the memory-compression ANN story:
+    a 64-float vector serves from m=4 one-byte codes, so the scan side
+    of a 100 TB corpus shrinks ~64x; codebook training cost is bounded
+    by the sample, never the corpus."""
+    sub_dim = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            id_col, F.slice(vec_col, s * sub_dim + 1, sub_dim).alias(vec_col)
+        )
+        cb = train_ivf_centroids(
+            sub,
+            n_centroids=n_codes,
+            sample_mod=sample_mod,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        books.append(
+            cb.select(
+                F.lit(s).alias("sub_id"),
+                F.col("cent_id").alias("code_id"),
+                F.col("cent_vec").alias("code_vec"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector its per-subspace nearest codeword
+    (max sub-vector cosine, ties by code_id — the training metric).
+    One broadcast join against the m*n_codes codebook + one max_by
+    aggregate; the corpus is never shuffled on vector bytes.  Returns
+    (vec_id, codes array<bigint> ordered by sub_id) — the compressed
+    representation a 100 TB deployment persists INSTEAD of the
+    vectors."""
+    sub_dim = dim // m
+    subs = corpus.select(
+        id_col,
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id"),
+        F.col(vec_col),
+    ).select(
+        id_col,
+        "sub_id",
+        F.expr(f"slice({vec_col}, sub_id * {sub_dim} + 1, {sub_dim})").alias(
+            "sub_vec"
+        ),
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub_id").select(
+        id_col,
+        "sub_id",
+        "code_id",
+        cosine(F.col("sub_vec"), F.col("code_vec")).alias("cos"),
+    )
+    assigned = scored.groupBy(id_col, "sub_id").agg(
+        F.max_by(
+            "code_id", F.struct(F.col("cos"), -F.col("code_id"))
+        ).alias("code_id")
+    )
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "code_id"))
+            ).alias("__sc")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__sc"), lambda s: s["code_id"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search with exact rescore.
+
+    1. LUT: probe sub-vector x codeword dot products — one broadcast
+       cross of #probes x (m*n_codes) rows, computed once per query.
+    2. ADC: each corpus row explodes to its m (sub, code) entries,
+       joins the broadcast LUT, and folds the m partial dots in
+       sub_id order (a sequential fold, not F.sum — bit-identical to
+       the oracle's ordered list_sum, so candidate selection can't
+       flip on float summation order).  The scan reads CODES ONLY —
+       at 100 TB this is the 64x-smaller table.
+    3. Exact rescore: the top ``n_candidates`` per probe by rounded
+       ADC score fetch their true vectors (a candidate-sized join,
+       not a corpus scan) and re-rank by exact cosine.
+    """
+    sub_dim = dim // m
+    lut = (
+        probes.crossJoin(F.broadcast(codebooks))
+        .select(
+            "probe_id",
+            "sub_id",
+            "code_id",
+            dot(
+                F.expr(
+                    f"slice(probe_vec, sub_id * {sub_dim} + 1, {sub_dim})"
+                ),
+                F.col("code_vec"),
+            ).alias("pdot"),
+        )
+    )
+    entries = codes.select(
+        id_col, F.posexplode("codes").alias("sub_id", "code_id")
+    )
+    adc = (
+        entries.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .groupBy("probe_id", id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub_id", "pdot"))
+                    ),
+                    lambda s: s["pdot"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("adc"), 6).desc(), F.col(id_col)
+    )
+    cand = adc.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= n_candidates
+    )
+    exact = (
+        cand.join(corpus, id_col)
+        .join(
+            F.broadcast(probes.select("probe_id", "probe_vec")), "probe_id"
+        )
+        .select(
+            "probe_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank"
+        )
+    )

@@ -430,3 +430,75 @@ def test_bm25_matches_oracle_and_ranks_sanely(spark):
         .count()
     )
     assert hits == len(ids)
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from olap_storage_engine_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = train_pq_codebooks(emb)
+    assert cb.count() == 4 * 16  # m subspaces x n_codes
+    codes = pq_encode(emb, cb)
+    rows = codes.limit(5).collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    # deterministic: re-encoding yields identical codes
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+    first = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert first == again
+
+
+def test_pq_recall_vs_exact_topk(spark):
+    """ADC + exact rescore recall on the fixture corpus.  The fixture
+    embeddings are RANDOM (no cluster structure — the hardest case
+    for PQ), so the bound asserts the mechanism, not production
+    recall: well above the 0.25 a random 50-of-200 candidate set
+    would give, and monotone in the candidate budget."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.fixtures import pq_index_paths
+    from olap_storage_engine_spark.operators.similarity import (
+        brute_topk,
+        pq_topk,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    cb_path, codes_path = pq_index_paths(spark, sf)
+    approx = pq_topk(
+        probes,
+        spark.read.parquet(codes_path),
+        spark.read.parquet(cb_path),
+        emb,
+        k=10,
+        n_candidates=50,
+    )
+    exact = brute_topk(emb, emb.orderBy("vec_id").limit(5), k=10)
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, recall
+    wider = pq_topk(
+        probes,
+        spark.read.parquet(codes_path),
+        spark.read.parquet(cb_path),
+        emb,
+        k=10,
+        n_candidates=150,
+    )
+    aw = {(r["probe_id"], r["vec_id"]) for r in wider.collect()}
+    recall_wide = len(aw & e) / len(e)
+    assert recall_wide >= recall, (recall, recall_wide)
+    assert recall_wide >= 0.7, recall_wide
