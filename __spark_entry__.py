@@ -481,6 +481,17 @@ def q_text_vocab(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (data mixing): keep 50%
+    of 'en' docs and 10% of every other language, membership by id
+    hash — reproducible across engines/partitionings, so the sampled
+    SET itself is oracle-checked row for row (not just counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.stratified_sample(
+        docs, {"en": 50}, default_pct=10
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_text_bm25(spark, sf_dir):
     """BM25 ranked retrieval for a 3-term query over the corpus —
     tokenize-once tf+doclen aggregate, query-term filter BEFORE the
@@ -1781,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_bm25": q_text_bm25,
+        "stratified_sample": q_stratified_sample,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -2643,6 +2655,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_MD5INT.format(expr="doc_id::VARCHAR")} % 100
+                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         """,
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),

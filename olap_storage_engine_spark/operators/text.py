@@ -357,3 +357,28 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 10,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling: each stratum keeps
+    ``rates[stratum]`` percent of its rows (``default_pct`` for
+    unlisted strata), membership decided by id hash — the data-mixing
+    primitive for training pipelines (e.g. downweight a dominant
+    language without an RNG whose state would make reruns drift).
+
+    md5-based like hash_split, so membership is reproducible across
+    runs, engines, partitionings, and cluster sizes — and therefore
+    oracle-checkable.  One codegen'd filter, no sampling pass, no
+    per-stratum job."""
+    from ..functions.hashes import md5int
+
+    pct = F.lit(default_pct)
+    for s, r in sorted(rates.items()):
+        pct = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(pct)
+    return docs.filter(md5int(F.col(id_col).cast("string")) % 100 < pct)

@@ -1,5 +1,6 @@
-"""Adapted TPC-H query suite (round 5): Q4, Q6, Q7, Q9, Q10, Q12-Q17,
-Q19, Q21, Q22 re-expressed over the driver's TPC-H-ish star schema.
+"""Adapted TPC-H query suite (round 5): Q2, Q4, Q6-Q17, Q19-Q22
+re-expressed over the driver's TPC-H-ish star schema — with Q1, Q3,
+Q5 and Q18 in the entry module, all 22 TPC-H plan shapes are covered.
 
 The fixture schema omits partsupp and several columns (l_shipmode,
 l_commitdate, l_receiptdate, o_comment, c_phone), so each query keeps
@@ -37,6 +38,91 @@ def _dsum(col, scale: int = 2):
 
 def _disc_price():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: the per-(part, supplier)
+    minimum observed unit price from lineitem stands in for the
+    missing partsupp supplycost): for mid-size parts, the supplier in
+    one region offering each part at its regional minimum cost.  The
+    correlated min subquery becomes a per-part aggregate joined back
+    on (part, cost) — both sides derived from the same broadcast-
+    filtered scan, never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # regional suppliers only (nation -> region chain, broadcast)
+    s_reg = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit = F.round(
+        (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,4)")
+        .cast("double"),
+        4,
+    )
+    cost = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s_reg), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (cost["p_partkey"] == F.col("mp_partkey"))
+            & (cost["cost"] == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal").cast("decimal(18,2)").cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: shipped value stands in for the
+    missing partsupp availability value): parts of one nation's
+    suppliers whose total shipped value exceeds a fixed fraction of
+    that nation's total — the scalar-subquery-threshold shape, with
+    the threshold a one-row aggregate broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    vals = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum("l_extendedprice").alias("value"))
+    )
+    total = vals.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * 0.001)
+        .alias("threshold")
+    )
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
 
 
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,6 +208,49 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_dsum(_disc_price(), 6).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one nation's share of a region's
+    order revenue by year — the conditional-sum-over-join-tree shape.
+    Every dim broadcasts; share numerator and denominator come from
+    the SAME aggregate (one pass, two conditional decimal sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    dp = _disc_price().cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", dp).otherwise(zero)
+                ).cast("double")
+                / F.sum(dp).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
     )
 
 
@@ -287,8 +416,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 parts/supplier relationship (adapted: distinct lineitem
     (partkey, suppkey) pairs stand in for partsupp; negative account
     balance stands in for the complaints predicate).  NOT IN becomes a
-    broadcast anti join against the tiny excluded-supplier set; the
-    distinct-supplier count per part group is one hash aggregate."""
+    broadcast anti join against the tiny excluded-supplier set.  No
+    separate pairs-distinct pass: count(DISTINCT suppkey) dedups
+    inside its own aggregate, so the plan is broadcast-filter ->
+    broadcast-join -> one count-distinct aggregate — the part
+    predicate prunes rows BEFORE the first exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -298,10 +430,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(
@@ -371,6 +502,44 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(_dsum(_disc_price(), 6).alias("revenue"))
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential promotion (adapted: shipped quantity stands in
+    for the missing partsupp availability): suppliers who moved more
+    than a threshold of any 'red' part during 1996.  The nested
+    per-(supplier, part) quantity aggregate feeds a LEFT SEMI join —
+    the IN-subquery shape — and supplier enriches by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("decimal(18,2)").cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,11 +632,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_QUERIES = {
+    "tpch_q2": q_tpch_q2,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
@@ -475,12 +647,39 @@ TPCH_QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
 }
 
 
 TPCH_ORACLES = {
+    "tpch_q2": """
+        WITH s_reg AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        cost AS (
+          SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+                 min(round(CAST(CAST(l_extendedprice / l_quantity
+                       AS DECIMAL(18,4)) AS DOUBLE), 4)) AS cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN s_reg ON l_suppkey = s_suppkey
+          WHERE p_size <= 5
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        mc AS (
+          SELECT p_partkey AS mp_partkey, min(cost) AS min_cost
+          FROM cost GROUP BY 1)
+        SELECT round(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2)
+                 AS s_acctbal,
+               s_name, n_name, p_partkey, p_type, cost
+        FROM cost JOIN mc ON p_partkey = mp_partkey AND cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
@@ -520,6 +719,27 @@ TPCH_ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
     """,
+    "tpch_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               round(
+                 CAST(sum(CASE WHEN ns.n_name = 'NATION_5'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1 ORDER BY 1
+    """,
     "tpch_q9": """
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -550,6 +770,22 @@ TPCH_ORACLES = {
         GROUP BY 1, 2, 3, 4
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "tpch_q11": """
+        WITH vals AS (
+          SELECT l_partkey,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY 1)
+        SELECT l_partkey, value FROM vals
+        WHERE value > (
+          SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+          FROM vals)
+        ORDER BY value DESC, l_partkey
     """,
     "tpch_q12": """
         SELECT l_linestatus,
@@ -634,6 +870,20 @@ TPCH_ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name,
+               round(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2)
+                 AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)
+        ORDER BY s_suppkey
     """,
     "tpch_q21": """
         SELECT s_name, count(*) AS numwait

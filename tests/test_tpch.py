@@ -37,10 +37,10 @@ def test_no_cartesian_product(spark, name):
         .toString()
     )
     assert "CartesianProduct" not in plan, name
-    # the only BNLJ allowed is a 1-row scalar broadcast (q15 max, q22
-    # global avg) — never a data-sized nested loop
+    # the only BNLJ allowed is a 1-row scalar broadcast (q11 threshold,
+    # q15 max, q22 global avg) — never a data-sized nested loop
     if "BroadcastNestedLoopJoin" in plan:
-        assert name in ("tpch_q15", "tpch_q22"), name
+        assert name in ("tpch_q11", "tpch_q15", "tpch_q22"), name
 
 
 @pytest.mark.parametrize(
