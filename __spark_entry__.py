@@ -810,6 +810,27 @@ def q_events_ohlc(spark, sf_dir):
     return ohlc_resample(ev, ["user_id"])
 
 
+def q_rowset_skip_scan(spark, sf_dir):
+    """Manifest-stats data skipping: orders_ranges holds three rowsets
+    of disjoint o_orderkey bands (per-key-column min/max harvested
+    from parquet footers into the manifest at write time); a key-range
+    read drops the non-intersecting rowsets ON THE DRIVER — before
+    file listing, before any footer open (table.read_skipped).  At
+    10^5 rowset files this Iceberg-manifest-style skip is what keeps
+    planning metadata-bounded; tests/test_skipping.py pins that
+    exactly one of the three rowsets survives this range."""
+    t = get_table(spark, sf_dir, "orders_ranges")
+    return (
+        t.read_skipped("o_orderkey", 100, 450)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_zorder_scan(spark, sf_dir):
     """2-D box filter over the Z-order-clustered lineitem copy
     (operators/clustering.zorder_write, Morton interleave of
@@ -1820,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_quantiles": q_sketch_rollup_quantiles,
         "sketch_theta_retention": q_sketch_theta_retention,
         "zorder_scan": q_zorder_scan,
+        "rowset_skip_scan": q_rowset_skip_scan,
         "events_ohlc": q_events_ohlc,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
@@ -3338,6 +3360,14 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
                    count(*) AS volume
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rowset_skip_scan": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM orders
+            WHERE o_orderkey BETWEEN 100 AND 450
+            GROUP BY 1 ORDER BY 1
         """,
         "zorder_scan": """
             SELECT l_returnflag, count(*) AS n,

@@ -959,6 +959,35 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_ranges(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Three publishes of disjoint o_orderkey ranges — each rowset's
+    manifest col_stats (harvested from footers at write time) then
+    cover a distinct key band, so a key-range read can skip whole
+    rowsets driver-side (table.read_skipped)."""
+    spec = TableSpec(
+        name="orders_ranges",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    o = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = o.agg(F.max("o_orderkey")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    t.write(o.filter(F.col("o_orderkey") <= cut1))
+    t.write(
+        o.filter((F.col("o_orderkey") > cut1) & (F.col("o_orderkey") <= cut2))
+    )
+    t.write(o.filter(F.col("o_orderkey") > cut2))
+    return t
+
+
 def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build-once (codebooks, codes) parquet paths for the PQ index:
     per-subspace deterministic k-means codebooks plus every corpus
@@ -1079,5 +1108,6 @@ _BUILDERS = {
     "emb_cells": _build_emb_cells,
     "events_sketch": _build_events_sketch,
     "events_qsketch": _build_events_qsketch,
+    "orders_ranges": _build_orders_ranges,
     "orders_evolve": _build_orders_evolve,
 }

