@@ -810,6 +810,25 @@ def q_events_ohlc(spark, sf_dir):
     return ohlc_resample(ev, ["user_id"])
 
 
+def q_snapshot_rollback(spark, sf_dir):
+    """MVCC rollback to a savepoint: orders_rollback published a
+    UNIQUE-model update then rolled back to version 0 — newer rowsets
+    flipped STALE in one metadata save, so the read serves the base
+    snapshot as if the update never happened (fixture
+    _build_orders_rollback; boundary/concurrency semantics pinned in
+    tests/test_manifest_rollback.py)."""
+    t = get_table(spark, sf_dir, "orders_rollback")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_rowset_skip_scan(spark, sf_dir):
     """Manifest-stats data skipping: orders_ranges holds three rowsets
     of disjoint o_orderkey bands (per-key-column min/max harvested
@@ -1842,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_retention": q_sketch_theta_retention,
         "zorder_scan": q_zorder_scan,
         "rowset_skip_scan": q_rowset_skip_scan,
+        "snapshot_rollback": q_snapshot_rollback,
         "events_ohlc": q_events_ohlc,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
@@ -3360,6 +3380,12 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
                    count(*) AS volume
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "snapshot_rollback": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "rowset_skip_scan": """
             SELECT o_orderstatus, count(*) AS n,

@@ -959,6 +959,31 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_rollback(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """MVCC rollback fixture: v0 = base orders, v1 = every-10th-order
+    UPDATE (UNIQUE model), then ``rollback(0)`` — the v1 rowset flips
+    STALE, max_version resets, and reads serve the v0 snapshot as if
+    the update never published.  The declared query reads the
+    rolled-back table; its oracle is the plain base data."""
+    spec = TableSpec(
+        name="orders_rollback",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_custkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    v1, v2 = _versioned_orders(spark, sf_dir)
+    t.write(v1)
+    t.write(v2)
+    t.rollback(0)
+    return t
+
+
 def _build_orders_ranges(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Three publishes of disjoint o_orderkey ranges — each rowset's
     manifest col_stats (harvested from footers at write time) then
@@ -1109,5 +1134,6 @@ _BUILDERS = {
     "events_sketch": _build_events_sketch,
     "events_qsketch": _build_events_qsketch,
     "orders_ranges": _build_orders_ranges,
+    "orders_rollback": _build_orders_rollback,
     "orders_evolve": _build_orders_evolve,
 }

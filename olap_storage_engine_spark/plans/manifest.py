@@ -298,6 +298,43 @@ class Manifest:
                 return
         raise VersionGraphError(f"rowset {rowset_id} not found")
 
+    def rollback(self, to_version: int) -> list[int]:
+        """MVCC rollback to a savepoint: every VISIBLE rowset whose
+        interval lies entirely AFTER ``to_version`` flips to STALE (one
+        manifest save — the data files are untouched and GC'd later),
+        and max_version resets so subsequent publishes continue from
+        the savepoint.  Returns the stale'd rowset ids.
+
+        A rowset SPANNING the boundary (start <= to < end) cannot be
+        half-kept — the cover algebra has no partial rowsets — so the
+        rollback refuses; roll back to the rowset's start-1 or its end
+        instead.  Like every manifest mutation this rides the
+        generation-CAS in save(): a concurrent publish loses cleanly
+        rather than resurrecting rolled-back versions."""
+        spanning = [
+            d["rowset_id"]
+            for d in self.doc["rowsets"]
+            if d["state"] == RowsetState.VISIBLE.value
+            and d["start_version"] <= to_version < d["end_version"]
+        ]
+        if spanning:
+            raise VersionGraphError(
+                f"rowsets {spanning} span version {to_version}; a rowset "
+                "interval cannot be partially rolled back — pick a "
+                "boundary version or compact first"
+            )
+        stale = []
+        for d in self.doc["rowsets"]:
+            if (
+                d["state"] == RowsetState.VISIBLE.value
+                and d["start_version"] > to_version
+            ):
+                d["state"] = RowsetState.STALE.value
+                stale.append(d["rowset_id"])
+        self.doc["max_version"] = to_version
+        self.save()
+        return stale
+
     # -- snapshot reads -------------------------------------------------
     def capture_consistent_versions(
         self, lo: int = 0, hi: int | None = None

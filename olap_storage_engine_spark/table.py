@@ -322,6 +322,13 @@ class OlapTable:
         """Phase 2 of the two-phase publish: PREPARED -> VISIBLE."""
         self.manifest.commit_rowset(rowset_id)
 
+    def rollback(self, to_version: int) -> list[int]:
+        """Roll the table back to the snapshot at ``to_version`` —
+        newer rowsets flip STALE in one manifest save (files untouched
+        until GC), max_version resets.  Pure metadata: O(#rowsets) on
+        the driver regardless of data size."""
+        return self.manifest.rollback(to_version)
+
     # -- schema evolution ------------------------------------------------
     def add_column(self, col) -> None:
         """Additive schema evolution (reference: schema_version /

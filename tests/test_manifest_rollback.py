@@ -1,0 +1,73 @@
+"""MVCC rollback: newer rowsets flip STALE in one metadata save, reads
+serve the savepoint snapshot, boundary/spanning cases refuse.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_storage_engine_spark.plans.manifest import VersionGraphError
+from olap_storage_engine_spark.spec import (
+    BucketSpec,
+    BucketType,
+    ColumnSpec,
+    ColumnType,
+    KeysType,
+    TableSpec,
+)
+from olap_storage_engine_spark.table import OlapTable
+
+
+def _tbl(spark, warehouse, name, model=KeysType.UNIQUE):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=model,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    return OlapTable.create(spark, spec, warehouse)
+
+
+def test_rollback_restores_prior_snapshot(spark, warehouse):
+    t = _tbl(spark, warehouse, "rb1")
+    t.write(spark.createDataFrame([(i, 1.0) for i in range(20)], "k long, v double"))
+    t.write(spark.createDataFrame([(i, 2.0) for i in range(10)], "k long, v double"))
+    assert t.read().filter(F.col("v") == 2.0).count() == 10
+    stale = t.rollback(0)
+    assert len(stale) == 1
+    assert t.manifest.max_version == 0
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {i: 1.0 for i in range(20)}
+
+
+def test_publish_after_rollback_continues_from_savepoint(spark, warehouse):
+    t = _tbl(spark, warehouse, "rb2")
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))  # v0
+    t.write(spark.createDataFrame([(1, 2.0)], "k long, v double"))  # v1
+    t.rollback(0)
+    t.write(spark.createDataFrame([(1, 3.0)], "k long, v double"))  # new v1
+    assert t.manifest.max_version == 1
+    assert t.read().collect()[0]["v"] == 3.0
+    # the rolled-back v=2.0 rowset never resurfaces
+    assert t.read(0, 1).filter(F.col("v") == 2.0).count() == 0
+
+
+def test_rollback_refuses_spanning_rowset(spark, warehouse):
+    t = _tbl(spark, warehouse, "rb3", model=KeysType.DUPLICATE)
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))  # v0
+    t.write(spark.createDataFrame([(2, 1.0)], "k long, v double"))  # v1
+    t.write(spark.createDataFrame([(3, 1.0)], "k long, v double"))  # v2
+    from olap_storage_engine_spark.operators.compaction import compact
+
+    compact(t)  # one collapsed rowset spanning [0, 3]
+    with pytest.raises(VersionGraphError, match="span"):
+        t.rollback(1)
+
+
+def test_rollback_to_current_is_noop(spark, warehouse):
+    t = _tbl(spark, warehouse, "rb4")
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    assert t.rollback(t.manifest.max_version) == []
+    assert t.read().count() == 1
