@@ -810,6 +810,25 @@ def q_events_ohlc(spark, sf_dir):
     return ohlc_resample(ev, ["user_id"])
 
 
+def q_compaction_partition(spark, sf_dir):
+    """Per-partition (per-tablet) compaction: orders_pcompact ingested
+    two versions then compacted ONLY its 1995/1996 partitions into a
+    partition-scoped collapsed rowset — the other partitions' global
+    rowset files stayed byte-identical (pinned in
+    tests/test_partition_scoped_dml.py); read results are invariant,
+    which is what this query checks against the plain-data oracle."""
+    t = get_table(spark, sf_dir, "orders_pcompact")
+    return (
+        t.read()
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_snapshot_rollback(spark, sf_dir):
     """MVCC rollback to a savepoint: orders_rollback published a
     UNIQUE-model update then rolled back to version 0 — newer rowsets
@@ -1862,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": q_zorder_scan,
         "rowset_skip_scan": q_rowset_skip_scan,
         "snapshot_rollback": q_snapshot_rollback,
+        "compaction_partition": q_compaction_partition,
         "events_ohlc": q_events_ohlc,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
@@ -3380,6 +3400,13 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
                    count(*) AS volume
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "compaction_partition": """
+            SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "snapshot_rollback": """
             SELECT o_orderstatus, count(*) AS n,

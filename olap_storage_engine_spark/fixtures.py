@@ -959,6 +959,38 @@ def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_pcompact(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Per-partition compaction fixture: RANGE-partitioned orders
+    ingested as two versions, then ONLY the 1995/1996 partitions
+    compacted (operators/compaction.compact_partitions) — a scoped
+    collapsed rowset serves those labels while the global rowsets keep
+    serving the rest, files untouched."""
+    from .operators.compaction import compact_partitions
+
+    spec = TableSpec(
+        name="orders_pcompact",
+        columns=[
+            ColumnSpec.key("o_orderdate", ColumnType.DATE),
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "o_orderdate", bounds=ORDER_RANGE_BOUNDS
+        ),
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.write(base.filter(F.col("o_orderkey") % 2 == 0))
+    t.write(base.filter(F.col("o_orderkey") % 2 == 1))
+    compact_partitions(t, ["p1995", "p1996"])
+    return t
+
+
 def _build_orders_rollback(spark: SparkSession, sf_dir: str) -> OlapTable:
     """MVCC rollback fixture: v0 = base orders, v1 = every-10th-order
     UPDATE (UNIQUE model), then ``rollback(0)`` — the v1 rowset flips
@@ -1135,5 +1167,6 @@ _BUILDERS = {
     "events_qsketch": _build_events_qsketch,
     "orders_ranges": _build_orders_ranges,
     "orders_rollback": _build_orders_rollback,
+    "orders_pcompact": _build_orders_pcompact,
     "orders_evolve": _build_orders_evolve,
 }

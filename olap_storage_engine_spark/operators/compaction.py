@@ -93,6 +93,58 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
         table.manifest.mark_stale(rs.rowset_id)
 
 
+def compact_partitions(
+    table: OlapTable,
+    labels: list[str],
+    lo: int = 0,
+    hi: int | None = None,
+) -> None:
+    """Per-partition (per-tablet) compaction — the bounded-job form
+    `compact` itself points at for 100 TB: collapse ONLY the named
+    partition labels' rows into one partition-SCOPED collapsed rowset.
+
+    Global rowsets stay VISIBLE untouched (other partitions still read
+    them; their files stay byte-identical), and the per-label chain
+    resolution (Manifest.capture_scoped_plan) automatically prefers
+    the new rowset for these labels — its interval is the widest edge
+    in each label's chain — while masking the labels out of the global
+    rowsets.  Only scoped rowsets wholly inside the scope retire.
+    Job size is O(compacted partitions), not O(table); at scale this
+    runs label-by-label on whatever cadence each partition's ingest
+    churn warrants (the reference's per-tablet compaction,
+    src/tablet.rs:155-165).
+
+    Reference analog: rowsets belong to one tablet (src/meta.rs:90-
+    121), so reference compaction is per-tablet BY CONSTRUCTION; this
+    is that granularity recovered on the global-version manifest."""
+    if table.spec.partition.ptype == PartitionType.UNPARTITIONED:
+        raise ValueError("compact_partitions needs a partitioned table")
+    if hi is None:
+        hi = table.manifest.max_version
+    covered = [
+        rs
+        for rs in table.manifest.visible_rowsets()
+        if rs.partitions
+        and set(rs.partitions) <= set(labels)
+        and lo <= rs.start_version
+        and rs.end_version <= hi
+    ]
+    df = table.scan(lo, hi, with_hidden=True).filter(
+        F.col(PT_COL).isin(list(labels))
+    )
+    drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
+    merged = collapse(df.drop(*drop), table.spec)
+    table.write(
+        merged,
+        start_version=lo,
+        end_version=hi,
+        collapsed=True,
+        partitions=list(labels),
+    )
+    for rs in covered:
+        table.manifest.mark_stale(rs.rowset_id)
+
+
 def compact_cumulative(table: OlapTable) -> None:
     """Cumulative compaction (reference: src/common.rs:63 Cumulative +
     src/meta.rs:139 cumulative_layer_point, write-only there): merge

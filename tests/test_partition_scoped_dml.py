@@ -249,3 +249,71 @@ def test_unpartitioned_merge_still_full_rewrite(spark, warehouse):
     )
     assert rs.partitions is None
     assert _rows(t.read()) == [(1, 1.0), (2, 22.0), (3, 3.0)]
+
+
+def test_compact_partitions_preserves_results_and_other_files(spark, warehouse):
+    """Per-partition compaction: results invariant, OTHER partitions'
+    files byte-identical, the compacted label served by the new scoped
+    collapsed rowset while global rowsets exclude it."""
+    from olap_storage_engine_spark.operators.compaction import (
+        compact_partitions,
+    )
+
+    t = _table(spark, warehouse, "cpt1")
+    # two more versions touching every partition
+    for v in (1, 2):
+        t.write(
+            spark.createDataFrame(
+                [
+                    (1, "2024-01-10", 10.0 + v),
+                    (3, "2024-02-10", 30.0 + v),
+                    (5, "2024-03-10", 50.0 + v),
+                ],
+                "k long, d string, amount double",
+            )
+        )
+    before = _rows(t.read())
+
+    def label_files(inv, label):
+        return {k: v for k, v in inv.items() if f"__pt={label}" in k}
+
+    inv0 = _inventory(t.root)
+    compact_partitions(t, ["p1"])
+    assert _rows(t.read()) == before
+    inv1 = _inventory(t.root)
+    for l in ("p2", "p3"):
+        assert label_files(inv1, l) == label_files(inv0, l), l
+    new = [
+        rs
+        for rs in t.manifest.visible_rowsets()
+        if rs.collapsed and rs.partitions == ["p1"]
+    ]
+    assert len(new) == 1
+    plan = t.manifest.capture_scoped_plan(0, None)
+    assert any(rs.rowset_id == new[0].rowset_id for rs, _, _ in plan)
+    for rs, mode, labels in plan:
+        if rs.partitions is None:
+            assert mode == "exclude" and "p1" in labels, (mode, labels)
+
+
+def test_compact_partitions_twice_retires_prior_scoped(spark, warehouse):
+    from olap_storage_engine_spark.operators.compaction import (
+        compact_partitions,
+    )
+
+    t = _table(spark, warehouse, "cpt2")
+    compact_partitions(t, ["p1"])
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-01-10", 99.0)], "k long, d string, amount double"
+        )
+    )
+    compact_partitions(t, ["p1"])
+    scoped = [
+        rs
+        for rs in t.manifest.visible_rowsets()
+        if rs.partitions == ["p1"]
+    ]
+    assert len(scoped) == 1 and scoped[0].collapsed
+    got = {r["k"]: r["amount"] for r in t.read().collect()}
+    assert got[1] == 99.0 and got[3] == 30.0 and got[5] == 50.0
