@@ -167,3 +167,48 @@ def test_stream_replay_dedup_idempotent(spark):
     # the first batch's windows would double-count
     n_events_total = sum(v[0] for v in g.values())
     assert n_events_total == ev.count()
+
+
+def test_user_totals_transform_with_state(spark):
+    """The Spark-4 transformWithStateInPandas path: runs end-to-end
+    where its protobuf runner dependency exists; in this container it
+    must fail with the documented clear error, not a worker crash."""
+    import pytest
+
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_user_totals,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            run_fixture_stream_user_totals(spark, "/root/testdata/sf0.001")
+        return
+
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_fixture_stream_user_totals(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
