@@ -145,6 +145,51 @@ def compact_partitions(
         table.manifest.mark_stale(rs.rowset_id)
 
 
+def partition_compaction_scores(table: OlapTable) -> dict[str, int]:
+    """Per-label merge-on-read cost, from manifest metadata alone: for
+    each partition label, the number of rowsets in its RESOLVED read
+    plan (global rowsets that still serve it + its scoped rowsets).
+    This is the per-tablet analog of compute_compaction_score — a
+    freshly-compacted label scores 1 regardless of how many global
+    rowsets other labels still read."""
+    plan = table.manifest.capture_scoped_plan(0, None)
+    labels = sorted(
+        {l for rs, _, _ in plan for l in (rs.partitions or [])}
+        | {name for name, _ in getattr(table.spec.partition, "bounds", []) or []}
+        | set((table.spec.partition.mapping or {}).values()
+              if getattr(table.spec.partition, "mapping", None) else [])
+    )
+    scores = {}
+    for l in labels:
+        scores[l] = sum(
+            1
+            for rs, mode, ls in plan
+            if mode is None
+            or (mode == "include" and l in ls)
+            or (mode == "exclude" and l not in ls)
+        )
+    return scores
+
+
+def schedule_partition_compactions(
+    table: OlapTable, top_k: int = DEFAULT_CANDIDATES, min_score: int = 2
+) -> list[CompactionTask]:
+    """Rank partition labels by per-label chain length and return the
+    top-K worth compacting — the driver-side planner that lets a
+    100 TB table compact label-by-label on each partition's own ingest
+    cadence instead of one O(table) job (pair with
+    compact_partitions)."""
+    scored = sorted(
+        (
+            CompactionTask(label, score)
+            for label, score in partition_compaction_scores(table).items()
+            if score >= min_score
+        ),
+        key=lambda c: (-c.score, c.table_name),
+    )
+    return scored[:top_k]
+
+
 def compact_cumulative(table: OlapTable) -> None:
     """Cumulative compaction (reference: src/common.rs:63 Cumulative +
     src/meta.rs:139 cumulative_layer_point, write-only there): merge

@@ -317,3 +317,35 @@ def test_compact_partitions_twice_retires_prior_scoped(spark, warehouse):
     assert len(scoped) == 1 and scoped[0].collapsed
     got = {r["k"]: r["amount"] for r in t.read().collect()}
     assert got[1] == 99.0 and got[3] == 30.0 and got[5] == 50.0
+
+
+def test_partition_compaction_scores_and_schedule(spark, warehouse):
+    """Per-label chain length: fresh global writes score every label
+    equally; a per-partition compaction drops ONLY that label to 1;
+    the scheduler ranks the remaining long chains first."""
+    from olap_storage_engine_spark.operators.compaction import (
+        compact_partitions,
+        partition_compaction_scores,
+        schedule_partition_compactions,
+    )
+
+    t = _table(spark, warehouse, "pcs1")
+    for v in (1, 2):
+        t.write(
+            spark.createDataFrame(
+                [
+                    (1, "2024-01-10", 10.0 + v),
+                    (3, "2024-02-10", 30.0 + v),
+                    (5, "2024-03-10", 50.0 + v),
+                ],
+                "k long, d string, amount double",
+            )
+        )
+    s0 = partition_compaction_scores(t)
+    assert s0["p1"] == s0["p2"] == s0["p3"] == 3
+    compact_partitions(t, ["p1"])
+    s1 = partition_compaction_scores(t)
+    assert s1["p1"] == 1 and s1["p2"] == 3 and s1["p3"] == 3
+    tasks = schedule_partition_compactions(t)
+    assert [c.table_name for c in tasks] == ["p2", "p3"]
+    assert all(c.score == 3 for c in tasks)
