@@ -799,6 +799,66 @@ def q_sketch_rollup_distinct(spark, sf_dir):
     return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
 
 
+def q_events_funnel(spark, sf_dir):
+    """Sequential-pattern funnel (view -> click -> purchase, each step
+    strictly after the previous): per-user first-step timestamps via
+    three co-keyed conditional aggregates chained by broadcast-small
+    joins — the product-analytics MATCH_RECOGNIZE-lite shape with no
+    self-join fan-out; every exchange is on user_id, so at 100 TB the
+    whole funnel is one shuffle family."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(pch, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+def q_events_cohort(spark, sf_dir):
+    """Weekly cohort retention grid: users bucketed by first-activity
+    week, counted per (cohort week, weeks-since-cohort) — the classic
+    retention triangle.  One min-aggregate for cohorts, one distinct
+    over (user, week), one co-keyed join; all exchanges on user_id or
+    the tiny grid key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_wk",
+            ((F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int")).alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
 def q_events_ohlc(spark, sf_dir):
     """Per-user daily OHLC bars from the event stream — time-series
     downsampling as ONE map-side-combined aggregate (open/close via
@@ -1883,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_rollback": q_snapshot_rollback,
         "compaction_partition": q_compaction_partition,
         "events_ohlc": q_events_ohlc,
+        "events_funnel": q_events_funnel,
+        "events_cohort": q_events_cohort,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3382,6 +3444,39 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "events_cohort": """
+            WITH ev AS (
+              SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            cohort AS (
+              SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+            active AS (SELECT DISTINCT user_id, wk FROM ev)
+            SELECT cohort_wk,
+                   CAST((wk - cohort_wk) / 7 AS INT) AS week_offset,
+                   count(*) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY 1),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY 1)
+            SELECT v.user_id, t_view, t_click, t_purchase
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+            ORDER BY v.user_id
+        """,
         "events_ohlc": """
             WITH t AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket,
