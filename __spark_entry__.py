@@ -834,6 +834,57 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_table_partitions(spark, sf_dir):
+    """Partition metadata table: per-label row/file/byte counts read
+    from parquet FOOTERS over the visible cover — never a data scan
+    (OlapTable.partition_stats).  The oracle RECOUNTS the raw data per
+    derived year label, so footer accounting must be exact."""
+    t = get_table(spark, sf_dir, "orders_dup")
+    return t.partition_stats().select("label", "num_rows")
+
+
+def q_events_twap(spark, sf_dir):
+    """Time-weighted average value per user (each reading held until
+    the next event — the right mean for irregularly-sampled series):
+    one lead() window for the hold duration, then an exact
+    decimal-weighted sum so the result is independent of float
+    summation order (hash-matches the oracle bit for bit).  One
+    shuffle on user_id; the window and the aggregate share it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("decimal(18,0)")
+    seg = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * dt).alias("vdt"),
+        dt.alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("vdt").cast("double") / F.sum("dt").cast("double"), 4
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_histogram(spark, sf_dir):
+    """Equal-width value histogram (25-unit bins, clamped top bin) —
+    binning as pure arithmetic, one map-side-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(23)).cast("int")
+    return (
+        ev.select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
 def q_events_cohort(spark, sf_dir):
     """Weekly cohort retention grid: users bucketed by first-activity
     week, counted per (cohort week, weeks-since-cohort) — the classic
@@ -1945,6 +1996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "events_funnel": q_events_funnel,
         "events_cohort": q_events_cohort,
+        "events_twap": q_events_twap,
+        "events_histogram": q_events_histogram,
+        "table_partitions": q_table_partitions,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3444,6 +3498,38 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "table_partitions": """
+            SELECT CASE
+                     WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 'p1995'
+                     WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00' THEN 'p1996'
+                     WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 'p1997'
+                     WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00' THEN 'p1998'
+                     WHEN o_orderdate < TIMESTAMP '2000-01-01 00:00:00' THEN 'p1999'
+                     WHEN o_orderdate < TIMESTAMP '2001-01-01 00:00:00' THEN 'p2000'
+                     ELSE 'pmax' END AS label,
+                   count(*) AS num_rows
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_twap": """
+            WITH seg AS (
+              SELECT user_id,
+                     CAST(value AS DECIMAL(18,4)) AS v,
+                     CAST(epoch_us(lead(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts) AS DECIMAL(18,0)) AS dt
+              FROM events WHERE user_id < 40)
+            SELECT user_id,
+                   round(CAST(sum(v * dt) AS DOUBLE)
+                         / CAST(sum(dt) AS DOUBLE), 4) AS twap,
+                   count(*) AS n_segments
+            FROM seg WHERE dt IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_histogram": """
+            SELECT CAST(least(floor(value / 25.0), 23) AS INT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "events_cohort": """
             WITH ev AS (
               SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -679,6 +679,47 @@ class OlapTable:
             "schema_version": self.spec.schema_version,
         }
 
+    def partition_stats(self) -> DataFrame:
+        """Per-partition-label statistics from parquet FOOTERS only
+        (label, num_rows, num_files, data_size) — the partitions
+        metadata table (reference D6 granularity applied per tablet).
+        Driver-side directory walk over the VISIBLE cover; no data
+        pages read, so cost is O(files) footer reads regardless of
+        row count."""
+        import pyarrow.parquet as pq
+
+        plan = self.manifest.capture_scoped_plan(0, None)
+        agg: dict[str, list[int]] = {}
+        for rs, mode, labels in plan:
+            root = os.path.join(self.root, rs.path)
+            for dp, _, fns in os.walk(root):
+                seg = [
+                    p.split("=", 1)[1]
+                    for p in dp.split(os.sep)
+                    if p.startswith(f"{PT_COL}=")
+                ]
+                if not seg:
+                    continue
+                label = seg[0]
+                if mode == "include" and label not in (labels or []):
+                    continue
+                if mode == "exclude" and label in (labels or []):
+                    continue
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(dp, fn)
+                    a = agg.setdefault(label, [0, 0, 0])
+                    a[0] += pq.ParquetFile(fp).metadata.num_rows
+                    a[1] += 1
+                    a[2] += os.path.getsize(fp)
+        rows = [
+            (label, a[0], a[1], a[2]) for label, a in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "label string, num_rows long, num_files int, data_size long"
+        )
+
     def column_min(self, col: str, lo: int = 0, hi: int | None = None):
         """Exact global minimum of a column from Parquet FOOTER
         statistics only — a driver-side metadata read, no data scan.
