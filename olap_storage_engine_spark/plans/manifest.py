@@ -250,17 +250,33 @@ class Manifest:
         self.doc["next_rowset_id"] = rid + 1
         return rid
 
-    def publish(self, rs: RowsetMeta) -> None:
+    def publish(self, rs: RowsetMeta, txn: tuple[str, int] | None = None) -> None:
         """Commit a rowset (reference: src/storage.rs:79-87 +
         src/tablet.rs:116-128): reject duplicate ids, mark VISIBLE,
-        extend the graph, bump max_version."""
+        extend the graph, bump max_version.
+
+        ``txn=(source_id, epoch)``: record the streaming sink's batch
+        id IN THE SAME manifest save as the publish — the atomic pair
+        that makes ``stream_ingest(exactly_once=True)`` idempotent
+        under foreachBatch replay (a crash between "publish" and
+        "remember the batch" cannot exist, because they are one
+        write)."""
         if any(d["rowset_id"] == rs.rowset_id for d in self.doc["rowsets"]):
             raise VersionGraphError(f"duplicate rowset id {rs.rowset_id}")
         rs.state = RowsetState.VISIBLE
         rs.created_at = rs.created_at or time.time()
         self.doc["rowsets"].append(rs.to_dict())
         self.doc["max_version"] = max(self.max_version, rs.end_version)
+        if txn is not None:
+            source_id, epoch = txn
+            self.doc.setdefault("stream_txn", {})[source_id] = epoch
         self.save()
+
+    def committed_epoch(self, source_id: str) -> int | None:
+        """Last batch epoch atomically committed for a streaming
+        source, or None."""
+        v = self.doc.get("stream_txn", {}).get(source_id)
+        return int(v) if v is not None else None
 
     def prepare(self, rs: RowsetMeta) -> None:
         """Two-phase publish, phase 1: record the rowset with data on

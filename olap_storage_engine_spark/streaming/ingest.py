@@ -4,11 +4,13 @@ version-stamped), so streaming writes get the same MVCC snapshot
 semantics as batch loads and are immediately visible to the collapse
 view.
 
-Delivery semantics: at-least-once.  ``foreachBatch`` re-runs a batch
-after a crash; a replayed batch publishes a new rowset (rowset ids are
-not derived from batch ids).  For exactly-once, key the table UNIQUE on
-a natural key — replayed rows collapse away at read time, which is the
-idiomatic lakehouse answer rather than a two-phase sink.
+Delivery semantics: at-least-once by default; EXACTLY-ONCE with
+``exactly_once=True`` — the sink records each batch's epoch id in the
+SAME manifest save as the rowset publish (Manifest.publish(txn=...)),
+so a foreachBatch replay after a crash finds the epoch already
+committed and skips: the classic idempotent-sink txn-log pattern, with
+the atomicity coming from the manifest's single CAS'd write.  (The
+UNIQUE-key collapse remains a second, independent line of defense.)
 
 Scale notes: the per-batch write inherits the table's partition/bucket
 routing (one shuffle per batch); rowset count grows with trigger rate —
@@ -31,6 +33,8 @@ def stream_ingest(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    exactly_once: bool = False,
+    source_id: str = "stream_ingest",
 ):
     """Start a streaming query that publishes each micro-batch as a
     rowset of ``table``.  Returns the StreamingQuery handle."""
@@ -39,6 +43,12 @@ def stream_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if exactly_once:
+            committed = table.manifest.committed_epoch(source_id)
+            if committed is not None and batch_id <= committed:
+                return  # replayed batch: already atomically published
+            table.write(batch_df, txn=(source_id, batch_id))
             return
         table.write(batch_df)
 

@@ -63,6 +63,8 @@ def _stat_key(v):
     """Normalize a predicate bound the same way write() normalized the
     stored stats, so comparisons are like-for-like."""
     return _json_stat(v)
+
+
 SPEC_FILE = "_spec.json"
 
 
@@ -151,6 +153,7 @@ class OlapTable:
         collapsed: bool = False,
         strict_routing: bool = True,
         partitions: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> RowsetMeta:
         """Route, sort, write one rowset, publish it.
 
@@ -313,7 +316,7 @@ class OlapTable:
             col_stats=col_stats or None,
         )
         if publish:
-            self.manifest.publish(rs)
+            self.manifest.publish(rs, txn=txn)
         else:
             self.manifest.prepare(rs)
         return rs

@@ -88,3 +88,92 @@ def test_random_bucketing_writes_and_reads(spark, warehouse):
     buckets = {r["__bk"] for r in back.select("__bk").distinct().collect()}
     assert buckets <= {0, 1, 2, 3} and len(buckets) >= 1
     assert t.read().count() == 100
+
+
+def test_exactly_once_replayed_batch_skips(spark, warehouse):
+    """The txn-epoch contract: a foreachBatch replay with an
+    already-committed batch id publishes NOTHING (the epoch was
+    recorded in the same manifest save as the rowset)."""
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+
+    spec = TableSpec(
+        name="eo1",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+
+    # simulate the sink's write_batch body directly
+    def write_batch(batch_df, batch_id, source_id="src"):
+        committed = t.manifest.committed_epoch(source_id)
+        if committed is not None and batch_id <= committed:
+            return
+        t.write(batch_df, txn=(source_id, batch_id))
+
+    write_batch(df, 0)
+    write_batch(df, 0)  # crash-replay of the same epoch
+    write_batch(df, 1)
+    write_batch(df, 0)  # late duplicate of an old epoch
+    assert len(t.manifest.visible_rowsets()) == 2
+    assert t.manifest.committed_epoch("src") == 1
+    assert t.read().count() == 4
+    # a different source's epochs are independent
+    assert t.manifest.committed_epoch("other") is None
+
+
+def test_exactly_once_end_to_end_stream(spark, warehouse, tmp_path):
+    """Full streaming path with exactly_once=True: two files, one
+    batch each — two rowsets, epochs recorded."""
+    import os
+
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.streaming.ingest import stream_ingest
+    from olap_storage_engine_spark.table import OlapTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, 1.0)], "k long, v double").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame([(2, 2.0)], "k long, v double").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "f2"))
+    spec = TableSpec(
+        name="eo2",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream_ingest(t, stream, exactly_once=True, source_id="e2e")
+    assert q.awaitTermination(120)
+    assert t.read().count() == 2
+    assert t.manifest.committed_epoch("e2e") is not None
