@@ -834,6 +834,55 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """End-to-end multimodal curation: encode a REAL image per doc,
+    decode it for real (BMP parse), filter on a DECODED pixel
+    statistic, then join the surviving docs to their embedding
+    vectors — the select-by-image-property -> fetch-vector pipeline a
+    multimodal training-data build runs.  The oracle recomputes the
+    decoded stats in closed form, so a decoder shortcut would change
+    the selected set and hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_bmp_features(mm.attach_image_payload(docs))
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = feats.filter(F.col("mean_b") < 128)
+    return (
+        kept.join(emb, kept["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.round("mean_b", 4).alias("mean_b"),
+            F.size("embedding").alias("emb_dim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_sql_engine_views(spark, sf_dir):
+    """SQL front-end over ENGINE tables: the UNIQUE-model collapse
+    view and a raw dimension registered as temp views, queried with
+    plain spark.sql — a user points SQL at the engine's snapshot
+    semantics (latest version wins) without knowing the storage layer
+    exists.  Catalyst sees the collapse window + join as one plan, so
+    pushdown/broadcast work exactly as on native tables."""
+    t = get_table(spark, sf_dir, "orders_unique")
+    t.read().createOrReplaceTempView("eng_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("eng_cust")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS sum_price,
+               sum(CASE WHEN o_orderstatus = 'UPDATED' THEN 1 ELSE 0 END)
+                 AS n_updated
+        FROM eng_orders JOIN eng_cust ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
 def q_table_partitions(spark, sf_dir):
     """Partition metadata table: per-label row/file/byte counts read
     from parquet FOOTERS over the visible cover — never a data scan
@@ -1999,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": q_events_twap,
         "events_histogram": q_events_histogram,
         "table_partitions": q_table_partitions,
+        "sql_engine_views": q_sql_engine_views,
+        "multimodal_pipeline": q_multimodal_pipeline,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
         "join_star_revenue": q_join_star_revenue,
@@ -3498,6 +3549,37 @@ def oracle_sql() -> dict[str, str]:
         # sketch_theta_retention DOES get an oracle: Theta is exact at
         # fixture cardinalities, so the sketch-intersection estimate
         # must equal the raw distinct self-join.
+        "multimodal_pipeline": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 25 AS INT) AS width,
+                   CAST(4 + doc_id % 13 AS INT) AS height,
+                   round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b,
+                   CAST(len(embedding) AS INT) AS emb_dim
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            WHERE doc_id % 256 < 128
+            ORDER BY doc_id
+        """,
+        "sql_engine_views": """
+            WITH u AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, 'UPDATED', o_totalprice * 2, 1
+              FROM orders WHERE o_orderkey % 10 = 0
+            ),
+            latest AS (
+              SELECT o_custkey, o_orderstatus, o_totalprice
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                 ORDER BY v DESC) AS rn FROM u)
+              WHERE rn = 1)
+            SELECT c_mktsegment, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price,
+                   sum(CASE WHEN o_orderstatus = 'UPDATED' THEN 1 ELSE 0 END)
+                     AS n_updated
+            FROM latest JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "table_partitions": """
             SELECT CASE
                      WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 'p1995'
