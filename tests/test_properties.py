@@ -84,3 +84,65 @@ def test_partitions_for_range_covers_routing(keys):
             continue
         labels = policy.partitions_for_range(str(k), str(k + 1))
         assert name in labels
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(0, 100),
+    st.integers(0, 100),
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_match_never_skips_a_containing_rowset(ranges, lo, hi):
+    """Data-skipping soundness: for ANY stored [min, max] and ANY query
+    range, a rowset whose stats contain a value inside the query range
+    must match (skipping is only ever allowed when intersection is
+    impossible); and missing stats always match."""
+    from olap_storage_engine_spark.table import OlapTable
+
+    lo, hi = min(lo, hi), max(lo, hi)
+    for a, b in ranges:
+        mn, mx = min(a, b), max(a, b)
+        rs = RowsetMeta(1, 0, 0, "p", col_stats={"k": [mn, mx]})
+        match = OlapTable._stats_match(rs, "k", lo, hi)
+        intersects = not (lo > mx or hi < mn)
+        assert match == intersects
+        # any value both in stats and in range implies a match
+        for v in (mn, mx, (mn + mx) // 2):
+            if lo <= v <= hi:
+                assert match
+    assert OlapTable._stats_match(RowsetMeta(1, 0, 0, "p"), "k", lo, hi)
+    assert OlapTable._stats_match(
+        RowsetMeta(1, 0, 0, "p", col_stats={"other": [0, 1]}), "k", lo, hi
+    )
+
+
+@given(
+    st.integers(1, 10),
+    st.integers(0, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_rollback_visible_set_and_respawn(n_versions, cut):
+    """Manifest rollback algebra on single-version publish chains:
+    rowsets after the cut flip STALE, max_version = cut (clamped), and
+    the remaining chain still covers [0, cut]."""
+    import tempfile
+
+    from olap_storage_engine_spark.plans.manifest import Manifest
+
+    root = tempfile.mkdtemp(prefix="mrb_")
+    m = Manifest(root)
+    m.save()
+    for v in range(n_versions):
+        m.publish(RowsetMeta(v + 1, v, v, f"__rsv={v}_{v}"))
+    cut = min(cut, n_versions - 1)
+    stale = m.rollback(cut)
+    assert m.max_version == cut
+    vis = {r.start_version for r in m.visible_rowsets()}
+    assert vis == set(range(cut + 1))
+    assert len(stale) == n_versions - 1 - cut
+    cover = m.capture_consistent_versions(0, cut)
+    assert [r.start_version for r in cover] == list(range(cut + 1))
