@@ -327,6 +327,11 @@ class Manifest:
         instead.  Like every manifest mutation this rides the
         generation-CAS in save(): a concurrent publish loses cleanly
         rather than resurrecting rolled-back versions."""
+        if to_version >= self.max_version:
+            # nothing is newer than the savepoint — a no-op, and
+            # max_version must NOT move forward (a later write would
+            # otherwise leave a genuine version hole behind it)
+            return []
         spanning = [
             d["rowset_id"]
             for d in self.doc["rowsets"]

@@ -71,3 +71,15 @@ def test_rollback_to_current_is_noop(spark, warehouse):
     t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
     assert t.rollback(t.manifest.max_version) == []
     assert t.read().count() == 1
+
+
+def test_rollback_beyond_max_is_noop_and_never_moves_max_forward(spark, warehouse):
+    """rollback(to >= max_version) must not move max_version FORWARD —
+    otherwise the next publish would land past a genuine version hole
+    (found by the randomized MVCC model test)."""
+    t = _tbl(spark, warehouse, "rb5")
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))  # v0
+    assert t.rollback(5) == []
+    assert t.manifest.max_version == 0
+    t.write(spark.createDataFrame([(2, 2.0)], "k long, v double"))  # v1
+    assert t.read().count() == 2
