@@ -469,6 +469,46 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     return sim.rank_cell_candidates(cells, probe_cells, k=10)
 
 
+def q_similarity_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ — the two ANN compressions composed, the deployed
+    big-corpus layout (FAISS IVFPQ shape): the driver-side router
+    resolves each probe's n_probe cells against the 16-row centroid
+    index, the LIST-partitioned emb_cells_pq table reads ONLY those
+    cells' directories AND moves m-byte PQ codes instead of vectors
+    (~64x less I/O per scanned row), ADC ranks candidates against a
+    broadcast probe-LUT, and only the candidates fetch true vectors
+    for the exact rescore.  Whole path re-derived in SQL (coarse
+    k-means + per-subspace k-means + code assignment + routed ADC),
+    hash-matched."""
+    from olap_storage_engine_spark.fixtures import (
+        ivf_centroids_rows,
+        pq_index_paths,
+    )
+
+    cells_t = get_table(spark, sf_dir, "emb_cells_pq")
+    cb_path, _ = pq_index_paths(spark, sf_dir)
+    cent_rows = ivf_centroids_rows(spark, sf_dir)
+    probe_rows = [
+        (r["vec_id"], r["embedding"]) for r in _probes(spark, sf_dir).collect()
+    ]
+    pc = sim.ivf_probe_cells_local(probe_rows, cent_rows, n_probe=4)
+    cell_ids = sorted({cid for _, _, cid in pc})
+    probe_cells = spark.createDataFrame(
+        pc, "probe_id long, probe_vec array<float>, cent_id long"
+    )
+    cells = cells_t.read_pruned(in_values=cell_ids).select(
+        "cent_id", "vec_id", "codes"
+    )
+    return sim.ivfpq_topk(
+        cells,
+        probe_cells,
+        spark.read.parquet(cb_path),
+        load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_candidates=50,
+    )
+
+
 def q_text_vocab(spark, sf_dir):
     """Top-20 vocabulary terms by document frequency."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2008,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_cells": q_similarity_ann_ivf_cells,
         "similarity_ann_pq": q_similarity_ann_pq,
+        "similarity_ann_ivfpq": q_similarity_ann_ivfpq,
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_bm25": q_text_bm25,
@@ -2601,6 +2642,120 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _similarity_ann_ivfpq_oracle(
+    k=10, n_candidates=50, m=4, n_codes=16, dim=64, n_probes=5,
+    n_centroids=16, n_probe=4, sample_mod=4, iters=2,
+) -> str:
+    """IVF-PQ end to end in SQL: the coarse k-means + cell assignment
+    of the IVF oracle COMPOSED with the per-subspace codebooks + ADC
+    of the PQ oracle — candidates restricted to each probe's top
+    n_probe cells, scored from codes, exact-rescored."""
+    sub_dim = dim // m
+    books, code_ctes, lut_ctes, part_selects = [], [], [], []
+    for ss in range(m):
+        lo, hi = ss * sub_dim + 1, (ss + 1) * sub_dim
+        books.append(
+            _kmeans_ctes(
+                n_codes, sample_mod, iters, dim=sub_dim,
+                prefix=f"s{ss}_", vec_expr=f"embedding[{lo}:{hi}]",
+            )
+        )
+        cos_ec = _cos_sql(f"e.embedding[{lo}:{hi}]", "c.cent_vec", sub_dim)
+        code_ctes.append(
+            f"""s{ss}_codes AS (
+  SELECT vec_id, cent_id AS code_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN s{ss}_cents c) WHERE rn = 1
+)"""
+        )
+        pdot = _dot_sql(f"p.probe_vec[{lo}:{hi}]", "c.cent_vec", sub_dim)
+        lut_ctes.append(
+            f"""s{ss}_lut AS (
+  SELECT p.probe_id, c.cent_id AS code_id, {pdot} AS pdot
+  FROM probes p CROSS JOIN s{ss}_cents c
+)"""
+        )
+        part_selects.append(
+            f"SELECT {ss} AS sub_id, ca.probe_id, ca.vec_id, l.pdot "
+            f"FROM cand ca "
+            f"JOIN s{ss}_codes cs ON cs.vec_id = ca.vec_id "
+            f"JOIN s{ss}_lut l ON l.code_id = cs.code_id "
+            f"AND l.probe_id = ca.probe_id"
+        )
+    cos_ec = (
+        f"({_dot_sql('e.embedding', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
+    cos_pc = (
+        f"({_dot_sql('p.probe_vec', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
+    parts_union = "\nUNION ALL\n".join(part_selects)
+    return f"""
+WITH {_kmeans_ctes(n_centroids, sample_mod, iters)},
+{','.join(books)},
+cell AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS cr
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE cr = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+),
+pcell AS (
+  SELECT probe_id, cent_id FROM (
+    SELECT p.probe_id, c.cent_id,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {cos_pc} DESC, c.cent_id) AS cr
+    FROM probes p CROSS JOIN cents c)
+  WHERE cr <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT pcell.probe_id, cell.vec_id
+  FROM cell JOIN pcell USING (cent_id)
+  WHERE cell.vec_id <> pcell.probe_id
+),
+{','.join(code_ctes)},
+{','.join(lut_ctes)},
+parts AS (
+{parts_union}
+),
+adc AS (
+  SELECT probe_id, vec_id,
+         list_sum(list(pdot ORDER BY sub_id)) AS adc
+  FROM parts GROUP BY 1, 2
+),
+topc AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY round(adc, 6) DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {n_candidates}
+),
+sc AS (
+  SELECT topc.probe_id, topc.vec_id,
+         {_cos_sql('e.embedding', 'pe.embedding')} AS cos
+  FROM topc
+  JOIN embeddings e ON e.vec_id = topc.vec_id
+  JOIN embeddings pe ON pe.vec_id = topc.probe_id
+),
+r AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sc
+)
+SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _similarity_ann_lsh_oracle(k=5, num_planes=8, num_tables=4, n_probes=5) -> str:
     total = num_planes * num_tables
     band_union = "\nUNION ALL\n".join(
@@ -2897,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
         "similarity_ann_pq": _similarity_ann_pq_oracle(),
+        "similarity_ann_ivfpq": _similarity_ann_ivfpq_oracle(),
         # the cell-table variant serves the SAME logical result from a
         # different physical layout (persisted partition-pruned cells)
         "similarity_ann_ivf_cells": _similarity_ann_ivf_oracle(),

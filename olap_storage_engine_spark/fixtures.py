@@ -933,6 +933,39 @@ def _build_emb_cells(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_emb_cells_pq(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """IVF-PQ cell table: the emb_cells layout with the vectors
+    REPLACED by their m-byte PQ codes — LIST-partitioned by cent_id so
+    serving reads only the probed cells, and those reads move codes
+    (~64x smaller) instead of float arrays.  The exact-rescore step
+    fetches true vectors for the candidate set only."""
+    from .operators.similarity import ivf_cell_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir)
+    cent_ids = sorted(r["cent_id"] for r in cents.select("cent_id").collect())
+    _, codes_path = pq_index_paths(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    spec = TableSpec(
+        name="emb_cells_pq",
+        columns=[
+            ColumnSpec.key("cent_id", ColumnType.INT64),
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("codes", ColumnType.ARRAY_INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.LIST,
+            "cent_id",
+            mapping={str(c): f"c{c}" for c in cent_ids},
+        ),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    assigned = ivf_cell_assign(emb, cents).select("cent_id", "vec_id")
+    t.write(assigned.join(codes, "vec_id").select("cent_id", "vec_id", "codes"))
+    return t
+
+
 def _build_events_sketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Persisted mergeable-sketch rollup: per-day HLL sketches of
     distinct users, written as TWO publishes of partial sketches
@@ -1163,6 +1196,7 @@ _BUILDERS = {
     "doc_postings_fresh": _build_doc_postings_fresh,
     "embeddings_ver": _build_embeddings_ver,
     "emb_cells": _build_emb_cells,
+    "emb_cells_pq": _build_emb_cells_pq,
     "events_sketch": _build_events_sketch,
     "events_qsketch": _build_events_qsketch,
     "orders_ranges": _build_orders_ranges,

@@ -612,6 +612,76 @@ def pq_encode(
     )
 
 
+def _pq_lut(probes: DataFrame, codebooks: DataFrame, sub_dim: int) -> DataFrame:
+    """Probe x codeword partial-dot lookup table — #probes * m *
+    n_codes rows, broadcast-sized by construction."""
+    return probes.crossJoin(F.broadcast(codebooks)).select(
+        "probe_id",
+        "sub_id",
+        "code_id",
+        dot(
+            F.expr(f"slice(probe_vec, sub_id * {sub_dim} + 1, {sub_dim})"),
+            F.col("code_vec"),
+        ).alias("pdot"),
+    )
+
+
+def _adc_rescore(
+    entries: DataFrame,
+    lut: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_candidates: int,
+    id_col: str,
+    vec_col: str,
+    join_keys: list[str],
+) -> DataFrame:
+    """Shared ADC tail: fold partial dots in sub_id order (order-
+    deterministic sum — candidate selection can't flip on float
+    summation order), cut candidates on the ROUNDED score, exact-
+    rescore only those against the true vectors."""
+    adc = (
+        entries.join(F.broadcast(lut), join_keys)
+        .groupBy("probe_id", id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "pdot"))),
+                    lambda s: s["pdot"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("adc"), 6).desc(), F.col(id_col)
+    )
+    cand = adc.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= n_candidates
+    )
+    exact = (
+        cand.join(corpus, id_col)
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def pq_topk(
     probes: DataFrame,
     codes: DataFrame,
@@ -639,64 +709,70 @@ def pq_topk(
        not a corpus scan) and re-rank by exact cosine.
     """
     sub_dim = dim // m
-    lut = (
-        probes.crossJoin(F.broadcast(codebooks))
-        .select(
-            "probe_id",
-            "sub_id",
-            "code_id",
-            dot(
-                F.expr(
-                    f"slice(probe_vec, sub_id * {sub_dim} + 1, {sub_dim})"
-                ),
-                F.col("code_vec"),
-            ).alias("pdot"),
-        )
-    )
-    entries = codes.select(
-        id_col, F.posexplode("codes").alias("sub_id", "code_id")
-    )
-    adc = (
-        entries.join(F.broadcast(lut), ["sub_id", "code_id"])
+    lut = _pq_lut(probes.select("probe_id", "probe_vec"), codebooks, sub_dim)
+    # every probe scores every code row: cross the probe ids in, then
+    # drop self-matches before the aggregate
+    entries = (
+        codes.select(id_col, F.posexplode("codes").alias("sub_id", "code_id"))
+        .crossJoin(F.broadcast(probes.select("probe_id")))
         .filter(F.col(id_col) != F.col("probe_id"))
-        .groupBy("probe_id", id_col)
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sub_id", "pdot"))
-                    ),
-                    lambda s: s["pdot"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc")
-        )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.round(F.col("adc"), 6).desc(), F.col(id_col)
+    return _adc_rescore(
+        entries,
+        lut,
+        probes.select("probe_id", "probe_vec"),
+        corpus,
+        k,
+        n_candidates,
+        id_col,
+        vec_col,
+        ["probe_id", "sub_id", "code_id"],
     )
-    cand = adc.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= n_candidates
+
+
+def ivfpq_topk(
+    cell_codes: DataFrame,
+    probe_cells: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ serving — the two compressions composed, the layout a
+    100 TB vector corpus actually deploys (coarse cells prune WHICH
+    rows are read; PQ codes shrink WHAT is read):
+
+    1. ``cell_codes`` (cent_id, vec_id, codes) comes from a
+       LIST-partitioned read of ONLY the probed cells (the caller's
+       partition-pruned scan — n_probe/n_centroids of the corpus),
+       carrying m-byte codes instead of the vectors (64x less I/O);
+    2. the probe LUT broadcasts, ADC scores fold in sub_id order
+       (deterministic — see pq_topk), candidates cut on the rounded
+       score;
+    3. ONLY the candidates fetch their true vectors for the exact
+       rescore — a k-sized lookup join, never a corpus scan.
+    """
+    sub_dim = dim // m
+    probes = probe_cells.select("probe_id", "probe_vec").distinct()
+    lut = _pq_lut(probes, codebooks, sub_dim)
+    routed = cell_codes.join(
+        F.broadcast(probe_cells.select("probe_id", "cent_id")), "cent_id"
+    ).filter(F.col(id_col) != F.col("probe_id"))
+    entries = routed.select(
+        "probe_id", id_col, F.posexplode("codes").alias("sub_id", "code_id")
     )
-    exact = (
-        cand.join(corpus, id_col)
-        .join(
-            F.broadcast(probes.select("probe_id", "probe_vec")), "probe_id"
-        )
-        .select(
-            "probe_id",
-            id_col,
-            cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
-        )
-    )
-    w2 = Window.partitionBy("probe_id").orderBy(
-        F.col("cos").desc(), F.col(id_col)
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id", id_col, F.round("cos", 6).alias("cosine"), "rank"
-        )
+    return _adc_rescore(
+        entries,
+        lut,
+        probes,
+        corpus,
+        k,
+        n_candidates,
+        id_col,
+        vec_col,
+        ["probe_id", "sub_id", "code_id"],
     )

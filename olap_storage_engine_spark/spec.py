@@ -69,6 +69,7 @@ class ColumnType(str, Enum):
     # extension surface
     TIMESTAMP = "TIMESTAMP"
     ARRAY_FLOAT = "ARRAY_FLOAT"
+    ARRAY_INT64 = "ARRAY_INT64"  # PQ code rows and similar id lists
     BINARY = "BINARY"
 
 
@@ -83,6 +84,7 @@ _SPARK_TYPES: dict[ColumnType, T.DataType] = {
     ColumnType.DATE: T.DateType(),
     ColumnType.TIMESTAMP: T.TimestampType(),
     ColumnType.ARRAY_FLOAT: T.ArrayType(T.FloatType()),
+    ColumnType.ARRAY_INT64: T.ArrayType(T.LongType()),
     ColumnType.BINARY: T.BinaryType(),
 }
 

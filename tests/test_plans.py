@@ -145,3 +145,22 @@ def test_bucketed_fact_join_zero_exchanges(spark, entrymod):
     plan = formatted_plan(_df(spark, entrymod, "bucketed_fact_join"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
+
+
+def test_ivfpq_serving_prunes_partitions_and_reads_codes(spark, entrymod):
+    """IVF-PQ: the routed scan reads only the probed cells' partition
+    directories, and the cell-table scan projects the m-byte codes,
+    never the embedding payload (the 64x I/O cut on the scanned side
+    — vectors appear only in the candidate-sized rescore lookup)."""
+    df = _df(spark, entrymod, "similarity_ann_ivfpq")
+    pf = partition_filters(df)
+    assert any("__pt" in f and "IN" in f for f in pf), pf
+    plan = formatted_plan(df)
+    cell_read_schemas = [
+        line
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "codes" in line
+    ]
+    assert cell_read_schemas, plan[:2000]
+    for line in cell_read_schemas:
+        assert "embedding" not in line, line
