@@ -2001,6 +2001,16 @@ _DRIVER_CHECK_HEAD = [
     # longest-unchecked queries keep gate priority
     "merge_scoped",
 ]
+# ROUND-6 ROTATION RECIPE: after CORRECTNESS_r05 lands (the 50 rows
+# above), the least-recently-driver-checked queries are (a) the ~50
+# checked in r4 (two rounds stale by r6) and (b) the 37 queries new in
+# round 5 (never driver-checked): the TPC-H suite (q2,q4,q6-q17,
+# q19-q22), multimodal_decode/multimodal_pipeline, the PQ/IVF-PQ pair,
+# sketch_rollup_quantiles, sketch_theta_retention, text_bm25,
+# stratified_sample, zorder_scan, events_{ohlc,funnel,cohort,twap,
+# histogram}, table_partitions, rowset_skip_scan, snapshot_rollback,
+# compaction_partition, sql_engine_views.  Lead round 6's head with
+# (b) then as much of (a) as fits the ~50-row budget.]
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

@@ -112,3 +112,37 @@ def test_skipped_scan_lists_fewer_files(spark, warehouse):
         if rs.col_stats["k"] == [100, 199]
     }
     assert all(band in f for f in files), (band, files[:3])
+
+
+def test_date_key_stats_and_skip(spark, warehouse):
+    """DATE keys: footer stats store ISO strings (lexicographic ==
+    temporal order), and read_skipped works with date-string bounds."""
+    import datetime as dt
+
+    spec = TableSpec(
+        name="skd",
+        columns=[
+            ColumnSpec.key("d", ColumnType.DATE),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "d", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    for month in (1, 2, 3):
+        rows = [
+            (dt.date(2024, month, day), float(day)) for day in range(1, 11)
+        ]
+        t.write(spark.createDataFrame(rows, "d date, v double"))
+    stats = sorted(
+        rs.col_stats["d"] for rs in t.manifest.visible_rowsets()
+    )
+    assert stats[0] == ["2024-01-01", "2024-01-10"]
+    assert t.skip_plan("d", "2024-02-01", "2024-02-28") == (1, 3)
+    got = sorted(
+        r["d"].isoformat()
+        for r in t.read_skipped("d", "2024-02-01", "2024-02-28").collect()
+    )
+    assert len(got) == 10 and got[0].startswith("2024-02")
+    # date objects as bounds normalize the same way
+    assert t.skip_plan("d", dt.date(2024, 2, 1), dt.date(2024, 2, 28)) == (1, 3)
