@@ -2010,7 +2010,7 @@ _DRIVER_CHECK_HEAD = [
 # stratified_sample, zorder_scan, events_{ohlc,funnel,cohort,twap,
 # histogram}, table_partitions, rowset_skip_scan, snapshot_rollback,
 # compaction_partition, sql_engine_views.  Lead round 6's head with
-# (b) then as much of (a) as fits the ~50-row budget.]
+# (b) then as much of (a) as fits the ~50-row budget.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
