@@ -286,6 +286,28 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_indexed(spark, sf_dir):
+    """n-gram Jaccard served from the PERSISTED shingle index
+    (fixtures.shingle_index_path — the dedup family's tokenize/
+    shingle/hash substrate materialized at publish time, the same
+    build-once pattern as doc_postings / emb_cells): the query starts
+    at the posting-list aggregate, so a stable corpus pays the
+    tokenize/regex pass once at index build instead of per dedup run.
+
+    Honest local numbers: ~parity with the inline path at sf0.1
+    (1.27 vs 1.17 s warm — the two wide exchanges dominate there, and
+    whole-stage codegen makes the shingle expressions nearly free over
+    150k short docs).  The case for the index is the 100 TB one: the
+    inline path re-runs a full-corpus regex/tokenize scan per dedup
+    run, the indexed path reads 3 narrow columns — and the index
+    refreshes per publish delta, amortized across every dedup/minhash
+    consumer.  Identical answers, same oracle as dedup_ngram_jaccard."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    sh = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    return dd.ngram_pairs_from_index(sh, threshold=0.5, max_doc_freq=50)
+
+
 def q_embedding_neardup(spark, sf_dir):
     return dd.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), num_planes=8, threshold=0.3
@@ -2040,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_indexed": q_dedup_ngram_indexed,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
         "corpus_prep": q_corpus_prep,
@@ -3057,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_ngram_indexed": _ngram_jaccard_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),

@@ -80,6 +80,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: bucketed_pair(spark, sf_dir),
         lambda: bucketed_fact_pair(spark, sf_dir),
         lambda: zorder_lineitem_path(spark, sf_dir),
+        lambda: shingle_index_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
@@ -1097,6 +1098,30 @@ def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return (cb_path, codes_path)
 
     return _aux_cached("pq_index", sf_dir, build)
+
+
+def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted shingle index (doc_id, sz, sh) — the
+    publish-time materialization of the dedup family's shared
+    substrate (the tokenize/shingle/hash pass), so serving-path dedup
+    starts at the posting-list aggregate.  Same maintenance story as
+    doc_postings: refresh by shingling only delta rowsets."""
+
+    def build():
+        from .operators.dedup import shingles
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(warehouse_for(sf_dir), "shingle_index")
+        (
+            shingles(docs, n=5, with_size=True)
+            .withColumn("sh", F.xxhash64("shingle"))
+            .select("doc_id", "sz", "sh")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    return _aux_cached("shingle_index", sf_dir, build)
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:

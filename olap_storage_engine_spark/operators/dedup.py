@@ -359,6 +359,24 @@ def ngram_jaccard_pairs(
     sh = shingles(docs, n, text_col, id_col, with_size=True).withColumn(
         "sh", F.xxhash64("shingle")
     )
+    return ngram_pairs_from_index(
+        sh, threshold=threshold, max_doc_freq=max_doc_freq, id_col=id_col
+    )
+
+
+def ngram_pairs_from_index(
+    sh: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pairing tail of ``ngram_jaccard_pairs`` over an ALREADY
+    MATERIALIZED shingle index (doc_id, sz, sh) — the serving path
+    when the index persists at publish time like doc_postings does
+    (fixtures.shingle_index_path): queries skip the tokenize/shingle/
+    hash pass entirely and start at the posting-list aggregate, so
+    repeated dedup runs over a stable corpus pay the expression cost
+    once at index build, not per query."""
     idx = (
         sh.groupBy("sh")
         .agg(F.collect_list(F.struct(id_col, "sz")).alias("ds"))
