@@ -502,3 +502,27 @@ def test_pq_recall_vs_exact_topk(spark):
     recall_wide = len(aw & e) / len(e)
     assert recall_wide >= recall, (recall, recall_wide)
     assert recall_wide >= 0.7, recall_wide
+
+
+def test_ngram_indexed_equals_inline(spark):
+    """The persisted-shingle-index serving path returns exactly the
+    inline path's pairs."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+    from olap_storage_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_pairs_from_index,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    inline = ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5, max_doc_freq=50
+    )
+    indexed = ngram_pairs_from_index(
+        spark.read.parquet(shingle_index_path(spark, sf)),
+        threshold=0.5,
+        max_doc_freq=50,
+    )
+    a = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in inline.collect())
+    b = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in indexed.collect())
+    assert a == b and len(a) > 0
