@@ -1965,74 +1965,67 @@ def q_set_intersect(spark, sf_dir):
 # full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-5 rotation: exactly the 50 queries with NO CORRECTNESS_r04 row
-    # (their newest driver check is r3, which ran against the PREVIOUS
-    # round's regenerated testdata).  r4's 50 green rows + these 50 give
-    # every query a driver row against current-generation fixtures.
-    "scan_projection",
-    "write_read_roundtrip",
-    "bucket_routing_hash",
-    "duplicate_model_scan",
-    "unique_key_latest",
-    "agg_model_sum",
-    "agg_model_replace",
-    "partition_prune_range",
-    "rollup_coarser_agg",
-    "filter_range_zonemap",
-    "filter_equality_point",
-    "shortkey_prefix_seek",
-    "snapshot_read_versions",
-    "compaction_score",
-    "compaction_rewrite",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_keepset",
-    "corpus_prep",
-    "text_chunking",
-    "sample_packing",
-    "train_val_split",
-    "udtf_parse_props",
-    "join_salted",
-    "events_stream_append",
-    "events_stream_join",
-    "join_asof",
-    "join_band",
-    "join_range",
-    "join_full_outer",
-    "topn_per_group",
-    "string_date_funcs",
-    "having_filter",
-    "agg_percentiles",
-    "pandas_udaf_weighted_avg",
-    "correlated_subquery",
-    "inverted_index_search",
-    "delete_rows",
-    "time_travel_read",
-    "pivot_status",
-    "window_lead_lag",
-    "tpch_q3",
-    "set_union",
-    "set_intersect",
-    "ingest_jsonl",
-    "ingest_orc",
-    "ingest_csv",
-    # new in round 5 — after the 50-query rotation block, so the
-    # longest-unchecked queries keep gate priority
+    # Round-6 rotation: the 39 round-5 queries with NO CORRECTNESS row in
+    # any round lead the gate (never driver-checked; judge value-checked
+    # all 39 green last session), then 11 of the r4-stale set to fill the
+    # ~50-row budget.  The remaining 39 r4-stale rows rotate in round 7.
     "merge_scoped",
+    "dedup_ngram_indexed",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "text_bm25",
+    "stratified_sample",
+    "multimodal_decode",
+    "multimodal_pipeline",
+    "sketch_rollup_quantiles",
+    "sketch_theta_retention",
+    "zorder_scan",
+    "rowset_skip_scan",
+    "snapshot_rollback",
+    "compaction_partition",
+    "events_ohlc",
+    "events_funnel",
+    "events_cohort",
+    "events_twap",
+    "events_histogram",
+    "table_partitions",
+    "sql_engine_views",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # r4-stale fill (newest driver row is CORRECTNESS_r04)
+    "agg_model_min_max",
+    "bucketed_join",
+    "bucketed_fact_join",
+    "cdc_changes",
+    "embedding_neardup",
+    "events_stream_window",
+    "merge_upsert",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "tpch_q1",
+    "tpch_q5",
 ]
-# ROUND-6 ROTATION RECIPE: after CORRECTNESS_r05 lands (the 50 rows
-# above), the least-recently-driver-checked queries are (a) the ~50
-# checked in r4 (two rounds stale by r6) and (b) the 37 queries new in
-# round 5 (never driver-checked): the TPC-H suite (q2,q4,q6-q17,
-# q19-q22), multimodal_decode/multimodal_pipeline, the PQ/IVF-PQ pair,
-# sketch_rollup_quantiles, sketch_theta_retention, text_bm25,
-# stratified_sample, zorder_scan, events_{ohlc,funnel,cohort,twap,
-# histogram}, table_partitions, rowset_skip_scan, snapshot_rollback,
-# compaction_partition, sql_engine_views.  Lead round 6's head with
-# (b) then as much of (a) as fits the ~50-row budget.
+# ROUND-7 ROTATION RECIPE: after CORRECTNESS_r06 lands (the 50 rows
+# above), every query's newest driver row is r4/r5/r6.  Lead round 7's
+# head with the 39 queries whose newest row is still r4 (the r4 list in
+# CORRECTNESS_r04.json minus the 11 fill rows above), then the oldest
+# r5 rows as budget allows.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
