@@ -312,8 +312,17 @@ def bm25_rank(
 
     At index-serving scale this pairs with the doc_postings inverted
     index (term-bucketed point reads); here the scan-side expression
-    path is what's exercised, end-to-end oracle-checkable."""
-    q = [t for t in query_terms]
+    path is what's exercised, end-to-end oracle-checkable.
+
+    Multiset queries: standard BM25 sums PER QUERY-TERM OCCURRENCE, so
+    a term repeated in the query contributes once per repetition — the
+    isin filter + groupBy(term) below naturally dedupes, so each
+    term's weight is multiplied by its query multiplicity (a tiny
+    broadcast literal map), matching textbook/Lucene scoring."""
+    from collections import Counter
+
+    qc = Counter(query_terms)
+    q = list(qc)
     toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(id_col, "__toks", F.size("__toks").alias("dl"))
@@ -351,6 +360,11 @@ def bm25_rank(
             ),
         )
     )
+    if any(c > 1 for c in qc.values()):
+        qmult = F.create_map(
+            *[F.lit(x) for t, c in qc.items() for x in (t, float(c))]
+        )
+        scored = scored.withColumn("w", F.col("w") * qmult[F.col("term")])
     return (
         scored.groupBy(id_col)
         .agg(F.round(F.sum("w"), 4).alias("score"))

@@ -81,6 +81,11 @@ class RowsetMeta:
     # holds 10^5 rowset files at 100 TB.  None/absent column = unknown,
     # never skipped on.  Date/timestamp bounds stored as ISO strings.
     col_stats: dict | None = None
+    # [source_id, epoch] when this rowset was published atomically with
+    # a streaming txn epoch (publish(txn=...)) — lets rollback() unwind
+    # the stream_txn watermark so a rolled-back batch CAN be
+    # re-ingested under the same source_id.
+    txn: list | None = None
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -107,6 +112,7 @@ class RowsetMeta:
             "collapsed": self.collapsed,
             "partitions": self.partitions,
             "col_stats": self.col_stats,
+            "txn": self.txn,
         }
 
     @classmethod
@@ -265,11 +271,12 @@ class Manifest:
             raise VersionGraphError(f"duplicate rowset id {rs.rowset_id}")
         rs.state = RowsetState.VISIBLE
         rs.created_at = rs.created_at or time.time()
-        self.doc["rowsets"].append(rs.to_dict())
-        self.doc["max_version"] = max(self.max_version, rs.end_version)
         if txn is not None:
             source_id, epoch = txn
+            rs.txn = [source_id, int(epoch)]
             self.doc.setdefault("stream_txn", {})[source_id] = epoch
+        self.doc["rowsets"].append(rs.to_dict())
+        self.doc["max_version"] = max(self.max_version, rs.end_version)
         self.save()
 
     def committed_epoch(self, source_id: str) -> int | None:
@@ -315,11 +322,23 @@ class Manifest:
         raise VersionGraphError(f"rowset {rowset_id} not found")
 
     def rollback(self, to_version: int) -> list[int]:
-        """MVCC rollback to a savepoint: every VISIBLE rowset whose
-        interval lies entirely AFTER ``to_version`` flips to STALE (one
-        manifest save — the data files are untouched and GC'd later),
-        and max_version resets so subsequent publishes continue from
-        the savepoint.  Returns the stale'd rowset ids.
+        """MVCC rollback to a savepoint: every VISIBLE **or PREPARED**
+        rowset whose interval lies entirely AFTER ``to_version`` flips
+        to STALE (one manifest save — the data files are untouched and
+        GC'd later), and max_version resets so subsequent publishes
+        continue from the savepoint.  Returns the stale'd rowset ids.
+
+        PREPARED rowsets beyond the savepoint are staled too: leaving
+        one behind would let a later ``commit_rowset()`` resurrect a
+        rolled-back version interval — possibly colliding with a
+        re-published interval and making the cover ambiguous.
+
+        Streaming txn epochs: any staled rowset that was published with
+        ``txn=(source_id, epoch)`` has its source's ``stream_txn``
+        watermark recomputed from the SURVIVING rowsets (dropped if
+        none remain), so a rolled-back streamed batch can be
+        re-ingested under the same source_id instead of being silently
+        skipped forever.
 
         A rowset SPANNING the boundary (start <= to < end) cannot be
         half-kept — the cover algebra has no partial rowsets — so the
@@ -327,15 +346,22 @@ class Manifest:
         instead.  Like every manifest mutation this rides the
         generation-CAS in save(): a concurrent publish loses cleanly
         rather than resurrecting rolled-back versions."""
-        if to_version >= self.max_version:
+        live = (RowsetState.VISIBLE.value, RowsetState.PREPARED.value)
+        any_beyond = any(
+            d["state"] in live and d["start_version"] > to_version
+            for d in self.doc["rowsets"]
+        )
+        if to_version >= self.max_version and not any_beyond:
             # nothing is newer than the savepoint — a no-op, and
             # max_version must NOT move forward (a later write would
-            # otherwise leave a genuine version hole behind it)
+            # otherwise leave a genuine version hole behind it).
+            # (PREPARED rowsets don't bump max_version, so they are
+            # checked independently of it.)
             return []
         spanning = [
             d["rowset_id"]
             for d in self.doc["rowsets"]
-            if d["state"] == RowsetState.VISIBLE.value
+            if d["state"] in live
             and d["start_version"] <= to_version < d["end_version"]
         ]
         if spanning:
@@ -346,13 +372,31 @@ class Manifest:
             )
         stale = []
         for d in self.doc["rowsets"]:
-            if (
-                d["state"] == RowsetState.VISIBLE.value
-                and d["start_version"] > to_version
-            ):
+            if d["state"] in live and d["start_version"] > to_version:
                 d["state"] = RowsetState.STALE.value
                 stale.append(d["rowset_id"])
-        self.doc["max_version"] = to_version
+        stale_set = set(stale)
+        txn_sources = {
+            d["txn"][0]
+            for d in self.doc["rowsets"]
+            if d["rowset_id"] in stale_set and d.get("txn")
+        }
+        for src in txn_sources:
+            surviving = [
+                int(d["txn"][1])
+                for d in self.doc["rowsets"]
+                if d.get("txn")
+                and d["txn"][0] == src
+                and d["state"] == RowsetState.VISIBLE.value
+            ]
+            txn_map = self.doc.get("stream_txn", {})
+            if surviving:
+                txn_map[src] = max(surviving)
+            else:
+                txn_map.pop(src, None)
+        # never move max_version FORWARD (rollback-beyond-max with a
+        # stray PREPARED rowset must not create a version hole)
+        self.doc["max_version"] = max(min(self.max_version, to_version), -1)
         self.save()
         return stale
 

@@ -56,6 +56,11 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert on load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the legacy default) carries NO footer min/max stats —
+        # it defeats both parquet row-group pruning and the manifest
+        # col_stats harvest for timestamp key columns.  TIMESTAMP_MICROS
+        # is the modern parquet annotation every engine reads.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # InferFiltersFromGenerate turns explode(attr) into a
         # size(attr)>0 filter that predicate pushdown substitutes
         # through the projections and pushes below repartitions —

@@ -12,6 +12,15 @@ committed and skips: the classic idempotent-sink txn-log pattern, with
 the atomicity coming from the manifest's single CAS'd write.  (The
 UNIQUE-key collapse remains a second, independent line of defense.)
 
+The epoch contract is only valid WITHIN ONE CHECKPOINT LINEAGE per
+``source_id``: Structured Streaming's batch ids are monotone per
+checkpoint, so a fresh checkpoint restarts ids at 0 and every new
+batch with id <= the table's committed epoch would be silently
+dropped.  ``exactly_once=True`` therefore REQUIRES an explicit,
+persistent ``checkpoint_dir`` — the default ephemeral tempdir is
+rejected, because the crash-recovery scenario exactly-once exists for
+is the one the tempdir cannot survive.
+
 Scale notes: the per-batch write inherits the table's partition/bucket
 routing (one shuffle per batch); rowset count grows with trigger rate —
 pair with compact_cumulative on a schedule, exactly like the
@@ -39,6 +48,14 @@ def stream_ingest(
     """Start a streaming query that publishes each micro-batch as a
     rowset of ``table``.  Returns the StreamingQuery handle."""
     if checkpoint_dir is None:
+        if exactly_once:
+            raise ValueError(
+                "exactly_once=True requires an explicit persistent "
+                "checkpoint_dir: batch ids are monotone only within one "
+                "checkpoint lineage, so an ephemeral tempdir checkpoint "
+                "restarts ids at 0 after a crash and batches with "
+                "id <= the committed epoch would be silently dropped"
+            )
         checkpoint_dir = tempfile.mkdtemp(prefix="olap_ingest_ckpt_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

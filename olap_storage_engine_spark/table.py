@@ -59,10 +59,28 @@ def _json_stat(v):
     return v
 
 
+_TS_SPACE_RE = None
+
+
 def _stat_key(v):
     """Normalize a predicate bound the same way write() normalized the
-    stored stats, so comparisons are like-for-like."""
-    return _json_stat(v)
+    stored stats, so comparisons are like-for-like.
+
+    Timestamp bounds passed as space-separated strings
+    ('2024-01-05 23:59:00') are rewritten to the 'T'-separated ISO form
+    the stats store — lexicographically ' ' < 'T', so without this a
+    same-day bound would sort BEFORE the stored min and a matching
+    rowset could be unsoundly skipped (ADVICE r5)."""
+    global _TS_SPACE_RE
+    v = _json_stat(v)
+    if isinstance(v, str):
+        if _TS_SPACE_RE is None:
+            import re
+
+            _TS_SPACE_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}")
+        if _TS_SPACE_RE.match(v):
+            v = v.replace(" ", "T", 1)
+    return v
 
 
 SPEC_FILE = "_spec.json"

@@ -430,6 +430,17 @@ def test_bm25_matches_oracle_and_ranks_sanely(spark):
         .count()
     )
     assert hits == len(ids)
+    # multiset query: a repeated term contributes once PER OCCURRENCE
+    # (textbook/Lucene summation), so doubling a single-term query
+    # exactly doubles every score
+    single = {r["doc_id"]: r["score"] for r in top}
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(docs, ["vector", "vector"], top_k=5).collect()
+    }
+    assert set(doubled) == set(single)
+    for d, s in single.items():
+        assert abs(doubled[d] - 2 * s) < 2e-4, (d, s, doubled[d])
 
 
 def test_pq_codes_shape_and_determinism(spark):

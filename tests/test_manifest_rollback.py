@@ -83,3 +83,50 @@ def test_rollback_beyond_max_is_noop_and_never_moves_max_forward(spark, warehous
     assert t.manifest.max_version == 0
     t.write(spark.createDataFrame([(2, 2.0)], "k long, v double"))  # v1
     assert t.read().count() == 2
+
+
+def test_rollback_stales_prepared_rowsets_beyond_savepoint(spark, warehouse):
+    """A PREPARED rowset after the savepoint must NOT survive rollback:
+    a later commit_rowset() would resurrect the rolled-back interval."""
+    from olap_storage_engine_spark.plans.manifest import (
+        RowsetMeta,
+        RowsetState,
+    )
+
+    t = _tbl(spark, warehouse, "rb6", model=KeysType.DUPLICATE)
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))  # v0
+    rid = t.manifest.next_rowset_id()
+    t.manifest.prepare(
+        RowsetMeta(rowset_id=rid, start_version=1, end_version=1, path="x")
+    )
+    stale = t.rollback(0)
+    assert rid in stale
+    with pytest.raises(VersionGraphError, match="not PREPARED"):
+        t.manifest.commit_rowset(rid)
+    states = {d["rowset_id"]: d["state"] for d in t.manifest.doc["rowsets"]}
+    assert states[rid] == RowsetState.STALE.value
+
+
+def test_rollback_unwinds_stream_txn_epochs(spark, warehouse):
+    """Rolling back a streamed batch clears/lowers the source's epoch
+    watermark so the SAME batch id can be re-ingested (ADVICE r5)."""
+    t = _tbl(spark, warehouse, "rb7", model=KeysType.DUPLICATE)
+    df0 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    df1 = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    t.write(df0, txn=("src", 0))  # v0
+    t.write(df1, txn=("src", 1))  # v1
+    assert t.manifest.committed_epoch("src") == 1
+    t.rollback(0)
+    # the epoch watermark rewound to the surviving batch
+    assert t.manifest.committed_epoch("src") == 0
+    # re-ingest of batch 1 is accepted again (the stream_ingest guard
+    # is `batch_id <= committed`)
+    t.write(df1, txn=("src", 1))
+    assert t.manifest.committed_epoch("src") == 1
+    assert t.read().count() == 2
+    # rolling back everything drops the source entirely
+    t.rollback(-1) if t.manifest.max_version == 0 else t.rollback(0)
+    # (v0 itself was txn batch 0; after rolling back past it the
+    # watermark must be gone)
+    t.rollback(-1)
+    assert t.manifest.committed_epoch("src") is None

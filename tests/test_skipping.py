@@ -146,3 +146,36 @@ def test_date_key_stats_and_skip(spark, warehouse):
     assert len(got) == 10 and got[0].startswith("2024-02")
     # date objects as bounds normalize the same way
     assert t.skip_plan("d", dt.date(2024, 2, 1), dt.date(2024, 2, 28)) == (1, 3)
+
+
+def test_timestamp_space_separated_bounds_are_sound(spark, warehouse):
+    """A TIMESTAMP bound passed as a space-separated string must
+    normalize to the 'T'-separated ISO form the stats store —
+    lexicographically ' ' < 'T', so without normalization a same-day
+    upper bound sorts before the stored min and a matching rowset is
+    unsoundly skipped (ADVICE r5)."""
+    import datetime as dt
+
+    spec = TableSpec(
+        name="skts",
+        columns=[
+            ColumnSpec.key("ts", ColumnType.TIMESTAMP),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "ts", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    for day in (5, 6):
+        rows = [
+            (dt.datetime(2024, 1, day, h, 30), float(h)) for h in range(24)
+        ]
+        t.write(spark.createDataFrame(rows, "ts timestamp, v double"))
+    # whole-day range with space-separated string bounds: the day-5
+    # rowset (min 2024-01-05T00:30) must be KEPT
+    kept, total = t.skip_plan("ts", "2024-01-05 00:00:00", "2024-01-05 23:59:00")
+    assert (kept, total) == (1, 2)
+    got = t.read_skipped(
+        "ts", "2024-01-05 00:00:00", "2024-01-05 23:59:00"
+    ).count()
+    assert got == 24

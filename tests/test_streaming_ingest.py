@@ -173,7 +173,16 @@ def test_exactly_once_end_to_end_stream(spark, warehouse, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(src, "*"))
     )
-    q = stream_ingest(t, stream, exactly_once=True, source_id="e2e")
+    # exactly_once demands a persistent checkpoint (epoch ids are only
+    # monotone within one checkpoint lineage)
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        stream_ingest(t, stream, exactly_once=True, source_id="e2e")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(
+        t, stream, checkpoint_dir=ckpt, exactly_once=True, source_id="e2e"
+    )
     assert q.awaitTermination(120)
     assert t.read().count() == 2
     assert t.manifest.committed_epoch("e2e") is not None
