@@ -81,6 +81,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: bucketed_fact_pair(spark, sf_dir),
         lambda: zorder_lineitem_path(spark, sf_dir),
         lambda: shingle_index_path(spark, sf_dir),
+        lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
@@ -1101,27 +1102,64 @@ def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once persisted shingle index (doc_id, sz, sh) — the
+    """Build-once persisted shingle index (doc_id, n, sz, sh, mh) — the
     publish-time materialization of the dedup family's shared
     substrate (the tokenize/shingle/hash pass), so serving-path dedup
     starts at the posting-list aggregate.  Same maintenance story as
-    doc_postings: refresh by shingling only delta rowsets."""
+    doc_postings: refresh by shingling only delta rowsets.
+
+    Two shingle widths (``n`` = 3 and 5) and two hash columns live in
+    the one index: ``sh`` = xxhash64 drives n-gram Jaccard posting
+    lists, ``mh`` = md5int % MINHASH_P is the minhash affine family's
+    base hash — so BOTH near-dup variants serve from the same
+    publish-time pass with their declared semantics (and oracles)
+    unchanged."""
 
     def build():
-        from .operators.dedup import shingles
+        from .operators.dedup import MINHASH_P, md5int, shingles
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(warehouse_for(sf_dir), "shingle_index")
-        (
-            shingles(docs, n=5, with_size=True)
+        widths = [
+            shingles(docs, n=nn, with_size=True)
+            .withColumn("n", F.lit(nn))
             .withColumn("sh", F.xxhash64("shingle"))
-            .select("doc_id", "sz", "sh")
-            .write.mode("overwrite")
-            .parquet(path)
+            .withColumn("mh", md5int(F.col("shingle")) % F.lit(MINHASH_P))
+            .select("doc_id", "n", "sz", "sh", "mh")
+            for nn in (3, 5)
+        ]
+        widths[0].unionByName(widths[1]).write.mode("overwrite").parquet(
+            path
         )
         return path
 
     return _aux_cached("shingle_index", sf_dir, build)
+
+
+def minhash_sigs_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted minhash SIGNATURE table (doc_id, mh0..mh7)
+    over the declared parameter set (8 hashes, n=3 shingles) — one
+    groupBy over the shingle index at publish time, so the serving-path
+    candidate query is bands -> bucket self-join -> distinct with no
+    per-run signature aggregate at all.  Signatures are per-doc and
+    corpus-independent, so delta refresh = sign only the delta rowsets
+    and append (same story as pq_codes / ivf cells)."""
+
+    def build():
+        from .operators.dedup import minhash_signatures_from_index
+
+        idx = (
+            spark.read.parquet(shingle_index_path(spark, sf_dir))
+            .filter(F.col("n") == 3)
+            .select("doc_id", "mh")
+        )
+        path = os.path.join(warehouse_for(sf_dir), "minhash_sigs")
+        minhash_signatures_from_index(idx, num_hashes=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return path
+
+    return _aux_cached("minhash_sigs", sf_dir, build)
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:

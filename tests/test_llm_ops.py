@@ -530,10 +530,51 @@ def test_ngram_indexed_equals_inline(spark):
         load_table(spark, sf, "documents"), n=5, threshold=0.5, max_doc_freq=50
     )
     indexed = ngram_pairs_from_index(
-        spark.read.parquet(shingle_index_path(spark, sf)),
+        spark.read.parquet(shingle_index_path(spark, sf))
+        .filter(F.col("n") == 5)
+        .select("doc_id", "sz", "sh"),
         threshold=0.5,
         max_doc_freq=50,
     )
     a = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in inline.collect())
     b = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in indexed.collect())
     assert a == b and len(a) > 0
+
+
+def test_minhash_indexed_equals_inline(spark):
+    """MinHash banded LSH served from the persisted shingle index
+    returns exactly the inline path's candidate pairs (same n=3
+    shingles, same md5-based affine family)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+    from olap_storage_engine_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_candidates_from_index,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    inline = minhash_candidates(
+        load_table(spark, sf, "documents"), num_hashes=8, band_rows=2, n=3
+    )
+    indexed = minhash_candidates_from_index(
+        spark.read.parquet(shingle_index_path(spark, sf))
+        .filter(F.col("n") == 3)
+        .select("doc_id", "mh"),
+        num_hashes=8,
+        band_rows=2,
+    )
+    a = sorted((r["doc_a"], r["doc_b"]) for r in inline.collect())
+    b = sorted((r["doc_a"], r["doc_b"]) for r in indexed.collect())
+    assert a == b and len(a) > 0
+    # the persisted SIGNATURE table (second index layer) agrees too
+    from olap_storage_engine_spark.fixtures import minhash_sigs_path
+    from olap_storage_engine_spark.operators.dedup import (
+        minhash_candidates_from_sigs,
+    )
+
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf))
+    c = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates_from_sigs(sigs, 8, 2).collect()
+    )
+    assert a == c
