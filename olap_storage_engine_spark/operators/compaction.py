@@ -321,6 +321,119 @@ def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
     )
 
 
+def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
+    """Candidate partition labels for a DELETE predicate, derived
+    DRIVER-SIDE from the predicate's Catalyst expression tree when it
+    constrains the partition column with literal comparisons —
+    ``None`` = cannot prune (discovery falls back to the full scan).
+
+    Sound by construction: the returned set is a SUPERSET of the
+    partitions holding TRUE rows (a row satisfying an equality/range
+    on the partition column routes, via the same string-cast rule the
+    write path uses, to one of the returned labels).  Shapes handled:
+    ``=``, ``IN``, ``<``/``<=``/``>``/``>=`` (string literals only —
+    RANGE bounds compare as strings, matching partition_label_col's
+    cast), ``AND`` (intersect), ``OR`` (union, both sides must
+    resolve).  Anything else degrades to None, never to a wrong set.
+    """
+    if policy.ptype == PartitionType.UNPARTITIONED or policy.column is None:
+        return None
+
+    # Spark 4's Column wraps an org.apache.spark.sql.internal.ColumnNode
+    # tree: UnresolvedFunction(name, args), UnresolvedAttribute
+    # (nameParts), Literal (value), Cast (child) — a stable, tiny
+    # surface; any unrecognized shape degrades to None (full scan).
+    def cls(e) -> str:
+        return e.getClass().getSimpleName()
+
+    def attr_name(e) -> str | None:
+        c = cls(e)
+        if c == "UnresolvedAttribute":
+            parts = e.nameParts()
+            if parts.size() == 1:
+                return parts.apply(0)
+            return None
+        if c == "Cast":
+            return attr_name(e.child())
+        return None
+
+    def lit_val(e):
+        if cls(e) == "Literal":
+            v = e.value()
+            if isinstance(v, (str, int, float, bool)):
+                return v
+        return None
+
+    def seq_args(e) -> list:
+        args = e.arguments()
+        return [args.apply(i) for i in range(args.size())]
+
+    def succ(s: str) -> str:
+        # smallest string strictly greater than s (for inclusive hi)
+        return s + "\x00"
+
+    def labels_of(e) -> set[str] | None:
+        if cls(e) != "UnresolvedFunction":
+            return None
+        fn = e.functionName().lower()
+        args = seq_args(e)
+        if fn == "and" and len(args) == 2:
+            l, r = labels_of(args[0]), labels_of(args[1])
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return l & r
+        if fn == "or" and len(args) == 2:
+            l, r = labels_of(args[0]), labels_of(args[1])
+            if l is None or r is None:
+                return None
+            return l | r
+        if fn == "in" and len(args) >= 2:
+            if attr_name(args[0]) != policy.column:
+                return None
+            vals = [lit_val(a) for a in args[1:]]
+            if any(v is None for v in vals):
+                return None
+            out = {policy.find_partition(str(v)) for v in vals}
+            return {x for x in out if x is not None}
+        if fn in ("=", "==", ">", ">=", "<", "<=") and len(args) == 2:
+            a, v = attr_name(args[0]), lit_val(args[1])
+            flipped = False
+            if a is None:
+                a, v = attr_name(args[1]), lit_val(args[0])
+                flipped = True
+            if a != policy.column or v is None:
+                return None
+            if fn in ("=", "=="):
+                # equality routes exactly as the write path did
+                # (string cast), safe for any literal type
+                p = policy.find_partition(str(v))
+                return {p} if p is not None else set()
+            # range comparisons: string-order semantics only (the
+            # RANGE bounds themselves are strings; non-string
+            # literals may order differently than their string form)
+            if not isinstance(v, str):
+                return None
+            op = fn if not flipped else {
+                ">": "<", ">=": "<=", "<": ">", "<=": ">=",
+            }[fn]
+            if op in (">", ">="):
+                r = policy.partitions_for_range(v, None)
+            elif op == "<":
+                r = policy.partitions_for_range(None, v)
+            else:  # <=
+                r = policy.partitions_for_range(None, succ(v))
+            return set(r) if r is not None else None
+        return None
+
+    try:
+        out = labels_of(predicate._jc.node())
+    except Exception:
+        return None
+    return sorted(out) if out is not None else None
+
+
 def delete_where(table: OlapTable, predicate) -> int:
     """Row-level DELETE as a copy-on-write rewrite — beyond the
     reference (which has no delete path at all), following the
@@ -341,10 +454,15 @@ def delete_where(table: OlapTable, predicate) -> int:
     discovery pass over the CURRENT collapsed state, reading only the
     predicate's columns), then only those ``__pt`` directories are
     rewritten and the surviving rows published as a partition-scoped
-    rowset.  Discovery runs on the collapsed view, not the raw scan: on
-    an AGGREGATE table the predicate can be true of an aggregated value
-    without being true of any raw row.  A predicate touching no rows
-    rewrites nothing.
+    rowset.  Discovery itself is PARTITION-PRUNED when the predicate
+    constrains the partition column (_partition_labels_for_predicate
+    derives candidate labels driver-side from the Catalyst tree —
+    equality/IN/string ranges/AND/OR), so a partition-key DELETE never
+    scans unaffected partitions at all; other predicates fall back to
+    the full column-pruned scan.  Discovery runs on the collapsed
+    view, not the raw scan: on an AGGREGATE table the predicate can be
+    true of an aggregated value without being true of any raw row.  A
+    predicate touching no rows rewrites nothing.
 
     NULL semantics match SQL DELETE: only rows where the predicate is
     TRUE are removed — rows where it evaluates to NULL (e.g. a null
@@ -362,10 +480,23 @@ def delete_where(table: OlapTable, predicate) -> int:
             remaining, start_version=0, end_version=hi + 1, collapsed=True
         )
         return n_before - rs.num_rows
+    # discovery: when the predicate constrains the partition column,
+    # derive candidate labels driver-side and scan ONLY those __pt
+    # directories (metadata pruning); otherwise the full (column-
+    # pruned) collapsed scan.  A partition-key DELETE on a 100 TB
+    # table thus pays O(affected partitions) for discovery too, not
+    # just for the rewrite.
+    cand = _partition_labels_for_predicate(predicate, policy)
+    if cand == []:
+        return 0  # predicate can route to no partition: zero rows
+    disc = (
+        table.read(0, hi)
+        if cand is None
+        else _read_partitions(table, hi, cand)
+    )
     labels = sorted(
         r[0]
-        for r in table.read(0, hi)
-        .filter(is_true)
+        for r in disc.filter(is_true)
         .select(partition_label_col(policy).alias("__l"))
         .distinct()
         .collect()

@@ -349,3 +349,71 @@ def test_partition_compaction_scores_and_schedule(spark, warehouse):
     tasks = schedule_partition_compactions(t)
     assert [c.table_name for c in tasks] == ["p2", "p3"]
     assert all(c.score == 3 for c in tasks)
+
+
+def test_delete_discovery_label_derivation(spark, warehouse):
+    """_partition_labels_for_predicate: driver-side candidate labels
+    from the Catalyst tree — equality, IN, string ranges, AND/OR —
+    and a safe None for shapes it can't prove."""
+    from olap_storage_engine_spark.operators.compaction import (
+        _partition_labels_for_predicate,
+    )
+
+    t = _table(spark, warehouse, "disc1")
+    pol = t.spec.partition
+    p = _partition_labels_for_predicate
+    assert p(F.col("d") == "2024-02-10", pol) == ["p2"]
+    assert p(F.lit("2024-02-10") == F.col("d"), pol) == ["p2"]
+    assert p(F.col("d").isin("2024-01-10", "2024-03-10"), pol) == [
+        "p1",
+        "p3",
+    ]
+    assert p(F.col("d") >= "2024-02-01", pol) == ["p2", "p3"]
+    assert p(F.col("d") < "2024-02-01", pol) == ["p1"]
+    assert p(F.col("d") <= "2024-02-01", pol) == ["p1", "p2"]
+    assert p(
+        (F.col("d") >= "2024-02-01") & (F.col("d") < "2024-03-01"), pol
+    ) == ["p2"]
+    assert p(
+        (F.col("d") == "2024-01-10") | (F.col("d") == "2024-03-10"), pol
+    ) == ["p1", "p3"]
+    # AND with an unprunable side keeps the prunable side's set
+    assert p(
+        (F.col("d") == "2024-02-10") & (F.col("amount") > 0), pol
+    ) == ["p2"]
+    # equality routing past the last bound: no partition at all
+    assert p(F.col("d") == "2030-01-01", pol) == []
+    # shapes it can't prove prune nothing
+    assert p(F.col("amount") > 0, pol) is None
+    assert p(
+        (F.col("d") == "2024-02-10") | (F.col("amount") > 0), pol
+    ) is None
+    assert p(F.col("d") > F.col("amount"), pol) is None
+
+
+def test_partition_key_delete_discovery_is_pruned(spark, warehouse):
+    """A partition-key DELETE's discovery scan must read ONLY the
+    candidate partition's files (PartitionFilters on __pt), and the
+    delete itself stays correct."""
+    from olap_storage_engine_spark.operators.compaction import (
+        _partition_labels_for_predicate,
+        _read_partitions,
+    )
+
+    t = _table(spark, warehouse, "disc2")
+    pred = F.col("d") == "2024-02-10"
+    cand = _partition_labels_for_predicate(pred, t.spec.partition)
+    assert cand == ["p2"]
+    from olap_storage_engine_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(_read_partitions(t, t.manifest.max_version, cand))
+    # the __pt predicate lands in PartitionFilters (directory pruning,
+    # not a post-scan row filter)
+    pf = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and all("__pt" in ln for ln in pf), plan
+    n = delete_where(t, pred)
+    assert n == 1
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {1, 2, 4, 5, 6}
