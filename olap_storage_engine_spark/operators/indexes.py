@@ -80,3 +80,75 @@ def postings_delta_refresh(
     """
     delta = docs_table.read(lo, hi)
     postings.write(postings_from(delta, n=n))
+
+
+PQ_CODEBOOK_PROP = "olap.pq_codebook_gen"
+
+
+def pq_codebook_generation(codebooks: DataFrame) -> str:
+    """Deterministic content fingerprint of a PQ codebook table
+    (sub_id, code_id, code_vec) — the generation identity that pins a
+    codes table to the codebooks that encoded it.  Codebooks are tiny
+    (m*n_codes rows) so a driver-side collect is metadata-scale."""
+    import hashlib
+
+    rows = sorted(
+        (
+            int(r["sub_id"]),
+            int(r["code_id"]),
+            tuple(round(float(x), 9) for x in r["code_vec"]),
+        )
+        for r in codebooks.collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+class StaleCodebookError(RuntimeError):
+    """The codes table was encoded under a DIFFERENT codebook
+    generation than the one offered for the refresh — appending would
+    silently mix incomparable code spaces.  Re-encode from scratch (or
+    pass the original codebooks)."""
+
+
+def pq_codes_delta_refresh(
+    emb_table: OlapTable,
+    codes_table: OlapTable,
+    codebooks: DataFrame,
+    lo: int,
+    hi: int,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ-code maintenance, the compressed-ANN sibling of
+    ``ivf_cells_delta_refresh``: encode ONLY the embedding rowsets
+    covering versions [lo, hi] against the FIXED codebooks and append
+    the codes as a new rowset of the codes table.
+
+    The codes table is pinned to its codebook generation
+    (``PQ_CODEBOOK_PROP`` in the manifest, set on first write through
+    this path): refreshing with codebooks whose content fingerprint
+    differs raises ``StaleCodebookError`` instead of silently mixing
+    code spaces — the same staleness discipline as the bucketed
+    replica version pin (table.py REPLICA_VERSION_PROP).
+
+    Invariant (pinned by tests/test_indexes.py): after refreshing for
+    every published delta, the codes equal a from-scratch encode of
+    the full corpus.
+    """
+    from .similarity import pq_encode
+
+    gen = pq_codebook_generation(codebooks)
+    pinned = codes_table.manifest.get_property(PQ_CODEBOOK_PROP)
+    if pinned is not None and pinned != gen:
+        raise StaleCodebookError(
+            f"{codes_table.spec.name}: codes encoded under codebook "
+            f"generation {pinned}, refresh offered {gen}"
+        )
+    delta = emb_table.read(lo, hi)
+    codes_table.write(
+        pq_encode(delta, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    )
+    if pinned is None:
+        codes_table.manifest.set_property(PQ_CODEBOOK_PROP, gen)

@@ -204,6 +204,34 @@ class Manifest:
         with open(os.path.join(table_root, cls.FILENAME)) as f:
             return cls(table_root, json.load(f))
 
+    def reload(self) -> None:
+        """Refresh this instance's state from disk — discards any
+        unsaved in-memory mutation (a losing writer's partial state)."""
+        self.doc = type(self).load(self.table_root).doc
+
+    def with_retry(self, mutate, retries: int = 3):
+        """Run a manifest mutation with lose-and-replay semantics:
+        ``mutate(self)`` (any method chain ending in ``save()``) is
+        attempted; on ``ManifestConflictError`` the manifest reloads
+        from disk — discarding the loser's partial in-memory state —
+        and the mutation replays against the winner's state, up to
+        ``retries`` attempts.
+
+        The mutation MUST derive everything it writes from the manifest
+        it is handed (ids via ``next_rowset_id()``, versions via
+        ``max_version``) so a replay against newer state stays correct;
+        a closure that captured stale ids would re-CAS a conflict into
+        silent corruption.  Callers whose mutation cannot be safely
+        re-derived (a published rowset's version is baked into its
+        data files) should catch the conflict themselves instead."""
+        for attempt in range(retries):
+            try:
+                return mutate(self)
+            except ManifestConflictError:
+                if attempt == retries - 1:
+                    raise
+                self.reload()
+
     def save(self) -> None:
         """Compare-and-swap persist: verify the on-disk generation is
         the one this instance last observed (under an exclusive file
@@ -284,6 +312,16 @@ class Manifest:
         source, or None."""
         v = self.doc.get("stream_txn", {}).get(source_id)
         return int(v) if v is not None else None
+
+    def set_property(self, key: str, value: str) -> None:
+        """Arbitrary table property (e.g. an index's codebook
+        generation pin) — persisted through the same CAS'd save as
+        every manifest mutation."""
+        self.doc.setdefault("properties", {})[key] = str(value)
+        self.save()
+
+    def get_property(self, key: str) -> str | None:
+        return self.doc.get("properties", {}).get(key)
 
     def prepare(self, rs: RowsetMeta) -> None:
         """Two-phase publish, phase 1: record the rowset with data on

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.keys_model import SEQ_COL, VERSION_COL, collapse, with_write_metadata
 from .operators.routing import bucket_id_col, partition_label_col
-from .plans.manifest import Manifest, RowsetMeta, RowsetState
+from .plans.manifest import (
+    Manifest,
+    ManifestConflictError,
+    RowsetMeta,
+    RowsetState,
+)
 from .spec import BucketType, PartitionType, TableSpec
 
 PT_COL = "__pt"  # partition label directory column
@@ -334,21 +339,48 @@ class OlapTable:
             col_stats=col_stats or None,
         )
         if publish:
-            self.manifest.publish(rs, txn=txn)
+            try:
+                self.manifest.publish(rs, txn=txn)
+            except ManifestConflictError:
+                # the CAS lost to a concurrent writer.  The rowset's id
+                # and version interval are baked into its data files
+                # (VERSION_COL, directory name), so a replay is only
+                # sound when they remain consistent with the winner's
+                # state: the id must be free, and the interval must
+                # either still extend the graph (our append raced a
+                # metadata-only save) or rewrite an existing prefix (a
+                # compaction raced an append).  Anything else re-raises
+                # with the files written but unpublished — the caller
+                # re-runs the write against fresh state.
+                self.manifest.reload()
+                id_taken = any(
+                    d["rowset_id"] == rs.rowset_id
+                    for d in self.manifest.doc["rowsets"]
+                )
+                head = self.manifest.max_version
+                interval_ok = (
+                    rs.start_version > head or rs.end_version <= head
+                )
+                if id_taken or not interval_ok:
+                    raise
+                self.manifest.publish(rs, txn=txn)
         else:
             self.manifest.prepare(rs)
         return rs
 
     def commit(self, rowset_id: int) -> None:
-        """Phase 2 of the two-phase publish: PREPARED -> VISIBLE."""
-        self.manifest.commit_rowset(rowset_id)
+        """Phase 2 of the two-phase publish: PREPARED -> VISIBLE.
+        Conflict-safe: a lost CAS reloads and replays (the mutation is
+        a pure function of the reloaded state)."""
+        self.manifest.with_retry(lambda m: m.commit_rowset(rowset_id))
 
     def rollback(self, to_version: int) -> list[int]:
         """Roll the table back to the snapshot at ``to_version`` —
         newer rowsets flip STALE in one manifest save (files untouched
         until GC), max_version resets.  Pure metadata: O(#rowsets) on
-        the driver regardless of data size."""
-        return self.manifest.rollback(to_version)
+        the driver regardless of data size.  Conflict-safe via
+        lose-and-replay (Manifest.with_retry)."""
+        return self.manifest.with_retry(lambda m: m.rollback(to_version))
 
     # -- schema evolution ------------------------------------------------
     def add_column(self, col) -> None:

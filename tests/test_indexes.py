@@ -236,3 +236,93 @@ def test_delta_min_term_from_footers(spark, warehouse):
     assert post.column_min("term") == "aa"
     assert post.column_min("term", lo=0, hi=0) == "mm"
     assert post.column_min("term", lo=1, hi=1) == "aa"
+
+
+def _codes_table(spark, warehouse, name="pq_codes_v"):
+    spec = TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("vec_id", ColumnType.INT64),
+            ColumnSpec.value("codes", ColumnType.ARRAY_INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "vec_id", 2),
+    )
+    return OlapTable.create(spark, spec, warehouse, overwrite=True)
+
+
+def _emb4(spark, rows):
+    # 4-dim vectors for a tiny m=2 PQ
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codes_refresh_equals_rebuild(spark, warehouse):
+    """Compressed-ANN sibling of the postings/cells invariant:
+    per-publish PQ code refresh ≡ from-scratch encode, and the codes
+    table is pinned to its codebook generation."""
+    import pytest
+
+    from olap_storage_engine_spark.operators.indexes import (
+        PQ_CODEBOOK_PROP,
+        StaleCodebookError,
+        pq_codebook_generation,
+        pq_codes_delta_refresh,
+    )
+    from olap_storage_engine_spark.operators.similarity import pq_encode
+
+    emb = _emb_table(spark, warehouse, "emb_pqr")
+    emb.write(
+        _emb4(
+            spark,
+            [
+                (1, [1.0, 0.0, 0.0, 1.0]),
+                (2, [0.9, 0.1, 0.1, 0.9]),
+                (3, [0.0, 1.0, 1.0, 0.0]),
+            ],
+        )
+    )  # v0: base
+    emb.write(
+        _emb4(spark, [(4, [0.1, 0.9, 0.8, 0.2]), (5, [1.0, 0.1, 0.0, 0.9])])
+    )  # v1: delta
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (0, 1, [0.0, 1.0]),
+            (1, 0, [0.0, 1.0]),
+            (1, 1, [1.0, 0.0]),
+        ],
+        "sub_id long, code_id long, code_vec array<double>",
+    )
+
+    inc = _codes_table(spark, warehouse, "codes_inc")
+    pq_codes_delta_refresh(emb, inc, cb, 0, 0, m=2, dim=4)
+    assert inc.manifest.get_property(PQ_CODEBOOK_PROP) == (
+        pq_codebook_generation(cb)
+    )
+    pq_codes_delta_refresh(emb, inc, cb, 1, 1, m=2, dim=4)
+
+    full = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb.read(), cb, m=2, dim=4).collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in inc.read().select("vec_id", "codes").collect()
+    )
+    assert got == full
+    # the refresh's own rowset holds exactly the delta's codes
+    assert sorted(
+        r["vec_id"] for r in inc.read(1, 1).select("vec_id").collect()
+    ) == [4, 5]
+    # staleness pin: a different codebook generation refuses to append
+    cb2 = spark.createDataFrame(
+        [
+            (0, 0, [0.7, 0.7]),
+            (0, 1, [0.0, 1.0]),
+            (1, 0, [0.0, 1.0]),
+            (1, 1, [1.0, 0.0]),
+        ],
+        "sub_id long, code_id long, code_vec array<double>",
+    )
+    with pytest.raises(StaleCodebookError):
+        pq_codes_delta_refresh(emb, inc, cb2, 1, 1, m=2, dim=4)

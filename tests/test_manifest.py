@@ -163,3 +163,92 @@ def test_generation_monotone_across_saves(tmp_path):
     # same instance keeps saving fine (its generation tracks disk)
     m.publish(rs(2, 1, 1))
     assert Manifest.load(root).doc["generation"] == g1 + 3
+
+
+def test_with_retry_two_writers_both_succeed(tmp_path):
+    """The lose-and-replay helper: two writers race; the loser's
+    with_retry reloads the winner's state and replays its mutation
+    derived from fresh state — both publishes land, no lost update."""
+    root = str(tmp_path / "t3")
+    Manifest(root).save()
+
+    a = Manifest.load(root)
+    b = Manifest.load(root)
+
+    def publish_next(m):
+        v = m.max_version + 1
+        m.publish(rs(m.next_rowset_id(), v, v))
+        return v
+
+    va = a.with_retry(publish_next)
+    vb = b.with_retry(publish_next)  # loses the CAS, reloads, replays
+    assert (va, vb) == (0, 1)
+    on_disk = Manifest.load(root)
+    assert on_disk.max_version == 1
+    assert sorted(r.rowset_id for r in on_disk.visible_rowsets()) == [1, 2]
+
+
+def test_with_retry_exhausts_and_reraises(tmp_path):
+    """A mutation that keeps losing (another writer between every
+    attempt) surfaces the conflict after the retry budget."""
+    root = str(tmp_path / "t4")
+    Manifest(root).save()
+    loser = Manifest.load(root)
+
+    def always_behind(m):
+        # an interfering writer sneaks a save in before every attempt
+        w = Manifest.load(root)
+        v = w.max_version + 1
+        w.publish(rs(w.next_rowset_id(), v, v))
+        vv = m.max_version + 1
+        m.publish(rs(m.next_rowset_id(), vv, vv))
+
+    with pytest.raises(ManifestConflictError):
+        loser.with_retry(always_behind, retries=3)
+
+
+def test_write_publish_replays_after_metadata_only_conflict(spark, tmp_path):
+    """An ingest write whose CAS loses to a METADATA-ONLY save (e.g. a
+    property pin) re-publishes transparently: the rowset's id and
+    interval are still consistent with the winner's state."""
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+
+    spec = TableSpec(
+        name="mc1",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, str(tmp_path / "wh"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+
+    # interfere: a second manifest instance bumps the generation with a
+    # metadata-only save between t's load and its publish
+    orig_publish = type(t.manifest).publish
+    interfered = {"done": False}
+
+    def interfering_publish(m, rs_, txn=None):
+        if not interfered["done"]:
+            interfered["done"] = True
+            other = type(m).load(m.table_root)
+            other.set_property("x", "y")
+        return orig_publish(m, rs_, txn)
+
+    type(t.manifest).publish = interfering_publish
+    try:
+        t.write(spark.createDataFrame([(2, 2.0)], "k long, v double"))
+    finally:
+        type(t.manifest).publish = orig_publish
+    assert t.read().count() == 2
+    assert t.manifest.get_property("x") == "y"
