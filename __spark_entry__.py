@@ -894,35 +894,52 @@ def q_sketch_rollup_distinct(spark, sf_dir):
 
 def q_events_funnel(spark, sf_dir):
     """Sequential-pattern funnel (view -> click -> purchase, each step
-    strictly after the previous): per-user first-step timestamps via
-    three co-keyed conditional aggregates chained by broadcast-small
-    joins — the product-analytics MATCH_RECOGNIZE-lite shape with no
-    self-join fan-out; every exchange is on user_id, so at 100 TB the
-    whole funnel is one shuffle family."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    strictly after the previous): per-user first-step timestamps — the
+    product-analytics MATCH_RECOGNIZE-lite shape with no self-join
+    fan-out.
+
+    Plan shape (r6, was three aggregate+join legs = 6 exchanges): ONE
+    repartition(user_id), then the three step times as CHAINED
+    conditional-min windows over that same partitioning — Catalyst
+    keeps the partitioning across same-key windows and the final
+    same-key aggregate, so the entire funnel runs on a single user_id
+    exchange (+ the output sort); pinned in tests/test_plans.py.  At
+    100 TB the funnel costs exactly one shuffle of the filtered event
+    stream."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .repartition(F.col("user_id"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    w = Window.partitionBy("user_id")
+    typed = lambda t: F.col("event_type") == t  # noqa: E731
+    d = ev.withColumn(
+        "t_view", F.min(F.when(typed("view"), F.col("ts"))).over(w)
     )
-    pch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    d = d.withColumn(
+        "t_click",
+        F.min(
+            F.when(typed("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                typed("purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(pch, "user_id", "left")
-        .select("user_id", "t_view", "t_click", "t_purchase")
+        d.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
         .orderBy("user_id")
     )
 
@@ -2038,6 +2055,7 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+    "tpch_q21_bucketed",  # new in r6 (exchange-free Q21 fact legs)
     "tpch_q22",
     # r4-stale fill (newest driver row is CORRECTNESS_r04)
     "agg_model_min_max",
@@ -2048,7 +2066,6 @@ _DRIVER_CHECK_HEAD = [
     "events_stream_window",
     "merge_upsert",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
     "tpch_q1",
     "tpch_q5",
 ]

@@ -44,7 +44,7 @@ from .plans.manifest import (
     RowsetMeta,
     RowsetState,
 )
-from .spec import BucketType, PartitionType, TableSpec
+from .spec import BucketType, KeysType, PartitionType, TableSpec
 
 PT_COL = "__pt"  # partition label directory column
 BK_COL = "__bk"  # bucket id directory column
@@ -291,7 +291,12 @@ class OlapTable:
         # (col_stats), enabling driver-side rowset skipping on reads.
         import pyarrow.parquet as pq
 
+        # harvest stats for every skippable column: keys always; value
+        # columns too on DUPLICATE tables (no collapse -> value-column
+        # rowset skipping is sound there, see read_skipped)
         stat_cols = set(self.spec.key_names())
+        if self.spec.keys_type == KeysType.DUPLICATE:
+            stat_cols = set(self.spec.column_names())
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
         unknown: set[str] = set()
@@ -512,14 +517,20 @@ class OlapTable:
         metadata-bounded plan and a full listing pass; the surviving
         scan still gets parquet row-group pruning on top.
 
-        Restricted to KEY columns: every physical row of a logical key
-        carries the same key values, so a rowset excluded by key-range
-        stats holds no row of ANY matching key and the keys-model
-        collapse over the surviving subset is exact.  (A value-column
-        skip would be unsound under UNIQUE/AGGREGATE merge-on-read:
-        an excluded rowset could hold the surviving version of a
-        matching key.)"""
-        if col not in self.spec.key_names():
+        Column restrictions by keys model: KEY columns are always
+        sound — every physical row of a logical key carries the same
+        key values, so a rowset excluded by key-range stats holds no
+        row of ANY matching key and the keys-model collapse over the
+        surviving subset is exact.  VALUE columns are sound ONLY on
+        DUPLICATE tables (no collapse: each physical row is a result
+        row, so excluding a rowset whose stats cannot match drops no
+        answer).  Under UNIQUE/AGGREGATE merge-on-read a value-column
+        skip is unsound — an excluded rowset could hold the surviving
+        version of a matching key — and is refused."""
+        if (
+            col not in self.spec.key_names()
+            and self.spec.keys_type != KeysType.DUPLICATE
+        ):
             raise ValueError(
                 f"read_skipped: {col!r} is not a key column — value-"
                 "column skipping is unsound under keys-model collapse"

@@ -596,6 +596,62 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over the CO-BUCKETED fact pair: all three lineitem legs and
+    the orders join key on l_orderkey, so reading both tables through
+    their bucketBy(16, orderkey) replicas makes the l1xorders join and
+    both correlated legs exchange-free on the fact side — the r5
+    verdict's one remaining Q21 lever (tpch_q21 inline made three
+    shuffled passes over lineitem).  Same result and oracle as
+    tpch_q21; tests/test_bucketed.py pins the fact-side exchange
+    count."""
+    from .fixtures import bucketed_fact_pair
+    from .sources.testdata import load_table
+
+    o_name, li_name = bucketed_fact_pair(spark, sf_dir)
+    o = spark.table(o_name).filter(F.col("o_orderstatus") == "F")
+    li = spark.table(li_name)
+    s = load_table(spark, sf_dir, "supplier")
+    late_bound = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > late_bound)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waited = (
+        l1.join(
+            l2.hint("merge"),
+            (l1["l_orderkey"] == F.col("k2")) & (l1["l_suppkey"] != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3.hint("merge"),
+            (l1["l_orderkey"] == F.col("k3"))
+            & (l1["l_suppkey"] != F.col("s3"))
+            & (
+                F.col("ship3")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global sales opportunity (adapted: nationkey % 10 stands in
     for the phone country code): customers in selected codes with an
@@ -649,6 +705,7 @@ TPCH_QUERIES = {
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "tpch_q21_bucketed": q_tpch_q21_bucketed,
     "tpch_q22": q_tpch_q22,
 }
 
@@ -886,6 +943,26 @@ TPCH_ORACLES = {
         ORDER BY s_suppkey
     """,
     "tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "tpch_q21_bucketed": """
         SELECT s_name, count(*) AS numwait
         FROM lineitem l1
         JOIN orders o ON l1.l_orderkey = o.o_orderkey

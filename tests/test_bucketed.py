@@ -155,3 +155,23 @@ def test_replica_staleness_detected_and_refreshed(spark, warehouse):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert j.count() == 100  # delta key 1000 has no match in b
+
+
+def test_q21_bucketed_fact_legs_exchange_free(spark):
+    """tpch_q21_bucketed: all three lineitem legs and orders key on
+    l_orderkey through the co-bucketed replicas, so the only exchanges
+    left are the final supplier aggregate + top-k (never a lineitem
+    shuffle)."""
+    from olap_storage_engine_spark.tpch import q_tpch_q21_bucketed
+
+    plan = formatted_plan(q_tpch_q21_bucketed(spark, SF))
+    # the fact joins are sort-merge over bucketed scans
+    assert "SortMergeJoin" in plan
+    # no exchange may carry the fact join key: the lineitem legs join
+    # co-partitioned.  (The s_name aggregate and top-k still shuffle.)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    # and the overall exchange count stays small (agg + topk family)
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 4, f"{n_ex} exchanges\n{plan}"

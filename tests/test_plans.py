@@ -164,3 +164,15 @@ def test_ivfpq_serving_prunes_partitions_and_reads_codes(spark, entrymod):
     assert cell_read_schemas, plan[:2000]
     for line in cell_read_schemas:
         assert "embedding" not in line, line
+
+
+def test_events_funnel_single_user_exchange(spark, entrymod):
+    """The funnel's three step windows and the final aggregate all
+    reuse ONE repartition(user_id); the only other exchange is the
+    output sort (was 6 exchanges in the r5 aggregate+join shape)."""
+    plan = formatted_plan(_df(spark, entrymod, "events_funnel"))
+    hash_ex = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hash_ex) == 1, plan
+    # total distinct exchanges: the user_id hash + the orderBy range
+    ops = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(ops) <= 2, plan

@@ -93,10 +93,32 @@ def test_unique_model_newer_version_survives_skip(spark, warehouse):
     assert len(got) == 20
 
 
-def test_value_column_skip_rejected(spark, warehouse):
-    t = _ranged_table(spark, warehouse, "sk6")
+def test_value_column_skip_rejected_under_collapse(spark, warehouse):
+    """UNIQUE/AGGREGATE merge-on-read: an excluded rowset could hold
+    the SURVIVING version of a matching key — value-column skipping
+    must refuse."""
+    t = _ranged_table(spark, warehouse, "sk6", model=KeysType.UNIQUE)
     with pytest.raises(ValueError, match="key column"):
         t.read_skipped("v", 0.0, 1.0)
+
+
+def test_value_column_skip_sound_on_duplicate(spark, warehouse):
+    """DUPLICATE tables have no collapse, so value-column stats are
+    sound skip criteria — and the write path harvests them."""
+    t = _ranged_table(spark, warehouse, "sk6d")  # DUPLICATE
+    # value-column stats harvested per rowset
+    stats = sorted(rs.col_stats["v"] for rs in t.manifest.visible_rowsets())
+    assert stats[0] == [0.0, 99.0]
+    kept, total = t.skip_plan("v", 110.0, 150.0)
+    assert (kept, total) == (1, 3)
+    got = sorted(r["k"] for r in t.read_skipped("v", 110.0, 150.0).collect())
+    assert got == list(range(110, 151))
+    # skipped read == full-filter read (soundness)
+    full = sorted(
+        r["k"]
+        for r in t.read().filter(F.col("v").between(110.0, 150.0)).collect()
+    )
+    assert got == full
 
 
 def test_skipped_scan_lists_fewer_files(spark, warehouse):
