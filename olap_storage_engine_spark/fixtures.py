@@ -1116,21 +1116,13 @@ def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
     unchanged."""
 
     def build():
-        from .operators.dedup import MINHASH_P, md5int, shingles
+        from .operators.indexes import shingle_rows_from
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(warehouse_for(sf_dir), "shingle_index")
-        widths = [
-            shingles(docs, n=nn, with_size=True)
-            .withColumn("n", F.lit(nn))
-            .withColumn("sh", F.xxhash64("shingle"))
-            .withColumn("mh", md5int(F.col("shingle")) % F.lit(MINHASH_P))
-            .select("doc_id", "n", "sz", "sh", "mh")
-            for nn in (3, 5)
-        ]
-        widths[0].unionByName(widths[1]).write.mode("overwrite").parquet(
-            path
-        )
+        shingle_rows_from(docs, widths=(3, 5)).write.mode(
+            "overwrite"
+        ).parquet(path)
         return path
 
     return _aux_cached("shingle_index", sf_dir, build)

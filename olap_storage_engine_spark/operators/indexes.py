@@ -152,3 +152,70 @@ def pq_codes_delta_refresh(
     )
     if pinned is None:
         codes_table.manifest.set_property(PQ_CODEBOOK_PROP, gen)
+
+
+def shingle_rows_from(
+    docs: DataFrame, widths: tuple[int, ...] = (3, 5)
+) -> DataFrame:
+    """Derive shingle-index rows (doc_id, n, sz, sh, mh) from a
+    documents frame — the one tokenize/shingle/hash pass shared by
+    full builds (fixtures.shingle_index_path) and delta refreshes."""
+    from .dedup import MINHASH_P, md5int, shingles
+
+    parts = [
+        shingles(docs, n=nn, with_size=True)
+        .withColumn("n", F.lit(nn))
+        .withColumn("sh", F.xxhash64("shingle"))
+        .withColumn("mh", md5int(F.col("shingle")) % F.lit(MINHASH_P))
+        .select("doc_id", "n", "sz", "sh", "mh")
+        for nn in widths
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shingle_index_delta_refresh(
+    docs_table: OlapTable,
+    index_table: OlapTable,
+    lo: int,
+    hi: int,
+    widths: tuple[int, ...] = (3, 5),
+) -> None:
+    """Incremental shingle-index maintenance: shingle ONLY the base
+    rowsets covering versions [lo, hi] and append their index rows —
+    the same publish-time pattern as postings/IVF-cells/PQ-codes.
+
+    APPEND-ONLY corpora only (like postings_delta_refresh): an updated
+    document's STALE shingles are not retracted by an append — a
+    mutable corpus rewrites the affected partition or rebuilds.  The
+    per-doc signature index (minhash_sigs_delta_refresh) has no such
+    caveat: it is keyed by doc_id under UNIQUE collapse."""
+    delta = docs_table.read(lo, hi)
+    index_table.write(shingle_rows_from(delta, widths))
+
+
+def minhash_sigs_delta_refresh(
+    docs_table: OlapTable,
+    sigs_table: OlapTable,
+    lo: int,
+    hi: int,
+    num_hashes: int = 8,
+    n: int = 3,
+) -> None:
+    """Incremental minhash-SIGNATURE maintenance: sign ONLY the
+    document rowsets covering versions [lo, hi] and publish the
+    signatures into a UNIQUE-keyed sigs table — the keys-model
+    collapse keeps each doc's LATEST signature, so unlike the
+    shingle-row index this refresh is correct under document UPDATES
+    too (a re-published doc's new signature supersedes the old at
+    read time, no retraction pass needed).
+
+    Invariant (pinned by tests/test_indexes.py): after refreshing for
+    every published delta, the collapsed sigs equal a from-scratch
+    signing of the current corpus."""
+    from .dedup import minhash_signatures
+
+    delta = docs_table.read(lo, hi)
+    sigs_table.write(minhash_signatures(delta, num_hashes=num_hashes, n=n))

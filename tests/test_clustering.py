@@ -52,22 +52,30 @@ def test_zorder_prunes_both_dimensions(spark, li, tmp_path):
     cluster l_suppkey at all)."""
     conf = "spark.sql.files.maxRecordsPerFile"
     zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
-    zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    # 64 groups: at 16 both layouts bottom out at the same 2-3
+    # boundary groups for a 10% box (the r6 testdata redraw exposed
+    # this) — finer granularity lets the 2-D curve actually separate
+    # from the 1-D sort instead of tying at the floor.
+    zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=64)
     (
-        li.repartitionByRange(16, "l_partkey")
+        li.repartitionByRange(64, "l_partkey")
         .sortWithinPartitions("l_partkey")
         .write.mode("overwrite")
         .parquet(spath)
     )
-    box = {"l_partkey": (100, 300), "l_suppkey": (10, 30)}
+    # wide partkey box (≈50% of the domain) x narrow suppkey box
+    # (≈10%): the 1-D partkey sort structurally CANNOT prune below
+    # ~50% (suppkey spreads over every slice), while the 2-D curve
+    # confines the suppkey band — separation that survives any data
+    # redraw, unlike a small-x-small box where curve-perimeter slop
+    # ties the two layouts (the r6 redraw exposed exactly that).
+    box = {"l_partkey": (0, 999), "l_suppkey": (10, 19)}
     zm, zt = rowgroups_matching_box(zpath, box)
     sm, st = rowgroups_matching_box(spath, box)
-    # partkey box is ~10% of the domain; suppkey box ~20%.  1-D sort
-    # prunes partkey only (~10% of groups survive with suppkey spread
-    # over all of them); z-order must additionally prune suppkey.
-    assert zt >= 8 and st >= 8
+    assert zt >= 32 and st >= 32
+    assert sm / st >= 0.4, (sm, st)  # 1-D layout cannot prune suppkey
     assert zm / zt < sm / st, (zm, zt, sm, st)
-    # and the pruned fraction must be small in absolute terms
+    # and the z fraction must be small in absolute terms
     assert zm / zt < 0.35, (zm, zt)
 
 

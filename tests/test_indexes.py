@@ -326,3 +326,122 @@ def test_pq_codes_refresh_equals_rebuild(spark, warehouse):
     )
     with pytest.raises(StaleCodebookError):
         pq_codes_delta_refresh(emb, inc, cb2, 1, 1, m=2, dim=4)
+
+
+def _docs2(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_index_refresh_equals_rebuild(spark, warehouse):
+    """Append-only shingle-index maintenance: per-publish refresh ≡
+    from-scratch shingling of the full corpus (both widths, both hash
+    columns)."""
+    from olap_storage_engine_spark.operators.indexes import (
+        shingle_index_delta_refresh,
+        shingle_rows_from,
+    )
+
+    docs = _docs_table(spark, warehouse)
+    docs.write(
+        _docs2(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+        )
+    )  # v0
+    docs.write(
+        _docs2(spark, [(3, "red green blue cyan magenta yellow")])
+    )  # v1
+
+    idx_spec = TableSpec(
+        name="shidx",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.key("n", ColumnType.INT64),
+            ColumnSpec.key("sh", ColumnType.INT64),
+            ColumnSpec.value("sz", ColumnType.INT64),
+            ColumnSpec.value("mh", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "sh", 2),
+    )
+    idx = OlapTable.create(spark, idx_spec, warehouse, overwrite=True)
+    cols = ["doc_id", "n", "sz", "sh", "mh"]
+    idx.write(shingle_rows_from(docs.read(0, 0)).select(*cols))
+    shingle_index_delta_refresh(docs, idx, 1, 1)
+
+    got = sorted(tuple(r) for r in idx.read().select(*cols).collect())
+    want = sorted(
+        tuple(r) for r in shingle_rows_from(docs.read()).select(*cols).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_minhash_sigs_refresh_handles_updates(spark, warehouse):
+    """Signature-index maintenance under UNIQUE collapse: a
+    re-published document's NEW signature supersedes the old at read
+    time — refresh ≡ rebuild even for updates, not just appends."""
+    from olap_storage_engine_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from olap_storage_engine_spark.operators.indexes import (
+        minhash_sigs_delta_refresh,
+    )
+
+    # UNIQUE docs table: an update means "latest text wins" — the
+    # semantics the signature index must track
+    spec = TableSpec(
+        name="docs_u",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.value("text", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 2),
+    )
+    docs = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    docs.write(
+        _docs2(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+        )
+    )  # v0
+    docs.write(
+        _docs2(spark, [(2, "totally different text for doc two now")])
+    )  # v1: UPDATE of doc 2
+
+    k = 4
+    sig_cols = [f"mh{i}" for i in range(k)]
+    sig_spec = TableSpec(
+        name="mhsigs",
+        columns=[ColumnSpec.key("doc_id", ColumnType.INT64)]
+        + [ColumnSpec.value(c, ColumnType.INT64) for c in sig_cols],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 2),
+    )
+    sigs = OlapTable.create(spark, sig_spec, warehouse, overwrite=True)
+    minhash_sigs_delta_refresh(docs, sigs, 0, 0, num_hashes=k)
+    minhash_sigs_delta_refresh(docs, sigs, 1, 1, num_hashes=k)
+
+    got = sorted(
+        tuple(r) for r in sigs.read().select("doc_id", *sig_cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_signatures(docs.read(), num_hashes=k)
+        .select("doc_id", *sig_cols)
+        .collect()
+    )
+    assert got == want and len(got) == 2
+    # and doc 2's signature really moved
+    base = {
+        r["doc_id"]: tuple(r[c] for c in sig_cols)
+        for r in minhash_signatures(docs.read(0, 0), num_hashes=k).collect()
+    }
+    new = dict((r[0], r[1:]) for r in got)
+    assert new[2] != base[2] and new[1] == base[1]
