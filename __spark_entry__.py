@@ -327,6 +327,29 @@ def q_dedup_ngram_indexed(spark, sf_dir):
     return dd.ngram_pairs_from_index(sh, threshold=0.5, max_doc_freq=50)
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """The standard two-stage near-dup tail: banded-LSH candidates
+    (persisted signature index) -> EXACT Jaccard verification
+    (persisted shingle index, n=3) -> pairs >= 0.4.  LSH alone admits
+    band-collision false positives; this is the query a production
+    dedup actually runs — entirely from the two publish-time indexes,
+    no tokenize pass anywhere in the plan."""
+    from olap_storage_engine_spark.fixtures import (
+        minhash_sigs_path,
+        shingle_index_path,
+    )
+
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
+    idx3 = (
+        spark.read.parquet(shingle_index_path(spark, sf_dir))
+        .filter(F.col("n") == 3)
+        .select("doc_id", "sz", "sh")
+    )
+    return dd.minhash_verified_pairs(
+        sigs, idx3, threshold=0.4, num_hashes=8, band_rows=2
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return dd.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), num_planes=8, threshold=0.3
@@ -2019,6 +2042,7 @@ _DRIVER_CHECK_HEAD = [
     # ~50-row budget.  The remaining 39 r4-stale rows rotate in round 7.
     "merge_scoped",
     "dedup_ngram_indexed",
+    "dedup_minhash_verified",  # new in r6 (LSH candidates + exact verify)
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "text_bm25",
@@ -2064,7 +2088,6 @@ _DRIVER_CHECK_HEAD = [
     "cdc_changes",
     "embedding_neardup",
     "events_stream_window",
-    "merge_upsert",
     "similarity_ann_lsh",
     "tpch_q1",
     "tpch_q5",
@@ -2104,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_indexed": q_dedup_ngram_indexed,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
         "corpus_prep": q_corpus_prep,
@@ -2443,6 +2467,29 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= {threshold}
+"""
+
+
+def _minhash_verified_oracle(
+    num_hashes=8, band_rows=2, n=3, threshold=0.4
+) -> str:
+    """LSH candidates (the shared mh_pairs CTE chain) verified with
+    exact n-gram Jaccard — the two-stage near-dup pipeline re-derived
+    fully in SQL."""
+    return f"""WITH {_minhash_ctes(num_hashes, band_rows, n)},
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+cm AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM mh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT cm.doc_a, cm.doc_b,
+       cm.c / (sa.sz + sb.sz - cm.c)::DOUBLE AS jaccard
+FROM cm
+JOIN szs sa ON sa.doc_id = cm.doc_a
+JOIN szs sb ON sb.doc_id = cm.doc_b
+WHERE cm.c / (sa.sz + sb.sz - cm.c)::DOUBLE >= {threshold}
 """
 
 
@@ -3122,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_ngram_indexed": _ngram_jaccard_oracle(),
+        "dedup_minhash_verified": _minhash_verified_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),

@@ -729,3 +729,58 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def minhash_verified_pairs(
+    sigs: DataFrame,
+    shingle_idx: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard two-stage near-dup pipeline tail: banded-LSH
+    CANDIDATES (probabilistic, from the persisted signature table) ->
+    EXACT Jaccard VERIFICATION (from the persisted shingle index) ->
+    pairs at or above ``threshold``.  LSH alone admits false positives
+    (two docs can agree on one band by chance); verification computes
+    the true Jaccard for the candidate set only — never all pairs.
+
+    Plan shape for 100 TB: the candidate set is tiny relative to the
+    corpus (that is the point of LSH), so the verification cost is two
+    semi-join-sized probes into the shingle index keyed on doc id plus
+    one count aggregate over the intersected posting rows.  Both
+    inputs are publish-time indexes; the query itself never tokenizes.
+
+    ``shingle_idx``: rows (doc_id, sz, sh) for ONE shingle width —
+    the same width the signatures were built from.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    cand = minhash_candidates_from_sigs(sigs, num_hashes, band_rows, id_col)
+    a = shingle_idx.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("sh").alias("__sh"),
+    )
+    b = shingle_idx.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("sh").alias("__sh"),
+    )
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "__sh"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -578,3 +578,39 @@ def test_minhash_indexed_equals_inline(spark):
         for r in minhash_candidates_from_sigs(sigs, 8, 2).collect()
     )
     assert a == c
+
+
+def test_minhash_verified_drops_false_positives(spark):
+    """Verification semantics: every verified pair is an LSH candidate
+    with true Jaccard >= threshold; no candidate below threshold
+    survives."""
+    from olap_storage_engine_spark.fixtures import (
+        minhash_sigs_path,
+        shingle_index_path,
+    )
+    from olap_storage_engine_spark.operators.dedup import (
+        minhash_candidates_from_sigs,
+        minhash_verified_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf))
+    idx3 = (
+        spark.read.parquet(shingle_index_path(spark, sf))
+        .filter(F.col("n") == 3)
+        .select("doc_id", "sz", "sh")
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates_from_sigs(sigs, 8, 2).collect()
+    }
+    verified = minhash_verified_pairs(sigs, idx3, threshold=0.4).collect()
+    assert verified, "expected some verified pairs in the fixture"
+    for r in verified:
+        assert (r["doc_a"], r["doc_b"]) in cand
+        assert r["jaccard"] >= 0.4
+    # the threshold actually bites: verifying at 0 keeps MORE pairs
+    # than verifying at 0.4 (i.e. some candidates are false positives
+    # at 0.4)
+    all_scored = minhash_verified_pairs(sigs, idx3, threshold=0.0).count()
+    assert all_scored >= len(verified)
