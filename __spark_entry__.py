@@ -641,6 +641,40 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (operators/text.py
+    repetition_stats): distinct-token ratio, top-token fraction,
+    duplicate-2-gram fraction — row-local, zero shuffles."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    """Fixed-width exact-substring dedup served from the PERSISTED
+    shingle index at width 5 (operators/dedup.duplicated_span_stats):
+    per-doc count/fraction of 5-gram spans shared with other docs."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    idx = (
+        spark.read.parquet(shingle_index_path(spark, sf_dir))
+        .filter(F.col("n") == 5)
+        .select("doc_id", "sz", "sh")
+    )
+    return dd.duplicated_span_stats(idx)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic near-dup pairs: cells from the
+    PERSISTED IVF centroid index (the ANN quantizer), exact cosine
+    within cells only (operators/dedup.semantic_dedup_pairs)."""
+    from olap_storage_engine_spark.fixtures import ivf_centroids
+
+    return dd.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        ivf_centroids(spark, sf_dir),
+        threshold=0.3,
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return tx.fingerprints(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
@@ -2043,6 +2077,9 @@ _DRIVER_CHECK_HEAD = [
     "merge_scoped",
     "dedup_ngram_indexed",
     "dedup_minhash_verified",  # new in r6 (LSH candidates + exact verify)
+    "text_repetition",  # new in r6 (Gopher repetition filters)
+    "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
+    "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "text_bm25",
@@ -2154,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
+        "text_repetition": q_text_repetition,
+        "dedup_exact_substring": q_dedup_exact_substring,
+        "dedup_semantic": q_dedup_semantic,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_join": q_multimodal_join,
         "multimodal_meta": q_multimodal_meta,
@@ -2678,6 +2718,34 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _dedup_semantic_oracle(
+    threshold=0.3, n_centroids=16, sample_mod=4, iters=2
+) -> str:
+    """SemDeDup in SQL: the same deterministic k-means + nearest-cell
+    assignment the IVF oracle uses (dot/|c| argmax, ties by cent_id),
+    then in-cell pairs at cosine >= threshold."""
+    cos_ec = (
+        f"({_dot_sql('e.embedding', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
+    return f"""
+WITH {_kmeans_ctes(n_centroids, sample_mod, iters)},
+cell AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS cr
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE cr = 1
+)
+SELECT l.cent_id, l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cosine
+FROM cell l JOIN cell r
+  ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id
+WHERE {_cos_sql('l.embedding', 'r.embedding')} >= {threshold}
+"""
+
+
 def _similarity_ann_pq_oracle(
     k=10, n_candidates=50, m=4, n_codes=16, dim=64, n_probes=5,
     sample_mod=4, iters=2,
@@ -3199,6 +3267,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
+        # Gopher repetition filters: top-token count re-derived the
+        # relational way (unnest + group + max) — the Spark side's
+        # sorted-array run-length fold must agree with it exactly.
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            topf AS (
+              SELECT doc_id, max(c) AS topc FROM (
+                SELECT doc_id, tok, count(*) AS c FROM (
+                  SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            g AS (
+              SELECT doc_id, len(toks) AS n,
+                     len(list_distinct(toks)) AS nd,
+                     CASE WHEN len(toks) >= 2
+                          THEN [toks[i] || ' ' || toks[i+1]
+                                FOR i IN generate_series(1, len(toks)-1)]
+                          ELSE [] END AS grams
+              FROM t
+            )
+            SELECT g.doc_id, CAST(g.n AS INT) AS n_tokens,
+                   round(g.nd / g.n, 4) AS distinct_ratio,
+                   round(topf.topc / g.n, 4) AS top_token_frac,
+                   CASE WHEN len(g.grams) > 0
+                        THEN round(1 - len(list_distinct(g.grams))
+                                       / len(g.grams), 4)
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM g JOIN topf USING (doc_id)
+        """,
+        # exact-substring dedup at width 5: the oracle rebuilds the
+        # span sets from text (the Spark side serves span HASHES from
+        # the persisted index; equality on strings == equality on
+        # xxhash64 absent collisions, same contract as ngram_indexed)
+        "dedup_exact_substring": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 5
+                       THEN [array_to_string(toks[i:i+4], ' ')
+                             FOR i IN generate_series(1, len(toks)-4)]
+                       ELSE [] END) AS spans
+              FROM t
+            ),
+            e AS (
+              SELECT doc_id, len(spans) AS n_spans,
+                     unnest(spans) AS span
+              FROM s WHERE len(spans) > 0
+            ),
+            df AS (SELECT span, count(*) AS d FROM e GROUP BY 1)
+            SELECT e.doc_id,
+                   CAST(min(e.n_spans) AS INT) AS n_spans,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS INT) AS dup_spans,
+                   round(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                         / min(e.n_spans), 4) AS dup_frac
+            FROM e JOIN df USING (span)
+            GROUP BY e.doc_id
+        """,
+        "dedup_semantic": _dedup_semantic_oracle(),
         "text_tokens": f"""
             SELECT doc_id, {_WS_TOKENS} AS ws_tokens,
                    CAST(len(regexp_extract_all(text,

@@ -784,3 +784,106 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def duplicated_span_stats(
+    shingle_idx: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring dedup at n-gram-span granularity (the
+    fixed-width approximation of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — suffix-array
+    substring dedup with the match length fixed at the index's shingle
+    width): per document, how many of its distinct n-gram spans also
+    occur in at least one OTHER document, and what fraction of its
+    span set that is.  Pipelines drop or trim documents whose text is
+    mostly spans copied from elsewhere in the corpus.
+
+    Serves entirely from the persisted shingle index (doc_id, sz, sh)
+    — the query never touches document text.  Plan shape: one
+    hash-aggregate over the index keyed on the span hash (map-side
+    combined document-frequency count), one shuffle join back to the
+    posting rows on the same key, one per-doc aggregate.  At 100 TB
+    the index is the publish-time artifact and both shuffles key on
+    high-cardinality hashes — no skew, no all-pairs anything.
+
+    Returns (doc_id, n_spans, dup_spans, dup_frac) for every document
+    with at least one span; dup_frac rounded to 4dp.
+    """
+    idx = shingle_idx.select(
+        F.col(id_col), F.col("sz"), F.col("sh")
+    )
+    span_df = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    joined = idx.join(span_df, "sh")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.min("sz").cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("int")
+            .alias("dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.col("dup_spans"),
+            F.round(F.col("dup_spans") / F.col("n_spans"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al.
+    2023): cluster the embedding space with the coarse k-means
+    quantizer, then look for high-cosine pairs ONLY within a cluster
+    — semantically-redundant documents land in the same cell, so the
+    pair search never crosses cells.
+
+    This is the third candidate-generation strategy in the embedding
+    dedup family (sign-LSH buckets in embedding_neardup_pairs, exact
+    within-bucket there too): cells come from the PERSISTED IVF
+    centroid index — the same publish-time artifact the ANN serving
+    path broadcasts — so dedup and search share one clustering.
+
+    Plan shape for 100 TB: assignment is a broadcast map-side argmax
+    (the corpus never shuffles for it), the self-join keys on cent_id
+    so each cell joins only against itself, and exact cosine runs on
+    in-cell pairs only.  Cell sizes are bounded by the quantizer
+    (n_centroids scales with corpus size); AQE skew-split handles a
+    hot cell.
+
+    Returns (cent_id, vec_a, vec_b, cosine) for in-cell pairs with
+    cosine >= threshold, cosine rounded to 6dp.
+    """
+    from .similarity import ivf_cell_assign
+
+    cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col)
+    l, r = cells.alias("l"), cells.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.cent_id") == F.col("r.cent_id"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col("l.cent_id").alias("cent_id"),
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "cent_id", "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+        )
+    )

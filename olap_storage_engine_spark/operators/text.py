@@ -138,6 +138,72 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition ratios per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition family of
+    quality filters): distinct-token ratio, most-frequent-token
+    fraction, and duplicate-2-gram fraction.  Documents dominated by a
+    few repeated tokens or repeated bigrams are boilerplate/spam
+    candidates that a training-data pipeline drops before tokenizing.
+
+    Plan shape: fully ROW-LOCAL — one tokenize per document, the
+    most-frequent-token count comes from a run-length fold over the
+    SORTED token array (array_sort + one higher-order aggregate with a
+    (prev, run, best) struct accumulator) instead of an
+    explode→groupBy(doc, token)→max re-aggregate, and the 2-gram
+    stats reuse the same in-row gram builder as shingling.  ZERO
+    shuffles, zero row explosion: the ideal 100 TB shape — a narrow
+    map-only pass that parallelizes by input split, emitting four
+    small numbers per document.
+
+    Returns (doc_id, n_tokens, distinct_ratio, top_token_frac,
+    dup_2gram_frac), ratios rounded to 4dp.
+    """
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    # run-length fold over the sorted array: the longest run of equal
+    # adjacent tokens IS the max per-token count.
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(toks), acc0, _step, lambda a: a["best"])
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n2 = F.size(grams)
+    d2 = F.size(F.array_distinct(grams))
+    return toked.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.round(nd / n, 4).alias("distinct_ratio"),
+        F.round(top / n, 4).alias("top_token_frac"),
+        F.when(n2 > 0, F.round(F.lit(1) - d2 / n2, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document."""
     cols = [docs[c] for c in docs.columns]

@@ -614,3 +614,109 @@ def test_minhash_verified_drops_false_positives(spark):
     # at 0.4)
     all_scored = minhash_verified_pairs(sigs, idx3, threshold=0.0).count()
     assert all_scored >= len(verified)
+
+
+def test_repetition_stats_golden(spark):
+    rows = [
+        Row(doc_id=1, text="a a a a"),          # one token repeated 4x
+        Row(doc_id=2, text="a b c d"),          # all distinct
+        Row(doc_id=3, text="a b a b a"),        # alternating
+        Row(doc_id=4, text="solo"),             # single token, no 2-grams
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in tx.repetition_stats(spark.createDataFrame(rows)).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 0.25
+    assert r1["top_token_frac"] == 1.0
+    # 3 bigrams, all "a a" -> 2 of 3 are duplicates
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    r2 = out[2]
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["top_token_frac"] == 0.25
+    assert r2["dup_2gram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_tokens"] == 5
+    assert r3["top_token_frac"] == 0.6  # 'a' appears 3/5
+    # bigrams: ab ba ab ba -> 2 distinct of 4
+    assert r3["dup_2gram_frac"] == 0.5
+    r4 = out[4]
+    assert r4["n_tokens"] == 1
+    assert r4["dup_2gram_frac"] == 0.0
+
+
+def test_repetition_stats_zero_exchanges(spark, docs):
+    plan = tx.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # fully row-local map pass
+
+
+def test_duplicated_span_stats_golden(spark):
+    from olap_storage_engine_spark.operators.indexes import shingle_rows_from
+
+    rows = [
+        # docs 1 and 2 share the 5-gram "b c d e f"; doc 3 is disjoint
+        Row(doc_id=1, text="a b c d e f"),
+        Row(doc_id=2, text="b c d e f g"),
+        Row(doc_id=3, text="q r s t u v"),
+    ]
+    idx = shingle_rows_from(
+        spark.createDataFrame(rows), widths=(5,)
+    ).select("doc_id", "sz", "sh")
+    out = {
+        r["doc_id"]: r for r in dd.duplicated_span_stats(idx).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["dup_spans"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["n_spans"] == 2 and out[2]["dup_spans"] == 1
+    assert out[3]["n_spans"] == 2 and out[3]["dup_spans"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    # two tight clusters along different axes; near-dup pairs exist
+    # only within a cluster
+    def vec(axis, eps, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=vec(0, 0.0)),
+            Row(vec_id=1, embedding=vec(0, 0.1)),
+            Row(vec_id=2, embedding=vec(3, 0.0)),
+            Row(vec_id=3, embedding=vec(3, 0.1)),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=0, cent_vec=vec(0, 0.05)),
+            Row(cent_id=1, cent_vec=vec(3, 0.05)),
+        ]
+    )
+    pairs = dd.semantic_dedup_pairs(emb, cents, threshold=0.9).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert got == {(0, 1), (2, 3)}  # never cross-cluster
+    for r in pairs:
+        assert r["cosine"] > 0.99
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+    )
+    cents = spark.createDataFrame(
+        [Row(cent_id=0, cent_vec=[1.0, 0.0]), Row(cent_id=1, cent_vec=[0.0, 1.0])]
+    )
+    plan = (
+        dd.semantic_dedup_pairs(emb, cents, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # assignment is a broadcast argmax -- the corpus never shuffles
+    # for cell assignment (the only exchange keys the in-cell join)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
