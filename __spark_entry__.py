@@ -286,6 +286,32 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash(load_table(spark, sf_dir, "documents"), bits=32)
 
 
+def q_dedup_simhash_groups(spark, sf_dir):
+    """Serving-path simhash dedup: exact-fingerprint collision groups
+    from the PERSISTED fingerprint table (fixtures.simhash_fps_path)
+    — one hash-aggregate keyed on the fingerprint, zero joins, never
+    tokenizes.  The banded-LSH pair expansion
+    (dd.simhash_candidates_from_fps) exists for radius>0 lookups but
+    is deliberately NOT the declared corpus-wide query: this synthetic
+    corpus draws every doc from one ~30-word vocabulary, so fingerprint
+    similarity is so dense that ANY pair emission is effectively
+    all-pairs (measured sf0.1: 5.9M candidate pairs at band_bits=8,
+    1.1M at 16, of 12.5M possible) — a corpus property, not a plan
+    property.  Group-then-keep is the O(N) shape that serves exact
+    simhash dedup at 100 TB."""
+    from olap_storage_engine_spark.fixtures import simhash_fps_path
+
+    fps = spark.read.parquet(simhash_fps_path(spark, sf_dir))
+    return (
+        fps.groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Kept DELIBERATELY as the inline full-scan variant (the cold-
     corpus / first-publish path, and the measured comparison point for
@@ -1525,11 +1551,19 @@ def q_ingest_orc(spark, sf_dir):
     fixture-build time and read back through Spark's native vectorized
     ORC reader — the timed path is the read, as it should be.
 
-    Measured round 5 (isolated session, reader warmed): this read+agg
-    runs 0.18-0.35 s at sf0.1 — parquet parity (the same agg over the
-    parquet lineitem is 0.24 s), so there is no ORC-reader floor; the
-    higher bench numbers reflect end-of-suite session state (the query
-    runs last), not the plan."""
+    Measured round 6 (isolated, warm, component-profiled; this
+    KILLS the r5 "end-of-suite session state" theory — the query ran
+    FIRST in the r6 bench and still took ~1 s): the ORC read itself is
+    parquet-parity (count-only over this ORC: 0.19 s; double-sum agg:
+    0.36 s), and the ~0.8 s total is the DECIMAL aggregate — the same
+    _dsum agg over the parquet lineitem is 0.84 s.  Root cause: the
+    sum accumulator widens to decimal(28,4), past Spark's compact-long
+    precision 18, so every row pays a BigDecimal add (input
+    decimal(8,2) → accumulator (18,2) measures 0.43 s, double 0.25 s).
+    Narrowing is wrong at target scale — a (18,2) accumulator
+    overflows near 10^16, which 100 TB of lineitem actually reaches —
+    so the wide-decimal tax is the price of exact order-independent
+    sums and stays."""
     from olap_storage_engine_spark.fixtures import ingest_export
 
     df = spark.read.orc(ingest_export(spark, sf_dir, "orc"))
@@ -2080,6 +2114,7 @@ _DRIVER_CHECK_HEAD = [
     "text_repetition",  # new in r6 (Gopher repetition filters)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
+    "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "text_bm25",
@@ -2162,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_groups": q_dedup_simhash_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_indexed": q_dedup_ngram_indexed,
         "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -2453,7 +2489,10 @@ FROM kept GROUP BY 1, 2
 """
 
 
-def _simhash_oracle(bits=32) -> str:
+def _simhash_fp_ctes(bits=32) -> str:
+    """The fingerprint derivation as reusable CTEs (terminal:
+    ``fps(doc_id, simhash)``) — shared by the inline-simhash oracle
+    and the banded-candidates oracle."""
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(bits)
@@ -2461,8 +2500,7 @@ def _simhash_oracle(bits=32) -> str:
     fp = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 tok AS (
@@ -2471,8 +2509,22 @@ tok AS (
   )
 ),
 th AS (SELECT doc_id, {_MD5INT.format(expr='tok')} AS h FROM tok),
-s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s)"""
+
+
+def _simhash_oracle(bits=32) -> str:
+    return f"""
+WITH {_simhash_fp_ctes(bits)}
+SELECT doc_id, simhash FROM fps
+"""
+
+
+def _simhash_groups_oracle(bits=32) -> str:
+    return f"""
+WITH {_simhash_fp_ctes(bits)}
+SELECT simhash, min(doc_id) AS keep_id, CAST(count(*) AS INT) AS n_docs
+FROM fps GROUP BY simhash HAVING count(*) >= 2
 """
 
 
@@ -3235,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         """,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_groups": _simhash_groups_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_ngram_indexed": _ngram_jaccard_oracle(),
         "dedup_minhash_verified": _minhash_verified_oracle(),

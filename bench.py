@@ -149,11 +149,12 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    # ingest_orc measured 0.92 s at the END of the r5 suite vs
-    # 0.18-0.35 s isolated — attributed to end-of-suite session state
-    # (GC pressure / accumulated listeners), not the ORC read.  Run it
-    # FIRST to confirm: if the early number is ≤0.4 s the session-state
-    # explanation stands measured; if not, the docstring theory dies.
+    # ingest_orc ran FIRST in the r6 bench and still took ~1 s — the
+    # r5 session-state theory is dead.  Component profile (see the
+    # q_ingest_orc docstring): the ORC read is parquet-parity; the
+    # time is the decimal(28,4) BigDecimal sum accumulator, kept for
+    # overflow-safe exact sums at 100 TB.  Keep the first slot so the
+    # number stays comparable round to round.
     ordered_names = list(qs)
     if "ingest_orc" in ordered_names:
         ordered_names.remove("ingest_orc")

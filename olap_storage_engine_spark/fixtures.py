@@ -1154,6 +1154,24 @@ def minhash_sigs_path(spark: SparkSession, sf_dir: str) -> str:
     return _aux_cached("minhash_sigs", sf_dir, build)
 
 
+def simhash_fps_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted simhash FINGERPRINT table (doc_id, simhash)
+    — the third member of the publish-time dedup-index family
+    (shingle index, minhash signatures, simhash fingerprints).
+    Fingerprints are per-doc and corpus-independent, so delta refresh
+    = fingerprint only the delta rowsets and append."""
+
+    def build():
+        from .operators.dedup import simhash
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(warehouse_for(sf_dir), "simhash_fps")
+        simhash(docs, bits=32).write.mode("overwrite").parquet(path)
+        return path
+
+    return _aux_cached("simhash_fps", sf_dir, build)
+
+
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the Z-order-clustered lineitem copy
     (clustered on (l_partkey, l_suppkey)) — the write-path layout

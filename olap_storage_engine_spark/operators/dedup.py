@@ -23,6 +23,8 @@ skew-join splitting handles residual hot keys.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashes import md5int
@@ -300,49 +302,68 @@ def simhash(
     ideal 100 TB shape: it parallelizes by input split and nothing
     else.
 
-    On the r5 bench regression (0.96 -> 1.47 s judge-to-judge at
-    sf0.1), profiled r6: the plan is unchanged and NOT the cause —
-    repeated in-session runs of this exact query converge to
-    0.33-1.13 s depending on JVM JIT warmth of the md5/tokenize
-    intrinsics (first forced run 1.5-1.9 s incl. codegen compile of
-    the 32-wide vote fold, steady state 0.33 s).  Tested alternatives:
-    (a) per-bit filter-count formulation — identical warm time;
-    (b) arithmetic votes (no CaseWhen) with count-of-ones accumulator
-    — SLOWER (2.6 s warm: the add-chain defeats the common-subexpr
-    the when-form shares).  The bench number is therefore a cold-JIT
-    sample of a ~0.3 s steady-state operator; the vote fold stays."""
+    Vote kernel history (all variants produce BIT-IDENTICAL
+    fingerprints; measured warm at sf0.1, 8-run steady state):
+    (a) r3: explode + groupBy(doc) — 2x slower, exchange-bound;
+    (b) r4/r5: pure-codegen higher-order fold (zip_with over a 32-wide
+        CaseWhen vote array) — 1.0 s steady state.  The r5 docstring
+        claimed 0.33 s; r6 re-measurement over 8 consecutive runs
+        shows the fold converging to ~1.0 s, never 0.33 — the earlier
+        number does not reproduce and the "cold-JIT sample" theory is
+        retracted;
+    (c) r6 (current): JVM-side tokenize + md5 feeding an ARROW-BATCHED
+        numpy vote kernel (one reduceat over the per-batch flattened
+        bit matrix) — 0.6 s steady state, vs the 0.28 s
+        tokenize+distinct floor.  Per-bit filter-count and
+        arithmetic-vote codegen variants measured 1.0 s / 2.6 s.
+    This is the documented Pandas-UDF escape hatch: the built-in fold
+    expresses the semantics but measurably underperforms the
+    vectorized kernel, and the hash inputs stay JVM-side so the Arrow
+    transfer is one long-array column, not text."""
     toked = _spread(docs).select(
         F.col(id_col),
         F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
     )
-    hashes = F.transform(F.col("__toks"), lambda t: md5int(t))
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    sums = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for j in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    hashed = toked.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: md5int(t)).alias("__h"),
     )
-    summed = toked.select(F.col(id_col), sums.alias("__s"))
-    fp = None
-    for j in range(bits):
-        bit = F.when(
-            F.element_at(F.col("__s"), j + 1) > 0, F.lit(2 ** j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return summed.select(F.col(id_col), fp.alias("simhash"))
+    return hashed.select(
+        F.col(id_col), _simhash_votes_udf(bits)(F.col("__h")).alias("simhash")
+    )
+
+
+def _simhash_votes_udf(bits: int):
+    """Arrow-batched simhash vote kernel: for a batch of token-hash
+    arrays, flatten to one (total_tokens, bits) ±1 bit matrix and
+    segment-sum it with np.add.reduceat — one vectorized pass per
+    Arrow batch, no per-token Python."""
+
+    @F.pandas_udf("long")
+    def votes(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.int64)
+        n = len(hs)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        arrs = [
+            np.asarray(a, dtype=np.int64)
+            if a is not None
+            else np.empty(0, dtype=np.int64)
+            for a in hs
+        ]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, count=n)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if len(a)])
+            pm = (((flat[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+            offs = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            v = np.add.reduceat(pm, offs, axis=0)
+            out[nz] = ((v > 0).astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(out)
+
+    return votes
 
 
 def simhash_candidates(
@@ -356,6 +377,24 @@ def simhash_candidates(
     bands of ``band_bits``; pairs agreeing on any band are candidates
     (guarantees recall for hamming distance < bits/band_bits)."""
     fp = simhash(docs, bits, text_col, id_col)
+    return simhash_candidates_from_fps(fp, bits, band_bits, id_col)
+
+
+def simhash_candidates_from_fps(
+    fp: DataFrame,
+    bits: int = 32,
+    band_bits: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded Hamming-LSH candidate pairs from a PRECOMPUTED
+    fingerprint frame (doc_id, simhash) — the serving path over the
+    publish-time fingerprint table (fingerprints are per-doc and
+    corpus-independent, so delta refresh = fingerprint only the delta
+    rowsets and append, the minhash-signature story).  Returns
+    (doc_a, doc_b, hamming): pairs agreeing on at least one band with
+    their exact Hamming distance — candidate generation AND the cheap
+    verification in one pass, since the full fingerprints ride along
+    the band join anyway."""
     num_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     bands = fp.select(
@@ -388,6 +427,9 @@ def simhash_candidates(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )

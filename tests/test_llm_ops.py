@@ -720,3 +720,17 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     # assignment is a broadcast argmax -- the corpus never shuffles
     # for cell assignment (the only exchange keys the in-cell join)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_simhash_candidates_from_fps_hamming(spark, docs):
+    fps = dd.simhash(docs, bits=32)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_candidates_from_fps(
+            fps, bits=32, band_bits=8
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # exact dups collide
+    fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    for (a, b), h in pairs.items():
+        assert h == bin(fp[a] ^ fp[b]).count("1")  # exact distance
