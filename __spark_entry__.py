@@ -667,6 +667,22 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Histogram-guided token-budget corpus selection
+    (operators/text.token_budget_select): keep the best docs by
+    quality until a 20k-token global budget — no global sort."""
+    return tx.token_budget_select(
+        load_table(spark, sf_dir, "documents"), budget_tokens=20000
+    )
+
+
+def q_quality_filter_pipeline(spark, sf_dir):
+    """C4/Gopher-style composite keep/drop policy with first-failing
+    reason (operators/text.quality_filter): length rule, repetition
+    rule, language cross-check — one fused row-local pass."""
+    return tx.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality filters (operators/text.py
     repetition_stats): distinct-token ratio, top-token fraction,
@@ -2112,6 +2128,8 @@ _DRIVER_CHECK_HEAD = [
     "dedup_ngram_indexed",
     "dedup_minhash_verified",  # new in r6 (LSH candidates + exact verify)
     "text_repetition",  # new in r6 (Gopher repetition filters)
+    "quality_filter_pipeline",  # new in r6 (C4-style keep/drop policy)
+    "token_budget_select",  # new in r6 (histogram-guided budget pack)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2228,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_repetition": q_text_repetition,
+        "quality_filter_pipeline": q_quality_filter_pipeline,
+        "token_budget_select": q_token_budget_select,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3046,6 +3066,53 @@ _WS_TOKENS = (
 )
 
 
+def _quality_filter_oracle(min_tokens=20, max_tf=0.12) -> str:
+    from olap_storage_engine_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+topf AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+  GROUP BY 1
+),
+sc AS (
+  SELECT doc_id, lang, len(toks) AS n, {", ".join(score_cols)} FROM t
+),
+p AS (
+  SELECT doc_id, lang, n, {best} AS best,
+         CASE WHEN {best} > 0 THEN (CASE {cases} END)
+              ELSE 'und' END AS pred_lang
+  FROM sc
+),
+v AS (
+  SELECT p.doc_id, p.lang, p.n,
+         CASE WHEN p.n < {min_tokens} THEN 'too_short'
+              WHEN topf.topc / p.n > {max_tf} THEN 'repetitive'
+              WHEN p.pred_lang <> p.lang THEN 'lang_mismatch'
+              ELSE 'kept' END AS reason
+  FROM p JOIN topf USING (doc_id)
+)
+SELECT doc_id, lang, CAST(n AS INT) AS n_tokens,
+       reason = 'kept' AS keep, reason
+FROM v
+"""
+
+
 def _langid_oracle() -> str:
     from olap_storage_engine_spark.operators.text import STOPWORDS
 
@@ -3100,6 +3167,23 @@ SELECT doc_id, n_tokens, n_punct, n_stopwords,
     + (CASE WHEN n_punct / n_chars_i::DOUBLE <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
     + (CASE WHEN n_stopwords > 0 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END), 2) AS quality
 FROM m
+"""
+
+
+def _token_budget_oracle(budget=20000) -> str:
+    """The GLOBAL-WINDOW formulation the histogram algorithm must
+    reproduce exactly: cumsum-exclusive over (quality DESC, doc_id)."""
+    return f"""
+WITH sq AS ({_quality_oracle()}),
+w AS (
+  SELECT doc_id, quality, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM sq
+)
+SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens
+FROM w WHERE before < {budget}
 """
 
 
@@ -3319,6 +3403,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "text_langid": _langid_oracle(),
+        "quality_filter_pipeline": _quality_filter_oracle(),
+        "token_budget_select": _token_budget_oracle(),
         "text_quality": _quality_oracle(),
         # Gopher repetition filters: top-token count re-derived the
         # relational way (unnest + group + max) — the Spark side's

@@ -204,6 +204,154 @@ def repetition_stats(
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_top_token_frac: float = 0.12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The composite keep/drop POLICY a C4/Gopher-style pipeline runs
+    before tokenizing: every document gets a verdict and the FIRST
+    failing rule as its reason (priority order — short-circuit like
+    the real filter chains):
+
+      1. ``too_short``     n_tokens < min_tokens         (C4 length rule)
+      2. ``repetitive``    top-token fraction too high   (Gopher rep rule)
+      3. ``lang_mismatch`` heuristic language ID disagrees with the
+                           declared language column       (QA cross-check)
+      4. ``kept``
+
+    Fused single pass: one tokenize per document staged as a
+    projection; the per-language stopword hits, the top-token
+    run-length fold, and the counts all reference that one array.
+    ZERO shuffles — the decision is row-local, so at 100 TB this is a
+    map-only pass emitting one verdict row per document (the shape a
+    filter stage must have: it runs over everything).
+
+    Returns (doc_id, lang, n_tokens, keep, reason).
+    """
+    langs = sorted(STOPWORDS)
+    toked = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def _hits(lg):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    staged = toked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.size(toks).alias("__n"),
+        F.aggregate(F.array_sort(toks), acc0, _step, lambda a: a["best"])
+        .alias("__top"),
+        *[_hits(lg).alias(f"__s_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"__s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    n = F.col("__n")
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("__top") / n > max_top_token_frac, F.lit("repetitive")
+        )
+        .when(pred != F.col(lang_col), F.lit("lang_mismatch"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col(lang_col),
+        n.cast("int").alias("n_tokens"),
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def token_budget_select(
+    docs: DataFrame, budget_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Quality-ordered corpus selection under a global TOKEN BUDGET —
+    the "give me the best N-billion tokens" step of training-set
+    assembly.  A document is kept iff the total tokens of all
+    strictly-better documents (order: quality DESC, doc_id ASC) is
+    below the budget — the greedy pack, allowing the crossing doc.
+
+    Scale shape: the naive formulation is one GLOBAL window cumsum —
+    a full sort of the corpus.  This implementation is the
+    histogram-guided two-pass selection instead: (1) one aggregate of
+    token totals per quality bucket (quality is round(·,2) ∈ [0,1], so
+    the histogram is ≤101 rows — collected to the driver, a bounded
+    materialization); (2) the budget cutoff splits buckets into
+    fully-kept / boundary / dropped on the driver, and ONLY the single
+    boundary bucket pays a window cumsum (partitioned small).  At
+    100 TB: one map-side-combined aggregate, one broadcast-sized
+    decision, one filter — no global sort anywhere.
+
+    Returns (doc_id, quality, n_tokens) of the kept documents —
+    exactly the rows the global-window formulation selects (the
+    oracle IS that formulation).
+    """
+    scored = quality_score(docs, text_col).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    hist = (
+        scored.groupBy("quality")
+        .agg(F.sum("n_tokens").alias("btoks"))
+        .collect()
+    )
+    base = 0
+    full, boundary_q, boundary_base = [], None, 0
+    for row in sorted(hist, key=lambda r: -r["quality"]):
+        if base + row["btoks"] <= budget_tokens:
+            full.append(row["quality"])
+        elif base < budget_tokens:
+            boundary_q, boundary_base = row["quality"], base
+        base += row["btoks"]
+    kept = scored.filter(F.col("quality").isin(full) if full else F.lit(False))
+    if boundary_q is not None:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("quality")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        edge = (
+            scored.filter(F.col("quality") == boundary_q)
+            .withColumn(
+                "__before",
+                F.lit(boundary_base)
+                + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+            .filter(F.col("__before") < budget_tokens)
+            .drop("__before")
+        )
+        kept = kept.unionByName(edge)
+    return kept.select("doc_id", "quality", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document."""
     cols = [docs[c] for c in docs.columns]

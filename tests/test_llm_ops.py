@@ -734,3 +734,57 @@ def test_simhash_candidates_from_fps_hamming(spark, docs):
     fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
     for (a, b), h in pairs.items():
         assert h == bin(fp[a] ^ fp[b]).count("1")  # exact distance
+
+
+def test_quality_filter_priority_order(spark):
+    rows = [
+        # short AND repetitive -> too_short wins (priority)
+        Row(doc_id=1, text="a a a", lang="en"),
+        # long enough, repetitive
+        Row(doc_id=2, text=" ".join(["the"] * 25), lang="en"),
+        # clean english doc labeled 'de' -> lang_mismatch
+        Row(doc_id=3, text=" ".join(f"w{i} the and of to a in is it x{i}" for i in range(3)), lang="de"),
+        # clean english doc labeled 'en' -> kept
+        Row(doc_id=4, text=" ".join(f"w{i} the and of to a in is it x{i}" for i in range(3)), lang="en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in tx.quality_filter(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["reason"] == "repetitive"
+    assert out[3]["reason"] == "lang_mismatch"
+    assert out[4]["reason"] == "kept" and out[4]["keep"]
+
+
+def test_token_budget_select_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=" ".join(f"tok{j}" for j in range(5 + (i * 7) % 40)),
+                lang="en",
+            )
+            for i in range(40)
+        ]
+    )
+    for budget in (0, 1, 100, 350, 10**6):
+        got = {
+            r["doc_id"]
+            for r in tx.token_budget_select(docs, budget).collect()
+        }
+        scored = tx.quality_score(docs).select("doc_id", "n_tokens", "quality")
+        w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = {
+            r["doc_id"]
+            for r in scored.withColumn(
+                "b", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+            .filter(F.col("b") < budget)
+            .collect()
+        }
+        assert got == want, budget
