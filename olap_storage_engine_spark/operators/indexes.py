@@ -219,3 +219,24 @@ def minhash_sigs_delta_refresh(
 
     delta = docs_table.read(lo, hi)
     sigs_table.write(minhash_signatures(delta, num_hashes=num_hashes, n=n))
+
+
+def simhash_fps_delta_refresh(
+    docs_table: OlapTable,
+    fps_table: OlapTable,
+    lo: int,
+    hi: int,
+    bits: int = 32,
+) -> None:
+    """Incremental simhash-FINGERPRINT maintenance — the same
+    delta-sign-and-publish recipe as minhash_sigs_delta_refresh:
+    fingerprint ONLY the document rowsets covering versions [lo, hi]
+    and publish into a UNIQUE-keyed fps table, whose collapse keeps
+    each doc's LATEST fingerprint (UPDATE-correct, no retraction
+    pass).  Fingerprints are per-doc and corpus-independent, so the
+    refreshed index is exactly what a from-scratch fingerprinting of
+    the current corpus produces (pinned by tests/test_indexes.py)."""
+    from .dedup import simhash
+
+    delta = docs_table.read(lo, hi)
+    fps_table.write(simhash(delta, bits=bits))

@@ -445,3 +445,61 @@ def test_minhash_sigs_refresh_handles_updates(spark, warehouse):
     }
     new = dict((r[0], r[1:]) for r in got)
     assert new[2] != base[2] and new[1] == base[1]
+
+
+def test_simhash_fps_refresh_handles_updates(spark, warehouse):
+    """Fingerprint-index maintenance under UNIQUE collapse mirrors the
+    signature-index contract: refresh ≡ rebuild including updates."""
+    from olap_storage_engine_spark.operators.dedup import simhash
+    from olap_storage_engine_spark.operators.indexes import (
+        simhash_fps_delta_refresh,
+    )
+
+    spec = TableSpec(
+        name="docs_sh",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.value("text", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 2),
+    )
+    docs = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    docs.write(
+        _docs2(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+        )
+    )  # v0
+    docs.write(
+        _docs2(spark, [(2, "totally different text for doc two now")])
+    )  # v1: UPDATE of doc 2
+
+    fp_spec = TableSpec(
+        name="shfps",
+        columns=[
+            ColumnSpec.key("doc_id", ColumnType.INT64),
+            ColumnSpec.value("simhash", ColumnType.INT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        bucket=BucketSpec(BucketType.HASH, "doc_id", 2),
+    )
+    fps = OlapTable.create(spark, fp_spec, warehouse, overwrite=True)
+    simhash_fps_delta_refresh(docs, fps, 0, 0)
+    simhash_fps_delta_refresh(docs, fps, 1, 1)
+
+    got = sorted(
+        tuple(r) for r in fps.read().select("doc_id", "simhash").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in simhash(docs.read()).select("doc_id", "simhash").collect()
+    )
+    assert got == want and len(got) == 2
+    # doc 2's fingerprint really moved with the update
+    v0 = {r["doc_id"]: r["simhash"] for r in simhash(docs.read(0, 0)).collect()}
+    cur = dict(got)
+    assert cur[2] != v0[2] and cur[1] == v0[1]
