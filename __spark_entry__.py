@@ -667,6 +667,34 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_embedding_corpus_prep(spark, sf_dir):
+    """Vector-corpus curation end to end: SemDeDup pairs over the
+    persisted IVF quantizer -> greedy keep-lowest-id drop set -> per-
+    label survival stats.  The drop set is pair-local (any vec_id
+    appearing as the higher id of a near-dup pair drops) — the
+    standard SemDeDup practice; the summary is one broadcast-sized
+    left join + one aggregate."""
+    from olap_storage_engine_spark.fixtures import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.semantic_dedup_pairs(
+        emb, ivf_centroids(spark, sf_dir), threshold=0.3
+    )
+    drop = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    marked = emb.join(drop, "vec_id", "left")
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("n_total"),
+        F.sum(F.coalesce(F.col("__d"), F.lit(0))).cast("int").alias("n_dropped"),
+        F.sum(F.when(F.col("__d").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+    )
+
+
 def q_token_budget_select(spark, sf_dir):
     """Histogram-guided token-budget corpus selection
     (operators/text.token_budget_select): keep the best docs by
@@ -2130,6 +2158,7 @@ _DRIVER_CHECK_HEAD = [
     "text_repetition",  # new in r6 (Gopher repetition filters)
     "quality_filter_pipeline",  # new in r6 (C4-style keep/drop policy)
     "token_budget_select",  # new in r6 (histogram-guided budget pack)
+    "embedding_corpus_prep",  # new in r6 (SemDeDup keepset summary)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2248,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "token_budget_select": q_token_budget_select,
+        "embedding_corpus_prep": q_embedding_corpus_prep,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3170,6 +3200,20 @@ FROM m
 """
 
 
+def _embedding_corpus_prep_oracle() -> str:
+    return f"""
+SELECT e.label, CAST(count(*) AS INT) AS n_total,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_kept
+FROM embeddings e
+LEFT JOIN (SELECT DISTINCT vec_b AS vec_id
+           FROM ({_dedup_semantic_oracle()})) d USING (vec_id)
+GROUP BY e.label
+"""
+
+
 def _token_budget_oracle(budget=20000) -> str:
     """The GLOBAL-WINDOW formulation the histogram algorithm must
     reproduce exactly: cumsum-exclusive over (quality DESC, doc_id)."""
@@ -3405,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "quality_filter_pipeline": _quality_filter_oracle(),
         "token_budget_select": _token_budget_oracle(),
+        "embedding_corpus_prep": _embedding_corpus_prep_oracle(),
         "text_quality": _quality_oracle(),
         # Gopher repetition filters: top-token count re-derived the
         # relational way (unnest + group + max) — the Spark side's
