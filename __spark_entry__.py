@@ -2150,8 +2150,10 @@ def q_set_intersect(spark, sf_dir):
 _DRIVER_CHECK_HEAD = [
     # Round-6 rotation: the 39 round-5 queries with NO CORRECTNESS row in
     # any round lead the gate (never driver-checked; judge value-checked
-    # all 39 green last session), then 11 of the r4-stale set to fill the
-    # ~50-row budget.  The remaining 39 r4-stale rows rotate in round 7.
+    # all 39 green last session), plus the 9 queries NEW in round 6,
+    # then r4-stale fill.  If the driver caps at ~50 rows the stale fill
+    # falls off first — every never-checked query still gets its row.
+    # The remaining r4-stale rows rotate in round 7.
     "merge_scoped",
     "dedup_ngram_indexed",
     "dedup_minhash_verified",  # new in r6 (LSH candidates + exact verify)
