@@ -788,3 +788,38 @@ def test_token_budget_select_matches_global_window(spark):
             .collect()
         }
         assert got == want, budget
+
+
+def test_repetition_stats_property_vs_counter(spark):
+    """The sorted-array run-length fold must equal a plain Counter on
+    arbitrary token multisets (seeded random corpus over a colliding
+    vocab — 'a b'+'a' vs 'a'+'b a' style gram boundaries included)."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "ab", "ba", "x"]
+    docs = []
+    for i in range(60):
+        k = rng.randint(1, 30)
+        docs.append(
+            Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(k)))
+        )
+    out = {
+        r["doc_id"]: r
+        for r in tx.repetition_stats(spark.createDataFrame(docs)).collect()
+    }
+    for d in docs:
+        toks = d.text.split()
+        c = collections.Counter(toks)
+        grams = [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+        r = out[d.doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["distinct_ratio"] == round(len(c) / len(toks), 4)
+        assert r["top_token_frac"] == round(max(c.values()) / len(toks), 4)
+        want_dup = (
+            round(1 - len(set(grams)) / len(grams), 4) if grams else 0.0
+        )
+        assert r["dup_2gram_frac"] == want_dup
