@@ -2842,11 +2842,12 @@ cell AS (
     FROM embeddings e CROSS JOIN cents c)
   WHERE cr = 1
 )
-SELECT l.cent_id, l.vec_id AS vec_a, r.vec_id AS vec_b,
-       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cosine
-FROM cell l JOIN cell r
-  ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id
-WHERE {_cos_sql('l.embedding', 'r.embedding')} >= {threshold}
+SELECT cent_id, vec_a, vec_b, cosine FROM (
+  SELECT l.cent_id, l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cosine
+  FROM cell l JOIN cell r
+    ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id)
+WHERE cosine >= {threshold}
 """
 
 

@@ -83,6 +83,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: shingle_index_path(spark, sf_dir),
         lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
+        lambda: simhash_fps_path(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)

@@ -904,20 +904,25 @@ def semantic_dedup_pairs(
     Returns (cent_id, vec_a, vec_b, cosine) for in-cell pairs with
     cosine >= threshold, cosine rounded to 6dp.
     """
-    from ..functions.vectors import dot, l2norm
+    from ..functions.vectors import l2norm, pandas_dot
     from .similarity import ivf_cell_assign
 
-    # stage each vector's norm ONCE per row before the pair join: the
-    # higher-order aggregate expressions are interpreted (not codegen),
-    # so evaluating cosine's two norm folds per PAIR costs 3 folds x
-    # O(cell^2) — hoisting the norms leaves one dot fold per pair
-    # (measured 4.5 -> 1.6 s at sf0.1; values bit-identical, the
-    # division sees the same doubles).
+    # Pair-stage economics (measured at sf0.1): the higher-order
+    # aggregate expressions are interpreted (not codegen), so anything
+    # evaluated per PAIR costs O(cell^2) interpreted folds.  Three
+    # successive versions: cosine-per-pair (3 folds/pair, 4.5 s) ->
+    # norms hoisted to one fold per ROW + one dot fold per pair
+    # (1.6 s) -> Arrow-batched einsum dot per pair (1.3 s; a 64-term
+    # unrolled codegen chain measured WORSE, 6.2 s — it blows the
+    # generated-method size).  The threshold cut happens on the
+    # ROUNDED cosine so numpy's pairwise-summation ulps can't flip a
+    # borderline pair vs the oracle's sequential fold (the PQ ADC-cut
+    # discipline); the oracle cuts on the same rounded expression.
     cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col).select(
         "*", l2norm(F.col(vec_col)).alias("__nrm")
     )
     l, r = cells.alias("l"), cells.alias("r")
-    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
+    cos = pandas_dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
         F.col("l.__nrm") * F.col("r.__nrm")
     )
     return (
@@ -932,10 +937,7 @@ def semantic_dedup_pairs(
             F.col("l.cent_id").alias("cent_id"),
             F.col(f"l.{id_col}").alias("vec_a"),
             F.col(f"r.{id_col}").alias("vec_b"),
-            cos.alias("cos"),
+            F.round(cos, 6).alias("cosine"),
         )
-        .filter(F.col("cos") >= threshold)
-        .select(
-            "cent_id", "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
-        )
+        .filter(F.col("cosine") >= threshold)
     )
