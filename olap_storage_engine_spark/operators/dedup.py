@@ -749,12 +749,22 @@ def embedding_neardup_pairs(
     buckets.  Sign-LSH collides a pair at angle theta with probability
     (1 - theta/pi)^P — near-dups (theta≈0) almost surely collide, and
     the join never considers cross-bucket pairs."""
+    from ..functions.vectors import dot, l2norm
+
+    # norms hoisted to one interpreted fold per ROW (the pair join
+    # evaluates its expressions O(bucket^2) times — same economics as
+    # semantic_dedup_pairs); dot stays the sequential fold so the
+    # unrounded threshold cut is bit-identical to the oracle's.
     bucketed = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_col(vec_col, num_planes, dim).alias("bucket"),
+        l2norm(F.col(vec_col)).alias("__nrm"),
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
+    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
+        F.col("l.__nrm") * F.col("r.__nrm")
+    )
     return (
         l.join(
             r,
@@ -766,7 +776,7 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("vec_a"),
             F.col(f"r.{id_col}").alias("vec_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+            cos.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
