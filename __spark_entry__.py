@@ -695,6 +695,23 @@ def q_embedding_corpus_prep(spark, sf_dir):
     )
 
 
+def q_join_string_similarity(spark, sf_dir):
+    """Gram-blocked string-similarity join over the DISTINCT part-name
+    domain (operators/text.string_similarity_join): shared-trigram
+    candidate posting join with a stop-gram df cap, length filter,
+    exact Levenshtein verify at max_dist=2.
+
+    Domain-first is the scale shape: part has only 64 distinct names,
+    so the row-level self-join would emit the 3.1M exact-dup pairs at
+    sf0.1 that a distinct() collapses to nothing — dedupe the value
+    domain (linear), join similarities over it (64 rows), and fan back
+    to rows with an ordinary hash join only if a consumer needs it."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return tx.string_similarity_join(
+        names, "p_name", "p_name", max_dist=2
+    ).select("name_a", "name_b", "dist")
+
+
 def q_token_budget_select(spark, sf_dir):
     """Histogram-guided token-budget corpus selection
     (operators/text.token_budget_select): keep the best docs by
@@ -2161,6 +2178,7 @@ _DRIVER_CHECK_HEAD = [
     "quality_filter_pipeline",  # new in r6 (C4-style keep/drop policy)
     "token_budget_select",  # new in r6 (histogram-guided budget pack)
     "embedding_corpus_prep",  # new in r6 (SemDeDup keepset summary)
+    "join_string_similarity",  # new in r6 (gram-blocked edit-distance join)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2279,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "token_budget_select": q_token_budget_select,
+        "join_string_similarity": q_join_string_similarity,
         "embedding_corpus_prep": q_embedding_corpus_prep,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
@@ -3217,6 +3236,32 @@ GROUP BY e.label
 """
 
 
+def _string_similarity_oracle(max_dist=2, q=3, max_df=200) -> str:
+    return f"""
+WITH g AS (
+  SELECT name, unnest(list_distinct(CASE WHEN len(name) >= {q}
+           THEN [substr(name, i, {q})
+                 FOR i IN generate_series(1, len(name)-{q - 1})]
+           ELSE [] END)) AS gram
+  FROM (SELECT DISTINCT p_name AS name FROM part)
+),
+gd AS (
+  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+  WHERE c <= {max_df}
+),
+gg AS (SELECT g.* FROM g JOIN gd USING (gram)),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM gg a JOIN gg b ON a.gram = b.gram AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM cand
+WHERE abs(len(name_a) - len(name_b)) <= {max_dist}
+  AND levenshtein(name_a, name_b) <= {max_dist}
+"""
+
+
 def _token_budget_oracle(budget=20000) -> str:
     """The GLOBAL-WINDOW formulation the histogram algorithm must
     reproduce exactly: cumsum-exclusive over (quality DESC, doc_id)."""
@@ -3452,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "quality_filter_pipeline": _quality_filter_oracle(),
         "token_budget_select": _token_budget_oracle(),
+        "join_string_similarity": _string_similarity_oracle(),
         "embedding_corpus_prep": _embedding_corpus_prep_oracle(),
         "text_quality": _quality_oracle(),
         # Gopher repetition filters: top-token count re-derived the

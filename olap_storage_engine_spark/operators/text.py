@@ -610,3 +610,74 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         pct = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(pct)
     return docs.filter(md5int(F.col(id_col).cast("string")) % 100 < pct)
+
+
+def string_similarity_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_df: int = 200,
+) -> DataFrame:
+    """Gram-blocked string-similarity SELF-join: candidate pairs from
+    a shared character q-gram (inverted posting join with a
+    document-frequency cap on stop-grams), a length filter
+    (|len(a)-len(b)| <= max_dist is necessary for edit distance
+    <= max_dist), then exact Levenshtein verification — the classic
+    blocking+verify similarity-join shape (e.g. q-gram filtering in
+    Gravano et al., VLDB 2001).
+
+    Blocking semantics are part of the operator contract (the oracle
+    applies the SAME blocking): a pair is emitted iff it shares at
+    least one sub-cap q-gram AND passes the distance bound.  Gram
+    survival guarantees recall when len >= (max_dist+1)*q; the df cap
+    bounds the worst gram's O(df^2) fan-out — the same stop-shingle
+    device as the n-gram dedup family, which is what keeps the join
+    O(N·grams) instead of O(N^2) at corpus scale.
+
+    Returns (id_a, id_b, name_a, name_b, dist).
+    """
+    s = F.col(col)
+    grams = F.array_distinct(
+        F.when(
+            F.length(s) >= q,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(q - 1)),
+                lambda i: s.substr(i, F.lit(q)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    posting = df.select(
+        F.col(id_col), s.alias("__name"), F.explode(grams).alias("__g")
+    )
+    gdf = posting.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    posting = posting.join(
+        gdf.filter(F.col("__df") <= max_df).select("__g"), "__g"
+    )
+    a = posting.select(
+        F.col(id_col).alias("id_a"), F.col("__name").alias("name_a"), "__g"
+    )
+    b = posting.select(
+        F.col(id_col).alias("id_b"), F.col("__name").alias("name_b"), "__g"
+    )
+    cand = (
+        a.join(b, ["__g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -823,3 +823,38 @@ def test_repetition_stats_property_vs_counter(spark):
             round(1 - len(set(grams)) / len(grams), 4) if grams else 0.0
         )
         assert r["dup_2gram_frac"] == want_dup
+
+
+def test_string_similarity_join_golden(spark):
+    rows = [
+        Row(pid=1, name="red widget"),
+        Row(pid=2, name="red widgets"),   # dist 1
+        Row(pid=3, name="blue widget"),   # dist 2-3 from 1 depending
+        Row(pid=4, name="zzz qqq xxx"),   # far from everything
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in tx.string_similarity_join(
+            df, "name", "pid", max_dist=2
+        ).collect()
+    }
+    assert out[(1, 2)] == 1
+    assert (1, 4) not in out and (2, 4) not in out
+    # every emitted pair respects the bound and real distances
+    import difflib
+
+    def lev(a, b):
+        # simple DP check
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    names = {r.pid: r.name for r in rows}
+    for (ia, ib), d in out.items():
+        assert d == lev(names[ia], names[ib]) and d <= 2
