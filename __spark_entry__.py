@@ -712,6 +712,18 @@ def q_join_string_similarity(spark, sf_dir):
     ).select("name_a", "name_b", "dist")
 
 
+def q_docs_stream_quality_filter(spark, sf_dir):
+    """The quality-filter policy run as a REAL Structured Streaming
+    query (file source -> row-local verdicts -> streaming aggregate ->
+    memory sink); deterministic under availableNow, so the batch
+    oracle checks it exactly (streaming/corpus.py)."""
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_corpus_filter,
+    )
+
+    return run_fixture_stream_corpus_filter(spark, sf_dir)
+
+
 def q_token_budget_select(spark, sf_dir):
     """Histogram-guided token-budget corpus selection
     (operators/text.token_budget_select): keep the best docs by
@@ -2179,6 +2191,7 @@ _DRIVER_CHECK_HEAD = [
     "token_budget_select",  # new in r6 (histogram-guided budget pack)
     "embedding_corpus_prep",  # new in r6 (SemDeDup keepset summary)
     "join_string_similarity",  # new in r6 (gram-blocked edit-distance join)
+    "docs_stream_quality_filter",  # new in r6 (streaming policy pass)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2298,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "token_budget_select": q_token_budget_select,
         "join_string_similarity": q_join_string_similarity,
+        "docs_stream_quality_filter": q_docs_stream_quality_filter,
         "embedding_corpus_prep": q_embedding_corpus_prep,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
@@ -3498,6 +3512,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_pipeline": _quality_filter_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "join_string_similarity": _string_similarity_oracle(),
+        "docs_stream_quality_filter": f"""
+            SELECT lang, reason, CAST(count(*) AS INT) AS n
+            FROM ({_quality_filter_oracle()})
+            GROUP BY lang, reason
+        """,
         "embedding_corpus_prep": _embedding_corpus_prep_oracle(),
         "text_quality": _quality_oracle(),
         # Gopher repetition filters: top-token count re-derived the

@@ -212,3 +212,28 @@ def test_user_totals_transform_with_state(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_corpus_filter_matches_batch(spark):
+    """The streaming verdict histogram must equal the batch policy's
+    aggregate — same operator, two execution modes."""
+    from olap_storage_engine_spark.operators.text import quality_filter
+    from olap_storage_engine_spark.sources.testdata import load_table
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_corpus_filter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, run_fixture_stream_corpus_filter(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            quality_filter(load_table(spark, sf_dir, "documents"))
+            .groupBy("lang", "reason")
+            .agg(F.count(F.lit(1)).cast("int").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 4
