@@ -724,6 +724,41 @@ def q_docs_stream_quality_filter(spark, sf_dir):
     return run_fixture_stream_corpus_filter(spark, sf_dir)
 
 
+def q_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema's FK edges:
+    per relation, how many child rows reference a missing parent.
+    Each edge is one LEFT ANTI join (broadcast when the parent is a
+    dim); the union of per-edge counts is a handful of rows — the
+    standard ingest-time data-quality gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent, pk):
+        return (
+            child.select(F.col(ck).alias("__k"))
+            .join(parent.select(F.col(pk).alias("__k")), "__k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+            .select(F.lit(name).alias("relation"), "orphans")
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
 def q_token_budget_select(spark, sf_dir):
     """Histogram-guided token-budget corpus selection
     (operators/text.token_budget_select): keep the best docs by
@@ -2192,6 +2227,7 @@ _DRIVER_CHECK_HEAD = [
     "embedding_corpus_prep",  # new in r6 (SemDeDup keepset summary)
     "join_string_similarity",  # new in r6 (gram-blocked edit-distance join)
     "docs_stream_quality_filter",  # new in r6 (streaming policy pass)
+    "fk_orphan_audit",  # new in r6 (referential-integrity gate)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2312,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "join_string_similarity": q_join_string_similarity,
         "docs_stream_quality_filter": q_docs_stream_quality_filter,
+        "fk_orphan_audit": q_fk_orphan_audit,
         "embedding_corpus_prep": q_embedding_corpus_prep,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
@@ -3512,6 +3549,37 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_pipeline": _quality_filter_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "join_string_similarity": _string_similarity_oracle(),
+        "fk_orphan_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   CAST(count(*) AS BIGINT) AS orphans
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(count(*) AS BIGINT)
+            FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST(count(*) AS BIGINT)
+            FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   CAST(count(*) AS BIGINT)
+            FROM supplier s WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        """,
         "docs_stream_quality_filter": f"""
             SELECT lang, reason, CAST(count(*) AS INT) AS n
             FROM ({_quality_filter_oracle()})
