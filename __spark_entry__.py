@@ -2267,8 +2267,10 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
-    "tpch_q21_bucketed",  # new in r6 (exchange-free Q21 fact legs)
     "tpch_q22",
+    # q21_bucketed shares q21's oracle; if the driver caps at 50 rows it
+    # is the least-lossy omission (everything above is never-checked)
+    "tpch_q21_bucketed",  # new in r6 (exchange-free Q21 fact legs)
     # r4-stale fill (newest driver row is CORRECTNESS_r04)
     "agg_model_min_max",
     "bucketed_join",
