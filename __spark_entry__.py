@@ -759,6 +759,43 @@ def q_fk_orphan_audit(spark, sf_dir):
     return out
 
 
+def q_events_winsorize(spark, sf_dir):
+    """Robust-stats winsorization: clip event values at the corpus
+    p01/p99, then per-type clipped means and clip counts.  The
+    cutoffs are ROUNDED to 6dp before clipping in both engines so
+    interpolation-order ulps can't flip a boundary row (the PQ
+    rounded-cut discipline), and the clipped mean divides an exact
+    decimal sum — order-independent across partitionings.
+
+    Exact percentile is kept for cross-engine determinism at fixture
+    scale; the 100 TB path for the cutoffs is approx_percentile or
+    the persisted KLL rollup (sketch_rollup_quantiles), both already
+    in the repo — the clip-and-aggregate topology is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("__lo"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("__hi"),
+    )
+    clipped = ev.crossJoin(F.broadcast(pct)).withColumn(
+        "__v",
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") < F.col("__lo")).cast("int"))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum((F.col("value") > F.col("__hi")).cast("int"))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.round(
+            F.sum(F.col("__v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_winsorized"),
+    )
+
+
 def q_token_budget_select(spark, sf_dir):
     """Histogram-guided token-budget corpus selection
     (operators/text.token_budget_select): keep the best docs by
@@ -2228,6 +2265,7 @@ _DRIVER_CHECK_HEAD = [
     "join_string_similarity",  # new in r6 (gram-blocked edit-distance join)
     "docs_stream_quality_filter",  # new in r6 (streaming policy pass)
     "fk_orphan_audit",  # new in r6 (referential-integrity gate)
+    "events_winsorize",  # new in r6 (rounded-cutoff robust stats)
     "dedup_exact_substring",  # new in r6 (span dedup from shingle index)
     "dedup_semantic",  # new in r6 (SemDeDup over the IVF quantizer)
     "dedup_simhash_groups",  # new in r6 (persisted-fps collision groups)
@@ -2351,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_string_similarity": q_join_string_similarity,
         "docs_stream_quality_filter": q_docs_stream_quality_filter,
         "fk_orphan_audit": q_fk_orphan_audit,
+        "events_winsorize": q_events_winsorize,
         "embedding_corpus_prep": q_embedding_corpus_prep,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_semantic": q_dedup_semantic,
@@ -3551,6 +3590,27 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_pipeline": _quality_filter_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "join_string_similarity": _string_similarity_oracle(),
+        "events_winsorize": """
+            WITH p AS (
+              SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+                     round(quantile_cont(value, 0.99), 6) AS hi
+              FROM events
+            ),
+            c AS (
+              SELECT e.event_type, e.value,
+                     least(greatest(e.value, p.lo), p.hi) AS v,
+                     p.lo, p.hi
+              FROM events e CROSS JOIN p
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clip_lo,
+                   CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clip_hi,
+                   round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 4) AS mean_winsorized
+            FROM c GROUP BY event_type
+        """,
         "fk_orphan_audit": """
             SELECT 'lineitem.l_orderkey->orders' AS relation,
                    CAST(count(*) AS BIGINT) AS orphans
