@@ -8,8 +8,13 @@ mergeable sketch state with map-side partial aggregation — wrapped so
 callers get one consistent surface.
 
 Sketch outputs are engine-specific (a DuckDB HLL gives different
-estimates), so the declared query for this family uses the driver's
-rows-only check; tests bound the estimates against exact answers.
+estimates), so the declared queries keep raw estimates out of hashed
+output columns: at fixture scale the DataSketches HLL/KLL/Theta
+rollups are in their exact regimes (coupon list / no compaction /
+below nominal entries) and their oracles recompute the exact answer,
+while column_profile_checked emits a deterministic bound-check flag
+instead of the Spark-HLL++ estimate.  Tests additionally bound the
+estimates beyond the exact regime.
 """
 
 from __future__ import annotations
@@ -79,6 +84,45 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).alias(f"{c}_max"),
         ]
     return df.agg(*aggs)
+
+
+def column_profile_checked(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """column_profile with an ORACLE-CHECKABLE surface: per column the
+    exact distinct count plus ``{c}_est_ok`` — 1 iff the HLL++ estimate
+    lands within 3*rsd relative error of the exact count.
+
+    The estimate itself is engine-specific (a DuckDB HLL differs), so
+    instead of emitting it raw, the query emits the bound check: the
+    oracle recomputes the exact columns and a literal 1, and a drifting
+    sketch flips est_ok to 0 and fails the hash match.  The exact
+    distinct adds an expand to the single aggregate — acceptable for a
+    profiling pass, and the HLL leg still demonstrates the mergeable
+    sketch the serving path would use alone at 100 TB."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct_exact"),
+            F.approx_count_distinct(c, rsd=rsd).alias(f"__{c}_est"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    out = []
+    for c in cols:
+        exact = F.col(f"{c}_distinct_exact")
+        est = F.col(f"__{c}_est")
+        out += [
+            F.col(f"{c}_nulls"),
+            exact,
+            F.col(f"{c}_min"),
+            F.col(f"{c}_max"),
+            (F.abs(est - exact) <= F.lit(3.0 * rsd) * exact)
+            .cast("int")
+            .alias(f"{c}_est_ok"),
+        ]
+    return df.agg(*aggs).select(*out)
 
 
 def group_sketch(

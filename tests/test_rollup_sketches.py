@@ -126,6 +126,21 @@ def test_column_profile_shape(spark, lineitem):
     assert prof["l_orderkey_distinct"] > 0
 
 
+def test_column_profile_checked_exact_and_bound(spark, lineitem):
+    from olap_storage_engine_spark.operators.sketches import (
+        column_profile_checked,
+    )
+
+    prof = column_profile_checked(
+        lineitem, ["l_orderkey", "l_returnflag"]
+    ).collect()[0]
+    exact = lineitem.select("l_orderkey").distinct().count()
+    assert prof["l_orderkey_distinct_exact"] == exact
+    assert prof["l_orderkey_est_ok"] == 1
+    assert prof["l_returnflag_est_ok"] == 1
+    assert "l_orderkey_est" not in prof.asDict()  # raw estimate hidden
+
+
 def test_rollup_delta_refresh_matches_full_rebuild(spark, warehouse):
     from olap_storage_engine_spark.operators.rollup import (
         rollup_delta_refresh,
