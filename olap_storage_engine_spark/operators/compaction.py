@@ -330,11 +330,15 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
     Sound by construction: the returned set is a SUPERSET of the
     partitions holding TRUE rows (a row satisfying an equality/range
     on the partition column routes, via the same string-cast rule the
-    write path uses, to one of the returned labels).  Shapes handled:
-    ``=``, ``IN``, ``<``/``<=``/``>``/``>=`` (string literals only —
-    RANGE bounds compare as strings, matching partition_label_col's
-    cast), ``AND`` (intersect), ``OR`` (union, both sides must
-    resolve).  Anything else degrades to None, never to a wrong set.
+    write path uses, to one of the returned labels, and the
+    ``__unrouted__`` sentinel is always included for rows written
+    under strict_routing=False).  Shapes handled: ``=``/``IN``
+    (str/int literals — bool/float Python renderings diverge from
+    Spark's string cast), ``<``/``<=``/``>``/``>=`` (string literals
+    only — RANGE bounds compare as strings, matching
+    partition_label_col's cast), ``AND`` (intersect), ``OR`` (union,
+    both sides must resolve).  Anything else degrades to None (full
+    scan), never to a wrong set.
     """
     if policy.ptype == PartitionType.UNPARTITIONED or policy.column is None:
         return None
@@ -393,7 +397,15 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
             if attr_name(args[0]) != policy.column:
                 return None
             vals = [lit_val(a) for a in args[1:]]
-            if any(v is None for v in vals):
+            # str/int only: Python's str() of bool ('True' vs 'true')
+            # and exponent-form floats ('1e-07' vs '1.0E-7') diverges
+            # from Spark's string cast, which would make find_partition
+            # miss and silently return an EMPTY set — degrade to the
+            # full scan instead (r7, per ADVICE)
+            if any(
+                v is None or isinstance(v, bool) or not isinstance(v, (str, int))
+                for v in vals
+            ):
                 return None
             out = {policy.find_partition(str(v)) for v in vals}
             return {x for x in out if x is not None}
@@ -406,8 +418,12 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
             if a != policy.column or v is None:
                 return None
             if fn in ("=", "=="):
-                # equality routes exactly as the write path did
-                # (string cast), safe for any literal type
+                # equality routes as the write path did (string cast);
+                # str/int renderings match Spark's cast exactly, bool /
+                # float forms diverge ('True'/'1e-07') — degrade those
+                # to the full scan rather than an empty set (r7)
+                if isinstance(v, bool) or not isinstance(v, (str, int)):
+                    return None
                 p = policy.find_partition(str(v))
                 return {p} if p is not None else set()
             # range comparisons: string-order semantics only (the
@@ -431,7 +447,14 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
         out = labels_of(predicate._jc.node())
     except Exception:
         return None
-    return sorted(out) if out is not None else None
+    if out is None:
+        return None
+    # tables written with strict_routing=False may hold rows in the
+    # __unrouted__ sentinel partition, which no derived bound-based
+    # candidate set covers — always include it so the superset claim
+    # holds (matches nothing when the directory doesn't exist; r7,
+    # per ADVICE)
+    return sorted(out | {"__unrouted__"})
 
 
 def delete_where(table: OlapTable, predicate) -> int:

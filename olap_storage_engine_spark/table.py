@@ -44,7 +44,7 @@ from .plans.manifest import (
     RowsetMeta,
     RowsetState,
 )
-from .spec import BucketType, KeysType, PartitionType, TableSpec
+from .spec import BucketType, ColumnType, KeysType, PartitionType, TableSpec
 
 PT_COL = "__pt"  # partition label directory column
 BK_COL = "__bk"  # bucket id directory column
@@ -67,18 +67,23 @@ def _json_stat(v):
 _TS_SPACE_RE = None
 
 
-def _stat_key(v):
+def _stat_key(v, temporal: bool = False):
     """Normalize a predicate bound the same way write() normalized the
     stored stats, so comparisons are like-for-like.
 
-    Timestamp bounds passed as space-separated strings
-    ('2024-01-05 23:59:00') are rewritten to the 'T'-separated ISO form
-    the stats store — lexicographically ' ' < 'T', so without this a
-    same-day bound would sort BEFORE the stored min and a matching
-    rowset could be unsoundly skipped (ADVICE r5)."""
+    ``temporal=True`` (the column's declared type is DATE/TIMESTAMP):
+    bounds passed as space-separated strings ('2024-01-05 23:59:00')
+    are rewritten to the 'T'-separated ISO form the stats store —
+    lexicographically ' ' < 'T', so without this a same-day bound
+    would sort BEFORE the stored min and a matching rowset could be
+    unsoundly skipped (ADVICE r5).  The rewrite is TYPE-GATED: on a
+    string column whose stored values are space-separated
+    datetime-like text, the stats keep the space form, and rewriting
+    the bound would compare above the stored max and unsoundly skip a
+    matching rowset (ADVICE r6)."""
     global _TS_SPACE_RE
     v = _json_stat(v)
-    if isinstance(v, str):
+    if temporal and isinstance(v, str):
         if _TS_SPACE_RE is None:
             import re
 
@@ -350,12 +355,18 @@ class OlapTable:
                 # the CAS lost to a concurrent writer.  The rowset's id
                 # and version interval are baked into its data files
                 # (VERSION_COL, directory name), so a replay is only
-                # sound when they remain consistent with the winner's
-                # state: the id must be free, and the interval must
-                # either still extend the graph (our append raced a
-                # metadata-only save) or rewrite an existing prefix (a
-                # compaction raced an append).  Anything else re-raises
-                # with the files written but unpublished — the caller
+                # sound when the interval still EXTENDS the graph
+                # (start > head: our write raced a metadata-only save
+                # that advanced no versions) and the id is still free.
+                # Anything else — including a rewrite whose interval now
+                # sits at-or-below the head — re-raises with the files
+                # written but unpublished: the winner may have made rows
+                # visible (an append, or commit() of a PREPARED rowset,
+                # which allocates NO new rowset id and so never trips
+                # the duplicate-id guard) that this rowset's collapse
+                # does not contain, and replaying would publish a second
+                # VISIBLE cover over the same interval, silently
+                # shadowing one write (r7, per ADVICE).  The caller
                 # re-runs the write against fresh state.
                 self.manifest.reload()
                 id_taken = any(
@@ -363,10 +374,7 @@ class OlapTable:
                     for d in self.manifest.doc["rowsets"]
                 )
                 head = self.manifest.max_version
-                interval_ok = (
-                    rs.start_version > head or rs.end_version <= head
-                )
-                if id_taken or not interval_ok:
+                if id_taken or rs.start_version <= head:
                     raise
                 self.manifest.publish(rs, txn=txn)
         else:
@@ -433,8 +441,18 @@ class OlapTable:
         plan = self.manifest.capture_scoped_plan(lo, hi)
         if rowset_filter is not None:
             plan = [e for e in plan if rowset_filter(e[0])]
+        # zero-row rowsets (a partition-scoped rewrite that deleted
+        # every surviving row publishes one: the version cover needs
+        # the interval, but partitionBy on an empty frame lays down no
+        # parquet files) contribute nothing and their directories are
+        # unreadable without a schema — skip them driver-side
+        plan = [e for e in plan if e[0].num_rows > 0]
         if not plan:
-            return self.spark.createDataFrame([], self.spec.spark_schema())
+            df = self.spark.createDataFrame([], self.spec.spark_schema())
+            if with_hidden:
+                df = df.withColumn(PT_COL, F.lit(None).cast("string"))
+                df = df.withColumn(BK_COL, F.lit(None).cast("int"))
+            return df
 
         def _reader():
             r = self.spark.read.option("basePath", self.root)
@@ -495,16 +513,38 @@ class OlapTable:
         ``col BETWEEN lo_val AND hi_val`` — introspection for tests
         and planning; pure driver metadata."""
         plan = self.manifest.capture_scoped_plan(vlo, vhi)
-        kept = [e for e in plan if self._stats_match(e[0], col, lo_val, hi_val)]
+        temporal = self._col_is_temporal(col)
+        kept = [
+            e
+            for e in plan
+            if self._stats_match(e[0], col, lo_val, hi_val, temporal)
+        ]
         return len(kept), len(plan)
 
+    def _col_is_temporal(self, col: str) -> bool:
+        """Whether the column's DECLARED spec type is DATE/TIMESTAMP —
+        gates the space->'T' bound rewrite in _stat_key, which is
+        unsound on string columns storing datetime-like text (r7,
+        per ADVICE)."""
+        spec_c = next(
+            (c for c in self.spec.columns if c.name == col), None
+        )
+        return spec_c is not None and ColumnType(
+            spec_c.column_type
+        ) in (ColumnType.DATE, ColumnType.TIMESTAMP)
+
     @staticmethod
-    def _stats_match(rs: RowsetMeta, col: str, lo_val, hi_val) -> bool:
+    def _stats_match(
+        rs: RowsetMeta, col: str, lo_val, hi_val, temporal: bool = False
+    ) -> bool:
         st = (rs.col_stats or {}).get(col)
         if not st:
             return True  # unknown stats: never skip
         mn, mx = st
-        return not (_stat_key(lo_val) > mx or _stat_key(hi_val) < mn)
+        return not (
+            _stat_key(lo_val, temporal) > mx
+            or _stat_key(hi_val, temporal) < mn
+        )
 
     def read_skipped(
         self, col: str, lo_val, hi_val, vlo: int = 0, vhi: int | None = None
@@ -539,7 +579,9 @@ class OlapTable:
             vlo,
             vhi,
             with_hidden=True,
-            rowset_filter=lambda rs: self._stats_match(rs, col, lo_val, hi_val),
+            rowset_filter=lambda rs, _t=self._col_is_temporal(col): (
+                self._stats_match(rs, col, lo_val, hi_val, _t)
+            ),
         )
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec).filter(

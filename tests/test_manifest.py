@@ -252,3 +252,73 @@ def test_write_publish_replays_after_metadata_only_conflict(spark, tmp_path):
         type(t.manifest).publish = orig_publish
     assert t.read().count() == 2
     assert t.manifest.get_property("x") == "y"
+
+
+def test_append_racing_commit_of_prepared_rowset_raises(spark, tmp_path):
+    """CAS-replay soundness (ADVICE r6): an append whose CAS loses to
+    commit() of a PREPARED rowset covering the SAME version interval
+    must re-raise ManifestConflictError — commit_rowset allocates no
+    new rowset id, so the duplicate-id guard never fires, and the old
+    ``end <= head`` replay arm would have published a second VISIBLE
+    cover over one interval, silently shadowing a write."""
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+
+    spec = TableSpec(
+        name="mc2",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, str(tmp_path / "wh"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    # phase-1 only: rowset PREPARED at interval [head+1, head+1]
+    rs_p = t.write(
+        spark.createDataFrame([(2, 2.0)], "k long, v double"),
+        publish=False,
+    )
+
+    # interfere: between the racing append's manifest load and its
+    # publish, another manifest instance COMMITS the prepared rowset,
+    # advancing the head over the append's identical interval
+    orig_publish = type(t.manifest).publish
+    interfered = {"done": False}
+
+    def interfering_publish(m, rs_, txn=None):
+        if not interfered["done"]:
+            interfered["done"] = True
+            other = type(m).load(m.table_root)
+            other.commit_rowset(rs_p.rowset_id)
+        return orig_publish(m, rs_, txn)
+
+    type(t.manifest).publish = interfering_publish
+    try:
+        with pytest.raises(ManifestConflictError):
+            t.write(spark.createDataFrame([(3, 3.0)], "k long, v double"))
+    finally:
+        type(t.manifest).publish = orig_publish
+
+    # the committed rowset's rows are visible exactly once; the loser
+    # published nothing
+    t.manifest.reload()
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
+    # a fresh retry of the lost append targets the NEW head and lands
+    t.write(spark.createDataFrame([(3, 3.0)], "k long, v double"))
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1, 1.0),
+        (2, 2.0),
+        (3, 3.0),
+    ]

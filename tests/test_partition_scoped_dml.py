@@ -362,27 +362,38 @@ def test_delete_discovery_label_derivation(spark, warehouse):
     t = _table(spark, warehouse, "disc1")
     pol = t.spec.partition
     p = _partition_labels_for_predicate
-    assert p(F.col("d") == "2024-02-10", pol) == ["p2"]
-    assert p(F.lit("2024-02-10") == F.col("d"), pol) == ["p2"]
-    assert p(F.col("d").isin("2024-01-10", "2024-03-10"), pol) == [
-        "p1",
-        "p3",
-    ]
-    assert p(F.col("d") >= "2024-02-01", pol) == ["p2", "p3"]
-    assert p(F.col("d") < "2024-02-01", pol) == ["p1"]
-    assert p(F.col("d") <= "2024-02-01", pol) == ["p1", "p2"]
+
+    def lab(*xs):
+        # every derived candidate set carries the __unrouted__ sentinel
+        # (strict_routing=False rows live there; ADVICE r6)
+        return sorted(set(xs) | {"__unrouted__"})
+
+    assert p(F.col("d") == "2024-02-10", pol) == lab("p2")
+    assert p(F.lit("2024-02-10") == F.col("d"), pol) == lab("p2")
+    assert p(F.col("d").isin("2024-01-10", "2024-03-10"), pol) == lab(
+        "p1", "p3"
+    )
+    assert p(F.col("d") >= "2024-02-01", pol) == lab("p2", "p3")
+    assert p(F.col("d") < "2024-02-01", pol) == lab("p1")
+    assert p(F.col("d") <= "2024-02-01", pol) == lab("p1", "p2")
     assert p(
         (F.col("d") >= "2024-02-01") & (F.col("d") < "2024-03-01"), pol
-    ) == ["p2"]
+    ) == lab("p2")
     assert p(
         (F.col("d") == "2024-01-10") | (F.col("d") == "2024-03-10"), pol
-    ) == ["p1", "p3"]
+    ) == lab("p1", "p3")
     # AND with an unprunable side keeps the prunable side's set
     assert p(
         (F.col("d") == "2024-02-10") & (F.col("amount") > 0), pol
-    ) == ["p2"]
-    # equality routing past the last bound: no partition at all
-    assert p(F.col("d") == "2030-01-01", pol) == []
+    ) == lab("p2")
+    # equality routing past the last bound: only the sentinel remains
+    assert p(F.col("d") == "2030-01-01", pol) == lab()
+    # bool / float literals render differently under Python str() vs
+    # Spark's string cast — must degrade to a full scan, never an
+    # empty set (ADVICE r6)
+    assert p(F.col("d") == 1e-07, pol) is None
+    assert p(F.col("d") == True, pol) is None  # noqa: E712
+    assert p(F.col("d").isin("2024-01-10", 1e-07), pol) is None
     # shapes it can't prove prune nothing
     assert p(F.col("amount") > 0, pol) is None
     assert p(
@@ -403,7 +414,7 @@ def test_partition_key_delete_discovery_is_pruned(spark, warehouse):
     t = _table(spark, warehouse, "disc2")
     pred = F.col("d") == "2024-02-10"
     cand = _partition_labels_for_predicate(pred, t.spec.partition)
-    assert cand == ["p2"]
+    assert cand == ["__unrouted__", "p2"]
     from olap_storage_engine_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(_read_partitions(t, t.manifest.max_version, cand))
@@ -417,3 +428,37 @@ def test_partition_key_delete_discovery_is_pruned(spark, warehouse):
     assert n == 1
     got = {r["k"] for r in t.read().collect()}
     assert got == {1, 2, 4, 5, 6}
+
+
+def test_delete_reaches_unrouted_partition(spark, warehouse):
+    """DELETE with a partition-key predicate must also discover rows
+    stored under the __unrouted__ sentinel (strict_routing=False
+    writes) — the pruned candidate set silently missed them before
+    the ADVICE-r6 fix."""
+    t = _table(spark, warehouse, "unrouted1")
+    # route-able rows went in via _table; add a matching row whose key
+    # is past the last RANGE bound, kept via strict_routing=False
+    t.write(
+        spark.createDataFrame(
+            [(99, "2030-06-15", 990.0)], "k long, d string, amount double"
+        ),
+        strict_routing=False,
+    )
+    assert 99 in {r["k"] for r in t.read().collect()}
+    # equality on the partition column: candidate set is
+    # {__unrouted__} only, and the row must actually be deleted
+    n = delete_where(t, F.col("d") == "2030-06-15")
+    assert n == 1
+    got = {r["k"] for r in t.read().collect()}
+    assert 99 not in got and got == {1, 2, 3, 4, 5, 6}
+    # range shape too: a second unrouted row falls inside a string
+    # range that also touches routed partitions
+    t.write(
+        spark.createDataFrame(
+            [(98, "2030-01-01", 980.0)], "k long, d string, amount double"
+        ),
+        strict_routing=False,
+    )
+    n = delete_where(t, F.col("d") >= "2024-03-01")
+    assert n == 3  # k=5 (p3 row), k=6 (p3 row), k=98 (unrouted)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}

@@ -201,3 +201,45 @@ def test_timestamp_space_separated_bounds_are_sound(spark, warehouse):
         "ts", "2024-01-05 00:00:00", "2024-01-05 23:59:00"
     ).count()
     assert got == 24
+
+
+def test_string_column_datetime_text_bounds_not_rewritten(spark, warehouse):
+    """The space->'T' bound rewrite is TYPE-GATED (ADVICE r6): on a
+    VARCHAR column whose stored values are space-separated
+    datetime-like text, the stored stats keep the space form —
+    rewriting the bound to the 'T' form would compare above the stored
+    max ('T' > ' ') and unsoundly skip a rowset that contains matches."""
+    spec = TableSpec(
+        name="sk_strts",
+        columns=[
+            ColumnSpec.key("s", ColumnType.VARCHAR),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "s", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    t.write(
+        spark.createDataFrame(
+            [
+                ("2024-01-05 10:00:00", 1.0),
+                ("2024-01-05 12:00:00", 2.0),
+            ],
+            "s string, v double",
+        )
+    )
+    # whole-day range, space-separated bounds: the rowset intersects
+    # and must NOT be skipped
+    assert t.skip_plan(
+        "s", "2024-01-05 00:00:00", "2024-01-05 23:59:59"
+    ) == (1, 1)
+    got = sorted(
+        tuple(r)
+        for r in t.read_skipped(
+            "s", "2024-01-05 00:00:00", "2024-01-05 23:59:59"
+        ).collect()
+    )
+    assert got == [
+        ("2024-01-05 10:00:00", 1.0),
+        ("2024-01-05 12:00:00", 2.0),
+    ]
