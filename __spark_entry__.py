@@ -489,15 +489,15 @@ def q_similarity_ann_lsh(spark, sf_dir):
 
 def q_similarity_ann_ivf(spark, sf_dir):
     """IVF serving path: the coarse quantizer is the PERSISTED centroid
-    index table (trained once at fixture-build time) — the query plan
-    broadcasts 16 index rows and never trains."""
+    index table (trained once at fixture-build time with the corpus-
+    derived centroid count, max(16, floor(sqrt(N)))) — the query plan
+    broadcasts the tiny index table and never trains."""
     from olap_storage_engine_spark.fixtures import ivf_centroids
 
     return sim.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         _probes(spark, sf_dir),
         k=10,
-        n_centroids=16,
         n_probe=4,
         centroids=ivf_centroids(spark, sf_dir),
     )
@@ -535,7 +535,7 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     LIST-partitioned by cent_id and maintained incrementally on
     publish (fixtures._build_emb_cells).  Serving is then:
 
-    1. resolve each probe's n_probe nearest cells against the 16-row
+    1. resolve each probe's n_probe nearest cells against the tiny
        centroid index (the query-router step — collected, it is at
        most n_probes x n_probe rows by contract),
     2. read ONLY those cells' partition directories (read_pruned:
@@ -549,7 +549,7 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     is the entire point of IVF at scale.  Same results, same oracle.
 
     The router resolve is DRIVER-side (ivf_probe_cells_local over the
-    pyarrow-read 16-row index + the collected probe set): the whole
+    pyarrow-read centroid index + the collected probe set): the whole
     query is one small probe-collect job plus ONE distributed serve
     job over the pruned cells.
     """
@@ -574,7 +574,7 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
 def q_similarity_ann_ivfpq(spark, sf_dir):
     """IVF-PQ — the two ANN compressions composed, the deployed
     big-corpus layout (FAISS IVFPQ shape): the driver-side router
-    resolves each probe's n_probe cells against the 16-row centroid
+    resolves each probe's n_probe cells against the tiny centroid
     index, the LIST-partitioned emb_cells_pq table reads ONLY those
     cells' directories AND moves m-byte PQ codes instead of vectors
     (~64x less I/O per scanned row), ADC ranks candidates against a
@@ -2855,6 +2855,17 @@ FROM r WHERE rank <= {k}
 """
 
 
+# corpus-derived coarse-quantizer size, computable inside the oracle:
+# identical to similarity.derived_n_centroids (max(16, isqrt(N)) —
+# float sqrt of an int is correctly rounded, so floor(sqrt(N)) ==
+# isqrt(N) for these magnitudes); DuckDB allows a scalar subquery as
+# a LIMIT expression
+_NCENT_SQL = (
+    "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
 def _kmeans_ctes(
     n_centroids=16, sample_mod=4, iters=2, dim=64, round_dp=6,
     prefix="", vec_expr="embedding",
@@ -2911,7 +2922,8 @@ def _kmeans_ctes(
 
 
 def _similarity_ann_ivf_oracle(
-    k=10, n_centroids=16, n_probe=4, n_probes=5, sample_mod=4, iters=2
+    k=10, n_centroids=_NCENT_SQL, n_probe=4, n_probes=5, sample_mod=4,
+    iters=2,
 ) -> str:
     # assignment ranks by dot/|c| — the probe's own norm cancels out of
     # the argmax; mirrors ivf_topk's serving expression exactly so
@@ -2970,7 +2982,7 @@ FROM r WHERE rank <= {k}
 
 
 def _dedup_semantic_oracle(
-    threshold=0.3, n_centroids=16, sample_mod=4, iters=2
+    threshold=0.3, n_centroids=_NCENT_SQL, sample_mod=4, iters=2
 ) -> str:
     """SemDeDup in SQL: the same deterministic k-means + nearest-cell
     assignment the IVF oracle uses (dot/|c| argmax, ties by cent_id),
@@ -3085,7 +3097,7 @@ FROM r WHERE rank <= {k}
 
 def _similarity_ann_ivfpq_oracle(
     k=10, n_candidates=50, m=4, n_codes=16, dim=64, n_probes=5,
-    n_centroids=16, n_probe=4, sample_mod=4, iters=2,
+    n_centroids=_NCENT_SQL, n_probe=4, sample_mod=4, iters=2,
 ) -> str:
     """IVF-PQ end to end in SQL: the coarse k-means + cell assignment
     of the IVF oracle COMPOSED with the per-subspace codebooks + ADC

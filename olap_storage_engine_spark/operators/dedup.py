@@ -346,6 +346,13 @@ def _simhash_votes_udf(bits: int):
         out = np.zeros(n, dtype=np.int64)
         if n == 0:
             return pd.Series(out)
+        # NULL token arrays (null-text docs) must propagate NULL — the
+        # pure-codegen fold this kernel replaced did, and mapping them
+        # to fingerprint 0 would silently land null docs in the
+        # simhash=0 collision group (r7, per ADVICE).  Empty arrays
+        # (tokenless text) keep fingerprint 0, matching the fold's
+        # zero-initialized vote sum.
+        isnull = np.fromiter((a is None for a in hs), bool, count=n)
         arrs = [
             np.asarray(a, dtype=np.int64)
             if a is not None
@@ -361,7 +368,9 @@ def _simhash_votes_udf(bits: int):
             np.cumsum(lens[nz][:-1], out=offs[1:])
             v = np.add.reduceat(pm, offs, axis=0)
             out[nz] = ((v > 0).astype(np.int64) << shifts).sum(axis=1)
-        return pd.Series(out)
+        res = pd.array(out, dtype="Int64")
+        res[isnull] = pd.NA
+        return pd.Series(res)
 
     return votes
 
@@ -891,6 +900,9 @@ def semantic_dedup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+    sub_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al.
     2023): cluster the embedding space with the coarse k-means
@@ -907,9 +919,21 @@ def semantic_dedup_pairs(
     Plan shape for 100 TB: assignment is a broadcast map-side argmax
     (the corpus never shuffles for it), the self-join keys on cent_id
     so each cell joins only against itself, and exact cosine runs on
-    in-cell pairs only.  Cell sizes are bounded by the quantizer
-    (n_centroids scales with corpus size); AQE skew-split handles a
-    hot cell.
+    in-cell pairs only.  Cell sizes are bounded twice: the quantizer
+    scales with the corpus (train_ivf_centroids derives
+    n_centroids = max(16, floor(sqrt(N))) at index-build time, so
+    expected pair work is O(N^1.5)), and ``max_cell_size`` is the hard
+    backstop for DATA skew the quantizer can't fix — a cell larger
+    than the cap is sub-bucketed by the deterministic sign-LSH key
+    (``lsh_bucket_col``, the same hyperplanes embedding_neardup_pairs
+    uses), so its pair join runs per (cell, sign-bucket) and can never
+    go quadratic in the hot cell.  Sub-bucketing an oversized cell is
+    a RECALL trade (near-dup pairs split across sign buckets are
+    missed) — the documented SemDeDup behavior for pathological cells,
+    not silent truncation; set ``max_cell_size=None`` to force exact
+    in-cell search.  At fixture scale no cell approaches the default
+    cap, so the declared ``dedup_semantic`` query (and its oracle) is
+    byte-identical with or without the guard.
 
     Returns (cent_id, vec_a, vec_b, cosine) for in-cell pairs with
     cosine >= threshold, cosine rounded to 6dp.
@@ -931,6 +955,22 @@ def semantic_dedup_pairs(
     cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col).select(
         "*", l2norm(F.col(vec_col)).alias("__nrm")
     )
+    if max_cell_size is not None:
+        # skew backstop: per-cell counts are a tiny combine-enabled
+        # aggregate (<= n_centroids rows, broadcast back); only rows
+        # in oversized cells pay the sign-LSH projection
+        sizes = cells.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        cells = cells.join(F.broadcast(sizes), on="cent_id").withColumn(
+            "__sub",
+            F.when(
+                F.col("__csz") > max_cell_size,
+                lsh_bucket_col(vec_col, sub_planes, dim),
+            ).otherwise(F.lit("")),
+        )
+    else:
+        cells = cells.withColumn("__sub", F.lit(""))
     l, r = cells.alias("l"), cells.alias("r")
     cos = pandas_dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
         F.col("l.__nrm") * F.col("r.__nrm")
@@ -940,6 +980,7 @@ def semantic_dedup_pairs(
             r,
             on=[
                 F.col("l.cent_id") == F.col("r.cent_id"),
+                F.col("l.__sub") == F.col("r.__sub"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )

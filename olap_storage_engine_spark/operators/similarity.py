@@ -129,9 +129,22 @@ def lsh_topk(
     )
 
 
+def derived_n_centroids(n_rows: int) -> int:
+    """Corpus-scaled centroid count: ``max(16, floor(sqrt(N)))``.
+
+    SemDeDup's in-cell pair search is O(cell^2); with k = sqrt(N)
+    cells the expected cell is sqrt(N) rows and total pair work stays
+    O(N^1.5) instead of O(N^2/k) exploding as the corpus grows past a
+    FIXED k (VERDICT r6 #5).  isqrt keeps the derivation exact and
+    identical to the oracle's ``floor(sqrt(count(*)))``."""
+    import math
+
+    return max(16, math.isqrt(max(n_rows, 0)))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     sample_mod: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
@@ -139,6 +152,12 @@ def train_ivf_centroids(
     round_dp: int = 6,
 ) -> DataFrame:
     """Deterministic sampled k-means coarse quantizer.
+
+    ``n_centroids=None`` (the index-build default) derives the count
+    from the corpus itself via ``derived_n_centroids`` — one count()
+    job at train time, so the quantizer scales with the corpus instead
+    of freezing at a fixture constant; pass an explicit int for
+    fixed-size codebooks (PQ trains 2^bits codes per subspace).
 
     Sample = rows with ``id % sample_mod == 0`` (deterministic, scale-
     independent); init = the ``n_centroids`` lowest-id sample vectors;
@@ -159,6 +178,8 @@ def train_ivf_centroids(
     (vec, pos)-keyed aggregate over the sample only — the corpus is
     never shuffled; training cost is bounded by sample size.
     """
+    if n_centroids is None:
+        n_centroids = derived_n_centroids(corpus.count())
     sample = corpus.filter(
         F.pmod(F.col(id_col), F.lit(sample_mod)) == 0
     ).select(id_col, vec_col)
@@ -386,7 +407,7 @@ def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -441,7 +462,7 @@ def ivf_topk(
     else:
         cents = (
             corpus.orderBy(id_col)
-            .limit(n_centroids)
+            .limit(n_centroids if n_centroids is not None else 16)
             .select(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )

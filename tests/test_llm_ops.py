@@ -858,3 +858,100 @@ def test_string_similarity_join_golden(spark):
     names = {r.pid: r.name for r in rows}
     for (ia, ib), d in out.items():
         assert d == lev(names[ia], names[ib]) and d <= 2
+
+
+def test_simhash_null_text_propagates_null(spark):
+    """NULL-text docs must keep a NULL fingerprint (ADVICE r6): the
+    Arrow vote kernel mapped a NULL token-hash array to fingerprint 0,
+    silently landing null docs in the simhash=0 collision group —
+    the pure-codegen fold it replaced propagated NULL."""
+    rows = [
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text=None),
+        Row(doc_id=3, text="the quick brown fox"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, bits=32).collect()}
+    assert fp[2] is None
+    assert fp[1] is not None and fp[1] == fp[3]
+
+
+def test_semantic_dedup_cell_cap_subbuckets_skewed_cell(spark):
+    """Skew backstop (VERDICT r6 #5): a cell over max_cell_size is
+    sub-bucketed by the deterministic sign-LSH key, so the in-cell
+    pair count is bounded by the sub-bucket sizes, never the full
+    O(cell^2); cells under the cap keep the exact search."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    # one pathological cell: 40 spread-out vectors that all argmax to
+    # the single centroid; plus a small well-behaved second cell
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[1.0] + [rng.uniform(-1.0, 1.0) for _ in range(dim - 1)],
+        )
+        for i in range(40)
+    ]
+    rows += [
+        Row(vec_id=100 + i, embedding=[-1.0] + [0.1 * i] * (dim - 1))
+        for i in range(3)
+    ]
+    emb = spark.createDataFrame(rows)
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=0, cent_vec=[1.0] + [0.0] * (dim - 1)),
+            Row(cent_id=1, cent_vec=[-1.0] + [0.0] * (dim - 1)),
+        ]
+    )
+    # threshold=-1 accepts every scored pair, so the output IS the
+    # candidate set — exactly what the cap must bound
+    exact = dd.semantic_dedup_pairs(
+        emb, cents, threshold=-1.0, max_cell_size=None, dim=dim
+    )
+    capped = dd.semantic_dedup_pairs(
+        emb, cents, threshold=-1.0, max_cell_size=10, dim=dim
+    )
+    n_exact = exact.count()
+    assert n_exact == 40 * 39 // 2 + 3  # full quadratic + small cell
+    from pyspark.sql import functions as F
+
+    n_capped = capped.count()
+    # bounded: the hot cell's pairs come from sign-LSH sub-buckets,
+    # strictly fewer than the quadratic count; the small cell (under
+    # the cap) keeps its exact 3 pairs
+    hot = capped.filter(F.col("cent_id") == 0).count()
+    small = capped.filter(F.col("cent_id") == 1).count()
+    assert small == 3
+    assert 0 < hot < 40 * 39 // 2
+    assert n_capped == hot + small
+    # determinism: same inputs, same candidate set
+    assert n_capped == dd.semantic_dedup_pairs(
+        emb, cents, threshold=-1.0, max_cell_size=10, dim=dim
+    ).count()
+
+
+def test_train_ivf_centroids_derives_k_from_corpus(spark):
+    """n_centroids=None derives max(16, isqrt(N)) at train time."""
+    from olap_storage_engine_spark.operators.similarity import (
+        derived_n_centroids,
+        train_ivf_centroids,
+    )
+
+    assert derived_n_centroids(500) == 22
+    assert derived_n_centroids(2000) == 44
+    assert derived_n_centroids(10) == 16  # floor
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float((i * 7 + j) % 5) for j in range(4)])
+            for i in range(400)
+        ]
+    )
+    cents = train_ivf_centroids(emb, vec_col="embedding")
+    # isqrt(400)=20 init centroids; losers may drop out (inner-join
+    # semantics) but the trained set can never exceed the derived k
+    n = cents.count()
+    assert 1 <= n <= 20
