@@ -23,6 +23,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ones that are sub-millisecond anyway (kept — they're cheap) — run all.
 SKIP: set[str] = set()
 
+# Optional subset filter for local iteration: a regex; only matching
+# query names run (fixture builds still run — they're shared state).
+ONLY_RE = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+
+# Diagnostics: re-run matching queries AFTER the full pass, recorded
+# as "<name>#2" — isolates session-accumulation effects (a query slow
+# in pass 1 but fast in pass 2 was paying one-off compile; slow in
+# BOTH passes at the session tail means accumulated JVM state).
+REPEAT_RE = os.environ.get("SPARK_GRAFT_BENCH_REPEAT")
+
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -163,6 +173,8 @@ def main() -> None:
         fn = qs[name]
         if name in SKIP:
             continue
+        if ONLY_RE and not re.search(ONLY_RE, name):
+            continue
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -173,6 +185,18 @@ def main() -> None:
         # query models an independent job submission
         spark.catalog.clearCache()
         gc.collect()
+
+    if REPEAT_RE:
+        for name in ordered_names:
+            if name in SKIP or not re.search(REPEAT_RE, name):
+                continue
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[f"{name}#2"] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            gc.collect()
 
     # per-query DuckDB oracle baseline on the same data — regressions
     # show per query, not just in the aggregate (set
@@ -191,6 +215,8 @@ def main() -> None:
             )
         for name, sql in entrymod.oracle_sql().items():
             if name in SKIP:
+                continue
+            if ONLY_RE and not re.search(ONLY_RE, name):
                 continue
             t0 = time.time()
             try:
@@ -225,6 +251,17 @@ def main() -> None:
                 / max(sum(oracle_timings[n] for n in shared), 1e-9),
                 3,
             )
+    # full per-query record on disk FIRST: the driver's stdout capture
+    # keeps only the output tail, which truncated the per-query dict to
+    # ~83 of 152 entries in r6 — the file can't be cut (VERDICT r6 #7)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

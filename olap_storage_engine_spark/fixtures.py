@@ -670,7 +670,10 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         o = load_table(spark, sf_dir, "orders")
         (
-            o.write.bucketBy(8, "o_custkey")
+            # repartition on the bucket key first: ONE sorted file per
+            # bucket, the invariant that lets the sorted-bucket-scan
+            # conf (session.py) elide SMJ sorts soundly
+            o.repartition(8, "o_custkey").write.bucketBy(8, "o_custkey")
             .sortBy("o_custkey")
             .format("parquet")
             .mode("overwrite")
@@ -678,7 +681,7 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         c = load_table(spark, sf_dir, "customer")
         (
-            c.write.bucketBy(8, "c_custkey")
+            c.repartition(8, "c_custkey").write.bucketBy(8, "c_custkey")
             .sortBy("c_custkey")
             .format("parquet")
             .mode("overwrite")
@@ -715,7 +718,8 @@ def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         o = load_table(spark, sf_dir, "orders")
         (
-            o.write.bucketBy(16, "o_orderkey")
+            # one sorted file per bucket (see bucketed_pair note)
+            o.repartition(16, "o_orderkey").write.bucketBy(16, "o_orderkey")
             .sortBy("o_orderkey")
             .format("parquet")
             .mode("overwrite")
@@ -723,7 +727,7 @@ def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         li = load_table(spark, sf_dir, "lineitem")
         (
-            li.write.bucketBy(16, "l_orderkey")
+            li.repartition(16, "l_orderkey").write.bucketBy(16, "l_orderkey")
             .sortBy("l_orderkey")
             .format("parquet")
             .mode("overwrite")

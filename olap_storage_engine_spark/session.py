@@ -74,6 +74,17 @@ def get_spark(
             "InferFiltersFromGenerate",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Bucketed scans report the bucket files' sortBy order, letting
+        # sort-merge joins over co-bucketed tables skip their sorts
+        # entirely (q21_bucketed: 4 fact-side sorts -> 0).  Sound ONLY
+        # when every bucket holds exactly one sorted file — every
+        # bucketed writer in this engine (fixtures.bucketed_pair /
+        # bucketed_fact_pair, OlapTable.register_bucketed) enforces
+        # that by repartitioning on the bucket key before bucketBy+
+        # sortBy, so a bucket is written by exactly one task.  Do NOT
+        # register foreign bucketed tables with multi-file buckets in
+        # this session.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -712,6 +712,11 @@ class OlapTable:
         shutil.rmtree(loc, ignore_errors=True)
         (
             self.read()
+            # one sorted file per bucket: required for the session's
+            # sorted-bucket-scan ordering claim (session.py) to be
+            # sound, and fewer/larger files is the right replica shape
+            # at scale anyway
+            .repartition(n, F.col(bucket.column))
             .write.bucketBy(n, bucket.column)
             .sortBy(bucket.column)
             .format("parquet")

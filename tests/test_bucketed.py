@@ -175,3 +175,8 @@ def test_q21_bucketed_fact_legs_exchange_free(spark):
     # and the overall exchange count stays small (agg + topk family)
     n_ex = plan.count("Exchange")
     assert n_ex <= 4, f"{n_ex} exchanges\n{plan}"
+    # sorted-bucket-scan ordering (session.py conf + one-file-per-
+    # bucket writes) must elide EVERY SMJ sort: the fact side reads
+    # pre-sorted bucket files
+    n_sort = plan.count("Sort ")
+    assert n_sort == 0, f"{n_sort} sorts\n{plan}"
