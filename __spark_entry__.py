@@ -411,6 +411,80 @@ def q_dedup_keepset(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _bench_docs(docs):
+    """The fixture eval/benchmark set for decontamination: every 97th
+    document — small relative to the corpus, like a real eval set."""
+    return docs.filter(F.col("doc_id") % 97 == 0)
+
+
+def q_decontaminate_bench(spark, sf_dir):
+    """Benchmark decontamination, inline (cold-corpus) path: drop every
+    training doc sharing ANY word 5-gram with the benchmark set
+    (docs with doc_id % 97 == 0 stand in for an eval set).  The bench
+    side's distinct shingle hashes broadcast; the corpus pays one
+    tokenize/shingle pass and never shuffles.  Serving-path variant:
+    ``decontaminate_indexed``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.decontaminate(docs, _bench_docs(docs), n=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_decontaminate_indexed(spark, sf_dir):
+    """Decontamination served from the PERSISTED shingle index: the
+    corpus side reads (doc_id, n=5, sh) index rows — publish-time
+    maintained, never re-tokenized at query time; only the tiny
+    benchmark set is shingled inline.  Same keep-set as
+    ``decontaminate_bench`` (identical width and hash)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    return dd.decontaminate_from_index(
+        docs, idx, _bench_docs(docs), n=5
+    ).select("doc_id", "lang", "source")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Rule-based PII redaction over a deterministic PII-bearing
+    column (the synthetic corpus has no organic PII, so the query
+    fabricates an email + IPv4 + long card number per doc from its
+    id): typed placeholders substituted row-locally, per-category
+    counts emitted.  Zero shuffles, zero UDFs — pure regexp column
+    expressions under whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 card 4000123412341234"),
+        ),
+    )
+    return tx.pii_scrub(with_pii).select(
+        "doc_id",
+        "text",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        "n_redactions",
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture re-balancing audit: down-sample each
+    LANGUAGE (the skewed grouping in this corpus — en is ~44% of
+    docs) toward the uniform share via an exact-integer hash-threshold
+    draw, and report per-language original/kept counts and the
+    achieved rate.  The keep decision is the same floor-division
+    inequality the oracle evaluates, so boundary docs can't diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.mixture_summary(docs, source_col="lang")
+
+
 def q_corpus_prep(spark, sf_dir):
     """The end-to-end training-corpus preparation pipeline — the
     north-star composition: quality scoring -> language ID -> quality
@@ -2395,6 +2469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
+        "decontaminate_bench": q_decontaminate_bench,
+        "decontaminate_indexed": q_decontaminate_indexed,
+        "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
         "corpus_prep": q_corpus_prep,
         "text_chunking": q_text_chunking,
         "sample_packing": q_sample_packing,
@@ -3419,6 +3497,102 @@ FROM w WHERE before < {budget}
 """
 
 
+def _decontaminate_oracle(n=5, mod=97) -> str:
+    """Shingle-STRING overlap (the hashes are injective at fixture
+    scale; joining on the string sidesteps replicating xxhash64 in
+    SQL) — serves as the oracle for BOTH the inline and the
+    index-served decontamination paths, which share one keep-set by
+    construction."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                   for i in range(1, len(t) - {n - 2})]) AS shingle
+    FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {mod} = 0),
+contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (shingle))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+# identical patterns to operators/text.PII_PATTERNS — written in the
+# Java/RE2 common subset so both engines match the same spans
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_NUM = r"[0-9]{9,}"
+
+
+def _pii_scrub_oracle() -> str:
+    """Mirrors pii_scrub's sequential semantics exactly: each
+    category's count is taken on the text as already scrubbed by the
+    PREVIOUS categories (so an email's digits are never double-counted
+    as a long number)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 card 4000123412341234' AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t0,
+         CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS INT)
+           AS n_email,
+         regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS INT)
+           AS n_ipv4,
+         regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{_PII_NUM}')) AS INT)
+           AS n_longnum,
+         regexp_replace(t2, '{_PII_NUM}', '<NUM>', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, text, n_email, n_ipv4, n_longnum,
+       CAST(n_email + n_ipv4 + n_longnum AS INT) AS n_redactions
+FROM s3
+"""
+
+
+def _mixture_sample_oracle(scale=1_000_000) -> str:
+    """The identical exact-integer floor-division inequality
+    mixture_sample evaluates; grouped to the per-language audit frame
+    mixture_summary returns."""
+    u = _MD5INT.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_src
+        FROM documents),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN cnt USING (lang) CROSS JOIN tot
+  WHERE ({u} % {scale})
+        < ({scale}::BIGINT * total) // (n_src * cnt.n_docs)
+  GROUP BY d.lang
+)
+SELECT cnt.lang, cnt.n_docs,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       round(COALESCE(kept.n_kept, 0) / CAST(cnt.n_docs AS DOUBLE), 6)
+         AS kept_frac
+FROM cnt LEFT JOIN kept USING (lang)
+"""
+
+
 def _fnv_sql(expr: str) -> str:
     """FNV-1a 64 of a string expression, as HUGEINT mod 2^64."""
     return (
@@ -3559,6 +3733,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keepset": _dedup_keepset_oracle(),
+        "decontaminate_bench": _decontaminate_oracle(),
+        "decontaminate_indexed": _decontaminate_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
         "corpus_prep": _corpus_prep_oracle(),
         "text_chunking": """
             WITH toks AS (

@@ -992,3 +992,80 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def benchmark_shingle_hashes(
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct xxhash64 shingle hashes of a benchmark/eval set — the
+    broadcast side of decontamination.  Eval sets are tiny relative to
+    a training corpus (thousands of docs vs billions), so the whole
+    hash set broadcasts; the hash matches the persisted shingle
+    index's ``sh`` column bit for bit, letting the corpus side serve
+    from the index."""
+    return (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the Brown et al. 2020 / Gao et al.
+    2021 discipline): drop every training document sharing ANY word
+    n-gram with the benchmark set, so eval answers can't leak into
+    training data.  Docs too short to have an n-gram survive.
+
+    Plan shape for 100 TB: the benchmark's distinct shingle hashes
+    broadcast (eval sets are tiny); the corpus pays one tokenize/
+    shingle pass, a broadcast LEFT SEMI against the bench hashes
+    picks contaminated ids, and a broadcast-able anti join removes
+    them — the corpus itself never shuffles.  On a stable corpus use
+    ``decontaminate_from_index``: the persisted shingle index already
+    holds every (doc_id, sh) row, so the query skips the tokenize
+    entirely."""
+    bench = benchmark_shingle_hashes(benchmark, n, text_col, id_col)
+    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench), on="sh", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, on=id_col, how="left_anti")
+
+
+def decontaminate_from_index(
+    docs: DataFrame,
+    shingle_index: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serving-path decontamination: the corpus side reads the
+    PERSISTED shingle index (doc_id, n, sh — fixtures.
+    shingle_index_path, maintained by shingle_index_delta_refresh at
+    publish time) instead of re-tokenizing the corpus per query; only
+    the tiny benchmark set is shingled inline.  Same keep-set as
+    ``decontaminate`` by construction (identical n, identical
+    xxhash64)."""
+    bench = benchmark_shingle_hashes(benchmark, n, text_col, id_col)
+    contaminated = (
+        shingle_index.filter(F.col("n") == n)
+        .select(id_col, "sh")
+        .join(F.broadcast(bench), on="sh", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, on=id_col, how="left_anti")

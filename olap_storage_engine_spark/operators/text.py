@@ -681,3 +681,122 @@ def string_similarity_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+# PII scrub patterns: deliberately simple, deterministic, and written
+# in the regex subset Java (Spark) and RE2 (DuckDB) evaluate
+# identically — no backrefs, no lookaround, no \b-dependent dialect
+# differences at pattern edges.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("longnum", r"[0-9]{9,}", "<NUM>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based PII redaction: replace every email / IPv4 / long
+    digit-run match with a typed placeholder and count redactions per
+    category.  Patterns apply in declaration order (email before
+    longnum, so a digit-heavy local-part is consumed as <EMAIL>, not
+    split).  Returns the input columns with ``text`` scrubbed plus
+    ``n_<category>`` counts and ``n_redactions``.
+
+    100 TB posture: strictly ROW-LOCAL regexp_replace /
+    regexp_extract_all column expressions — zero shuffles, zero UDFs,
+    parallelizes by input split."""
+    out = docs
+    counts = []
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))),
+        )
+        counts.append(F.col(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.withColumn(text_col, scrubbed).withColumn(
+        "n_redactions", total
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic mixture re-balancing: down-sample each source
+    toward the UNIFORM target share so no source dominates the
+    training mix.  A document survives iff
+
+        md5int(id) % scale  <  (scale * total) // (n_sources * n_s)
+
+    i.e. a deterministic per-doc uniform draw against the per-source
+    keep rate min(1, total / (n_sources * n_s)), with the threshold
+    computed in EXACT INTEGER arithmetic — no float rounding can flip
+    a boundary doc between engines (the oracle evaluates the identical
+    floor-division inequality in BIGINT).  Per-source thresholds are
+    derived DRIVER-side from the per-source count aggregate (one tiny
+    combine-enabled job; arbitrary-precision Python ints, so no
+    overflow at any corpus size) and broadcast back; the filter itself
+    is row-local — the corpus never shuffles.
+
+    Returns the surviving documents.
+    """
+    from ..functions.hashes import md5int
+
+    counts = {
+        r[source_col]: r["__ns"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .collect()
+    }
+    n_sources = len(counts)
+    total = sum(counts.values())
+    thr = [
+        (s, (scale * total) // (n_sources * ns))
+        for s, ns in counts.items()
+    ]
+    thr_df = docs.sparkSession.createDataFrame(
+        thr, f"{source_col} string, __thr long"
+    )
+    u = md5int(F.col(id_col).cast("string")) % F.lit(scale)
+    return (
+        docs.join(F.broadcast(thr_df), on=source_col)
+        .filter(u < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def mixture_summary(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source audit of ``mixture_sample``: original count, kept
+    count, and the effective keep rate (rounded) — the small frame a
+    pipeline logs to show the achieved mix."""
+    kept = (
+        mixture_sample(docs, source_col, id_col, scale)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    orig = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        orig.join(F.broadcast(kept), on=source_col, how="left")
+        .select(
+            source_col,
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("kept_frac"),
+        )
+    )

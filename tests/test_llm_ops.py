@@ -955,3 +955,86 @@ def test_train_ivf_centroids_derives_k_from_corpus(spark):
     # semantics) but the trained set can never exceed the derived k
     n = cents.count()
     assert 1 <= n <= 20
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """Any doc sharing a single word n-gram with the benchmark set is
+    dropped; docs with no overlap (or too short for an n-gram)
+    survive."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            # shares 'three four five six seven' tail with doc 2 but
+            # doc 2 is not benchmark — both survive unless bench hits
+            Row(doc_id=3, text="zero two three four five six seven"),
+            Row(doc_id=4, text="alpha beta gamma delta epsilon other"),
+            Row(doc_id=5, text="short text"),  # < n tokens: survives
+        ]
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    kept = {r["doc_id"] for r in dd.decontaminate(docs, bench, n=5).collect()}
+    # doc 1 = bench itself (drops); doc 4 shares 'alpha beta gamma
+    # delta epsilon' (drops); 2, 3, 5 survive
+    assert kept == {2, 3, 5}
+    # index-served path produces the identical keep-set
+    from olap_storage_engine_spark.operators.indexes import (
+        shingle_rows_from,
+    )
+
+    idx = shingle_rows_from(docs, widths=(3, 5))
+    kept2 = {
+        r["doc_id"]
+        for r in dd.decontaminate_from_index(docs, idx, bench, n=5).collect()
+    }
+    assert kept2 == kept
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    from olap_storage_engine_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob99@site.org and 10.0.0.1 ok"),
+            Row(doc_id=2, text="card 4000123412341234 twice 9876543210"),
+            Row(doc_id=3, text="nothing to redact here"),
+            # email local part is digit-heavy: must scrub as ONE email,
+            # not leave a <NUM> fragment
+            Row(doc_id=4, text="x 123456789012@mail.com y"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in tx.pii_scrub(docs).collect()}
+    assert out[1]["text"] == "mail <EMAIL> and <IP> ok"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_longnum"]) == (1, 1, 0)
+    assert out[2]["text"] == "card <NUM> twice <NUM>"
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["text"] == "nothing to redact here"
+    assert out[3]["n_redactions"] == 0
+    assert out[4]["text"] == "x <EMAIL> y"
+    assert (out[4]["n_email"], out[4]["n_longnum"]) == (1, 0)
+
+
+def test_mixture_sample_balances_and_is_deterministic(spark):
+    from olap_storage_engine_spark.operators import text as tx
+
+    rows = [
+        Row(doc_id=i, source="big" if i < 800 else "small")
+        for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows)
+    summ = {
+        r["source"]: r
+        for r in tx.mixture_summary(docs, source_col="source").collect()
+    }
+    # small source (200 docs < uniform 500): keep everything
+    assert summ["small"]["n_kept"] == summ["small"]["n_docs"] == 200
+    # big source: rate = 1000/(2*800) = 0.625 — kept close to 500
+    big = summ["big"]
+    assert big["n_docs"] == 800
+    assert 400 < big["n_kept"] < 600
+    # deterministic: identical result on re-run
+    again = {
+        r["source"]: r["n_kept"]
+        for r in tx.mixture_summary(docs, source_col="source").collect()
+    }
+    assert again == {s: r["n_kept"] for s, r in summ.items()}
