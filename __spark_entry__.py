@@ -747,13 +747,13 @@ def q_embedding_corpus_prep(spark, sf_dir):
     label survival stats.  The drop set is pair-local (any vec_id
     appearing as the higher id of a near-dup pair drops) — the
     standard SemDeDup practice; the summary is one broadcast-sized
-    left join + one aggregate."""
-    from olap_storage_engine_spark.fixtures import ivf_centroids
+    left join + one aggregate.  Pairs come from the PERSISTED cell
+    table (emb_cells) like dedup_semantic — no query-time argmax."""
+    from olap_storage_engine_spark.fixtures import get_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dd.semantic_dedup_pairs(
-        emb, ivf_centroids(spark, sf_dir), threshold=0.3
-    )
+    cells = get_table(spark, sf_dir, "emb_cells").read()
+    pairs = dd.semantic_dedup_pairs_from_cells(cells, threshold=0.3)
     drop = (
         pairs.select(F.col("vec_b").alias("vec_id"))
         .distinct()
@@ -908,16 +908,15 @@ def q_dedup_exact_substring(spark, sf_dir):
 
 
 def q_dedup_semantic(spark, sf_dir):
-    """SemDeDup-shaped semantic near-dup pairs: cells from the
-    PERSISTED IVF centroid index (the ANN quantizer), exact cosine
-    within cells only (operators/dedup.semantic_dedup_pairs)."""
-    from olap_storage_engine_spark.fixtures import ivf_centroids
+    """SemDeDup-shaped semantic near-dup pairs served from the
+    PERSISTED cell table (emb_cells — the same publish-time-maintained
+    IVF layout the ANN cell path reads): stored cell ids, exact cosine
+    within cells only; the broadcast-argmax assignment never runs at
+    query time (operators/dedup.semantic_dedup_pairs_from_cells)."""
+    from olap_storage_engine_spark.fixtures import get_table
 
-    return dd.semantic_dedup_pairs(
-        load_table(spark, sf_dir, "embeddings"),
-        ivf_centroids(spark, sf_dir),
-        threshold=0.3,
-    )
+    cells = get_table(spark, sf_dir, "emb_cells").read()
+    return dd.semantic_dedup_pairs_from_cells(cells, threshold=0.3)
 
 
 def q_doc_fingerprint(spark, sf_dir):

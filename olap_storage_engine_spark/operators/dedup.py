@@ -952,8 +952,36 @@ def semantic_dedup_pairs(
     # ROUNDED cosine so numpy's pairwise-summation ulps can't flip a
     # borderline pair vs the oracle's sequential fold (the PQ ADC-cut
     # discipline); the oracle cuts on the same rounded expression.
-    cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col).select(
-        "*", l2norm(F.col(vec_col)).alias("__nrm")
+    cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col)
+    return semantic_dedup_pairs_from_cells(
+        cells, threshold, id_col, vec_col, max_cell_size, sub_planes, dim
+    )
+
+
+def semantic_dedup_pairs_from_cells(
+    cells: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+    sub_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The pair tail of ``semantic_dedup_pairs`` over an ALREADY
+    ASSIGNED (cent_id, id, vec) frame — the serving path when the cell
+    table persists at publish time (fixtures emb_cells, maintained by
+    ivf_cells_delta_refresh): the query never evaluates the broadcast
+    argmax, it reads stored cell ids.  The inline variant re-derives
+    assignment and pays that argmax on every pass over the corpus
+    (sizes + both join sides) — measured 4.2 s vs 1.5 s at sf0.1 with
+    the 44-centroid quantizer."""
+    from ..functions.vectors import l2norm, pandas_dot
+
+    cells = cells.select(
+        "cent_id",
+        id_col,
+        vec_col,
+        l2norm(F.col(vec_col)).alias("__nrm"),
     )
     if max_cell_size is not None:
         # skew backstop: per-cell counts are a tiny combine-enabled

@@ -96,19 +96,27 @@ def column_profile_checked(
     The estimate itself is engine-specific (a DuckDB HLL differs), so
     instead of emitting it raw, the query emits the bound check: the
     oracle recomputes the exact columns and a literal 1, and a drifting
-    sketch flips est_ok to 0 and fails the hash match.  The exact
-    distinct adds an expand to the single aggregate — acceptable for a
-    profiling pass, and the HLL leg still demonstrates the mergeable
-    sketch the serving path would use alone at 100 TB."""
-    aggs = []
+    sketch flips est_ok to 0 and fails the hash match.
+
+    Plan shape: the exact distincts run as their OWN aggregate, cross-
+    joined (1 row x 1 row) onto the streaming-aggregate pass holding
+    nulls/min/max/HLL.  Mixing countDistinct with the other aggregates
+    in one df.agg plans an Expand that replicates every input row once
+    per distinct column AND evaluates every buffer (HLL included) on
+    each replica — measured 7.3 s vs 1.2 s for this split at sf0.1,
+    superlinear in the column count."""
+    plain = []
     for c in cols:
-        aggs += [
+        plain += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
-            F.countDistinct(c).alias(f"{c}_distinct_exact"),
             F.approx_count_distinct(c, rsd=rsd).alias(f"__{c}_est"),
             F.min(c).alias(f"{c}_min"),
             F.max(c).alias(f"{c}_max"),
         ]
+    dists = df.agg(
+        *[F.countDistinct(c).alias(f"{c}_distinct_exact") for c in cols]
+    )
+    joined = df.agg(*plain).crossJoin(F.broadcast(dists))
     out = []
     for c in cols:
         exact = F.col(f"{c}_distinct_exact")
@@ -122,7 +130,7 @@ def column_profile_checked(
             .cast("int")
             .alias(f"{c}_est_ok"),
         ]
-    return df.agg(*aggs).select(*out)
+    return joined.select(*out)
 
 
 def group_sketch(

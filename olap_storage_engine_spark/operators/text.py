@@ -316,6 +316,10 @@ def token_budget_select(
     scored = quality_score(docs, text_col).select(
         "doc_id", "n_tokens", "quality"
     )
+    # the histogram pass AND the keep/boundary filters read the scored
+    # frame — persist it so the tokenize/score expressions run once,
+    # not once per pass (the histogram collect materializes it)
+    scored = scored.persist()
     hist = (
         scored.groupBy("quality")
         .agg(F.sum("n_tokens").alias("btoks"))
