@@ -798,6 +798,20 @@ def q_docs_stream_quality_filter(spark, sf_dir):
     return run_fixture_stream_corpus_filter(spark, sf_dir)
 
 
+def q_docs_stream_decontaminate(spark, sf_dir):
+    """Benchmark decontamination as a REAL Structured Streaming query:
+    a fully STATELESS append-mode filter (in-row shingle-hash array vs
+    the broadcast benchmark set — no explode, no state store, no
+    shuffle), so the topology holds at any ingest rate; deterministic
+    under availableNow, so the BATCH decontamination oracle checks the
+    stream's keep-set exactly (streaming/corpus.py)."""
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_decontaminate,
+    )
+
+    return run_fixture_stream_decontaminate(spark, sf_dir)
+
+
 def q_fk_orphan_audit(spark, sf_dir):
     """Referential-integrity audit across the star schema's FK edges:
     per relation, how many child rows reference a missing parent.
@@ -2470,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepset": q_dedup_keepset,
         "decontaminate_bench": q_decontaminate_bench,
         "decontaminate_indexed": q_decontaminate_indexed,
+        "docs_stream_decontaminate": q_docs_stream_decontaminate,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "corpus_prep": q_corpus_prep,
@@ -3734,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keepset": _dedup_keepset_oracle(),
         "decontaminate_bench": _decontaminate_oracle(),
         "decontaminate_indexed": _decontaminate_oracle(),
+        "docs_stream_decontaminate": _decontaminate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "corpus_prep": _corpus_prep_oracle(),

@@ -52,3 +52,79 @@ def run_fixture_stream_corpus_filter(
         )
         _await_or_raise(q)
     return spark.table(name)
+
+
+def run_fixture_stream_decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 5, mod: int = 97
+) -> DataFrame:
+    """Streaming benchmark decontamination: documents arrive as a file
+    stream; each row drops iff it shares any word n-gram with the
+    static benchmark set — the same keep-set as the batch
+    ``dedup.decontaminate``, so the batch SQL oracle checks the stream
+    exactly.
+
+    Topology: FULLY STATELESS append-mode filter.  The doc's distinct
+    shingle hashes stay an in-row ARRAY (no explode), and the verdict
+    is one row-local ``arrays_overlap`` against the benchmark's
+    distinct hash set — no watermark, no state store, no shuffle; the
+    stream filter parallelizes by source file at any rate.  The bench
+    set rides along as a literal array here (hundreds of hashes at
+    fixture scale); at a real 10^6+-hash eval suite the same verdict
+    is an Arrow-batched pandas UDF over a broadcast numpy set (or a
+    bloom filter) — still row-local and stateless."""
+    from ..functions.textfns import tokens
+    from .events import _await_or_raise, _shuffle_partitions
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="docs_decon_stream_")
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    docs = spark.read.parquet(path)
+
+    def shingle_hashes(text_col):
+        toks = tokens(text_col)
+        return F.transform(
+            F.array_distinct(
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                        lambda i: F.array_join(
+                            F.slice(toks, i, n), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ),
+            lambda s: F.xxhash64(s),
+        )
+
+    from ..operators.dedup import benchmark_shingle_hashes
+
+    bench_vals = [
+        r["sh"]
+        for r in benchmark_shingle_hashes(
+            docs.filter(F.col("doc_id") % mod == 0), n=n
+        ).collect()
+    ]
+    # empty bench set: nothing can be contaminated — a bare F.array()
+    # would be untyped, so pin an empty long array
+    bench_arr = (
+        F.array(*[F.lit(v) for v in bench_vals])
+        if bench_vals
+        else F.array().cast("array<long>")
+    )
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    kept = stream.filter(
+        ~F.arrays_overlap(shingle_hashes(F.col("text")), bench_arr)
+    ).select("doc_id", "lang", "source")
+    name = f"dc_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)

@@ -237,3 +237,33 @@ def test_stream_corpus_filter_matches_batch(spark):
         )
     )
     assert got == want and len(got) > 4
+
+
+def test_stream_decontaminate_matches_batch(spark):
+    """The streaming keep-set must equal the batch decontamination's
+    keep-set — same verdict, two execution modes; and the streaming
+    plan must stay stateless (append mode, no state store)."""
+    from olap_storage_engine_spark.operators.dedup import decontaminate
+    from olap_storage_engine_spark.sources.testdata import load_table
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_decontaminate,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            run_fixture_stream_decontaminate(spark, sf_dir).collect(),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    want = sorted(
+        map(
+            tuple,
+            decontaminate(docs, bench, n=5)
+            .select("doc_id", "lang", "source")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 100
