@@ -176,3 +176,33 @@ def test_events_funnel_single_user_exchange(spark, entrymod):
     # total distinct exchanges: the user_id hash + the orderBy range
     ops = re.findall(r"\(\d+\) Exchange", plan)
     assert len(ops) <= 2, plan
+
+
+def test_decontaminate_indexed_pushes_width_filter(spark, entrymod):
+    """The index-served decontamination must push the n=5 width filter
+    into the shingle-index parquet scan (column pruning + predicate
+    pushdown — the serving path reads one width's rows, never the
+    whole index), and resolve both joins as broadcasts (bench side is
+    tiny by contract)."""
+    df = _df(spark, entrymod, "decontaminate_indexed")
+    pushed = pushed_filters(df)
+    assert any("EqualTo(n,5)" in f for f in pushed), pushed
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_exchange_free(spark, entrymod):
+    """PII scrubbing is row-local regexp work — any Exchange in this
+    plan means a regression into a shuffle."""
+    plan = formatted_plan(_df(spark, entrymod, "pii_scrub"))
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_broadcasts_thresholds(spark, entrymod):
+    """The per-group keep thresholds are a broadcast-sized frame; the
+    corpus side must never shuffle for the filter itself (the two
+    audit aggregates may)."""
+    plan = formatted_plan(_df(spark, entrymod, "mixture_sample"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
