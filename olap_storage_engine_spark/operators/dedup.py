@@ -728,19 +728,26 @@ def lsh_bucket_col(
     vec_col: str, num_planes: int = 8, dim: int = 64
 ) -> F.Column:
     """Sign-LSH bucket key: one character per hyperplane ('1' when the
-    projection is positive)."""
+    projection is positive).
+
+    Built as ONE F.expr string (single driver->JVM call, parsed
+    JVM-side) instead of composing zip_with/aggregate Column objects
+    per plane: each PySpark lambda costs several py4j round-trips, and
+    at 32 planes the Column-API construction measured 3-5 s of
+    DataFrame BUILD time per query on a high-latency py4j link —
+    5x the query's own execution.  The parsed expression tree is the
+    same fold (CAST(x AS DOUBLE) * w per dim, sequential + fold, > 0
+    sign), so results and the DuckDB oracle are unchanged."""
     weights = hyperplane_weights(num_planes, dim)
-    sig = None
+    parts = []
     for p in range(num_planes):
-        warr = F.array(*[F.lit(w) for w in weights[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        warr = "array(" + ",".join(f"{w!r}D" for w in weights[p]) + ")"
+        proj = (
+            f"aggregate(zip_with(`{vec_col}`, {warr}, "
+            "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)"
         )
-        bit = F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
-        sig = bit if sig is None else F.concat(sig, bit)
-    return sig
+        parts.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def embedding_neardup_pairs(
