@@ -206,3 +206,46 @@ def test_mixture_sample_broadcasts_thresholds(spark, entrymod):
     plan = formatted_plan(_df(spark, entrymod, "mixture_sample"))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB posture pin: Catalyst's runtime bloom-filter injection is
+    ACTIVE in this session's config (runtime.bloomFilter.enabled) —
+    on a shuffle join with a selective build side, the probe scan gets
+    a might_contain() filter fed by a bloom_filter_agg subquery, so at
+    real scale most fact rows drop BEFORE the exchange.  Fixture scans
+    are far below the 10 GB application-side threshold, so the test
+    lowers it (and disables broadcast) to make the optimizer treat the
+    join as scan-heavy; production-scale inputs hit the default
+    thresholds naturally."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    bjt_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(thr_key)
+    old_bjt = spark.conf.get(bjt_key)
+    try:
+        spark.conf.set(thr_key, "0")
+        spark.conf.set(bjt_key, "-1")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = (
+            li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set(thr_key, old_thr)
+        spark.conf.set(bjt_key, old_bjt)
