@@ -2444,10 +2444,14 @@ assert _DRIVER_CHECK_HEAD.index("partition_prune_list") == _HEAD_PROPER_LEN, (
     f"fill starts at {_DRIVER_CHECK_HEAD.index('partition_prune_list')}"
 )
 # ROUND-8 ROTATION RECIPE: after CORRECTNESS_r07 lands, lead with any
-# query still lacking a green row, then the oldest remaining r5 rows
-# (the r5 list in CORRECTNESS_r05.json minus this round's fill), then
-# the 5 demoted twins above, then r6 rows.  Keep the head proper at
-# exactly 50 and update the assertion's anchor query.
+# query still lacking a green row — that includes the FIVE r7-new
+# queries (decontaminate_bench, decontaminate_indexed,
+# docs_stream_decontaminate, pii_scrub, mixture_sample), which sit
+# past the cap this round (LOCALCHECK_r07 has them green at sf0.01) —
+# then the oldest remaining r5 rows (the r5 list in
+# CORRECTNESS_r05.json minus this round's fill), then the 5 demoted
+# twins above, then r6 rows.  Keep the head proper at exactly 50 and
+# update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
