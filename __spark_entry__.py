@@ -3593,8 +3593,9 @@ def _mixture_sample_oracle(scale=1_000_000) -> str:
     mixture_summary returns."""
     u = _MD5INT.format(expr="CAST(doc_id AS VARCHAR)")
     return f"""
-WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_src
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT count(lang) AS total, count(DISTINCT lang) AS n_src
         FROM documents),
 kept AS (
   SELECT d.lang, count(*) AS n_kept

@@ -78,7 +78,15 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
         if len(covered) <= 1:
             return
         merged = table.read(lo, hi)
-        table.write(merged, start_version=lo, end_version=hi, collapsed=True)
+        # rewrite of already-ingested rows: unrouted rows were admitted
+        # at ingest (strict_routing=False) and must survive compaction
+        table.write(
+            merged,
+            start_version=lo,
+            end_version=hi,
+            collapsed=True,
+            strict_routing=False,
+        )
         for rs in covered:
             table.manifest.mark_stale(rs.rowset_id)
         return
@@ -140,6 +148,7 @@ def compact_partitions(
         end_version=hi,
         collapsed=True,
         partitions=list(labels),
+        strict_routing=False,  # rewrite: unrouted ingested rows survive
     )
     for rs in covered:
         table.manifest.mark_stale(rs.rowset_id)
@@ -500,7 +509,11 @@ def delete_where(table: OlapTable, predicate) -> int:
         n_before = current.count()
         remaining = current.filter(~is_true)
         rs = table.write(
-            remaining, start_version=0, end_version=hi + 1, collapsed=True
+            remaining,
+            start_version=0,
+            end_version=hi + 1,
+            collapsed=True,
+            strict_routing=False,  # rewrite of already-ingested rows
         )
         return n_before - rs.num_rows
     # discovery: when the predicate constrains the partition column,
@@ -529,12 +542,18 @@ def delete_where(table: OlapTable, predicate) -> int:
     current = _read_partitions(table, hi, labels)
     n_before = current.count()
     remaining = current.filter(~is_true)
+    # strict_routing=False: the rewrite only re-routes rows ALREADY
+    # admitted at ingest — with the __unrouted__ sentinel in scope, a
+    # surviving unrouted row is data to preserve, not a routing error
+    # (the strict default made any partial-match DELETE over the
+    # sentinel partition raise after rmtree'ing the rowset)
     rs = table.write(
         remaining,
         start_version=0,
         end_version=hi + 1,
         collapsed=True,
         partitions=labels,
+        strict_routing=False,
     )
     return n_before - rs.num_rows
 

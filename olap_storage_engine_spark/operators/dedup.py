@@ -80,6 +80,28 @@ def exact_dedup(
     return docs.join(keep, on=id_col, how="semi")
 
 
+def gram_array(toks, n: int) -> F.Column:
+    """Distinct word n-grams of a MATERIALIZED token-array column, as
+    an in-row string array — the one gram construction shared by
+    batch shingling and the streaming decontamination kernel, so the
+    two can never diverge on separator/guard/distinct placement.
+
+    ``toks`` must be a projected attribute, not the ``tokens()``
+    expression itself: inlined, the regex split re-runs once per
+    shingle (~100x per row).  Guard: ``sequence(1, k)`` with k < 1
+    generates a DESCENDING sequence in Spark, so short documents get
+    an explicit empty gram set."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def shingles(
     docs: DataFrame,
     n: int = 3,
@@ -105,18 +127,7 @@ def shingles(
     toked = _spread(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    toks = F.col("__toks")
-    # guard: sequence(1, k) with k < 1 would generate a DESCENDING
-    # sequence in Spark; short documents get an empty shingle set.
-    grams = F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    grams = gram_array(F.col("__toks"), n)
     # NOTE: exploding a projected attribute is only safe because
     # session.py / sources.testdata exclude InferFiltersFromGenerate —
     # its inferred size(attr)>0 filter otherwise gets substituted

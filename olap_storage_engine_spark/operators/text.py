@@ -289,6 +289,10 @@ def quality_filter(
     )
 
 
+# at most one cached scored frame per process (see token_budget_select)
+_TBS_CACHED: list = []
+
+
 def token_budget_select(
     docs: DataFrame, budget_tokens: int, text_col: str = "text"
 ) -> DataFrame:
@@ -318,8 +322,18 @@ def token_budget_select(
     )
     # the histogram pass AND the keep/boundary filters read the scored
     # frame — persist it so the tokenize/score expressions run once,
-    # not once per pass (the histogram collect materializes it)
+    # not once per pass (the histogram collect materializes it).  The
+    # returned frame still depends on the cache, so it can't be freed
+    # here; instead each call evicts the PREVIOUS call's cache, so a
+    # long-lived session holds at most one scored frame (r7 review:
+    # the unbounded version leaked one cached corpus per invocation).
+    while _TBS_CACHED:
+        try:
+            _TBS_CACHED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     scored = scored.persist()
+    _TBS_CACHED.append(scored)
     hist = (
         scored.groupBy("quality")
         .agg(F.sum("n_tokens").alias("btoks"))
@@ -751,15 +765,39 @@ def mixture_sample(
     overflow at any corpus size) and broadcast back; the filter itself
     is row-local — the corpus never shuffles.
 
+    NULL-group semantics (matches the SQL oracle exactly): documents
+    whose group value is NULL are EXCLUDED — from the group count, the
+    totals, and the output (SQL's count(DISTINCT) and equi-join
+    semantics both ignore NULL, so including them anywhere would shift
+    every threshold relative to the oracle).
+
     Returns the surviving documents.
     """
     from ..functions.hashes import md5int
 
+    _, thr_df = _mixture_thresholds(docs, source_col, scale)
+    u = md5int(F.col(id_col).cast("string")) % F.lit(scale)
+    return (
+        docs.join(F.broadcast(thr_df), on=source_col)
+        .filter(u < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def _mixture_thresholds(
+    docs: DataFrame, source_col: str, scale: int
+) -> tuple[dict, DataFrame]:
+    """Driver-side per-group counts + the broadcastable threshold
+    frame — one tiny aggregate job shared by mixture_sample and
+    mixture_summary.  NULL groups are dropped (see mixture_sample);
+    the threshold frame's key column keeps the input's type (a
+    hardcoded string schema broke non-string group columns)."""
     counts = {
         r[source_col]: r["__ns"]
         for r in docs.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__ns"))
         .collect()
+        if r[source_col] is not None
     }
     n_sources = len(counts)
     total = sum(counts.values())
@@ -767,15 +805,19 @@ def mixture_sample(
         (s, (scale * total) // (n_sources * ns))
         for s, ns in counts.items()
     ]
+    from pyspark.sql import types as T
+
+    src_type = docs.schema[source_col].dataType
     thr_df = docs.sparkSession.createDataFrame(
-        thr, f"{source_col} string, __thr long"
+        thr,
+        T.StructType(
+            [
+                T.StructField(source_col, src_type),
+                T.StructField("__thr", T.LongType()),
+            ]
+        ),
     )
-    u = md5int(F.col(id_col).cast("string")) % F.lit(scale)
-    return (
-        docs.join(F.broadcast(thr_df), on=source_col)
-        .filter(u < F.col("__thr"))
-        .drop("__thr")
-    )
+    return counts, thr_df
 
 
 def mixture_summary(
@@ -786,13 +828,33 @@ def mixture_summary(
 ) -> DataFrame:
     """Per-source audit of ``mixture_sample``: original count, kept
     count, and the effective keep rate (rounded) — the small frame a
-    pipeline logs to show the achieved mix."""
+    pipeline logs to show the achieved mix.  The original counts come
+    from the SAME driver-side aggregate the thresholds derive from (no
+    second full-corpus pass); NULL groups are excluded like
+    mixture_sample excludes them."""
+    from ..functions.hashes import md5int
+
+    counts, thr_df = _mixture_thresholds(docs, source_col, scale)
+    u = md5int(F.col(id_col).cast("string")) % F.lit(scale)
     kept = (
-        mixture_sample(docs, source_col, id_col, scale)
+        docs.join(F.broadcast(thr_df), on=source_col)
+        .filter(u < F.col("__thr"))
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    orig = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import types as T
+
+    orig = docs.sparkSession.createDataFrame(
+        [(s, n) for s, n in counts.items()],
+        T.StructType(
+            [
+                T.StructField(
+                    source_col, thr_df.schema[source_col].dataType
+                ),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        ),
+    )
     return (
         orig.join(F.broadcast(kept), on=source_col, how="left")
         .select(

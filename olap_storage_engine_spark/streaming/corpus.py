@@ -85,25 +85,13 @@ def run_fixture_stream_decontaminate(
     os.symlink(path, os.path.join(src_dir, "documents.parquet"))
     docs = spark.read.parquet(path)
 
+    from ..operators.dedup import gram_array
+
     def gram_hashes(toks):
-        # toks must be a MATERIALIZED column (projection boundary
-        # below), not the tokens() expression — inlining it would
-        # re-run the regex split once per shingle, the exact trap
-        # dedup.shingles documents
-        return F.transform(
-            F.array_distinct(
-                F.when(
-                    F.size(toks) >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                        lambda i: F.array_join(
-                            F.slice(toks, i, n), " "
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ),
-            lambda s: F.xxhash64(s),
-        )
+        # the SAME gram builder batch shingling uses (dedup.gram_array)
+        # — the stream's contract is exact keep-set equality with the
+        # batch operator, so the gram shape must come from one place
+        return F.transform(gram_array(toks, n), lambda s: F.xxhash64(s))
 
     from ..operators.dedup import benchmark_shingle_hashes
 

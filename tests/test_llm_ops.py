@@ -1038,3 +1038,22 @@ def test_mixture_sample_balances_and_is_deterministic(spark):
         for r in tx.mixture_summary(docs, source_col="source").collect()
     }
     assert again == {s: r["n_kept"] for s, r in summ.items()}
+
+
+def test_mixture_sample_null_group_excluded(spark):
+    """NULL-group docs are excluded from the counts, the thresholds,
+    and the output — matching SQL count(DISTINCT)/equi-join semantics
+    so the oracle can't diverge (r7 review finding); and the threshold
+    frame keeps the group column's type (here: int, not the old
+    hardcoded string)."""
+    from olap_storage_engine_spark.operators import text as tx
+
+    rows = [Row(doc_id=i, grp=(i % 2) if i < 40 else None) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, grp int")
+    kept = tx.mixture_sample(docs, source_col="grp")
+    got = kept.select("grp").distinct().collect()
+    assert None not in {r["grp"] for r in got}
+    summ = {r["grp"]: r for r in tx.mixture_summary(docs, source_col="grp").collect()}
+    # 2 non-null groups of 20 each, total 40 -> uniform: keep all
+    assert set(summ) == {0, 1}
+    assert all(r["n_docs"] == 20 and r["n_kept"] == 20 for r in summ.values())

@@ -462,3 +462,25 @@ def test_delete_reaches_unrouted_partition(spark, warehouse):
     n = delete_where(t, F.col("d") >= "2024-03-01")
     assert n == 3  # k=5 (p3 row), k=6 (p3 row), k=98 (unrouted)
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_delete_preserves_surviving_unrouted_rows(spark, warehouse):
+    """Partial-match DELETE over the __unrouted__ partition: matching
+    unrouted rows go, NON-matching unrouted rows survive the rewrite
+    (the strict-routing default made this raise after deleting the
+    rowset files — r7 review finding)."""
+    t = _table(spark, warehouse, "unrouted2")
+    t.write(
+        spark.createDataFrame(
+            [(98, "2030-01-01", 980.0), (99, "2030-06-15", 990.0)],
+            "k long, d string, amount double",
+        ),
+        strict_routing=False,
+    )
+    n = delete_where(t, F.col("d") == "2030-06-15")
+    assert n == 1
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 98}
+    # and compaction keeps the surviving unrouted row too
+    compact(t)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 98}
