@@ -96,7 +96,13 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
     merged = table.read(lo, hi)
     # The collapsed result is version-stamped at `hi` on write; the new
     # rowset covers [lo, hi] so existing snapshots keep resolving.
-    table.write(merged, start_version=lo, end_version=hi, collapsed=True)
+    table.write(
+        merged,
+        start_version=lo,
+        end_version=hi,
+        collapsed=True,
+        strict_routing=False,  # rewrite: unrouted ingested rows survive
+    )
     for rs in cover:
         table.manifest.mark_stale(rs.rowset_id)
 
@@ -258,7 +264,12 @@ def garbage_collect(
     return removed
 
 
-def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
+def merge_into(
+    table: OlapTable,
+    source,
+    key_cols: list[str] | None = None,
+    strict_routing: bool = True,
+):
     """MERGE INTO — copy-on-write upsert, the DML sibling of
     ``delete_where``:
 
@@ -283,6 +294,15 @@ def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
 
     Precondition: ``source`` has one row per key tuple and the target's
     exact column set.
+
+    ``strict_routing`` mirrors the ingest flag SYMMETRICALLY: with the
+    strict default, source rows routing to no partition raise before
+    any rewrite (same contract as ``write``); pass False to upsert
+    into — or insert new rows into — the ``__unrouted__`` sentinel
+    partition.  Rows already living there are only ever touched when
+    the source targets them, so strict merges on tables holding
+    unrouted rows remain safe: the sentinel is outside the derived
+    scope.
 
     Scale: the rewrite is PARTITION-SCOPED — the source rows' partition
     labels are derived first (a distinct over <= #partitions values),
@@ -318,15 +338,27 @@ def merge_into(table: OlapTable, source, key_cols: list[str] | None = None):
         .distinct()
         .collect()
     )
+    if strict_routing and "__unrouted__" in labels:
+        # fail BEFORE any rewrite, mirroring write()'s ingest contract
+        # (the late in-write check would raise after the scan work)
+        raise ValueError(
+            f"{table.spec.name}: MERGE source rows route to no "
+            "partition; pass strict_routing=False to merge them into "
+            "the __unrouted__ partition"
+        )
     current = _read_partitions(table, hi, labels)
     remaining = current.join(src.select(*key_cols), on=key_cols, how="anti")
     merged = remaining.unionByName(src)
+    # strict_routing=False on the WRITE regardless: source routability
+    # was validated above, and surviving target rows were admitted at
+    # ingest — the write-side check would wrongly reject them
     return table.write(
         merged,
         start_version=0,
         end_version=hi + 1,
         collapsed=True,
         partitions=labels,
+        strict_routing=False,
     )
 
 

@@ -460,9 +460,14 @@ def ivf_topk(
             "cent_id long, cent_vec array<double>",
         )
     else:
+        if n_centroids is None:
+            # honor the derived-k contract on the untrained plumbing
+            # path too — a silent fixed 16 would scan n_probe/16 of a
+            # billion-vector corpus instead of n_probe/sqrt(N)
+            n_centroids = derived_n_centroids(corpus.count())
         cents = (
             corpus.orderBy(id_col)
-            .limit(n_centroids if n_centroids is not None else 16)
+            .limit(n_centroids)
             .select(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )

@@ -484,3 +484,45 @@ def test_delete_preserves_surviving_unrouted_rows(spark, warehouse):
     # and compaction keeps the surviving unrouted row too
     compact(t)
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 98}
+
+
+def test_compact_and_merge_with_unrouted_rows(spark, warehouse):
+    """Global compaction preserves unrouted rows (the non-scoped
+    branch missed the r7 strict_routing fix), and MERGE INTO handles
+    them symmetrically with ingest: strict merges of unroutable
+    source rows fail EARLY, strict_routing=False merges upsert into
+    the sentinel partition."""
+    from olap_storage_engine_spark.operators.compaction import (
+        merge_into,
+    )
+
+    t = _table(spark, warehouse, "unrouted3")
+    t.write(
+        spark.createDataFrame(
+            [(97, "2031-01-01", 970.0)], "k long, d string, amount double"
+        ),
+        strict_routing=False,
+    )
+    # global (non-scoped) compaction must keep the unrouted row
+    compact(t)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 97}
+    # strict merge of an unroutable source row fails before any rewrite
+    bad_src = spark.createDataFrame(
+        [(97, "2031-01-01", 971.0)], "k long, d string, amount double"
+    )
+    with pytest.raises(ValueError, match="route to no partition"):
+        merge_into(t, bad_src)
+    # opt-in merge updates the unrouted row in place
+    merge_into(t, bad_src, strict_routing=False)
+    got = {r["k"]: r["amount"] for r in t.read().collect()}
+    assert got[97] == 971.0 and set(got) == {1, 2, 3, 4, 5, 6, 97}
+    # strict merge of ROUTABLE rows on a table holding unrouted rows
+    # stays safe (sentinel is outside the derived scope)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(3, "2024-02-10", 333.0)], "k long, d string, amount double"
+        ),
+    )
+    got = {r["k"]: r["amount"] for r in t.read().collect()}
+    assert got[3] == 333.0 and got[97] == 971.0
