@@ -1057,3 +1057,46 @@ def test_mixture_sample_null_group_excluded(spark):
     # 2 non-null groups of 20 each, total 40 -> uniform: keep all
     assert set(summ) == {0, 1}
     assert all(r["n_docs"] == 20 and r["n_kept"] == 20 for r in summ.values())
+
+
+def test_decontaminate_invariants(spark):
+    """Structural invariants: the keep-set is a subset of the corpus;
+    any benchmark doc with at least one n-gram drops itself; docs too
+    short for an n-gram always survive; an empty benchmark set keeps
+    everything."""
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(20)
+    ] + [Row(doc_id=100, text="tiny")]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    kept = dd.decontaminate(docs, bench, n=5)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert kept_ids <= all_ids
+    # every long-enough bench doc is self-contaminated
+    bench_long = {r["doc_id"] for r in bench.collect() if len(r["text"].split()) >= 5}
+    assert kept_ids.isdisjoint(bench_long)
+    # the too-short doc survives regardless
+    assert 100 in kept_ids
+    empty_bench = docs.filter(F.lit(False))
+    assert dd.decontaminate(docs, empty_bench, n=5).count() == docs.count()
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op: the placeholders
+    contain nothing the patterns match, so pii_scrub(pii_scrub(x))
+    changes neither the text nor the counts-of-zero."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a bob@x.org b 10.1.2.3 c 123456789012"),
+            Row(doc_id=2, text="plain text"),
+        ]
+    )
+    once = tx.pii_scrub(docs).select("doc_id", "text")
+    twice = tx.pii_scrub(once)
+    for r in twice.collect():
+        assert r["n_redactions"] == 0
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.select("doc_id", "text").collect())
+    )
