@@ -2293,6 +2293,29 @@ def q_window_lead_lag(spark, sf_dir):
     )
 
 
+def q_window_rank_family(spark, sf_dir):
+    """The full ranking-function family — rank / dense_rank /
+    percent_rank / cume_dist — over per-customer order history,
+    ordered by a COARSE price bucket so ties are plentiful and the
+    gap-vs-no-gap semantics (rank vs dense_rank) and the tie-plateau
+    semantics (cume_dist) are actually exercised, not vacuously equal.
+    One window partition family, no extra exchanges beyond the
+    partitionBy shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") / 50000).alias("__b")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: top-10 highest-revenue unshipped orders for one
     market segment — join + agg + deterministic top-k."""
@@ -2592,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q18": q_tpch_q18,
         "window_lead_lag": q_window_lead_lag,
+        "window_rank_family": q_window_rank_family,
         "tpch_q3": q_tpch_q3,
         "set_union": q_set_union,
         "set_intersect": q_set_intersect,
@@ -4521,6 +4545,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey LIMIT 100
+        """,
+        "window_rank_family": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY floor(o_totalprice / 50000))
         """,
         "window_lead_lag": """
             SELECT o_custkey, o_orderkey,
