@@ -2371,82 +2371,28 @@ def q_set_intersect(spark, sf_dir):
 # full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-7 rotation.  Priority order within the head:
-    #   1-2  the two queries with NO driver row in ANY round (the r6 head
-    #        was 52 entries before its fill, so the driver's 50-row cap
-    #        cut exactly these two — VERDICT r6 item 2),
-    #   3-4  the two r6 hash-red queries (oracle HUGEINT artifact, fixed
-    #        this round with CAST(... AS BIGINT) — VERDICT r6 item 1),
-    #   5    sketch_rollup_quantiles, whose oracle is new this round
-    #        (exact companion column — previously permanent no_oracle),
-    #   6-50 45 of the 50 queries whose newest driver row is still r4
-    #        (CORRECTNESS_r04 minus newer rows).  The 5 r4-stale queries
-    #        with a same-family representative already in the head are
-    #        demoted to the fill (positions 51+) so a 50-row cap loses
-    #        only redundant twins: partition_prune_list (range twin),
-    #        set_except (set-op family), grouping_cube (rollup/sets
-    #        family), window_running_total (window family), scan_count
-    #        (scan family).
-    "tpch_q22",
-    "tpch_q21_bucketed",
-    "tpch_q12",
-    "sql_engine_views",
-    "sketch_rollup_quantiles",
-    # r4-stale block (45 entries)
-    "agg_model_min_max",
-    "agg_salted_skew",
-    "array_funcs",
-    "bucket_point_lookup",
-    "bucketed_fact_join",
-    "bucketed_join",
-    "cdc_changes",
-    "doc_fingerprint",
-    "embedding_neardup",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_sessionize",
-    "events_stream_replay_dedup",
-    "events_stream_window",
-    "events_variant_extract",
-    "events_window_agg",
-    "grouping_rollup",
-    "grouping_sets_id",
-    "inverted_index_fresh",
-    "join_anti",
-    "join_semi",
-    "join_star_revenue",
-    "merge_upsert",
-    "multimodal_features",
-    "multimodal_join",
-    "multimodal_meta",
-    "rollup_routed_read",
-    "schema_evolution_read",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_cells",
-    "similarity_ann_lsh",
-    "similarity_topk",
-    "sketch_profile",
-    "sketch_rollup_distinct",
-    "table_stats",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tokens",
-    "text_vocab",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q5",
-    "unpivot_metrics",
-    "window_range_frame",
-    # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 5 demoted r4-stale twins
-    "partition_prune_list",
-    "set_except",
-    "grouping_cube",
-    "window_running_total",
-    "scan_count",
-    # then the oldest r5 rows as budget allows
-    "agg_model_replace",
+    # Round-8 rotation.  Priority order within the head:
+    #   1-6   the six queries with NO driver row in ANY round — all
+    #         added in r7 after that round's gate head was composed
+    #         (LOCALCHECK_r07 green at sf0.01; VERDICT r7 task 1),
+    #   7-50  44 of the 50 queries whose newest driver row is r5
+    #         (CORRECTNESS_r05 minus newer rows; VERDICT r7 task 6).
+    #         The 6 r5 queries with a same-family representative
+    #         already in the head are demoted to the fill so a 50-row
+    #         cap loses only redundant twins: set_intersect (set_union
+    #         stays), ingest_jsonl + ingest_csv (ingest_orc stays),
+    #         agg_model_replace (agg_model_sum stays), window_lead_lag
+    #         (window_rank_family + window_range_frame cover the
+    #         family), dedup_clusters (dedup_keepset composes cluster
+    #         resolution end-to-end).
+    # --- never driver-checked (r7-new) ---
+    "decontaminate_bench",
+    "decontaminate_indexed",
+    "docs_stream_decontaminate",
+    "pii_scrub",
+    "mixture_sample",
+    "window_rank_family",
+    # --- r5-stale block (44 entries) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2454,26 +2400,76 @@ _DRIVER_CHECK_HEAD = [
     "compaction_score",
     "corpus_prep",
     "correlated_subquery",
-    "dedup_clusters",
     "dedup_exact",
+    "dedup_keepset",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "delete_rows",
+    "duplicate_model_scan",
+    "events_stream_append",
+    "events_stream_join",
+    "filter_equality_point",
+    "filter_range_zonemap",
+    "having_filter",
+    "ingest_orc",
+    "inverted_index_search",
+    "join_asof",
+    "join_band",
+    "join_full_outer",
+    "join_range",
+    "join_salted",
+    "pandas_udaf_weighted_avg",
+    "partition_prune_range",
+    "pivot_status",
+    "rollup_coarser_agg",
+    "sample_packing",
+    "scan_projection",
+    "set_union",
+    "shortkey_prefix_seek",
+    "snapshot_read_versions",
+    "string_date_funcs",
+    "text_chunking",
+    "time_travel_read",
+    "topn_per_group",
+    "tpch_q3",
+    "train_val_split",
+    "udtf_parse_props",
+    "unique_key_latest",
+    "write_read_roundtrip",
+    # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
+    # the 6 demoted r5 family twins (scheduled for the r9 head)
+    "set_intersect",
+    "ingest_jsonl",
+    "ingest_csv",
+    "agg_model_replace",
+    "window_lead_lag",
+    "dedup_clusters",
+    # the 5 demoted r4 twins — no driver row since r4; they MUST lead
+    # the r9 head together with the 6 twins above (VERDICT r7 task 7)
+    "partition_prune_list",
+    "set_except",
+    "grouping_cube",
+    "window_running_total",
+    "scan_count",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("partition_prune_list") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("set_intersect") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('partition_prune_list')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('set_intersect')}"
 )
-# ROUND-8 ROTATION RECIPE: after CORRECTNESS_r07 lands, lead with any
-# query still lacking a green row — that includes the FIVE r7-new
-# queries (decontaminate_bench, decontaminate_indexed,
-# docs_stream_decontaminate, pii_scrub, mixture_sample), which sit
-# past the cap this round (LOCALCHECK_r07 has them green at sf0.01) —
-# then the oldest remaining r5 rows (the r5 list in
-# CORRECTNESS_r05.json minus this round's fill), then the 5 demoted
-# twins above, then r6 rows.  Keep the head proper at exactly 50 and
+# ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
+# query still lacking a green row, then the ELEVEN demoted twins in
+# the fill above — the 5 r4-stale ones (partition_prune_list,
+# set_except, grouping_cube, window_running_total, scan_count) and the
+# 6 r5 twins demoted this round (set_intersect, ingest_jsonl,
+# ingest_csv, agg_model_replace, window_lead_lag, dedup_clusters) —
+# then the oldest r6 rows (47 queries; CORRECTNESS_r06 minus newer
+# rows) as budget allows.  Keep the head proper at exactly 50 and
 # update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
