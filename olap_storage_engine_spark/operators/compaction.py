@@ -19,6 +19,7 @@ the reference's top-10 policy).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
@@ -362,7 +363,9 @@ def merge_into(
     )
 
 
-def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
+def _partition_labels_for_predicate(
+    predicate, policy, col_type=None
+) -> list[str] | None:
     """Candidate partition labels for a DELETE predicate, derived
     DRIVER-SIDE from the predicate's Catalyst expression tree when it
     constrains the partition column with literal comparisons —
@@ -373,16 +376,70 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
     on the partition column routes, via the same string-cast rule the
     write path uses, to one of the returned labels, and the
     ``__unrouted__`` sentinel is always included for rows written
-    under strict_routing=False).  Shapes handled: ``=``/``IN``
-    (str/int literals — bool/float Python renderings diverge from
-    Spark's string cast), ``<``/``<=``/``>``/``>=`` (string literals
-    only — RANGE bounds compare as strings, matching
-    partition_label_col's cast), ``AND`` (intersect), ``OR`` (union,
-    both sides must resolve).  Anything else degrades to None (full
-    scan), never to a wrong set.
+    under strict_routing=False).
+
+    A literal is only admitted when Spark's EVALUATION of the
+    comparison (which may cast the COLUMN, not the literal) provably
+    agrees with the string-cast routing rule, which requires the
+    partition column's DECLARED type (``col_type``, a ``ColumnType``;
+    ``None`` = unknown → every literal arm degrades to the full scan):
+
+    * VARCHAR column: string literals only.  An int literal makes
+      Spark cast the column numerically, so stored values like '05'
+      or '5.0' satisfy ``col = 5`` yet route elsewhere (ADVICE r7).
+    * INT8/16/32/64 column: int literals, or strings in canonical
+      integer form (``str(int(s)) == s``) — both render exactly as
+      Spark's int→string cast.  Range comparisons degrade: the RANGE
+      bounds order as strings while the predicate orders numerically
+      ('10' < '9' as strings).
+    * DATE column: ISO-canonical ``YYYY-MM-DD`` strings only, for
+      which Spark's date→string cast round-trips and lexicographic
+      order equals chronological order (so ranges are sound too).
+
+    Shapes handled: ``=``/``IN``, ``<``/``<=``/``>``/``>=`` (VARCHAR/
+    DATE only), ``AND`` (intersect), ``OR`` (union, both sides must
+    resolve).  Anything else degrades to None (full scan), never to a
+    wrong set.
     """
     if policy.ptype == PartitionType.UNPARTITIONED or policy.column is None:
         return None
+
+    from ..spec import ColumnType
+
+    _INTS = {
+        ColumnType.INT8,
+        ColumnType.INT16,
+        ColumnType.INT32,
+        ColumnType.INT64,
+    }
+    _ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+    def route_key(v) -> str | None:
+        """The string the write path would route this literal's
+        matching rows by, or None if evaluation semantics and routing
+        semantics can diverge for this (col_type, literal) pair."""
+        if col_type is None or isinstance(v, bool):
+            return None
+        if col_type == ColumnType.VARCHAR:
+            return v if isinstance(v, str) else None
+        if col_type in _INTS:
+            if isinstance(v, int):
+                return str(v)
+            if isinstance(v, str):
+                try:
+                    return v if str(int(v)) == v else None
+                except ValueError:
+                    return None
+            return None
+        if col_type == ColumnType.DATE:
+            if isinstance(v, str) and _ISO_DATE.match(v):
+                return v
+            return None
+        return None
+
+    # range comparisons are only sound when lexicographic order of the
+    # routed string equals the order Spark evaluates the predicate in
+    range_ok = col_type in (ColumnType.VARCHAR, ColumnType.DATE)
 
     # Spark 4's Column wraps an org.apache.spark.sql.internal.ColumnNode
     # tree: UnresolvedFunction(name, args), UnresolvedAttribute
@@ -437,18 +494,14 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
         if fn == "in" and len(args) >= 2:
             if attr_name(args[0]) != policy.column:
                 return None
-            vals = [lit_val(a) for a in args[1:]]
-            # str/int only: Python's str() of bool ('True' vs 'true')
-            # and exponent-form floats ('1e-07' vs '1.0E-7') diverges
-            # from Spark's string cast, which would make find_partition
-            # miss and silently return an EMPTY set — degrade to the
-            # full scan instead (r7, per ADVICE)
-            if any(
-                v is None or isinstance(v, bool) or not isinstance(v, (str, int))
-                for v in vals
-            ):
+            keys = [route_key(lit_val(a)) for a in args[1:]]
+            # any literal whose evaluation/routing semantics can
+            # diverge for this column type degrades the whole IN to
+            # the full scan — never to an EMPTY or wrong set (ADVICE
+            # r6/r7)
+            if any(k is None for k in keys):
                 return None
-            out = {policy.find_partition(str(v)) for v in vals}
+            out = {policy.find_partition(k) for k in keys}
             return {x for x in out if x is not None}
         if fn in ("=", "==", ">", ">=", "<", "<=") and len(args) == 2:
             a, v = attr_name(args[0]), lit_val(args[1])
@@ -459,18 +512,22 @@ def _partition_labels_for_predicate(predicate, policy) -> list[str] | None:
             if a != policy.column or v is None:
                 return None
             if fn in ("=", "=="):
-                # equality routes as the write path did (string cast);
-                # str/int renderings match Spark's cast exactly, bool /
-                # float forms diverge ('True'/'1e-07') — degrade those
-                # to the full scan rather than an empty set (r7)
-                if isinstance(v, bool) or not isinstance(v, (str, int)):
+                # equality routes as the write path did (string cast),
+                # admitted only when route_key proves the literal's
+                # evaluation semantics match the routing string for
+                # this column type (r7/r8, per ADVICE)
+                k = route_key(v)
+                if k is None:
                     return None
-                p = policy.find_partition(str(v))
+                p = policy.find_partition(k)
                 return {p} if p is not None else set()
-            # range comparisons: string-order semantics only (the
-            # RANGE bounds themselves are strings; non-string
-            # literals may order differently than their string form)
-            if not isinstance(v, str):
+            # range comparisons: sound only when lexicographic order
+            # of the routed string equals Spark's evaluation order for
+            # the column type (VARCHAR, or DATE with ISO literals)
+            if not range_ok:
+                return None
+            v = route_key(v)
+            if v is None:
                 return None
             op = fn if not flipped else {
                 ">": "<", ">=": "<=", "<": ">", "<=": ">=",
@@ -554,7 +611,12 @@ def delete_where(table: OlapTable, predicate) -> int:
     # pruned) collapsed scan.  A partition-key DELETE on a 100 TB
     # table thus pays O(affected partitions) for discovery too, not
     # just for the rewrite.
-    cand = _partition_labels_for_predicate(predicate, policy)
+    pcol_type = next(
+        (c.column_type for c in table.spec.columns
+         if c.name == policy.column),
+        None,
+    )
+    cand = _partition_labels_for_predicate(predicate, policy, pcol_type)
     if cand == []:
         return 0  # predicate can route to no partition: zero rows
     disc = (

@@ -361,7 +361,9 @@ def test_delete_discovery_label_derivation(spark, warehouse):
 
     t = _table(spark, warehouse, "disc1")
     pol = t.spec.partition
-    p = _partition_labels_for_predicate
+
+    def p(pred, pol, col_type=ColumnType.VARCHAR):
+        return _partition_labels_for_predicate(pred, pol, col_type)
 
     def lab(*xs):
         # every derived candidate set carries the __unrouted__ sentinel
@@ -400,6 +402,66 @@ def test_delete_discovery_label_derivation(spark, warehouse):
         (F.col("d") == "2024-02-10") | (F.col("amount") > 0), pol
     ) is None
     assert p(F.col("d") > F.col("amount"), pol) is None
+    # int literal on a VARCHAR partition column: Spark evaluates
+    # `col = 5` by casting the COLUMN numerically, so '05'/' 5'/'5.0'
+    # satisfy it yet route elsewhere — must degrade (ADVICE r7)
+    assert p(F.col("d") == 5, pol) is None
+    assert p(F.col("d").isin("2024-01-10", 5), pol) is None
+    # unknown column type: every literal arm degrades
+    assert p(F.col("d") == "2024-02-10", pol, None) is None
+    assert p(F.col("d") >= "2024-02-01", pol, None) is None
+
+
+def test_delete_discovery_label_derivation_typed(spark, warehouse):
+    """route_key soundness per declared column type: INT columns admit
+    int / canonical-int-string equality but never ranges; DATE columns
+    admit ISO-canonical strings for both; non-canonical forms degrade
+    to the full scan."""
+    from olap_storage_engine_spark.operators.compaction import (
+        _partition_labels_for_predicate as p,
+    )
+
+    ipol = PartitionPolicy(
+        PartitionType.RANGE,
+        "n",
+        # bounds are strings by design (string-ordered routing)
+        bounds=[("p1", "200"), ("p2", "500")],
+    )
+
+    def lab(*xs):
+        return sorted(set(xs) | {"__unrouted__"})
+
+    # INT column: int literal routes via str(v); canonical int string
+    # routes identically; non-canonical ('05') degrades
+    assert p(F.col("n") == 100, ipol, ColumnType.INT64) == lab("p1")
+    assert p(F.col("n") == "100", ipol, ColumnType.INT64) == lab("p1")
+    assert p(F.col("n") == "05", ipol, ColumnType.INT64) is None
+    assert p(F.col("n") == "1e2", ipol, ColumnType.INT64) is None
+    assert p(
+        F.col("n").isin(100, "300"), ipol, ColumnType.INT32
+    ) == lab("p1", "p2")
+    assert p(F.col("n").isin(100, "0x3"), ipol, ColumnType.INT32) is None
+    # INT column ranges: numeric predicate order diverges from the
+    # string-ordered RANGE bounds ('10' < '9') — always degrade
+    assert p(F.col("n") >= 100, ipol, ColumnType.INT64) is None
+    assert p(F.col("n") >= "100", ipol, ColumnType.INT64) is None
+
+    dpol = PartitionPolicy(
+        PartitionType.RANGE,
+        "d",
+        bounds=[("p1", "2024-02-01"), ("p2", "2024-03-01")],
+    )
+    # DATE column: ISO-canonical strings are sound for both equality
+    # (date→string cast round-trips) and range (lexicographic ==
+    # chronological); non-canonical forms degrade
+    assert p(
+        F.col("d") == "2024-01-10", dpol, ColumnType.DATE
+    ) == lab("p1")
+    assert p(
+        F.col("d") >= "2024-02-01", dpol, ColumnType.DATE
+    ) == lab("p2")
+    assert p(F.col("d") == "2024-1-10", dpol, ColumnType.DATE) is None
+    assert p(F.col("d") == 20240110, dpol, ColumnType.DATE) is None
 
 
 def test_partition_key_delete_discovery_is_pruned(spark, warehouse):
@@ -413,7 +475,9 @@ def test_partition_key_delete_discovery_is_pruned(spark, warehouse):
 
     t = _table(spark, warehouse, "disc2")
     pred = F.col("d") == "2024-02-10"
-    cand = _partition_labels_for_predicate(pred, t.spec.partition)
+    cand = _partition_labels_for_predicate(
+        pred, t.spec.partition, ColumnType.VARCHAR
+    )
     assert cand == ["__unrouted__", "p2"]
     from olap_storage_engine_spark.plans.explain import formatted_plan
 
