@@ -177,6 +177,27 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # grouped-map Arrow path (FlatMapGroupsInPandas) is a separate
+    # first-touch from the scalar pandas_udf machinery (~0.7 s
+    # measured: python worker reuse pool + grouped Arrow serializer
+    # bring-up) — charged to whichever applyInPandas query runs first
+    # (the SemDeDup pair kernel) otherwise
+    import pandas as _pd
+
+    (
+        spark.range(64)
+        .select((F.col("id") % 4).alias("g"), F.col("id").alias("v"))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _pd.DataFrame(
+                {"g": pdf["g"].iloc[:1], "n": [len(pdf)]}
+            ),
+            "g long, n long",
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # ORC reader/writer init is its own ~1 s first-touch (separate from
     # the parquet path every other query warms) — exercised here so
     # ingest_orc times the read, not the format bring-up

@@ -956,18 +956,19 @@ def semantic_dedup_pairs(
     Returns (cent_id, vec_a, vec_b, cosine) for in-cell pairs with
     cosine >= threshold, cosine rounded to 6dp.
     """
-    from ..functions.vectors import l2norm, pandas_dot
     from .similarity import ivf_cell_assign
 
     # Pair-stage economics (measured at sf0.1): the higher-order
     # aggregate expressions are interpreted (not codegen), so anything
-    # evaluated per PAIR costs O(cell^2) interpreted folds.  Three
+    # evaluated per PAIR costs O(cell^2) interpreted folds.  Four
     # successive versions: cosine-per-pair (3 folds/pair, 4.5 s) ->
     # norms hoisted to one fold per ROW + one dot fold per pair
     # (1.6 s) -> Arrow-batched einsum dot per pair (1.3 s; a 64-term
     # unrolled codegen chain measured WORSE, 6.2 s — it blows the
-    # generated-method size).  The threshold cut happens on the
-    # ROUNDED cosine so numpy's pairwise-summation ulps can't flip a
+    # generated-method size) -> per-cell gemm in applyInPandas
+    # (survivors-only output, no per-pair row materialization; see
+    # semantic_dedup_pairs_from_cells).  The threshold cut happens on
+    # the ROUNDED cosine so numpy's summation-order ulps can't flip a
     # borderline pair vs the oracle's sequential fold (the PQ ADC-cut
     # discipline); the oracle cuts on the same rounded expression.
     cells = ivf_cell_assign(embeddings, centroids, id_col, vec_col)
@@ -992,15 +993,22 @@ def semantic_dedup_pairs_from_cells(
     argmax, it reads stored cell ids.  The inline variant re-derives
     assignment and pays that argmax on every pass over the corpus
     (sizes + both join sides) — measured 4.2 s vs 1.5 s at sf0.1 with
-    the 44-centroid quantizer."""
-    from ..functions.vectors import l2norm, pandas_dot
+    the 44-centroid quantizer.
 
-    cells = cells.select(
-        "cent_id",
-        id_col,
-        vec_col,
-        l2norm(F.col(vec_col)).alias("__nrm"),
-    )
+    Pair stage (r8): one ``applyInPandas`` gemm per (cell, sub-bucket)
+    group — blocked ``V @ V.T`` in float64, survivors-only output.
+    The previous self-join materialized every in-cell pair as a ROW
+    carrying BOTH embedding arrays (~512 B/pair) through the join
+    output into a per-pair Arrow dot; the kernel shuffles only the
+    O(N) cell rows and never materializes a non-surviving pair.  The
+    kernel pre-cuts at ``threshold - 1e-6`` on the raw cosine and the
+    FINAL cut stays Spark-side on ``F.round(cosine, 6)`` — identical
+    rounding semantics to the join path and the oracle, so results
+    are hash-stable (BLAS-vs-sequential summation ulps are absorbed
+    by the rounded cut, the documented pandas_dot discipline).
+    Blocked at 512 rows so a ``max_cell_size``-capped cell peaks at
+    ~40 MB transient per group."""
+    cells = cells.select("cent_id", id_col, vec_col)
     if max_cell_size is not None:
         # skew backstop: per-cell counts are a tiny combine-enabled
         # aggregate (<= n_centroids rows, broadcast back); only rows
@@ -1017,24 +1025,71 @@ def semantic_dedup_pairs_from_cells(
         )
     else:
         cells = cells.withColumn("__sub", F.lit(""))
-    l, r = cells.alias("l"), cells.alias("r")
-    cos = pandas_dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
-        F.col("l.__nrm") * F.col("r.__nrm")
-    )
-    return (
-        l.join(
-            r,
-            on=[
-                F.col("l.cent_id") == F.col("r.cent_id"),
-                F.col("l.__sub") == F.col("r.__sub"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+
+    cent_t = cells.schema["cent_id"].dataType.simpleString()
+    id_t = cells.schema[id_col].dataType.simpleString()
+    out_schema = f"cent_id {cent_t}, vec_a {id_t}, vec_b {id_t}, cosine double"
+    # margin covers HALF_UP at 6dp: round(x, 6) >= t needs
+    # x >= t - 5e-7, so nothing below t - 1e-6 can survive the final
+    # Spark-side rounded cut
+    pre_cut = threshold - 1e-6
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cent_id": pd.Series(dtype=pdf["cent_id"].dtype),
+                "vec_a": pd.Series(dtype=pdf[id_col].dtype),
+                "vec_b": pd.Series(dtype=pdf[id_col].dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        cent = pdf["cent_id"].iloc[0]
+        rows_a, rows_b, rows_c = [], [], []
+        col_idx = np.arange(n)
+        for s in range(0, n, 512):
+            e = min(s + 512, n)
+            C = (V[s:e] @ V.T) / (nrm[s:e, None] * nrm[None, :])
+            # upper triangle only: sorted by id, so position order IS
+            # id order; strict inequality drops (impossible-duplicate)
+            # equal-id pairs like the join's < did
+            mask = (col_idx[None, :] > (col_idx[s:e])[:, None]) & (
+                ids[None, :] > (ids[s:e])[:, None]
+            ) & (C >= pre_cut)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                rows_a.append(ids[ii + s])
+                rows_b.append(ids[jj])
+                rows_c.append(C[ii, jj])
+        if not rows_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "cent_id": np.full(
+                    sum(map(len, rows_a)), cent
+                ),
+                "vec_a": np.concatenate(rows_a),
+                "vec_b": np.concatenate(rows_b),
+                "cosine": np.concatenate(rows_c),
+            }
+        )
+
+    return (
+        cells.groupBy("cent_id", "__sub")
+        .applyInPandas(_cell_pairs, out_schema)
         .select(
-            F.col("l.cent_id").alias("cent_id"),
-            F.col(f"l.{id_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            "cent_id",
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cosine"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
