@@ -22,7 +22,8 @@ beats codegen; same results, used by the bench to compare.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..functions.vectors import cosine, dot, l2norm
 from .dedup import lsh_bucket_col
@@ -236,6 +237,73 @@ def _with_cent_norm(centroids: DataFrame) -> DataFrame:
     )
 
 
+def _cell_assign_top1_arrow(
+    cents: DataFrame, df: DataFrame, keep: list[str], vcol: str
+) -> DataFrame:
+    """Top-1 nearest-centroid assignment as ONE row-local Arrow pass —
+    the corpus-scale replacement for the broadcast-fanout + max_by
+    shape (which evaluated K interpreted cosine folds PER ROW and then
+    shuffled the fan-out back through an argmax aggregate: ~1e9
+    interpreted ops at sf0.1's 60k x 244 x 64).
+
+    BIT-EXACT with the JVM expression by construction, which is what
+    keeps the IVF family (and the persisted cell/SemDeDup tables built
+    from it) oracle-checkable on RAW unrounded scores:
+
+    * products: ``cast(x as double) * y`` == float64(x) * y — same
+      IEEE multiply;
+    * the fold ``acc + x`` starting at 0.0 is a SEQUENTIAL left sum —
+      ``np.cumsum`` produces exactly those prefix sums (numpy's
+      pairwise-summation shortcut applies to ``sum``, not ``cumsum``),
+      and the last prefix is the fold result;
+    * score = that double / the Spark-computed ``cent_norm`` collected
+      verbatim from the centroid frame;
+    * argmax ties: centroids sorted by cent_id ascending, np.argmax
+      takes the FIRST max — identical to max_by's (score, -cent_id)
+      struct ordering, NaN included (NaN compares greatest in Spark
+      orderings; np.argmax also returns the first NaN).
+
+    Rows with a NULL vector drop, matching max_by's all-NULL-ordering
+    result being filtered on cent_id downstream.  The centroid collect
+    is bounded (≤ sqrt(N) rows — the documented index contract)."""
+    rows = sorted(
+        cents.select("cent_id", "cent_vec", "cent_norm").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    base = df.select(*keep)
+    out_schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("cent_id", T.LongType(), True)]
+    )
+    if not rows:
+        return base.limit(0).withColumn("cent_id", F.lit(None).cast("long"))
+    C = np.array([r["cent_vec"] for r in rows], dtype=np.float64)
+    nrm = np.array([r["cent_norm"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    k, dim = C.shape
+    # bound the (block, K, dim) product temp to ~256 MB
+    blk = max(1, 4_000_000 // max(k * dim // 8, 1))
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vcol].notna()]
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vcol]]
+            )
+            best = np.empty(n, dtype=np.int64)
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                prods = V[s:e, None, :] * C[None, :, :]
+                scores = np.cumsum(prods, axis=2)[:, :, -1] / nrm[None, :]
+                best[s:e] = np.argmax(scores, axis=1)
+            yield pdf.assign(cent_id=cids[best])
+
+    return base.mapInPandas(gen, out_schema)
+
+
 def _cell_assign(
     cents: DataFrame, df: DataFrame, keep: list[str], vcol: str, top: int
 ) -> DataFrame:
@@ -244,13 +312,18 @@ def _cell_assign(
     vector's own norm is constant across centroids so it cancels out of
     the argmax; ties break toward the lower cent_id.
 
-    NOTE a fully row-local variant (centroids shipped as literal
-    arrays, per-row array_max argmax — the LSH-weights pattern) was
-    measured 3x SLOWER than this broadcast-join + max_by shape at
-    sf0.1: zip_with against literal arrays evaluates poorly, while the
-    join keeps the dot inside whole-stage codegen.  Kept the measured
-    winner.
+    top=1 dispatches to the exact Arrow kernel (see
+    _cell_assign_top1_arrow); the window path below serves the small
+    multi-cell probe resolutions.  (History: a literal-array zip_with
+    argmax measured 3x slower than the broadcast-join + max_by shape,
+    which in turn lost to the Arrow kernel by ~3x at sf0.1 — the
+    fan-out's K interpreted folds per row dominate either JVM shape.)
     """
+    if top == 1:
+        # top-1 assignment runs the exact Arrow kernel: row-local
+        # argmax, no fan-out, no aggregate — see
+        # _cell_assign_top1_arrow for the bit-exactness argument
+        return _cell_assign_top1_arrow(cents, df, keep, vcol)
     scored = df.join(F.broadcast(cents)).select(
         *keep,
         "cent_id",
@@ -258,22 +331,6 @@ def _cell_assign(
             "cent_cos"
         ),
     )
-    if top == 1:
-        # top-1 assignment is an argmax: one max_by hash aggregate,
-        # no sort window (tie-break (score desc, cent_id asc) via
-        # the (score, -cent_id) comparison struct)
-        key, rest = keep[0], keep[1:]
-        picked = scored.groupBy(key).agg(
-            F.max_by(
-                F.struct(F.col("cent_id"), *[F.col(c) for c in rest]),
-                F.struct(F.col("cent_cos"), -F.col("cent_id")),
-            ).alias("__b")
-        )
-        return picked.select(
-            key,
-            *[F.col(f"__b.{c}").alias(c) for c in rest],
-            F.col("__b.cent_id").alias("cent_id"),
-        )
     w = Window.partitionBy(*keep[:1]).orderBy(
         F.col("cent_cos").desc(), F.col("cent_id").asc()
     )
