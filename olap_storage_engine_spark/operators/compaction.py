@@ -235,33 +235,83 @@ def garbage_collect(
     table: OlapTable,
     prepared_ttl_sec: float | None = 24 * 3600.0,
     now: float | None = None,
+    min_retained_version: int | None = None,
 ) -> list[str]:
     """Delete the data directories of STALE rowsets (the reference only
-    marks GC intent; physical deletion is deferred — we do both), and
-    abort orphaned two-phase publishes: a PREPARED rowset older than
-    ``prepared_ttl_sec`` is a crashed phase-1 write whose committer is
-    never coming back — it's marked STALE and reclaimed with the rest.
-    Pass ``prepared_ttl_sec=None`` to leave PREPARED rowsets alone."""
+    marks GC intent — ``src/tablet.rs:155-165``; physical deletion is
+    deferred — we do both), and abort orphaned two-phase publishes: a
+    PREPARED rowset older than ``prepared_ttl_sec`` is a crashed
+    phase-1 write whose committer is never coming back — it's marked
+    STALE (discarded) and reclaimed with the rest.  Pass
+    ``prepared_ttl_sec=None`` to leave PREPARED rowsets alone.
+
+    ``min_retained_version`` is the retention window (VERDICT r7 #5):
+    every snapshot read ``read(0, v)`` with
+    ``v >= min_retained_version`` keeps working after GC — the exact
+    rowset covers those reads resolve through (the time-travel graph:
+    VISIBLE + compaction-retired STALE) are computed per retained
+    version and their members survive; everything outside every
+    retained cover is reclaimed.  ``None`` (the default) retains
+    nothing — head-only, today's behavior.  Rollback-discarded rowsets
+    are logically deleted history and are always reclaimable.
+
+    Partition-scoped retired rowsets are retained conservatively while
+    a retention window is set (their per-label chains aren't resolved
+    by the global cover walk); they reclaim on the next head-only GC.
+
+    Reclaimed rowsets are flagged in the manifest (one CAS save), so a
+    later time-travel read past the window fails with a clean
+    ``VersionGraphError`` instead of a missing-file scan error."""
     import os
     import shutil
     import time
 
+    from ..plans.manifest import VersionGraph
+
     if now is None:
         now = time.time()
-    removed = []
     for rs in table.manifest.rowsets():
         if (
             rs.state == RowsetState.PREPARED
             and prepared_ttl_sec is not None
             and now - rs.created_at > prepared_ttl_sec
         ):
-            table.manifest.mark_stale(rs.rowset_id)
-            rs.state = RowsetState.STALE
-        if rs.state == RowsetState.STALE:
+            table.manifest.mark_stale(rs.rowset_id, reason="discarded")
+
+    rowsets = table.manifest.rowsets()
+    needed: set[int] = set()
+    if min_retained_version is not None:
+        graph = VersionGraph(rowsets, include_retired=True)
+        lo_v = max(0, min_retained_version)
+        for v in range(lo_v, table.manifest.max_version + 1):
+            cover = graph.find_covering_path(0, v)
+            if cover:
+                needed |= {r.rowset_id for r in cover}
+        # scoped chains aren't walked by the global graph — keep every
+        # unreclaimed retired scoped rowset while retention is active
+        needed |= {
+            rs.rowset_id
+            for rs in rowsets
+            if rs.state == RowsetState.STALE
+            and rs.stale_reason == "retired"
+            and not rs.reclaimed
+            and rs.partitions
+        }
+
+    removed, reclaimed_ids = [], []
+    for rs in rowsets:
+        if (
+            rs.state == RowsetState.STALE
+            and not rs.reclaimed
+            and rs.rowset_id not in needed
+        ):
             d = os.path.join(table.root, rs.path)
             if os.path.exists(d):
                 shutil.rmtree(d)
                 removed.append(rs.path)
+            reclaimed_ids.append(rs.rowset_id)
+    if reclaimed_ids:
+        table.manifest.mark_reclaimed(reclaimed_ids)
     return removed
 
 

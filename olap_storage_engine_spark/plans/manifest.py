@@ -86,6 +86,14 @@ class RowsetMeta:
     # the stream_txn watermark so a rolled-back batch CAN be
     # re-ingested under the same source_id.
     txn: list | None = None
+    # Why a STALE rowset left the visible graph: "retired" (compaction
+    # replaced it; still valid history, time-travel readable until
+    # reclaimed) vs "discarded" (rolled back / aborted; never served
+    # again).  None on pre-r8 manifests — treated as "discarded", the
+    # conservative no-resurrection reading.
+    stale_reason: str | None = None
+    # True once GC physically deleted this rowset's data directory.
+    reclaimed: bool = False
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -113,6 +121,8 @@ class RowsetMeta:
             "partitions": self.partitions,
             "col_stats": self.col_stats,
             "txn": self.txn,
+            "stale_reason": self.stale_reason,
+            "reclaimed": self.reclaimed,
         }
 
     @classmethod
@@ -142,10 +152,24 @@ class VersionGraph:
     ordering at :47-48).
     """
 
-    def __init__(self, rowsets: list[RowsetMeta]):
+    def __init__(
+        self, rowsets: list[RowsetMeta], include_retired: bool = False
+    ):
+        """``include_retired=True`` additionally admits STALE rowsets
+        that were retired by compaction (``stale_reason == "retired"``)
+        and not yet physically reclaimed — the time-travel graph.
+        Discarded rowsets (rollback/abort, or pre-r8 manifests with no
+        recorded reason) are NEVER edges: their content is logically
+        deleted and must not be resurrected."""
         self.edges: dict[int, list[RowsetMeta]] = {}
         for rs in rowsets:
-            if rs.state == RowsetState.VISIBLE:
+            ok = rs.state == RowsetState.VISIBLE or (
+                include_retired
+                and rs.state == RowsetState.STALE
+                and rs.stale_reason == "retired"
+                and not rs.reclaimed
+            )
+            if ok:
                 self.edges.setdefault(rs.start_version, []).append(rs)
         for outs in self.edges.values():
             outs.sort(key=lambda r: -r.span)
@@ -350,14 +374,42 @@ class Manifest:
                 return
         raise VersionGraphError(f"rowset {rowset_id} not found")
 
-    def mark_stale(self, rowset_id: int) -> None:
-        """reference: src/tablet.rs:155-165."""
+    def mark_stale(self, rowset_id: int, reason: str = "retired") -> None:
+        """reference: src/tablet.rs:155-165.
+
+        ``reason`` records WHY the rowset left the visible graph — the
+        distinction retention-aware reads and GC need:
+
+        * ``"retired"``  — replaced by compaction; its content is
+          still valid HISTORY, readable by time-travel covers until
+          physically reclaimed (the reference's deferred-delete
+          intent: it only marks, never deletes).
+        * ``"discarded"`` — rolled back / aborted; its content is
+          logically deleted and must never be served again.
+        """
         for d in self.doc["rowsets"]:
             if d["rowset_id"] == rowset_id:
                 d["state"] = RowsetState.STALE.value
+                d["stale_reason"] = reason
                 self.save()
                 return
         raise VersionGraphError(f"rowset {rowset_id} not found")
+
+    def mark_reclaimed(self, rowset_ids: list[int]) -> None:
+        """Record that these STALE rowsets' data directories were
+        physically deleted (one manifest save for the batch) — the
+        time-travel fallback skips reclaimed rowsets, so a read past
+        the retention window fails with a clean VersionGraphError
+        instead of a missing-file scan error."""
+        todo = set(rowset_ids)
+        for d in self.doc["rowsets"]:
+            if d["rowset_id"] in todo:
+                d["reclaimed"] = True
+                todo.discard(d["rowset_id"])
+        if todo:
+            raise VersionGraphError(f"rowsets {sorted(todo)} not found")
+        if rowset_ids:
+            self.save()
 
     def rollback(self, to_version: int) -> list[int]:
         """MVCC rollback to a savepoint: every VISIBLE **or PREPARED**
@@ -412,7 +464,19 @@ class Manifest:
         for d in self.doc["rowsets"]:
             if d["state"] in live and d["start_version"] > to_version:
                 d["state"] = RowsetState.STALE.value
+                d["stale_reason"] = "discarded"
                 stale.append(d["rowset_id"])
+            elif (
+                d["state"] == RowsetState.STALE.value
+                and d["start_version"] > to_version
+            ):
+                # compaction-retired history beyond the savepoint is
+                # rolled back too: flip it to discarded so the
+                # time-travel graph can never resurrect it (a later
+                # re-publish of the same interval followed by another
+                # compaction would otherwise leave TWO retired edges
+                # claiming one interval — ambiguous cover)
+                d["stale_reason"] = "discarded"
         stale_set = set(stale)
         txn_sources = {
             d["txn"][0]
@@ -443,12 +507,31 @@ class Manifest:
         self, lo: int = 0, hi: int | None = None
     ) -> list[RowsetMeta]:
         """Resolve the minimal VISIBLE rowset cover of [lo, hi]
-        (reference: src/tablet.rs:131-144); raises on holes."""
+        (reference: src/tablet.rs:131-144); raises on holes.
+
+        When the VISIBLE graph can't cover the interval but ``hi`` is
+        within the published history (``hi <= max_version``), the
+        resolution retries over the TIME-TRAVEL graph — VISIBLE plus
+        compaction-retired STALE rowsets that GC hasn't reclaimed —
+        so pre-compaction snapshots (``read(0, v)``, ``read_as_of``)
+        stay readable until their files age out of the retention
+        window (``garbage_collect(min_retained_version=...)``).
+        Rollback-discarded rowsets are never edges in either graph.
+        """
         if hi is None:
             hi = self.max_version
         if hi < lo:
             return []
-        cover = VersionGraph(self.rowsets()).find_covering_path(lo, hi)
+        rowsets = self.rowsets()
+        cover = VersionGraph(rowsets).find_covering_path(lo, hi)
+        if cover is None and hi < self.max_version:
+            # STRICTLY historical reads only: the head interval
+            # (hi == max_version) must never be quietly served from
+            # staled rowsets — a bare mark_stale with no replacement
+            # is a version hole there, not a time-travel fallback
+            cover = VersionGraph(
+                rowsets, include_retired=True
+            ).find_covering_path(lo, hi)
         if cover is None:
             raise VersionGraphError(
                 f"version hole: no consistent cover for [{lo}, {hi}]"

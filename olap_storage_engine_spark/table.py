@@ -640,6 +640,14 @@ class OlapTable:
             rs.end_version
             for rs in self.manifest.rowsets()
             if rs.created_at <= ts
+            and (
+                rs.state == RowsetState.VISIBLE
+                or (
+                    rs.state == RowsetState.STALE
+                    and rs.stale_reason == "retired"
+                    and not rs.reclaimed
+                )
+            )
         ]
         if not versions:
             return self.spark.createDataFrame([], self.spec.spark_schema())

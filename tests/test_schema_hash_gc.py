@@ -102,3 +102,97 @@ def test_gc_reclaims_aged_prepared_rowsets(spark, warehouse):
     assert states[rs.rowset_id] == RowsetState.STALE
     # the visible baseline is untouched
     assert t.read().count() == 10
+
+
+def _versioned_table(spark, warehouse, name, n_versions=4):
+    t = OlapTable.create(spark, _spec(name), warehouse)
+    for i in range(n_versions):
+        t.write(spark.createDataFrame([Row(k=i, v=float(i))]))
+    return t
+
+
+def test_time_travel_survives_compaction(spark, warehouse):
+    """Compaction retires the granular cover but every pre-compaction
+    snapshot stays readable through the time-travel graph (VISIBLE +
+    retired STALE) until GC reclaims it."""
+    from olap_storage_engine_spark.operators.compaction import compact
+
+    t = _versioned_table(spark, warehouse, "sh_tt")
+    pre = {v: t.read(0, v).count() for v in range(4)}
+    compact(t)
+    for v in range(4):
+        assert t.read(0, v).count() == pre[v]
+    # retired reason recorded on every staled rowset
+    stale = [r for r in t.manifest.rowsets() if r.state == RowsetState.STALE]
+    assert stale and all(r.stale_reason == "retired" for r in stale)
+
+
+def test_gc_retention_window(spark, warehouse):
+    """garbage_collect(min_retained_version=v): reads at every
+    version >= v keep working (their covers' files survive), rowsets
+    outside every retained cover are physically reclaimed, and reads
+    past the window fail with VersionGraphError, not a missing-file
+    scan error."""
+    from olap_storage_engine_spark.operators.compaction import compact
+    from olap_storage_engine_spark.plans.manifest import VersionGraphError
+
+    t = _versioned_table(spark, warehouse, "sh_ret", n_versions=5)
+    compact(t)
+    removed = garbage_collect(t, min_retained_version=2)
+    # v3/v4 granular rowsets fall outside every retained cover
+    # ([0,2] and [0,3] resolve granular, [0,4] resolves compacted)
+    assert removed == ["__rsv=4_4"]
+    for v in (2, 3, 4):
+        assert t.read(0, v).count() == v + 1
+    # head-only GC reclaims the remaining retired history
+    removed2 = garbage_collect(t)
+    assert sorted(removed2) == [
+        "__rsv=0_0", "__rsv=1_1", "__rsv=2_2", "__rsv=3_3",
+    ]
+    assert t.read().count() == 5  # head unaffected
+    with pytest.raises(VersionGraphError):
+        t.read(0, 2).count()
+    # reclaimed flags persisted: a reloaded manifest agrees
+    t2 = OlapTable.load(spark, warehouse, "sh_ret")
+    rec = [r for r in t2.manifest.rowsets() if r.reclaimed]
+    assert len(rec) == 5
+
+
+def test_gc_retention_property(spark, warehouse):
+    """Property over every retention boundary: after
+    gc(min_retained_version=m), read(0, v) is intact for ALL v >= m."""
+    from olap_storage_engine_spark.operators.compaction import compact
+
+    for m in range(5):
+        name = f"sh_retp{m}"
+        t = _versioned_table(spark, warehouse, name, n_versions=5)
+        compact(t)
+        garbage_collect(t, min_retained_version=m)
+        for v in range(m, 5):
+            assert t.read(0, v).count() == v + 1, (m, v)
+
+
+def test_rollback_discards_are_never_resurrected(spark, warehouse):
+    """Rollback marks everything beyond the savepoint discarded —
+    including previously compaction-retired rowsets — so the
+    time-travel graph can never serve rolled-back content even after
+    the interval is re-published and re-compacted."""
+    from olap_storage_engine_spark.operators.compaction import compact
+
+    t = _versioned_table(spark, warehouse, "sh_rb", n_versions=3)
+    compact(t, 1, 2)  # retires granular [1,1] and [2,2]
+    t.manifest.rollback(0)  # discards compacted [1,2] AND the retired pair
+    for r in t.manifest.rowsets():
+        if r.state == RowsetState.STALE:
+            assert r.stale_reason == "discarded", r.rowset_id
+    # re-publish versions 1..2 with DIFFERENT content, compact again
+    t.write(spark.createDataFrame([Row(k=100, v=100.0)]))
+    t.write(spark.createDataFrame([Row(k=200, v=200.0)]))
+    compact(t)
+    # time travel to v1 must see the NEW row, not the rolled-back one
+    got = {r["k"] for r in t.read(0, 1).collect()}
+    assert got == {0, 100}
+    # and GC with retention never keeps discarded content alive
+    garbage_collect(t, min_retained_version=0)
+    got = {r["k"] for r in t.read(0, 1).collect()}
+    assert got == {0, 100}
