@@ -1168,6 +1168,26 @@ def q_grouping_rollup(spark, sf_dir):
     )
 
 
+def _sketch_exact_regime_guard(sf_dir: str) -> None:
+    """The four sketch queries carry FULL-equality oracles that hold
+    only inside each sketch's exact regime (HLL coupon list, KLL
+    retaining every value under k=8192, Theta under 2^lg_k nominal
+    entries) — verified through sf0.1.  A run at a larger scale factor
+    must fail LOUDLY as out-of-regime, not as a confusing hash red
+    that reads like an engine bug (ADVICE r7)."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    if sf is not None and sf > 0.1:
+        raise ValueError(
+            f"sketch exact-regime equality oracle is not certified at "
+            f"sf={sf}: per-day cardinalities may exceed the HLL-coupon "
+            "/ KLL-k / Theta-2^lg_k exact thresholds (verified through "
+            "sf0.1) — re-verify the regime before raising this gate"
+        )
+
+
 def q_sketch_profile(spark, sf_dir):
     """Sketch roll-up (HLL distinct + null counts + min/max), emitted
     in the oracle-checkable form: exact distincts in the output plus a
@@ -1178,6 +1198,7 @@ def q_sketch_profile(spark, sf_dir):
         column_profile_checked,
     )
 
+    _sketch_exact_regime_guard(sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     return column_profile_checked(
         li, ["l_orderkey", "l_partkey", "l_returnflag"]
@@ -1212,6 +1233,7 @@ def q_sketch_rollup_distinct(spark, sf_dir):
         merge_sketch_estimates,
     )
 
+    _sketch_exact_regime_guard(sf_dir)
     t = get_table(spark, sf_dir, "events_sketch")
     return merge_sketch_estimates(t.read(), ["day"], out_col="n_users")
 
@@ -1502,6 +1524,7 @@ def q_sketch_rollup_quantiles(spark, sf_dir):
         merge_kll_quantiles,
     )
 
+    _sketch_exact_regime_guard(sf_dir)
     t = get_table(spark, sf_dir, "events_qsketch")
     return merge_kll_quantiles(t.read().select("day", "kll"), ["day"])
 
@@ -1517,6 +1540,7 @@ def q_sketch_theta_retention(spark, sf_dir):
         theta_day_over_day_retention,
     )
 
+    _sketch_exact_regime_guard(sf_dir)
     t = get_table(spark, sf_dir, "events_qsketch")
     return theta_day_over_day_retention(t.read().select("day", "theta"))
 

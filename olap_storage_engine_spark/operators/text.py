@@ -291,6 +291,7 @@ def quality_filter(
 
 # at most one cached scored frame per process (see token_budget_select)
 _TBS_CACHED: list = []
+_TBS_LOCK = __import__("threading").Lock()
 
 
 def token_budget_select(
@@ -327,13 +328,22 @@ def token_budget_select(
     # here; instead each call evicts the PREVIOUS call's cache, so a
     # long-lived session holds at most one scored frame (r7 review:
     # the unbounded version leaked one cached corpus per invocation).
-    while _TBS_CACHED:
-        try:
-            _TBS_CACHED.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    scored = scored.persist()
-    _TBS_CACHED.append(scored)
+    # TRADE-OFF (ADVICE r7): the previous call's RETURNED frame is
+    # still lazily valid after its cache is evicted — later actions on
+    # it silently recompute the tokenize/score pass.  That's the
+    # deliberate deal: correctness always, the persist only
+    # accelerates the MOST RECENT selection (the live one in any
+    # pipeline); pinning every returned frame would re-open the leak.
+    # Eviction is lock-guarded so concurrent sessions cannot
+    # double-pop or interleave evict/persist.
+    with _TBS_LOCK:
+        while _TBS_CACHED:
+            try:
+                _TBS_CACHED.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        scored = scored.persist()
+        _TBS_CACHED.append(scored)
     hist = (
         scored.groupBy("quality")
         .agg(F.sum("n_tokens").alias("btoks"))

@@ -95,10 +95,15 @@ def run_fixture_stream_decontaminate(
 
     from ..operators.dedup import benchmark_shingle_hashes
 
-    key = (sf_dir, n, mod)
+    # cache key includes the parquet's (mtime, size): if the corpus
+    # file is regenerated in-process (fixture rebuild mid-session) the
+    # stream must re-derive the bench hash set instead of silently
+    # filtering against the old corpus's grams (ADVICE r7)
+    st = os.stat(path)
+    key = (sf_dir, n, mod, st.st_mtime_ns, st.st_size)
     if key not in _BENCH_HASHES:
-        # one batch job per (corpus, width, bench) per process: the
-        # bench set is static, so its hash set is too
+        # one batch job per (corpus file state, width, bench) per
+        # process: the bench set is static for a given corpus file
         _BENCH_HASHES[key] = [
             r["sh"]
             for r in benchmark_shingle_hashes(
