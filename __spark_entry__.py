@@ -258,6 +258,32 @@ def q_compaction_rewrite(spark, sf_dir):
     )
 
 
+def q_gc_retention_read(spark, sf_dir):
+    """Retention-windowed GC end to end (V4 + the r8 retention
+    contract): compact a three-version table (retiring its granular
+    cover), physically reclaim with min_retained_version=1, then read
+    the RETAINED pre-compaction snapshot [0, 1] — served from retired,
+    unreclaimed rowsets via the time-travel graph after everything
+    outside the retained covers was deleted.  Both mutations are
+    idempotent, so re-runs are stable.  Versions 0 and 1 hold
+    o_orderkey % 3 in {0, 1} (fixtures._build_orders_gc)."""
+    from olap_storage_engine_spark.operators.compaction import (
+        garbage_collect,
+    )
+
+    t = get_table(spark, sf_dir, "orders_gc")
+    compact(t)
+    garbage_collect(t, min_retained_version=1)
+    return (
+        t.read(0, 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Part C — LLM-pipeline extension operators
 # ---------------------------------------------------------------------------
@@ -443,6 +469,46 @@ def q_decontaminate_indexed(spark, sf_dir):
     return dd.decontaminate_from_index(
         docs, idx, _bench_docs(docs), n=5
     ).select("doc_id", "lang", "source")
+
+
+def q_decontamination_report(spark, sf_dir):
+    """Per-benchmark-document leak breadth (the Brown et al. 2020
+    contamination AUDIT, not the filter): for each eval doc, how many
+    training docs share any word 5-gram and how many of its grams leak
+    at all.  Corpus side = the PERSISTED shingle index (never
+    re-tokenized); the tiny bench set is shingled inline and
+    broadcast (operators/dedup.decontamination_report)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    corpus_grams = idx.filter(
+        (F.col("n") == 5) & (F.col("doc_id") % 97 != 0)
+    ).select("doc_id", "sh")
+    return dd.decontamination_report(corpus_grams, _bench_docs(docs), n=5)
+
+
+def q_gram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (fraction of a doc's distinct
+    5-grams whose first corpus occurrence is the doc itself) — the
+    curation novelty curve, served entirely from the persisted shingle
+    index: one min-per-gram aggregate + a co-partitioned join back
+    (operators/dedup.gram_novelty)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    return dd.gram_novelty(
+        idx.filter(F.col("n") == 5).select("doc_id", "sh")
+    )
+
+
+def q_embedding_diversity(spark, sf_dir):
+    """Per-label mean pairwise cosine WITHOUT materializing a pair:
+    sum_{i!=j} cos = ||sum u_i||^2 - n over unit-normalized rows — one
+    combine-enabled vector sum per group, O(N·dim) at any scale vs the
+    O(N^2) naive fan-out (operators/similarity.embedding_diversity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_diversity(emb, "label")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -2416,7 +2482,15 @@ _DRIVER_CHECK_HEAD = [
     "pii_scrub",
     "mixture_sample",
     "window_rank_family",
-    # --- r5-stale block (44 entries) ---
+    # --- r8-new queries (also never driver-checked; added this round
+    #     so they don't repeat r7's past-the-cap process gap) ---
+    "decontamination_report",
+    "gram_novelty",
+    "embedding_diversity",
+    "gc_retention_read",
+    # --- r5-stale block (40 entries; 4 more family twins demoted to
+    #     the fill to keep the head at exactly 50: join_full_outer,
+    #     events_stream_append, filter_equality_point, having_filter) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2431,16 +2505,12 @@ _DRIVER_CHECK_HEAD = [
     "dedup_simhash",
     "delete_rows",
     "duplicate_model_scan",
-    "events_stream_append",
     "events_stream_join",
-    "filter_equality_point",
     "filter_range_zonemap",
-    "having_filter",
     "ingest_orc",
     "inverted_index_search",
     "join_asof",
     "join_band",
-    "join_full_outer",
     "join_range",
     "join_salted",
     "pandas_udaf_weighted_avg",
@@ -2462,7 +2532,11 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 6 demoted r5 family twins (scheduled for the r9 head)
+    # the 10 demoted r5 family twins (scheduled for the r9 head)
+    "join_full_outer",
+    "events_stream_append",
+    "filter_equality_point",
+    "having_filter",
     "set_intersect",
     "ingest_jsonl",
     "ingest_csv",
@@ -2482,19 +2556,21 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("set_intersect") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("join_full_outer") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('set_intersect')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('join_full_outer')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
-# query still lacking a green row, then the ELEVEN demoted twins in
-# the fill above — the 5 r4-stale ones (partition_prune_list,
-# set_except, grouping_cube, window_running_total, scan_count) and the
-# 6 r5 twins demoted this round (set_intersect, ingest_jsonl,
-# ingest_csv, agg_model_replace, window_lead_lag, dedup_clusters) —
-# then the oldest r6 rows (47 queries; CORRECTNESS_r06 minus newer
-# rows) as budget allows.  Keep the head proper at exactly 50 and
-# update the assertion's anchor query.
+# query still lacking a green row, then the FIFTEEN demoted twins in
+# the fill above — the 10 r5 twins demoted this round
+# (join_full_outer, events_stream_append, filter_equality_point,
+# having_filter, set_intersect, ingest_jsonl, ingest_csv,
+# agg_model_replace, window_lead_lag, dedup_clusters) and the 5
+# r4-stale ones (partition_prune_list, set_except, grouping_cube,
+# window_running_total, scan_count) — then the oldest r6 rows (47
+# queries; CORRECTNESS_r06 minus newer rows) as budget allows.  Keep
+# the head proper at exactly 50 and update the assertion's anchor
+# query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
@@ -2519,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_read_versions": q_snapshot_read_versions,
         "compaction_score": q_compaction_score,
         "compaction_rewrite": q_compaction_rewrite,
+        "gc_retention_read": q_gc_retention_read,
         # Part C — LLM-pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -2530,6 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
         "decontaminate_bench": q_decontaminate_bench,
+        "decontamination_report": q_decontamination_report,
+        "gram_novelty": q_gram_novelty,
+        "embedding_diversity": q_embedding_diversity,
         "decontaminate_indexed": q_decontaminate_indexed,
         "docs_stream_decontaminate": q_docs_stream_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -3797,6 +3877,74 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keepset": _dedup_keepset_oracle(),
         "decontaminate_bench": _decontaminate_oracle(),
+        "decontamination_report": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+4], ' ')
+                               for i in range(1, len(t) - 3)]) AS shingle
+                FROM toks)
+            ),
+            bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                      WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+            SELECT bench_id,
+                   CAST(count(DISTINCT c.doc_id) AS INT)
+                     AS n_contaminated_docs,
+                   CAST(count(DISTINCT c.shingle) AS INT) AS n_shared_grams
+            FROM bench b JOIN corp c USING (shingle)
+            GROUP BY 1
+        """,
+        "gram_novelty": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+4], ' ')
+                               for i in range(1, len(t) - 3)]) AS shingle
+                FROM toks)
+            ),
+            fst AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_grams,
+                   CAST(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) AS INT)
+                     AS n_novel,
+                   round(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS novelty
+            FROM sh JOIN fst USING (shingle)
+            GROUP BY 1
+        """,
+        "embedding_diversity": f"""
+            WITH u AS (
+              SELECT label,
+                     list_transform(range(1, 65),
+                       i -> embedding[i]::DOUBLE
+                            / {_norm_sql('embedding')}) AS u
+              FROM embeddings),
+            d AS (
+              SELECT label, p.i AS pos, u.u[p.i] AS val
+              FROM u, (SELECT unnest(range(1, 65)) AS i) p),
+            c AS (SELECT label, pos, sum(val) AS s, count(*) AS n
+                  FROM d GROUP BY 1, 2),
+            g AS (SELECT label, sum(s * s) AS ss, max(n) AS n
+                  FROM c GROUP BY 1)
+            SELECT label, CAST(n AS INT) AS n,
+                   round((ss - n) / (n * (n - 1.0)), 6) AS mean_pair_cos
+            FROM g WHERE n >= 2
+        """,
+        "gc_retention_read": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1
+        """,
         "decontaminate_indexed": _decontaminate_oracle(),
         "docs_stream_decontaminate": _decontaminate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),

@@ -398,6 +398,29 @@ def _build_orders_versions(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_gc(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Three single-version rowsets (orders split by o_orderkey % 3) —
+    the retention-GC fixture: the gc_retention_read query compacts it,
+    physically GCs with min_retained_version=1, and reads the retained
+    pre-compaction snapshot [0, 1] through the time-travel graph."""
+    spec = TableSpec(
+        name="orders_gc",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    _split_write(t, base, "o_orderkey", 3)
+    return t
+
+
 def _build_orders_multi(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Five single-version rowsets — the compaction fixture
     (reference examples/basic_usage.rs:254-270)."""
@@ -1264,6 +1287,7 @@ _BUILDERS = {
     "lineitem_ship": _build_lineitem_ship,
     "lineitem_key": _build_lineitem_key,
     "orders_versions": _build_orders_versions,
+    "orders_gc": _build_orders_gc,
     "orders_multi": _build_orders_multi,
     "orders_compact": _build_orders_compact,
     "orders_two": _build_orders_two,

@@ -1170,3 +1170,83 @@ def decontaminate_from_index(
         .distinct()
     )
     return docs.join(contaminated, on=id_col, how="left_anti")
+
+
+def decontamination_report(
+    doc_grams: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-benchmark-document leak BREADTH — the audit twin of
+    ``decontaminate``: for each eval document, how many training
+    documents share at least one word n-gram with it, and how many of
+    its distinct grams leak at all.  This is the report a curation
+    team reads to decide whether a benchmark is salvageable (a handful
+    of boilerplate grams) or burned (broad verbatim overlap) —
+    the Brown et al. 2020 appendix-C contamination audit as a query.
+
+    ``doc_grams`` is the TRAINING side as (id_col, sh) gram rows —
+    at scale the persisted shingle index (never re-tokenize the corpus
+    for an audit); benchmark docs are shingled inline (tiny).
+
+    Plan shape for 100 TB: the eval grams broadcast; the corpus-side
+    gram rows take one broadcast hash join (no corpus shuffle) and
+    only the HITS — bounded by |bench grams| x containing docs —
+    reach the per-bench-doc aggregate.
+
+    Returns (bench_id, n_contaminated_docs, n_shared_grams).
+    """
+    bench_sh = shingles(
+        benchmark, n=n, text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("sh")
+    )
+    hits = doc_grams.select(id_col, "sh").join(F.broadcast(bench_sh), "sh")
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct(id_col).cast("int").alias("n_contaminated_docs"),
+        F.countDistinct("sh").cast("int").alias("n_shared_grams"),
+    )
+
+
+def gram_novelty(
+    doc_grams: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a document's
+    distinct grams whose FIRST corpus occurrence (minimum doc id) is
+    this document.  The curation "novelty curve": ingestion-ordered
+    corpora show declining novelty as sources repeat themselves, and
+    low-novelty documents are the first candidates for down-sampling
+    (complements pairwise dedup, which only sees near-total overlap).
+
+    Input is (id_col, sh) distinct gram rows — the persisted shingle
+    index at scale, so the audit never tokenizes the corpus.
+
+    Plan shape for 100 TB: one combine-enabled min aggregate per gram,
+    one co-partitioned join back on the gram hash (both sides already
+    shuffle on sh, no second corpus exchange), one per-doc aggregate.
+
+    Returns (doc_id, n_grams, n_novel, novelty) with novelty rounded
+    to 6dp (an exact ratio of integers — engine-stable).
+    """
+    g = doc_grams.select(F.col(id_col), F.col(sh_col).alias("sh"))
+    first = g.groupBy("sh").agg(F.min(id_col).alias("__first"))
+    return (
+        g.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6),
+        )
+    )

@@ -859,3 +859,60 @@ def ivfpq_topk(
         vec_col,
         ["probe_id", "sub_id", "code_id"],
     )
+
+
+def embedding_diversity(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding DIVERSITY: the mean pairwise cosine of all
+    vector pairs inside a group, computed WITHOUT materializing a
+    single pair — the curation signal behind "this source is 5000
+    near-identical boilerplate pages" that pairwise dedup only
+    discovers by actually emitting the pairs.
+
+    The algebraic identity does the work: with unit-normalized rows
+    u_i, ``sum_{i != j} cos(i, j) = ||sum_i u_i||^2 - n``, so the mean
+    pairwise cosine is one vector SUM per group plus scalar math —
+    O(N·dim) with one combine-enabled shuffle, versus the O(N^2)
+    pair fan-out the naive formulation pays.  At 100 TB this runs at
+    scan speed; the per-dimension partial sums combine map-side.
+
+    Float discipline: normalization is row-local double math; the
+    cross-row per-dimension sums are order-dependent, absorbed by
+    rounding the final scalar to 6dp (the k-means mean-rounding
+    discipline; the oracle computes the identical identity).
+
+    Returns (group_col, n, mean_pair_cos) for groups with n >= 2,
+    mean_pair_cos in [-1/(n-1), 1].
+    """
+    nrm = l2norm(F.col(vec_col))
+    unit = corpus.select(
+        F.col(group_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / nrm
+        ).alias("__u"),
+    )
+    dims = unit.select(
+        group_col, F.posexplode(F.col("__u")).alias("pos", "val")
+    )
+    comps = dims.groupBy(group_col, "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_group = comps.groupBy(group_col).agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.max("n").alias("n"),  # every pos has the group's row count
+    )
+    return (
+        per_group.filter(F.col("n") >= 2)
+        .select(
+            group_col,
+            F.col("n").cast("int").alias("n"),
+            F.round(
+                (F.col("ss") - F.col("n"))
+                / (F.col("n") * (F.col("n") - F.lit(1.0))),
+                6,
+            ).alias("mean_pair_cos"),
+        )
+    )

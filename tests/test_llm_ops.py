@@ -1100,3 +1100,87 @@ def test_pii_scrub_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.select("doc_id", "text").collect())
     )
+
+
+def test_decontamination_report_counts(spark):
+    """The audit report counts exactly the corpus docs / distinct grams
+    sharing an n-gram with each bench doc."""
+    mk = lambda i, words: Row(doc_id=i, text=" ".join(words))
+    common = [f"c{j}" for j in range(5)]  # one shared 5-gram
+    rows = [
+        mk(0, common + ["b0"]),            # bench doc (2 grams: c0..c4, c1..b0)
+        mk(1, common + ["x1"]),            # leaks gram c0..c4
+        mk(2, common + ["x2"]),            # leaks gram c0..c4
+        mk(3, [f"u3{j}" for j in range(6)]),  # clean
+    ]
+    docs = spark.createDataFrame(rows)
+    grams = dd.shingles(docs.filter(F.col("doc_id") > 0), n=5).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    rep = dd.decontamination_report(
+        grams, docs.filter(F.col("doc_id") == 0), n=5
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["bench_id"] == 0
+    assert r["n_contaminated_docs"] == 2
+    assert r["n_shared_grams"] == 1
+
+
+def test_gram_novelty_properties(spark):
+    """First occurrence owns the gram: the lowest-id doc of a clone
+    pair has novelty 1.0, the clone 0.0; unique docs are fully novel;
+    totals: sum(n_novel) == number of distinct grams in the corpus."""
+    words = [f"w{j}" for j in range(10)]
+    rows = [
+        Row(doc_id=1, text=" ".join(words)),
+        Row(doc_id=2, text=" ".join(words)),  # exact clone of 1
+        Row(doc_id=3, text=" ".join(f"z{j}" for j in range(10))),
+    ]
+    docs = spark.createDataFrame(rows)
+    grams = dd.shingles(docs, n=5).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    nov = {r["doc_id"]: r for r in dd.gram_novelty(grams).collect()}
+    assert nov[1]["novelty"] == 1.0 and nov[2]["novelty"] == 0.0
+    assert nov[3]["novelty"] == 1.0
+    n_distinct = grams.select("sh").distinct().count()
+    assert sum(r["n_novel"] for r in nov.values()) == n_distinct
+
+
+def test_embedding_diversity_matches_bruteforce(spark):
+    """The ||sum u||^2 identity equals the literal mean over all
+    pairwise cosines (computed brute-force in numpy)."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows, expect = [], {}
+    for label, n in [(0, 5), (1, 3)]:
+        vecs = rng.randn(n, 8).astype("float32")
+        for i, v in enumerate(vecs):
+            rows.append(
+                Row(vec_id=label * 100 + i, label=label,
+                    embedding=[float(x) for x in v])
+            )
+        u = vecs.astype("float64")
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        cos = [
+            float(u[i] @ u[j])
+            for i, j in itertools.combinations(range(n), 2)
+        ]
+        expect[label] = round(sum(cos) * 2 / (n * (n - 1)), 4)
+    emb = spark.createDataFrame(rows)
+    got = {
+        r["label"]: (r["n"], round(r["mean_pair_cos"], 4))
+        for r in sim.embedding_diversity(emb).collect()
+    }
+    assert got == {0: (5, expect[0]), 1: (3, expect[1])}
+
+
+def test_embedding_diversity_excludes_singletons(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, label=9, embedding=[1.0, 0.0])]
+    )
+    assert sim.embedding_diversity(emb).count() == 0
