@@ -590,3 +590,113 @@ def test_compact_and_merge_with_unrouted_rows(spark, warehouse):
     )
     got = {r["k"]: r["amount"] for r in t.read().collect()}
     assert got[3] == 333.0 and got[97] == 971.0
+
+
+def test_label_derivation_superset_property(spark):
+    """Soundness property for the typed literal gate (ADVICE r7): for
+    every (column type, predicate) case, the derived candidate set —
+    when it prunes at all — contains the routed partition of EVERY
+    value that satisfies the predicate under SPARK's evaluation
+    semantics (evaluated for real on a value universe, including the
+    '05'/' 5'/'5.0' numeric-cast traps)."""
+    from olap_storage_engine_spark.operators.compaction import (
+        _partition_labels_for_predicate,
+    )
+    from olap_storage_engine_spark.operators.routing import (
+        partition_label_col,
+    )
+
+    spol = PartitionPolicy(
+        PartitionType.RANGE, "c",
+        bounds=[("p1", "1"), ("p2", "5"), ("p3", "60")],
+    )
+    ipol = PartitionPolicy(
+        PartitionType.RANGE, "c",
+        bounds=[("p1", "1"), ("p2", "5"), ("p3", "60")],
+    )
+    s_universe = ["0", "5", "05", " 5", "5.0", "50", "500", "6", "abc", ""]
+    i_universe = [0, 5, 50, 500, 6, 1, 59]
+    cases = [
+        (ColumnType.VARCHAR, spol, s_universe, "string"),
+        (ColumnType.INT64, ipol, i_universe, "long"),
+    ]
+    preds = [
+        F.col("c") == 5,
+        F.col("c") == "5",
+        F.col("c") == "05",
+        F.col("c").isin("5", 5),
+        F.col("c").isin(5, 50),
+        F.col("c") >= "5",
+        F.col("c") < "5",
+        (F.col("c") >= "1") & (F.col("c") < "60"),
+        (F.col("c") == "5") | (F.col("c") == "50"),
+    ]
+    for col_type, pol, universe, sql_t in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in universe], f"c {sql_t}"
+        )
+        routed = {
+            r["c"]: r["__l"]
+            for r in df.select(
+                "c", partition_label_col(pol).alias("__l")
+            ).collect()
+        }
+        for pred in preds:
+            cand = _partition_labels_for_predicate(pred, pol, col_type)
+            if cand is None:
+                continue  # full scan is always sound
+            true_vals = [r["c"] for r in df.filter(pred).collect()]
+            for v in true_vals:
+                lab = routed[v] if routed[v] is not None else "__unrouted__"
+                assert lab in cand, (
+                    col_type, str(pred), v, lab, cand
+                )
+
+
+def test_arrow_assignment_matches_jvm_window(spark):
+    """The exact Arrow top-1 assignment kernel must agree with the
+    JVM window formulation (same dot/|c| score, same (score desc,
+    cent_id asc) tie-break) on random vectors INCLUDING exact-tie
+    duplicate centroids."""
+    import numpy as np
+
+    from olap_storage_engine_spark.functions.vectors import dot, l2norm
+    from olap_storage_engine_spark.operators.similarity import (
+        _with_cent_norm,
+        ivf_cell_assign,
+    )
+    from pyspark.sql import Window
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cvecs = rng.randn(7, 8).astype("float64")
+    cvecs[5] = cvecs[2]  # exact duplicate -> tie broken by cent_id
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cvecs[i]]) for i in range(7)],
+        "cent_id long, cent_vec array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in ivf_cell_assign(emb, cents).collect()
+    }
+    cn = _with_cent_norm(cents)
+    scored = emb.join(F.broadcast(cn)).select(
+        "vec_id",
+        "cent_id",
+        (dot(F.col("embedding"), F.col("cent_vec")) / F.col("cent_norm"))
+        .alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cent_id").asc()
+    )
+    want = {
+        r["vec_id"]: r["cent_id"]
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
