@@ -47,6 +47,14 @@ def main() -> None:
 
     t_setup = time.time()
     build_all(spark, SF_DIR)  # fixture tables up front (timed apart)
+    # streaming source exports are fixture work too: the split-file
+    # dirs the fixture streams read from (two batch writes + a copy)
+    # otherwise get charged to whichever streaming query runs first
+    from olap_storage_engine_spark.streaming.events import (
+        prewarm_stream_sources,
+    )
+
+    prewarm_stream_sources(spark, SF_DIR)
     setup_sec = round(time.time() - t_setup, 3)
 
     import gc

@@ -129,6 +129,20 @@ def _shuffle_partitions(spark: SparkSession, n: int):
 _SPLIT_CACHE: dict = {}
 
 
+def prewarm_stream_sources(
+    spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-16 00:00:00"
+) -> None:
+    """Populate the split-file source caches the fixture streams read
+    from (the two-batch split and its replayed variant).  The export is
+    FIXTURE work — two filtered batch writes per source — not stream
+    work; bench harnesses call this in their setup phase so a timed
+    streaming query measures micro-batch execution, never the one-off
+    source export (the replay-dedup query was charged ~1 s of
+    coalesce+copy on first invocation otherwise)."""
+    _two_batch_stream(spark, sf_dir, cutoff)
+    _replay_split_dir(spark, sf_dir, cutoff)
+
+
 def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
     """File-source stream over the events fixture split into two files
     at ``cutoff`` (one file per trigger, modification times pinned so
@@ -161,6 +175,38 @@ def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
         .option("latestFirst", "false")
         .parquet(os.path.join(_SPLIT_CACHE[key], "*"))
     )
+
+
+def _replay_split_dir(spark: SparkSession, sf_dir: str, cutoff: str) -> str:
+    """The two-batch split with batch1 delivered TWICE (a distinct
+    copy with a later modification time) — the at-least-once replay
+    source for run_fixture_stream_replay_dedup; cached per
+    (sf_dir, cutoff) like _two_batch_stream's export."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    key = (sf_dir, cutoff, "replay")
+    if key not in _SPLIT_CACHE:
+        ev = load_table(spark, sf_dir, "events")
+        src_dir = tempfile.mkdtemp(prefix="events_replay_")
+        f1 = os.path.join(src_dir, "batch1")
+        f2 = os.path.join(src_dir, "batch2")
+        ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
+        ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
+        # the replay: batch1's data delivered again as a new file
+        f1r = os.path.join(src_dir, "batch1_replay")
+        shutil.copytree(f1, f1r)
+        now = 1_700_000_000
+        for i, d in enumerate([f1, f1r, f2]):
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (now + i, now + i))
+        _SPLIT_CACHE[key] = src_dir
+    return _SPLIT_CACHE[key]
 
 
 def run_fixture_stream_join(
@@ -351,35 +397,16 @@ def run_fixture_stream_replay_dedup(
     events_stream_window oracle checks idempotence end to end.
     """
     import os
-    import shutil
-    import tempfile
     import uuid
-
-    from pyspark.sql import functions as F
 
     from ..sources.testdata import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    key = (sf_dir, cutoff, "replay")
-    if key not in _SPLIT_CACHE:
-        src_dir = tempfile.mkdtemp(prefix="events_replay_")
-        f1 = os.path.join(src_dir, "batch1")
-        f2 = os.path.join(src_dir, "batch2")
-        ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(f1)
-        ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.parquet(f2)
-        # the replay: batch1's data delivered again as a new file
-        f1r = os.path.join(src_dir, "batch1_replay")
-        shutil.copytree(f1, f1r)
-        now = 1_700_000_000
-        for i, d in enumerate([f1, f1r, f2]):
-            for fn in os.listdir(d):
-                os.utime(os.path.join(d, fn), (now + i, now + i))
-        _SPLIT_CACHE[key] = src_dir
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
-        .parquet(os.path.join(_SPLIT_CACHE[key], "*"))
+        .parquet(os.path.join(_replay_split_dir(spark, sf_dir, cutoff), "*"))
     )
     # ts (the watermarked event-time column) must be IN the dedup keys:
     # Spark only evicts dropDuplicates state via the watermark when the
