@@ -1051,6 +1051,27 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode end-to-end on stdlib zlib alone (r8, no PIL):
+    encode a genuine 8-bit truecolor PNG per document (same
+    deterministic content as the BMP fixture, scanline filters cycling
+    None/Sub/Up), then parse it for real — signature, CRC-verified
+    chunk walk, inflate, unfilter — and reduce to per-channel means.
+    The oracle recomputes the stats in closed form from doc_id, so a
+    decoder that skips filtering or row order hash-mismatches
+    (operators/multimodal.encode_png / png_decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_png_features(mm.attach_png_payload(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2488,9 +2509,11 @@ _DRIVER_CHECK_HEAD = [
     "gram_novelty",
     "embedding_diversity",
     "gc_retention_read",
-    # --- r5-stale block (40 entries; 4 more family twins demoted to
+    "multimodal_png_decode",
+    # --- r5-stale block (39 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
-    #     events_stream_append, filter_equality_point, having_filter) ---
+    #     events_stream_append, filter_equality_point, having_filter,
+    #     string_date_funcs) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2522,7 +2545,6 @@ _DRIVER_CHECK_HEAD = [
     "set_union",
     "shortkey_prefix_seek",
     "snapshot_read_versions",
-    "string_date_funcs",
     "text_chunking",
     "time_travel_read",
     "topn_per_group",
@@ -2532,7 +2554,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 10 demoted r5 family twins (scheduled for the r9 head)
+    # the 11 demoted r5 family twins (scheduled for the r9 head)
+    "string_date_funcs",
     "join_full_outer",
     "events_stream_append",
     "filter_equality_point",
@@ -2556,15 +2579,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("join_full_outer") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("string_date_funcs") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('join_full_outer')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('string_date_funcs')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
-# having_filter, set_intersect, ingest_jsonl, ingest_csv,
+# having_filter, string_date_funcs, set_intersect, ingest_jsonl,
+# ingest_csv,
 # agg_model_replace, window_lead_lag, dedup_clusters) and the 5
 # r4-stale ones (partition_prune_list, set_except, grouping_cube,
 # window_running_total, scan_count) — then the oldest r6 rows (47
@@ -2653,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_png_decode": q_multimodal_png_decode,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4195,6 +4220,15 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_png_decode": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 25 AS INT) AS width,
+                   CAST(4 + doc_id % 13 AS INT) AS height,
+                   round((8 + doc_id % 25 - 1) / 2.0, 4) AS mean_r,
+                   round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g,
+                   round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b
+            FROM documents
+        """,
         "multimodal_decode": """
             SELECT doc_id,
                    CAST(8 + doc_id % 25 AS INT) AS width,

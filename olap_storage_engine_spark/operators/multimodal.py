@@ -83,8 +83,10 @@ def decode_features(
     if not fake:
         raise NotImplementedError(
             "real decode for formats needing external codecs "
-            "(JPEG/PNG/audio/video) — wire PIL/torchaudio here; BMP "
-            "has a real pure-python path in decode_bmp_features"
+            "(JPEG/audio/video) — wire PIL/torchaudio here; BMP and "
+            "PNG have real pure-python paths (decode_bmp_features / "
+            "decode_png_features, r8: full CRC walk + inflate + all "
+            "five scanline filters on stdlib zlib alone)"
         )
 
     schema = f"{id_col} long, n_bytes int, first_byte int, last_byte int, byte_mean double"
@@ -250,3 +252,215 @@ def multimodal_join(
             F.size("embedding").alias("emb_dim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG — a real, pure-stdlib codec (zlib + struct; no PIL)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, truecolor, truecolor+alpha
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb, filters=(0, 1, 2)) -> bytes:
+    """Pure-stdlib PNG writer: 8-bit truecolor (color type 2), no
+    interlace; per-scanline filter types cycle through ``filters`` so
+    a decoder that ignores filtering (the most common fake) cannot
+    round-trip.  ``rgb`` is a (h, w, 3) uint8 array."""
+    import zlib
+
+    import numpy as np
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.uint8)
+    for y in range(h):
+        row = rgb[y]
+        ft = filters[y % len(filters)]
+        if ft == 0:  # None
+            enc = row
+        elif ft == 1:  # Sub: raw - left (uint8 wraparound)
+            left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+            enc = row - left
+        elif ft == 2:  # Up: raw - above
+            enc = row - prev
+        else:
+            raise ValueError(f"encoder supports filters 0/1/2, got {ft}")
+        raw.append(ft)
+        raw += enc.tobytes()
+        prev = row
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(buf: bytes):
+    """Full PNG parse to a (h, w, channels) uint8 array: signature,
+    chunk walk with CRC verification, IHDR validation (8-bit,
+    greyscale/truecolor/truecolor-alpha, no interlace), concatenated
+    IDAT inflate, and ALL FIVE scanline filters reconstructed
+    (None/Sub/Up/Average/Paeth).  Sub vectorizes as a per-channel
+    cumulative sum mod 256; Average/Paeth carry a true left-to-right
+    data dependency and run a per-pixel loop — fine at thumbnail
+    size, and a 100 TB ingest decodes per-row in C via a real codec
+    anyway (this path exists so the plumbing is verifiable without
+    one).  Malformed payloads raise — never averaged into garbage."""
+    import zlib
+
+    import numpy as np
+
+    if buf[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_SIG), None, []
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != (stride + 1) * h:
+        raise ValueError("PNG scanline payload length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        raw = np.frombuffer(
+            data, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if ft == 0:
+            rec = raw.copy()
+        elif ft == 1:  # Sub == per-channel prefix sum mod 256
+            rec = (
+                raw.reshape(w, ch).astype(np.int64).cumsum(0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = raw + prev
+        elif ft in (3, 4):  # Average / Paeth: left-dependent
+            rec = np.zeros(stride, np.uint8)
+            up = prev.astype(np.int64)
+            rw = raw.astype(np.int64)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                if ft == 3:
+                    rec[x] = (rw[x] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (rw[x] + pr) % 256
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable) PNG per document with the SAME
+    deterministic content as the BMP fixture (width 8 + id%25, height
+    4 + id%13, red ramps along x, flat green (id*7)%256 / blue
+    id%256), scanline filters cycling None/Sub/Up — so the decode
+    round-trip is closed-form oracle-checkable AND exercises the
+    unfilter paths."""
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ]
+    schema = ", ".join(fields + ["payload binary"])
+
+    def attach(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(8 + i % 25), int(4 + i % 13)
+                img = np.zeros((h, w, 3), np.uint8)
+                img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                img[:, :, 1] = int(i * 7 % 256)
+                img[:, :, 2] = int(i % 256)
+                payloads.append(encode_png(img))
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                payloads, index=pdf.index, dtype=object
+            )
+            yield out
+
+    return docs.mapInPandas(attach, schema=schema)
+
+
+def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode to per-channel means — the format-parsing twin
+    of decode_bmp_features over the PNG codec (CRC walk, inflate,
+    unfilter).  Arrow-batched mapInPandas."""
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                px = png_decode(bytes(b)).astype("float64")
+                h, w = px.shape[:2]
+                rows.append(
+                    (
+                        w,
+                        h,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["width", "height", "mean_r", "mean_g", "mean_b"],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)

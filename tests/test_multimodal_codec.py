@@ -90,3 +90,95 @@ def test_fake_false_still_stubbed_for_non_bmp(spark):
     df = spark.range(1).withColumnRenamed("id", "doc_id")
     with pytest.raises(NotImplementedError):
         mm.decode_features(df, fake=False)
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png(filters 0/1/2) -> png_decode recovers pixels exactly;
+    a spec-exact reference filterer checks the decoder's Average/Paeth
+    paths too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (4, 8), (13, 32)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (m.png_decode(m.encode_png(img)) == img).all()
+
+    def ref_encode(img, fts):
+        h, w, _ = img.shape
+        out = bytearray()
+        prevrec = np.zeros(w * 3, np.int64)
+        for y in range(h):
+            rec = img[y].reshape(-1).astype(np.int64)
+            ft = fts[y % len(fts)]
+            out.append(ft)
+            for x in range(w * 3):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prevrec[x]
+                c = prevrec[x - 3] if x >= 3 else 0
+                if ft == 3:
+                    v = rec[x] - (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    v = rec[x] - pr
+                out.append(v % 256)
+            prevrec = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            m.PNG_SIG
+            + m._png_chunk(b"IHDR", ihdr)
+            + m._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + m._png_chunk(b"IEND", b"")
+        )
+
+    for fts in [(3,), (4,), (3, 4)]:
+        img = rng.randint(0, 256, (9, 6, 3), dtype=np.uint8)
+        assert (m.png_decode(ref_encode(img, fts)) == img).all(), fts
+
+
+def test_png_decode_rejects_corruption():
+    """CRC tamper, bad signature, and truncated scanline data all fail
+    loudly — a corrupt ingest must never average garbage."""
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    img = np.zeros((3, 4, 3), np.uint8)
+    buf = bytearray(m.encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        m.png_decode(b"JUNK" + bytes(buf[4:]))
+    # flip one IDAT payload byte -> chunk CRC mismatch
+    tampered = bytearray(buf)
+    idat_at = bytes(tampered).index(b"IDAT")
+    tampered[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        m.png_decode(bytes(tampered))
+
+
+def test_png_spark_decode_matches_closed_form(spark):
+    """The distributed attach -> decode pipeline reproduces the
+    closed-form per-channel means the oracle predicts."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    feats = m.decode_png_features(m.attach_png_payload(docs))
+    for r in feats.collect():
+        i = r["doc_id"]
+        w, h = 8 + i % 25, 4 + i % 13
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_r"] - (w - 1) / 2.0) < 1e-9
+        assert abs(r["mean_g"] - (i * 7 % 256)) < 1e-9
+        assert abs(r["mean_b"] - (i % 256)) < 1e-9
