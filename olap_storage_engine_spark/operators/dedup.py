@@ -1225,25 +1225,28 @@ def gram_novelty(
     Input is (id_col, sh) distinct gram rows — the persisted shingle
     index at scale, so the audit never tokenizes the corpus.
 
-    Plan shape for 100 TB: one combine-enabled min aggregate per gram,
-    one co-partitioned join back on the gram hash (both sides already
-    shuffle on sh, no second corpus exchange), one per-doc aggregate.
+    Plan shape for 100 TB: NO gram-sized join anywhere — n_novel comes
+    from re-aggregating the (gram → first doc) table by its first-doc
+    id, n_grams from a per-doc count, both combine-enabled; the only
+    join is doc-level (N_docs rows a side), never N_grams.  (The
+    join-back formulation re-shuffles every gram row; this one's
+    widest intermediate is the per-gram min.)
 
     Returns (doc_id, n_grams, n_novel, novelty) with novelty rounded
     to 6dp (an exact ratio of integers — engine-stable).
     """
     g = doc_grams.select(F.col(id_col), F.col(sh_col).alias("sh"))
     first = g.groupBy("sh").agg(F.min(id_col).alias("__first"))
+    novel = first.groupBy(F.col("__first").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_novel")
+    )
+    totals = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams")
+    )
     return (
-        g.join(first, "sh")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_grams"),
-            F.sum(
-                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
-            )
-            .cast("int")
-            .alias("n_novel"),
+        totals.join(novel, id_col, "left")
+        .withColumn(
+            "n_novel", F.coalesce(F.col("n_novel"), F.lit(0)).cast("int")
         )
         .withColumn(
             "novelty",

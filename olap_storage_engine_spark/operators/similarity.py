@@ -237,6 +237,12 @@ def _with_cent_norm(centroids: DataFrame) -> DataFrame:
     )
 
 
+# Arrow top-1 assignment ships the collected centroid matrix in the
+# kernel closure; beyond this many centroids (~4M doubles at dim 64)
+# the JVM broadcast-fanout path in _cell_assign takes over instead.
+_ARROW_ASSIGN_MAX_CELLS = 60_000
+
+
 def _cell_assign_top1_arrow(
     cents: DataFrame, df: DataFrame, keep: list[str], vcol: str
 ) -> DataFrame:
@@ -322,8 +328,16 @@ def _cell_assign(
     if top == 1:
         # top-1 assignment runs the exact Arrow kernel: row-local
         # argmax, no fan-out, no aggregate — see
-        # _cell_assign_top1_arrow for the bit-exactness argument
-        return _cell_assign_top1_arrow(cents, df, keep, vcol)
+        # _cell_assign_top1_arrow for the bit-exactness argument.
+        # The kernel closure-ships the collected centroid matrix; for
+        # a VERY large quantizer (K·dim beyond ~4M doubles — e.g. the
+        # sqrt(N) rule past ~60k centroids at dim 64) that shipment
+        # stops being free, so the JVM broadcast-fanout + max_by path
+        # below takes over (same scores, same tie-break, slower per
+        # row but no driver collect).
+        k = cents.limit(_ARROW_ASSIGN_MAX_CELLS + 1).count()
+        if k <= _ARROW_ASSIGN_MAX_CELLS:
+            return _cell_assign_top1_arrow(cents, df, keep, vcol)
     scored = df.join(F.broadcast(cents)).select(
         *keep,
         "cent_id",
@@ -331,6 +345,22 @@ def _cell_assign(
             "cent_cos"
         ),
     )
+    if top == 1:
+        # JVM twin of the Arrow kernel (big-quantizer fallback):
+        # argmax as ONE max_by hash aggregate over the broadcast
+        # fan-out, ties by (cent_cos desc, cent_id asc)
+        key, rest = keep[0], keep[1:]
+        picked = scored.groupBy(key).agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), *[F.col(c) for c in rest]),
+                F.struct(F.col("cent_cos"), -F.col("cent_id")),
+            ).alias("__b")
+        )
+        return picked.filter(F.col("__b.cent_id").isNotNull()).select(
+            key,
+            *[F.col(f"__b.{c}").alias(c) for c in rest],
+            F.col("__b.cent_id").alias("cent_id"),
+        )
     w = Window.partitionBy(*keep[:1]).orderBy(
         F.col("cent_cos").desc(), F.col("cent_id").asc()
     )
