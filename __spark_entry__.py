@@ -1072,6 +1072,25 @@ def q_multimodal_png_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end on struct alone (r8, no external
+    codec): write a genuine RIFF/WAVE PCM16 file per document (a
+    deterministic integer sawtooth), then parse it for real — RIFF
+    signature + size check, word-aligned chunk walk, fmt validation —
+    and reduce the PCM stream to exact amplitude stats.  The oracle
+    recomputes mean/RMS in closed form from doc_id
+    (operators/multimodal.encode_wav_pcm16 / wav_decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_audio_features(mm.attach_audio_payload(docs))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2510,10 +2529,11 @@ _DRIVER_CHECK_HEAD = [
     "embedding_diversity",
     "gc_retention_read",
     "multimodal_png_decode",
-    # --- r5-stale block (39 entries; 4 more family twins demoted to
+    "multimodal_audio_decode",
+    # --- r5-stale block (38 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
-    #     string_date_funcs) ---
+    #     string_date_funcs, pivot_status) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2538,7 +2558,6 @@ _DRIVER_CHECK_HEAD = [
     "join_salted",
     "pandas_udaf_weighted_avg",
     "partition_prune_range",
-    "pivot_status",
     "rollup_coarser_agg",
     "sample_packing",
     "scan_projection",
@@ -2554,7 +2573,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 11 demoted r5 family twins (scheduled for the r9 head)
+    # the 12 demoted r5 family twins (scheduled for the r9 head)
+    "pivot_status",
     "string_date_funcs",
     "join_full_outer",
     "events_stream_append",
@@ -2579,15 +2599,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("string_date_funcs") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("pivot_status") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('string_date_funcs')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('pivot_status')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
-# having_filter, string_date_funcs, set_intersect, ingest_jsonl,
+# having_filter, string_date_funcs, pivot_status, set_intersect,
+# ingest_jsonl,
 # ingest_csv,
 # agg_model_replace, window_lead_lag, dedup_clusters) and the 5
 # r4-stale ones (partition_prune_list, set_except, grouping_cube,
@@ -2678,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4220,6 +4242,19 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_audio_decode": """
+            SELECT doc_id,
+                   8000 AS sample_rate,
+                   CAST(64 + doc_id % 129 AS INT) AS n_samples,
+                   round(sum(v) * 1.0 / count(*), 4) AS mean_amp,
+                   round(sqrt(sum(v * v) * 1.0 / count(*)), 4) AS rms
+            FROM (
+              SELECT doc_id,
+                     ((doc_id * 13 + 7 * t.i) % 65536 - 32768) AS v
+              FROM documents,
+                   unnest(range(0, 64 + doc_id % 129)) AS t(i))
+            GROUP BY 1
+        """,
         "multimodal_png_decode": """
             SELECT doc_id,
                    CAST(8 + doc_id % 25 AS INT) AS width,

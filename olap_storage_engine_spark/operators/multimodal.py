@@ -83,10 +83,11 @@ def decode_features(
     if not fake:
         raise NotImplementedError(
             "real decode for formats needing external codecs "
-            "(JPEG/audio/video) — wire PIL/torchaudio here; BMP and "
-            "PNG have real pure-python paths (decode_bmp_features / "
-            "decode_png_features, r8: full CRC walk + inflate + all "
-            "five scanline filters on stdlib zlib alone)"
+            "(JPEG/video) — wire PIL/pyav here; BMP, PNG and WAV have "
+            "real pure-python paths (decode_bmp_features / "
+            "decode_png_features — full CRC walk + inflate + all five "
+            "scanline filters on stdlib zlib — and "
+            "decode_audio_features over the RIFF/WAVE chunk walk)"
         )
 
     schema = f"{id_col} long, n_bytes int, first_byte int, last_byte int, byte_mean double"
@@ -461,6 +462,141 @@ def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.insert(0, id_col, pdf[id_col])
             out["width"] = out["width"].astype("int32")
             out["height"] = out["height"].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# WAV — a real, pure-stdlib audio codec (RIFF/WAVE PCM16; struct only)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Pure-stdlib RIFF/WAVE writer: canonical 44-byte header + mono
+    16-bit little-endian PCM.  ``samples`` is an int16 array."""
+    import numpy as np
+
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def wav_decode(buf: bytes):
+    """Full RIFF/WAVE parse: RIFF signature + declared size, chunk walk
+    honoring word alignment, fmt validation (PCM, mono, 16-bit), data
+    extraction.  Returns (sample_rate, int16 numpy array).  Malformed
+    payloads raise — never decoded into garbage."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    if riff_size + 8 != len(buf):
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt /data chunk")
+    audio_fmt, channels, rate, _, block, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16 or block != 2:
+        raise ValueError(
+            f"unsupported WAVE variant: fmt={audio_fmt} ch={channels} "
+            f"bits={bits}"
+        )
+    if len(data) % 2:
+        raise ValueError("PCM16 data length must be even")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def attach_audio_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable) WAV per document: a deterministic
+    integer sawtooth — sample[i] = (id*13 + 7*i) mod 65536 − 32768,
+    n_samples = 64 + id%129, rate 8000 — so decoded amplitude stats
+    are closed-form oracle-checkable from the id alone."""
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ]
+    schema = ", ".join(fields + ["payload binary"])
+
+    def attach(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                n = int(64 + i % 129)
+                idx = np.arange(n, dtype=np.int64)
+                wave = (int(i) * 13 + 7 * idx) % 65536 - 32768
+                payloads.append(
+                    encode_wav_pcm16(wave.astype("<i2"), 8000)
+                )
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                payloads, index=pdf.index, dtype=object
+            )
+            yield out
+
+    return docs.mapInPandas(attach, schema=schema)
+
+
+def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: parse each RIFF/WAVE payload and reduce the
+    PCM stream to (rate, n_samples, mean amplitude, RMS) — the audio
+    twin of the image decode paths.  Arrow-batched mapInPandas; sums
+    run in int64 so the stats are exact before the final division."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int, "
+        "mean_amp double, rms double"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                rate, pcm = wav_decode(bytes(b))
+                s = pcm.astype(np.int64)
+                n = len(s)
+                rows.append(
+                    (
+                        rate,
+                        n,
+                        float(s.sum()) / n if n else 0.0,
+                        math.sqrt(float((s * s).sum()) / n) if n else 0.0,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["sample_rate", "n_samples", "mean_amp", "rms"],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["n_samples"] = out["n_samples"].astype("int32")
             yield out
 
     return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)

@@ -182,3 +182,46 @@ def test_png_spark_decode_matches_closed_form(spark):
         assert abs(r["mean_r"] - (w - 1) / 2.0) < 1e-9
         assert abs(r["mean_g"] - (i * 7 % 256)) < 1e-9
         assert abs(r["mean_b"] - (i % 256)) < 1e-9
+
+
+def test_wav_roundtrip_and_corruption():
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    rng = np.random.RandomState(5)
+    for n in [1, 64, 1001]:
+        s = rng.randint(-32768, 32768, n).astype("<i2")
+        rate, back = m.wav_decode(m.encode_wav_pcm16(s, 44100))
+        assert rate == 44100 and (back == s).all()
+    buf = m.encode_wav_pcm16(np.zeros(8, "<i2"))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        m.wav_decode(b"JUNK" + buf[4:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        m.wav_decode(buf[:-2])
+    # stereo / non-PCM variants refuse rather than mis-decode
+    bad = bytearray(buf)
+    bad[22] = 2  # channels = 2
+    with pytest.raises(ValueError, match="unsupported WAVE"):
+        m.wav_decode(bytes(bad))
+
+
+def test_wav_spark_decode_matches_closed_form(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    feats = m.decode_audio_features(m.attach_audio_payload(docs))
+    for r in feats.collect():
+        i = r["doc_id"]
+        n = 64 + i % 129
+        vals = [((i * 13 + 7 * j) % 65536 - 32768) for j in range(n)]
+        assert r["sample_rate"] == 8000 and r["n_samples"] == n
+        assert abs(r["mean_amp"] - sum(vals) / n) < 1e-9
+        assert (
+            abs(r["rms"] - math.sqrt(sum(v * v for v in vals) / n)) < 1e-9
+        )
