@@ -1091,6 +1091,28 @@ def q_multimodal_audio_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end, pure numpy (r8, no
+    libjpeg/PIL): encode a spec-conformant SOF0 stream per document
+    (standard Annex K Huffman tables, unit quant, flat integer-YCbCr
+    content — the codec's EXACT regime, where a flat block's DC
+    round-trips bit-for-bit), then decode it for real — marker walk,
+    Huffman + bitstream, dequantize, IDCT, integer color conversion —
+    and reduce to per-channel means the oracle recomputes in closed
+    form from doc_id (operators/jpegcodec.py; lossy-regime behavior
+    is pinned by tolerance round-trip unit tests instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_jpeg_features(mm.attach_jpeg_payload(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2530,10 +2552,11 @@ _DRIVER_CHECK_HEAD = [
     "gc_retention_read",
     "multimodal_png_decode",
     "multimodal_audio_decode",
-    # --- r5-stale block (38 entries; 4 more family twins demoted to
+    "multimodal_jpeg_decode",
+    # --- r5-stale block (37 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
-    #     string_date_funcs, pivot_status) ---
+    #     string_date_funcs, pivot_status, sample_packing) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2559,7 +2582,6 @@ _DRIVER_CHECK_HEAD = [
     "pandas_udaf_weighted_avg",
     "partition_prune_range",
     "rollup_coarser_agg",
-    "sample_packing",
     "scan_projection",
     "set_union",
     "shortkey_prefix_seek",
@@ -2573,7 +2595,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 12 demoted r5 family twins (scheduled for the r9 head)
+    # the 13 demoted r5 family twins (scheduled for the r9 head)
+    "sample_packing",
     "pivot_status",
     "string_date_funcs",
     "join_full_outer",
@@ -2599,15 +2622,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("pivot_status") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("sample_packing") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('pivot_status')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('sample_packing')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
-# having_filter, string_date_funcs, pivot_status, set_intersect,
+# having_filter, string_date_funcs, pivot_status, sample_packing,
+# set_intersect,
 # ingest_jsonl,
 # ingest_csv,
 # agg_model_replace, window_lead_lag, dedup_clusters) and the 5
@@ -2700,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4242,6 +4267,25 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_jpeg_decode": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(doc_id * 5 % 256 AS DOUBLE) AS y,
+                     CAST(doc_id * 11 % 256 AS DOUBLE) AS cb,
+                     CAST(doc_id * 17 % 256 AS DOUBLE) AS cr
+              FROM documents)
+            SELECT doc_id,
+                   CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+                   CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+                   round(least(255, greatest(0,
+                     floor(y + 1.402 * (cr - 128) + 0.5))), 4) AS mean_r,
+                   round(least(255, greatest(0,
+                     floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5))), 4) AS mean_g,
+                   round(least(255, greatest(0,
+                     floor(y + 1.772 * (cb - 128) + 0.5))), 4) AS mean_b
+            FROM p
+        """,
         "multimodal_audio_decode": """
             SELECT doc_id,
                    8000 AS sample_rate,

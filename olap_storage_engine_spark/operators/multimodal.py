@@ -82,12 +82,13 @@ def decode_features(
     """
     if not fake:
         raise NotImplementedError(
-            "real decode for formats needing external codecs "
-            "(JPEG/video) — wire PIL/pyav here; BMP, PNG and WAV have "
-            "real pure-python paths (decode_bmp_features / "
-            "decode_png_features — full CRC walk + inflate + all five "
-            "scanline filters on stdlib zlib — and "
-            "decode_audio_features over the RIFF/WAVE chunk walk)"
+            "real decode for formats needing external codecs (video) "
+            "— wire pyav here; BMP, PNG, WAV and baseline JPEG all "
+            "have real pure-python paths (decode_bmp_features, "
+            "decode_png_features — CRC walk + inflate + all five "
+            "scanline filters on stdlib zlib, decode_audio_features "
+            "over the RIFF/WAVE chunk walk, decode_jpeg_features over "
+            "the full SOF0 Huffman/IDCT pipeline in jpegcodec.py)"
         )
 
     schema = f"{id_col} long, n_bytes int, first_byte int, last_byte int, byte_mean double"
@@ -597,6 +598,90 @@ def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.insert(0, id_col, pdf[id_col])
             out["sample_rate"] = out["sample_rate"].astype("int32")
             out["n_samples"] = out["n_samples"].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline SOF0 codec (operators/jpegcodec.py; pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable, spec-conformant baseline) JPEG per
+    document.  Content is a FLAT integer-YCbCr image — the codec's
+    exact regime (see jpegcodec module docstring): with unit quant
+    tables a flat block round-trips bit-for-bit, so decoded RGB is the
+    exact closed-form conversion of (y, cb, cr) = (id*5, id*11,
+    id*17) mod 256 at size (8·(1+id%4)) × (8·(1+id%3))."""
+    from . import jpegcodec as J
+
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ]
+    schema = ", ".join(fields + ["payload binary"])
+
+    def attach(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(8 * (1 + i % 4)), int(8 * (1 + i % 3))
+                img = np.zeros((h, w, 3), np.uint8)
+                img[:, :, 0] = int(i * 5 % 256)
+                img[:, :, 1] = int(i * 11 % 256)
+                img[:, :, 2] = int(i * 17 % 256)
+                payloads.append(J.encode_jpeg(img))
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                payloads, index=pdf.index, dtype=object
+            )
+            yield out
+
+    return docs.mapInPandas(attach, schema=schema)
+
+
+def decode_jpeg_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG decode to per-channel RGB means: the full
+    marker walk, Huffman + bitstream decode, dequantize, IDCT, and
+    integer color conversion run for every payload
+    (operators/jpegcodec.decode_jpeg).  Arrow-batched mapInPandas."""
+    from . import jpegcodec as J
+
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                px = J.decode_jpeg(bytes(b)).astype("float64")
+                h, w = px.shape[:2]
+                rows.append(
+                    (
+                        w,
+                        h,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["width", "height", "mean_r", "mean_g", "mean_b"],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
             yield out
 
     return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)

@@ -225,3 +225,100 @@ def test_wav_spark_decode_matches_closed_form(spark):
         assert (
             abs(r["rms"] - math.sqrt(sum(v * v for v in vals) / n)) < 1e-9
         )
+
+
+def test_jpeg_exact_regime_roundtrips():
+    """Flat blocks + unit quant = the codec's exact regime: grayscale
+    and integer-YCbCr color round-trip bit-for-bit, including
+    per-block DC differentials across many Huffman categories."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    for v in [0, 7, 128, 255]:
+        img = np.full((16, 24), v, np.uint8)
+        assert (J.decode_jpeg(J.encode_jpeg(img)) == img).all()
+    rng = np.random.RandomState(9)
+    img = np.zeros((40, 64), np.uint8)
+    for by in range(5):
+        for bx in range(8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.randint(
+                0, 256
+            )
+    assert (J.decode_jpeg(J.encode_jpeg(img)) == img).all()
+    # flat color: decoded RGB equals the exact integer conversion
+    y, cb, cr = 40, 200, 60
+    img = np.zeros((8, 16, 3), np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = y, cb, cr
+    rgb = J.decode_jpeg(J.encode_jpeg(img))
+
+    def conv(x):
+        import math
+
+        return min(255, max(0, math.floor(x + 0.5)))
+
+    assert (rgb[:, :, 0] == conv(y + 1.402 * (cr - 128))).all()
+    assert (
+        rgb[:, :, 1]
+        == conv(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    ).all()
+    assert (rgb[:, :, 2] == conv(y + 1.772 * (cb - 128))).all()
+
+
+def test_jpeg_lossy_regime_bounded():
+    """Arbitrary content is lossy by nature; with unit quant the
+    reconstruction error is bounded by coefficient rounding (≤3), and
+    a real quant table still decodes to the right shape."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (24, 32), np.uint8)
+    back = J.decode_jpeg(J.encode_jpeg(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 3
+    q = np.clip(np.arange(64).reshape(8, 8) + 4, 1, 255)
+    back2 = J.decode_jpeg(J.encode_jpeg(img, quant=q))
+    assert back2.shape == img.shape
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    img = np.full((8, 8), 5, np.uint8)
+    buf = bytearray(J.encode_jpeg(img))
+    with pytest.raises(ValueError, match="missing SOI"):
+        J.decode_jpeg(b"xx" + bytes(buf[2:]))
+    # flip SOF0 -> SOF2 (progressive)
+    sof_at = bytes(buf).index(b"\xff\xc0")
+    prog = bytearray(buf)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_spark_decode_matches_closed_form(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(25).select(F.col("id").alias("doc_id"))
+    feats = m.decode_jpeg_features(m.attach_jpeg_payload(docs))
+
+    def conv(x):
+        return min(255.0, max(0.0, math.floor(x + 0.5)))
+
+    for r in feats.collect():
+        i = r["doc_id"]
+        y, cb, cr = i * 5 % 256, i * 11 % 256, i * 17 % 256
+        assert (r["width"], r["height"]) == (8 * (1 + i % 4), 8 * (1 + i % 3))
+        assert r["mean_r"] == conv(y + 1.402 * (cr - 128))
+        assert r["mean_g"] == conv(
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        )
+        assert r["mean_b"] == conv(y + 1.772 * (cb - 128))
