@@ -1113,6 +1113,29 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL decode -> resize -> stats: every document's PNG decoded
+    (full inflate/unfilter), nearest-resampled to a fixed 16x16
+    thumbnail with the exact integer source mapping
+    src = floor(dst*in/out), and reduced to per-channel means — the
+    normalize step of a multimodal training pipeline.  The red ramp
+    makes resampling observable: the oracle recomputes the resampled
+    ramp mean in closed form over range(16)
+    (operators/multimodal.resize_image_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.resize_image_features(
+        mm.attach_png_payload(docs), out_w=16, out_h=16, method="nearest"
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2553,10 +2576,11 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_png_decode",
     "multimodal_audio_decode",
     "multimodal_jpeg_decode",
-    # --- r5-stale block (37 entries; 4 more family twins demoted to
+    "multimodal_resize",
+    # --- r5-stale block (36 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
-    #     string_date_funcs, pivot_status, sample_packing) ---
+    #     string_date_funcs, pivot_status, sample_packing, join_band) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2576,7 +2600,6 @@ _DRIVER_CHECK_HEAD = [
     "ingest_orc",
     "inverted_index_search",
     "join_asof",
-    "join_band",
     "join_range",
     "join_salted",
     "pandas_udaf_weighted_avg",
@@ -2595,7 +2618,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 13 demoted r5 family twins (scheduled for the r9 head)
+    # the 14 demoted r5 family twins (scheduled for the r9 head)
+    "join_band",
     "sample_packing",
     "pivot_status",
     "string_date_funcs",
@@ -2622,15 +2646,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("sample_packing") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("join_band") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('sample_packing')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('join_band')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
 # having_filter, string_date_funcs, pivot_status, sample_packing,
+# join_band,
 # set_intersect,
 # ingest_jsonl,
 # ingest_csv,
@@ -2725,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_resize": q_multimodal_resize,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4267,6 +4293,16 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_resize": """
+            SELECT doc_id,
+                   16 AS width, 16 AS height,
+                   round(avg((t.x * (8 + doc_id % 25)) // 16), 4)
+                     AS mean_r,
+                   round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g,
+                   round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b
+            FROM documents, unnest(range(0, 16)) AS t(x)
+            GROUP BY 1
+        """,
         "multimodal_jpeg_decode": """
             WITH p AS (
               SELECT doc_id,

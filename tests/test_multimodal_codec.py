@@ -322,3 +322,57 @@ def test_jpeg_spark_decode_matches_closed_form(spark):
             y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
         )
         assert r["mean_b"] == conv(y + 1.772 * (cb - 128))
+
+
+def test_resize_kernels_match_references():
+    """Nearest matches the integer source-mapping reference exactly;
+    bilinear matches a direct per-pixel reference to 1e-9."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, (13, 29, 3), np.uint8)
+    rs = m.resize_nearest(px, 16, 16)
+    for y in range(16):
+        for x in range(16):
+            assert (rs[y, x] == px[(y * 13) // 16, (x * 29) // 16]).all()
+
+    def ref(px, oh, ow):
+        h, w = px.shape[:2]
+        out = np.zeros((oh, ow, 3))
+        for y in range(oh):
+            for x in range(ow):
+                fy = (y + 0.5) * h / oh - 0.5
+                fx = (x + 0.5) * w / ow - 0.5
+                y0 = min(max(int(np.floor(fy)), 0), h - 1)
+                x0 = min(max(int(np.floor(fx)), 0), w - 1)
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                wy = min(max(fy - y0, 0), 1)
+                wx = min(max(fx - x0, 0), 1)
+                out[y, x] = (
+                    px[y0, x0] * (1 - wx) + px[y0, x1] * wx
+                ) * (1 - wy) + (
+                    px[y1, x0] * (1 - wx) + px[y1, x1] * wx
+                ) * wy
+        return out
+
+    bl = m.resize_bilinear(px, 7, 40)
+    assert np.allclose(bl, ref(px, 7, 40), atol=1e-9)
+
+
+def test_resize_spark_pipeline_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    feats = m.resize_image_features(
+        m.attach_png_payload(docs), out_w=16, out_h=16
+    )
+    for r in feats.collect():
+        i = r["doc_id"]
+        w = 8 + i % 25
+        want_r = sum((x * w) // 16 for x in range(16)) / 16.0
+        assert abs(r["mean_r"] - want_r) < 1e-9
+        assert r["mean_g"] == i * 7 % 256 and r["mean_b"] == i % 256
