@@ -1136,6 +1136,26 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over array<binary> video rows, in scale order:
+    keep every 2nd frame with a row-local JVM array filter (dropped
+    frames never reach Python), then decode only the survivors (real
+    PNG inflate/unfilter) and average their green channel.  Oracle
+    recomputes the sampled-frame means in closed form
+    (operators/multimodal.attach_video_payload /
+    frame_sample_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.frame_sample_features(
+        mm.attach_video_payload(docs), every_k=2
+    )
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_g", 4).alias("mean_g"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2577,10 +2597,12 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_audio_decode",
     "multimodal_jpeg_decode",
     "multimodal_resize",
-    # --- r5-stale block (36 entries; 4 more family twins demoted to
+    "multimodal_frame_sample",
+    # --- r5-stale block (35 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
-    #     string_date_funcs, pivot_status, sample_packing, join_band) ---
+    #     string_date_funcs, pivot_status, sample_packing, join_band,
+    #     topn_per_group) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
@@ -2611,14 +2633,14 @@ _DRIVER_CHECK_HEAD = [
     "snapshot_read_versions",
     "text_chunking",
     "time_travel_read",
-    "topn_per_group",
     "tpch_q3",
     "train_val_split",
     "udtf_parse_props",
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 14 demoted r5 family twins (scheduled for the r9 head)
+    # the 15 demoted r5 family twins (scheduled for the r9 head)
+    "topn_per_group",
     "join_band",
     "sample_packing",
     "pivot_status",
@@ -2646,16 +2668,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("join_band") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("topn_per_group") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('join_band')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('topn_per_group')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
 # having_filter, string_date_funcs, pivot_status, sample_packing,
-# join_band,
+# join_band, topn_per_group,
 # set_intersect,
 # ingest_jsonl,
 # ingest_csv,
@@ -2751,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4293,6 +4316,17 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(count(*) AS INT) AS n_sampled,
+                   round(avg(CAST((doc_id * 7 + t.f * 31) % 256
+                                  AS DOUBLE)), 4) AS mean_g
+            FROM documents,
+                 unnest(range(0, 2 + doc_id % 4)) AS t(f)
+            WHERE t.f % 2 = 0
+            GROUP BY 1
+        """,
         "multimodal_resize": """
             SELECT doc_id,
                    16 AS width, 16 AS height,

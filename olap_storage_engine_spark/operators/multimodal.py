@@ -773,3 +773,93 @@ def resize_image_features(
             yield out
 
     return mm.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def attach_video_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a multi-frame 'video' per document: an ``array<binary>``
+    of REAL PNG frames (2 + id%4 of them) + frame count — the
+    Spark-native way to carry short clips through a pipeline.  Frame f
+    of doc i is flat with green (i*7 + f*31) % 256 (red ramp, blue
+    i % 256), so per-frame stats are closed-form."""
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ]
+    schema = ", ".join(fields + ["frames array<binary>", "n_frames int"])
+
+    def attach(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            frames_col, counts = [], []
+            for i in ids:
+                n = int(2 + i % 4)
+                w, h = int(8 + i % 25), int(4 + i % 13)
+                frames = []
+                for f in range(n):
+                    img = np.zeros((h, w, 3), np.uint8)
+                    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                    img[:, :, 1] = int((i * 7 + f * 31) % 256)
+                    img[:, :, 2] = int(i % 256)
+                    frames.append(encode_png(img))
+                frames_col.append(frames)
+                counts.append(n)
+            out = pdf.copy()
+            out["frames"] = pd.Series(
+                frames_col, index=pdf.index, dtype=object
+            )
+            out["n_frames"] = pd.Series(
+                counts, index=pdf.index, dtype="int32"
+            )
+            yield out
+
+    return docs.mapInPandas(attach, schema=schema)
+
+
+def frame_sample_features(
+    mm: DataFrame, every_k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling + decode, in the only order that survives video
+    at scale: SELECT the kept frames FIRST with a row-local JVM array
+    filter (``filter(frames, (_, i) -> i % k = 0)``) so dropped frames
+    are never shipped to Python, THEN decode only the survivors in one
+    Arrow pass.  Returns (id, n_frames, n_sampled, mean_g) where
+    mean_g averages the sampled frames' green-channel means."""
+    sampled = mm.select(
+        id_col,
+        "n_frames",
+        F.filter(
+            F.col("frames"), lambda _, i: i % every_k == 0
+        ).alias("__kept"),
+    )
+    schema = f"{id_col} long, n_frames int, n_sampled int, mean_g double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for nf, kept in zip(pdf["n_frames"], pdf["__kept"]):
+                means = []
+                for fr in kept:
+                    px = png_decode(bytes(fr)).astype("float64")
+                    means.append(float(px[:, :, 1].mean()))
+                rows.append(
+                    (
+                        int(nf),
+                        len(means),
+                        sum(means) / len(means) if means else 0.0,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["n_frames", "n_sampled", "mean_g"],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            out["n_frames"] = out["n_frames"].astype("int32")
+            out["n_sampled"] = out["n_sampled"].astype("int32")
+            yield out
+
+    return sampled.mapInPandas(run, schema=schema)

