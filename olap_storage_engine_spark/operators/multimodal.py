@@ -73,12 +73,14 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    With ``fake=True`` (default in this container) features are
-    deterministic functions of the payload bytes: byte length, first /
-    last byte values, and a 16-bin byte histogram mean — a stand-in
-    with the exact schema/partitioning/batch shape a real decoder
-    (PIL / torchaudio / pyav) would use.  ``fake=False`` marks where
-    the real codec goes and raises NotImplementedError.
+    With ``fake=True`` (default) features are deterministic functions
+    of the payload bytes: byte length, first / last byte values, and a
+    16-bin byte histogram mean — format-agnostic, useful as a cheap
+    first-pass profile.  For REAL format-aware decode use the codec
+    paths: decode_bmp_features, decode_png_features,
+    decode_audio_features, decode_jpeg_features (all pure
+    python/numpy, r8).  ``fake=False`` marks where an external codec
+    (video) would go and raises NotImplementedError.
     """
     if not fake:
         raise NotImplementedError(
