@@ -132,16 +132,33 @@ def _huff_encode_table(bits, vals):
     return codes
 
 
-def _huff_decode_table(bits, vals):
-    """(length, code) -> value, as a dict for the bit-at-a-time reader."""
-    out, code, k = {}, 0, 0
+_LUT_CACHE: dict = {}
+
+
+def _huff_decode_lut(bits, vals):
+    """16-bit-prefix lookup: lut_val[p] / lut_len[p] for every 16-bit
+    window whose leading bits form a valid code — one array index per
+    symbol instead of bit-at-a-time dict probes.  Cached per table
+    content (the standard Annex K tables repeat across every image,
+    so the 64K tables build once per process)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_val = np.full(1 << 16, -1, np.int32)
+    lut_len = np.zeros(1 << 16, np.int32)
+    code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            lut_val[lo:hi] = vals[k]
+            lut_len[lo:hi] = ln
             code += 1
             k += 1
         code <<= 1
-    return out
+    _LUT_CACHE[key] = (lut_val, lut_len)
+    return lut_val, lut_len
 
 
 def _category(v: int) -> int:
@@ -171,49 +188,6 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.buf)
-
-
-class _BitReader:
-    """Bit reader over the entropy-coded segment with 0xFF00
-    un-stuffing; raises on markers inside the scan."""
-
-    def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise ValueError(
-                    f"marker 0xFF{nxt:02X} inside entropy-coded segment"
-                )
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bits(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def huff(self, table: dict) -> int:
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | self.bits(1)
-            ln += 1
-            if (ln, code) in table:
-                return table[(ln, code)]
-        raise ValueError("invalid Huffman code in scan")
 
 
 def _extend(v: int, s: int) -> int:
@@ -299,17 +273,27 @@ def encode_jpeg(
     ]
 
     planes = [ycbcr] if gray else [ycbcr[:, :, c] for c in range(3)]
+    bh, bwid = h // 8, w // 8
+    # one batched DCT per component: (nblocks, 8, 8) through the same
+    # per-block matmuls (broadcasted), then quantize + zigzag together
+    zz_all = []
+    for pl in planes:
+        blocks = (
+            pl.reshape(bh, 8, bwid, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
+            - 128.0
+        )
+        Fq = np.matmul(np.matmul(_DCT_M, blocks), _DCT_M.T)
+        q = np.round(Fq / quant).astype(np.int64)
+        zz_all.append(q.reshape(-1, 64)[:, ZIGZAG])
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for by in range(bh):
+        for bx in range(bwid):
             for ci in range(ncomp):
-                blk = planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ].astype(np.float64) - 128.0
-                F = _DCT_M @ blk @ _DCT_M.T
-                q = np.round(F / quant).astype(np.int64)
-                zzq = q.reshape(-1)[ZIGZAG]
+                zzq = zz_all[ci][by * bwid + bx]
                 ti = 0 if ci == 0 else 1
                 # DC differential
                 diff = int(zzq[0]) - pred[ci]
@@ -357,7 +341,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
+    hspecs: dict[tuple[int, int], tuple] = {}
     sof = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
     while pos < len(buf):
@@ -388,7 +372,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(body[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(body[p + 17 : p + 17 + nv])
-                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                hspecs[(cls, tid)] = (bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -423,50 +407,113 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             h, w, nc = sof
             if ns != nc:
                 raise ValueError("partial scans unsupported")
-            br = _BitReader(buf, pos)
+            # extract + un-stuff the whole entropy segment, then read
+            # it through a vectorized sliding 16-bit window: W[p] is
+            # the 16 bits starting at bit p, so a Huffman symbol is
+            # ONE LUT probe and a magnitude read is ONE shift — no
+            # per-bit Python
+            seg = bytearray()
+            p = pos
+            while p < len(buf):
+                b0 = buf[p]
+                if b0 == 0xFF:
+                    if p + 1 < len(buf) and buf[p + 1] == 0x00:
+                        seg.append(0xFF)
+                        p += 2
+                        continue
+                    break  # real marker ends the scan
+                seg.append(b0)
+                p += 1
+            bits_arr = np.unpackbits(np.frombuffer(bytes(seg), np.uint8))
+            nreal = len(bits_arr)
+            bits_arr = np.concatenate(
+                [bits_arr, np.ones(32, np.uint8)]  # lookahead pad (1s)
+            )
+            win = np.lib.stride_tricks.sliding_window_view(
+                bits_arr, 16
+            ).astype(np.int64)
+            W = win @ (1 << np.arange(15, -1, -1, dtype=np.int64))
+            luts = []
+            for ci in range(nc):
+                _, dct_, act_ = scan_sel[ci]
+                if (0, dct_) not in hspecs or (1, act_) not in hspecs:
+                    raise ValueError("missing Huffman table")
+                luts.append(
+                    (
+                        _huff_decode_lut(*hspecs[(0, dct_)]),
+                        _huff_decode_lut(*hspecs[(1, act_)]),
+                    )
+                )
             bh, bw_ = (h + 7) // 8, (w + 7) // 8
-            planes = [
-                np.zeros((bh * 8, bw_ * 8), np.float64)
-                for _ in range(nc)
-            ]
             pred = [0] * nc
-            for by in range(bh):
-                for bx in range(bw_):
-                    for ci in range(nc):
-                        _, dct_, act_ = scan_sel[ci]
-                        dch = htabs.get((0, dct_))
-                        ach = htabs.get((1, act_))
-                        if dch is None or ach is None:
-                            raise ValueError("missing Huffman table")
-                        zz = np.zeros(64, np.int64)
-                        s = br.huff(dch)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(ach)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        qt = qtabs.get(comps[ci][2])
-                        if qt is None:
-                            raise ValueError("missing quant table")
-                        blk = np.zeros(64, np.float64)
-                        blk[ZIGZAG] = zz
-                        F = blk.reshape(8, 8) * qt
-                        f = _DCT_M.T @ F @ _DCT_M + 128.0
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = f
+            bp = 0  # bit cursor
+            nblocks = bh * bw_
+            zz_store = [
+                np.zeros((nblocks, 64), np.int64) for _ in range(nc)
+            ]
+            for bi in range(nblocks):
+                for ci in range(nc):
+                    if bp > nreal:
+                        raise ValueError(
+                            "entropy segment exhausted mid-scan"
+                        )
+                    (dval, dlen), (aval, alen) = luts[ci]
+                    zz = zz_store[ci][bi]
+                    pk = int(W[bp])
+                    ln = int(dlen[pk])
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code in scan")
+                    s = int(dval[pk])
+                    bp += ln
+                    if s:
+                        diff = _extend(int(W[bp]) >> (16 - s), s)
+                        bp += s
+                    else:
+                        diff = 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        pk = int(W[bp])
+                        ln = int(alen[pk])
+                        if ln == 0:
+                            raise ValueError(
+                                "invalid Huffman code in scan"
+                            )
+                        rs = int(aval[pk])
+                        bp += ln
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        zz[k] = _extend(int(W[bp]) >> (16 - s), s)
+                        bp += s
+                        k += 1
+            if bp > nreal:
+                raise ValueError("entropy segment exhausted mid-scan")
+            # batched dequantize + un-zigzag + IDCT per component
+            planes = []
+            for ci in range(nc):
+                qt = qtabs.get(comps[ci][2])
+                if qt is None:
+                    raise ValueError("missing quant table")
+                blk = np.zeros((nblocks, 64), np.float64)
+                blk[:, ZIGZAG] = zz_store[ci]
+                Fm = blk.reshape(-1, 8, 8) * qt
+                f = (
+                    np.matmul(np.matmul(_DCT_M.T, Fm), _DCT_M) + 128.0
+                )
+                plane = (
+                    f.reshape(bh, bw_, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw_ * 8)
+                )
+                planes.append(plane)
             out = [
                 np.clip(np.round(p[:h, :w]), 0, 255) for p in planes
             ]

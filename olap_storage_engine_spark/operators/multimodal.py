@@ -175,7 +175,11 @@ def attach_image_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out["img_h"] = hs
             yield out
 
-    return docs.mapInPandas(attach, schema=schema)
+    from .dedup import _spread
+
+    # per-row encode/decode work: restore parallelism when the fixture
+    # arrives as a single scan partition (no-op at real scale)
+    return _spread(docs).mapInPandas(attach, schema=schema)
 
 
 def decode_bmp_features(
@@ -428,7 +432,11 @@ def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             yield out
 
-    return docs.mapInPandas(attach, schema=schema)
+    from .dedup import _spread
+
+    # per-row encode/decode work: restore parallelism when the fixture
+    # arrives as a single scan partition (no-op at real scale)
+    return _spread(docs).mapInPandas(attach, schema=schema)
 
 
 def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -559,7 +567,11 @@ def attach_audio_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             yield out
 
-    return docs.mapInPandas(attach, schema=schema)
+    from .dedup import _spread
+
+    # per-row encode/decode work: restore parallelism when the fixture
+    # arrives as a single scan partition (no-op at real scale)
+    return _spread(docs).mapInPandas(attach, schema=schema)
 
 
 def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -644,7 +656,11 @@ def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             yield out
 
-    return docs.mapInPandas(attach, schema=schema)
+    from .dedup import _spread
+
+    # per-row encode/decode work: restore parallelism when the fixture
+    # arrives as a single scan partition (no-op at real scale)
+    return _spread(docs).mapInPandas(attach, schema=schema)
 
 
 def decode_jpeg_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -816,7 +832,11 @@ def attach_video_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             yield out
 
-    return docs.mapInPandas(attach, schema=schema)
+    from .dedup import _spread
+
+    # per-row encode/decode work: restore parallelism when the fixture
+    # arrives as a single scan partition (no-op at real scale)
+    return _spread(docs).mapInPandas(attach, schema=schema)
 
 
 def frame_sample_features(
