@@ -249,3 +249,32 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         spark.conf.set(thr_key, old_thr)
         spark.conf.set(bjt_key, old_bjt)
+
+
+def test_semantic_pair_stage_is_grouped_gemm(spark, entrymod):
+    """dedup_semantic's pair stage must be the r8 grouped-map kernel:
+    one FlatMapGroupsInPandas over the cell grouping, ZERO joins of
+    the corpus against itself (the pre-r8 self-join shipped both
+    embedding arrays per candidate pair), and only the grouping
+    exchange on the corpus side."""
+    plan = formatted_plan(_df(spark, entrymod, "dedup_semantic"))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # allowed broadcasts: the tiny per-cell size table of the skew
+    # backstop (formatted explain may print a reused subtree twice) —
+    # never a corpus-vs-corpus join
+    assert plan.count("BroadcastHashJoin") <= 2, plan
+
+
+def test_ivf_assignment_has_no_fanout_join(spark, entrymod):
+    """similarity_ann_ivf's corpus-side assignment must be the r8
+    row-local Arrow kernel (MapInPandas) — no BroadcastNestedLoopJoin
+    K-way fan-out of corpus rows against the centroid table on the
+    corpus leg (the probe leg's tiny fan-out remains)."""
+    plan = formatted_plan(_df(spark, entrymod, "similarity_ann_ivf"))
+    assert "MapInPandas" in plan, plan
+    # small BNLJs may remain on the PROBE leg only (5 probes x
+    # centroids; formatted explain may print a reused subtree twice);
+    # the corpus leg must go through the kernel, so the corpus scan
+    # must not feed a BNLJ — approximated by bounding the count
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
