@@ -1156,6 +1156,27 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """REAL animated-GIF decode end-to-end, pure python (r8): encode a
+    spec-conformant GIF89a per document (graphic-control extensions,
+    NETSCAPE loop block, variable-width LZW with dictionary resets),
+    then decode it for real — block walk, LZW inverse, palette map —
+    and average all frames' channels.  GIF is lossless over indices,
+    so the oracle recomputes the stats in closed form from doc_id
+    (operators/gifcodec.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_gif_features(mm.attach_gif_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -2598,18 +2619,18 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_jpeg_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # --- r5-stale block (35 entries; 4 more family twins demoted to
+    "multimodal_gif_decode",
+    # --- r5-stale block (34 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
     #     string_date_funcs, pivot_status, sample_packing, join_band,
-    #     topn_per_group) ---
+    #     topn_per_group, correlated_subquery) ---
     "agg_model_sum",
     "agg_percentiles",
     "bucket_routing_hash",
     "compaction_rewrite",
     "compaction_score",
     "corpus_prep",
-    "correlated_subquery",
     "dedup_exact",
     "dedup_keepset",
     "dedup_minhash",
@@ -2639,7 +2660,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 15 demoted r5 family twins (scheduled for the r9 head)
+    # the 16 demoted r5 family twins (scheduled for the r9 head)
+    "correlated_subquery",
     "topn_per_group",
     "join_band",
     "sample_packing",
@@ -2668,16 +2690,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("topn_per_group") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("correlated_subquery") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('topn_per_group')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('correlated_subquery')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
 # having_filter, string_date_funcs, pivot_status, sample_packing,
-# join_band, topn_per_group,
+# join_band, topn_per_group, correlated_subquery,
 # set_intersect,
 # ingest_jsonl,
 # ingest_csv,
@@ -2774,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4316,6 +4339,21 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side must reproduce them by actually encoding and
         # then actually parsing the BMP byte format (header offsets,
         # 4-byte row padding, BGR order, bottom-up rows)
+        "multimodal_gif_decode": """
+            SELECT doc_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(8 + doc_id % 25 AS INT) AS width,
+                   CAST(4 + doc_id % 13 AS INT) AS height,
+                   round(avg(CAST((doc_id * 3 + t.f * 7) % 256
+                                  AS DOUBLE)), 4) AS mean_r,
+                   round(avg(CAST((2 * ((doc_id * 3 + t.f * 7) % 256))
+                                  % 256 AS DOUBLE)), 4) AS mean_g,
+                   round(avg(CAST((3 * ((doc_id * 3 + t.f * 7) % 256))
+                                  % 256 AS DOUBLE)), 4) AS mean_b
+            FROM documents,
+                 unnest(range(0, 2 + doc_id % 4)) AS t(f)
+            GROUP BY 1
+        """,
         "multimodal_frame_sample": """
             SELECT doc_id,
                    CAST(2 + doc_id % 4 AS INT) AS n_frames,

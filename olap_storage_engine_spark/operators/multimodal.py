@@ -84,13 +84,16 @@ def decode_features(
     """
     if not fake:
         raise NotImplementedError(
-            "real decode for formats needing external codecs (video) "
-            "— wire pyav here; BMP, PNG, WAV and baseline JPEG all "
-            "have real pure-python paths (decode_bmp_features, "
-            "decode_png_features — CRC walk + inflate + all five "
-            "scanline filters on stdlib zlib, decode_audio_features "
-            "over the RIFF/WAVE chunk walk, decode_jpeg_features over "
-            "the full SOF0 Huffman/IDCT pipeline in jpegcodec.py)"
+            "real decode for formats needing external codecs "
+            "(H.264-class video) — wire pyav here; BMP, PNG, WAV, "
+            "baseline JPEG and animated GIF all have real pure-python "
+            "paths (decode_bmp_features, decode_png_features — CRC "
+            "walk + inflate + all five scanline filters on stdlib "
+            "zlib, decode_audio_features over the RIFF/WAVE chunk "
+            "walk, decode_jpeg_features over the full SOF0 "
+            "Huffman/IDCT pipeline in jpegcodec.py, "
+            "decode_gif_features over the LZW pipeline in "
+            "gifcodec.py)"
         )
 
     schema = f"{id_col} long, n_bytes int, first_byte int, last_byte int, byte_mean double"
@@ -885,3 +888,94 @@ def frame_sample_features(
             yield out
 
     return sampled.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# GIF — real animated-image format (operators/gifcodec.py; pure python LZW)
+# ---------------------------------------------------------------------------
+
+
+def attach_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL animated GIF per document (2 + id%4 flat frames,
+    frame f filled with palette index (id*3 + f*7) % 256, size
+    (8 + id%25) x (4 + id%13), the deterministic fixture palette) —
+    GIF is lossless over indices, so decoded per-channel stats are
+    closed-form from the id alone."""
+    from . import gifcodec as G
+
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ]
+    schema = ", ".join(fields + ["payload binary"])
+
+    def attach(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(8 + i % 25), int(4 + i % 13)
+                frames = [
+                    np.full((h, w), int((i * 3 + f * 7) % 256), np.uint8)
+                    for f in range(int(2 + i % 4))
+                ]
+                payloads.append(G.encode_gif(frames))
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                payloads, index=pdf.index, dtype=object
+            )
+            yield out
+
+    from .dedup import _spread
+
+    return _spread(docs).mapInPandas(attach, schema=schema)
+
+
+def decode_gif_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated-GIF decode: full LZW + block-structure parse per
+    payload, frames mapped through the palette, per-channel means over
+    ALL frames.  Arrow-batched mapInPandas."""
+    from . import gifcodec as G
+
+    schema = (
+        f"{id_col} long, n_frames int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                frames, pal = G.decode_gif(bytes(b))
+                rgb = np.stack(
+                    [pal[f].astype(np.float64) for f in frames]
+                )  # (n, h, w, 3)
+                rows.append(
+                    (
+                        len(frames),
+                        frames[0].shape[1],
+                        frames[0].shape[0],
+                        float(rgb[..., 0].mean()),
+                        float(rgb[..., 1].mean()),
+                        float(rgb[..., 2].mean()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_frames", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            for c in ("n_frames", "width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)

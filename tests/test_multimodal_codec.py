@@ -472,3 +472,71 @@ def test_png_fuzz_roundtrip_exact():
             assert (
                 m.png_decode(m.encode_png(img, filters=filters)) == img
             ).all()
+
+
+def test_gif_lzw_roundtrip_stress():
+    """GIF is lossless: random / flat / long-run frames round-trip
+    exactly, including dictionary growth, the KwKwK self-reference
+    case (long runs), and the 4096-entry dictionary reset (large
+    random frame)."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import gifcodec as G
+
+    rng = np.random.RandomState(6)
+    for trial in range(9):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        n = rng.randint(1, 5)
+        if trial % 3 == 0:
+            frames = [
+                np.full((h, w), rng.randint(0, 256), np.uint8)
+                for _ in range(n)
+            ]
+        elif trial % 3 == 1:
+            frames = [rng.randint(0, 256, (h, w), np.uint8) for _ in range(n)]
+        else:
+            base = (
+                np.repeat(rng.randint(0, 4, (h,)), w)
+                .reshape(h, w)
+                .astype(np.uint8)
+            )
+            frames = [base] * n
+        out, pal = G.decode_gif(G.encode_gif(frames))
+        assert len(out) == n and pal.shape == (256, 3)
+        for a, b in zip(frames, out):
+            assert (a == b).all(), trial
+    big = rng.randint(0, 256, (128, 128), np.uint8)
+    out, _ = G.decode_gif(G.encode_gif([big]))
+    assert (out[0] == big).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import gifcodec as G
+
+    buf = G.encode_gif([np.zeros((4, 4), np.uint8)])
+    with pytest.raises(ValueError, match="not a GIF"):
+        G.decode_gif(b"JUNK12" + buf[6:])
+    # truncate the LZW data: sub-block bytes vanish
+    with pytest.raises(ValueError):
+        G.decode_gif(buf[:-6])
+
+
+def test_gif_spark_decode_matches_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    feats = m.decode_gif_features(m.attach_gif_payload(docs))
+    for r in feats.collect():
+        i = r["doc_id"]
+        n = 2 + i % 4
+        idxs = [(i * 3 + f * 7) % 256 for f in range(n)]
+        assert r["n_frames"] == n
+        assert (r["width"], r["height"]) == (8 + i % 25, 4 + i % 13)
+        assert abs(r["mean_r"] - sum(idxs) / n) < 1e-9
+        assert abs(r["mean_g"] - sum(2 * k % 256 for k in idxs) / n) < 1e-9
+        assert abs(r["mean_b"] - sum(3 * k % 256 for k in idxs) / n) < 1e-9
