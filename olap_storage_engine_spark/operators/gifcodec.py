@@ -60,7 +60,11 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         if next_code < 4096:
             table[k] = next_code
             next_code += 1
-            if next_code > (1 << width) and width < 12:
+            # canonical width timing (compress.c lineage): the NEXT
+            # emitted code switches to w+1 as soon as the table size
+            # REACHES 2^w — one code earlier than pair-consistency
+            # alone would require; external decoders depend on it
+            if next_code >= (1 << width) and width < 12:
                 width += 1
         else:
             emit(clear, width)
@@ -118,15 +122,19 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # KwKwK
+            if len(table) < 4096:  # deferred-clear: full table freezes
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
         else:
             raise ValueError("LZW code out of range")
         out.extend(entry)
         prev = entry
-        if len(table) == (1 << width) and width < 12:
+        # the famous decoder-lag rule: grow one code EARLY (at
+        # 2^w - 1, not 2^w) because the decoder's table trails the
+        # encoder's by one entry at equal stream positions
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
         if len(out) > n_expected:
             raise ValueError("LZW output overruns frame size")
