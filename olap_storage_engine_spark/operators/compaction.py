@@ -311,7 +311,13 @@ def garbage_collect(
                 removed.append(rs.path)
             reclaimed_ids.append(rs.rowset_id)
     if reclaimed_ids:
-        table.manifest.mark_reclaimed(reclaimed_ids)
+        # the files are already gone — the reclaimed flags MUST land
+        # even if a concurrent writer bumped the manifest generation,
+        # so replay the marking against the winner's state (the flag
+        # set is idempotent and derived from ids, safe to re-apply)
+        table.manifest.with_retry(
+            lambda m: m.mark_reclaimed(reclaimed_ids)
+        )
     return removed
 
 
