@@ -471,6 +471,19 @@ def q_decontaminate_indexed(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_dsir_sample(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    deterministic top-k variant: score every document by the log
+    likelihood ratio of the TARGET n-gram model (the fixture eval set,
+    doc_id % 97 == 0) over the RAW corpus model — unigram+bigram
+    features, add-1 smoothing over the union vocabulary — and keep the
+    100 highest-scoring docs, ties by doc_id.  The k-boundary is cut
+    on the 6dp-ROUNDED score in both engines
+    (operators/text.dsir_select)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.dsir_select(docs, _bench_docs(docs), k=100)
+
+
 def q_decontamination_report(spark, sf_dir):
     """Per-benchmark-document leak breadth (the Brown et al. 2020
     contamination AUDIT, not the filter): for each eval doc, how many
@@ -2610,6 +2623,7 @@ _DRIVER_CHECK_HEAD = [
     "window_rank_family",
     # --- r8-new queries (also never driver-checked; added this round
     #     so they don't repeat r7's past-the-cap process gap) ---
+    "dsir_sample",
     "decontamination_report",
     "gram_novelty",
     "embedding_diversity",
@@ -2620,12 +2634,11 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_gif_decode",
-    # --- r5-stale block (34 entries; 4 more family twins demoted to
+    # --- r5-stale block (33 entries; 4 more family twins demoted to
     #     the fill to keep the head at exactly 50: join_full_outer,
     #     events_stream_append, filter_equality_point, having_filter,
     #     string_date_funcs, pivot_status, sample_packing, join_band,
-    #     topn_per_group, correlated_subquery) ---
-    "agg_model_sum",
+    #     topn_per_group, correlated_subquery, agg_model_sum) ---
     "agg_percentiles",
     "bucket_routing_hash",
     "compaction_rewrite",
@@ -2660,7 +2673,8 @@ _DRIVER_CHECK_HEAD = [
     "unique_key_latest",
     "write_read_roundtrip",
     # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 16 demoted r5 family twins (scheduled for the r9 head)
+    # the 17 demoted r5 family twins (scheduled for the r9 head)
+    "agg_model_sum",
     "correlated_subquery",
     "topn_per_group",
     "join_band",
@@ -2690,16 +2704,16 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("correlated_subquery") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("agg_model_sum") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('correlated_subquery')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_model_sum')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
 # query still lacking a green row, then the FIFTEEN demoted twins in
 # the fill above — the 10 r5 twins demoted this round
 # (join_full_outer, events_stream_append, filter_equality_point,
 # having_filter, string_date_funcs, pivot_status, sample_packing,
-# join_band, topn_per_group, correlated_subquery,
+# join_band, topn_per_group, correlated_subquery, agg_model_sum,
 # set_intersect,
 # ingest_jsonl,
 # ingest_csv,
@@ -2746,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepset": q_dedup_keepset,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
+        "dsir_sample": q_dsir_sample,
         "gram_novelty": q_gram_novelty,
         "embedding_diversity": q_embedding_diversity,
         "decontaminate_indexed": q_decontaminate_indexed,
@@ -4021,6 +4036,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keepset": _dedup_keepset_oracle(),
         "decontaminate_bench": _decontaminate_oracle(),
+        "dsir_sample": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT DISTINCT doc_id, unnest(t) AS gram FROM toks
+            ),
+            bi AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]) AS gram
+              FROM toks
+            ),
+            g AS (SELECT doc_id, gram FROM uni
+                  UNION SELECT doc_id, gram FROM bi),
+            tgt AS (SELECT gram, count(*) AS t FROM g
+                    WHERE doc_id % 97 = 0 GROUP BY 1),
+            raw AS (SELECT gram, count(*) AS r FROM g GROUP BY 1),
+            v AS (SELECT gram, coalesce(r, 0) AS r, coalesce(t, 0) AS t
+                  FROM raw FULL JOIN tgt USING (gram)),
+            tot AS (SELECT sum(r) AS rt, sum(t) AS tt, count(*) AS nv
+                    FROM v),
+            lam AS (SELECT gram,
+                           ln((t + 1.0) / (tt + nv))
+                           - ln((r + 1.0) / (rt + nv)) AS lam
+                    FROM v, tot),
+            s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                         round(sum(lam), 6) AS score
+                  FROM g JOIN lam USING (gram) GROUP BY 1)
+            SELECT doc_id, n_grams, score, rank FROM (
+              SELECT doc_id, n_grams, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS INT) AS rank
+              FROM s)
+            WHERE rank <= 100
+        """,
         "decontamination_report": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -876,3 +876,98 @@ def mixture_summary(
             ).alias("kept_frac"),
         )
     )
+
+
+def dsir_gram_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DSIR's feature space: distinct word unigrams ∪ bigrams per
+    document, one (id, gram) row each — the hashed-ngram bag of Xie
+    et al. 2023 with the hash left off (grams join by value, so the
+    DuckDB oracle needs no hash replication; at 100 TB swap the join
+    key for xxhash64(gram) — same plan shape, smaller shuffle)."""
+    from .dedup import gram_array, _spread
+
+    toked = _spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = F.array_union(
+        F.array_distinct(F.col("__toks")),
+        gram_array(F.col("__toks"), 2),
+    )
+    g = toked.select(F.col(id_col), grams.alias("__g"))
+    return g.select(F.col(id_col), F.explode("__g").alias("gram"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), deterministic top-k variant: score every raw document by
+    the log likelihood ratio of a TARGET n-gram model over the RAW
+    model and keep the k highest-scoring docs — "give me the k raw
+    documents that look most like the target distribution", the
+    standard pretraining-data selection step when a quality corpus
+    (or an eval-adjacent domain) defines what "good" looks like.
+
+    Model: distinct unigram+bigram features; add-1-smoothed gram
+    probabilities over the union vocabulary V;
+    λ(g) = ln((t_g+1)/(T+|V|)) − ln((r_g+1)/(R+|V|));
+    score(doc) = Σ_{g ∈ doc} λ(g).  The published method then samples
+    with Gumbel noise ∝ score; the deterministic top-k (ties by
+    doc_id) is the oracle-checkable variant — add
+    ``F.rand(seed)``-free Gumbel keys at the call site if sampled
+    selection is wanted.
+
+    Plan shape for 100 TB: one tokenize pass per side; gram counts are
+    combine-enabled aggregates; λ joins doc grams on the gram key
+    (co-partitioned — both sides shuffle once on the same key); the
+    per-doc score is one more combine aggregate and the global top-k
+    is a TakeOrdered, never a full sort.  The scalar totals (T, R,
+    |V|) ride in as one tiny cross-joined literal row.
+
+    Returns (id, n_grams, score, rank), score rounded to 6dp (the
+    rounded-cut discipline: the k-boundary is decided on the rounded
+    value so float summation order can't flip membership vs the
+    oracle).
+    """
+    from pyspark.sql import Window
+
+    raw_g = dsir_gram_features(docs, text_col, id_col)
+    tgt_g = dsir_gram_features(target, text_col, id_col)
+    r_cnt = raw_g.groupBy("gram").agg(F.count(F.lit(1)).alias("r"))
+    t_cnt = tgt_g.groupBy("gram").agg(F.count(F.lit(1)).alias("t"))
+    vocab = r_cnt.join(t_cnt, "gram", "full_outer").select(
+        "gram",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("t", F.lit(0)).alias("t"),
+    )
+    totals = vocab.agg(
+        F.sum("r").alias("__rt"),
+        F.sum("t").alias("__tt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    lam = vocab.crossJoin(F.broadcast(totals)).select(
+        "gram",
+        (
+            F.log((F.col("t") + 1) / (F.col("__tt") + F.col("__v")))
+            - F.log((F.col("r") + 1) / (F.col("__rt") + F.col("__v")))
+        ).alias("lam"),
+    )
+    scored = (
+        raw_g.join(lam, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

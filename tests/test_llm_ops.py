@@ -1184,3 +1184,51 @@ def test_embedding_diversity_excludes_singletons(spark):
         [Row(vec_id=1, label=9, embedding=[1.0, 0.0])]
     )
     assert sim.embedding_diversity(emb).count() == 0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR sanity: documents sharing the target's vocabulary must
+    outrank documents that don't; determinism: two runs identical."""
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(
+                (["spark", "sql"] if i % 3 == 0 else ["rust", "engine"])
+                * 4
+                + [f"u{i}"]
+            ),
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows)
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    out = tx.dsir_select(docs, target, k=12)
+    got = sorted(
+        (r["rank"], r["doc_id"]) for r in out.collect()
+    )
+    # the ten target-like docs fill the top ten ranks
+    assert all(d % 3 == 0 for _, d in got[:10])
+    assert got == sorted((r["rank"], r["doc_id"]) for r in out.collect())
+
+
+def test_dsir_scores_are_likelihood_ratios(spark):
+    """Hand-checkable two-doc corpus: the doc containing the target's
+    gram scores strictly higher, and the score matches the closed-form
+    add-1 smoothed log ratio."""
+    import math
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="cc dd")]
+    )
+    target = spark.createDataFrame([Row(doc_id=9, text="aa bb")])
+    out = {r["doc_id"]: r for r in tx.dsir_select(docs, target, k=2).collect()}
+    # vocab: grams of docs∪target = {aa, bb, aa bb, cc, dd, cc dd}? raw
+    # vocabulary is built from raw∪target gram sets
+    # raw counts: aa:1 bb:1 'aa bb':1 cc:1 dd:1 'cc dd':1  (R=6)
+    # tgt counts: aa:1 bb:1 'aa bb':1                      (T=3)
+    # V = 6
+    lam_hit = math.log(2 / (3 + 6)) - math.log(2 / (6 + 6))
+    lam_miss = math.log(1 / (3 + 6)) - math.log(2 / (6 + 6))
+    assert abs(out[1]["score"] - round(3 * lam_hit, 6)) < 2e-6
+    assert abs(out[2]["score"] - round(3 * lam_miss, 6)) < 2e-6
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
