@@ -923,12 +923,16 @@ def dsir_select(
     ``F.rand(seed)``-free Gumbel keys at the call site if sampled
     selection is wanted.
 
-    Plan shape for 100 TB: one tokenize pass per side; gram counts are
-    combine-enabled aggregates; λ joins doc grams on the gram key
-    (co-partitioned — both sides shuffle once on the same key); the
-    per-doc score is one more combine aggregate and the global top-k
-    is a TakeOrdered, never a full sort.  The scalar totals (T, R,
-    |V|) ride in as one tiny cross-joined literal row.
+    Plan shape for 100 TB: two tokenize passes over the raw corpus
+    (one for counts, one for scoring — persist the gram frame at the
+    call site to trade memory for the second pass) and one over the
+    tiny target; gram counts are combine-enabled aggregates; λ joins
+    doc grams on the gram key (co-partitioned — both sides shuffle
+    once on the same key); the per-doc score is one more combine
+    aggregate and the global top-k is a real TakeOrderedAndProject
+    (orderBy + limit), never an all-rows single-partition window —
+    rank attaches afterwards over the ≤k surviving rows.  The scalar
+    totals (T, R, |V|) ride in as one tiny cross-joined literal row.
 
     Returns (id, n_grams, score, rank), score rounded to 6dp (the
     rounded-cut discipline: the k-boundary is decided on the rounded
@@ -966,8 +970,10 @@ def dsir_select(
             F.round(F.sum("lam"), 6).alias("score"),
         )
     )
+    # global top-k as TakeOrderedAndProject; the rank window then
+    # runs over only the k survivors (single tiny partition)
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
