@@ -160,7 +160,15 @@ class VersionGraph:
         and not yet physically reclaimed — the time-travel graph.
         Discarded rowsets (rollback/abort, or pre-r8 manifests with no
         recorded reason) are NEVER edges: their content is logically
-        deleted and must not be resurrected."""
+        deleted and must not be resurrected.
+
+        Partition-SCOPED retired rowsets are never edges either: a
+        scoped rowset's interval covers only its labels, and the
+        global cover algebra has no label masking — treating a scoped
+        DELETE delta as a global edge would union it with the base
+        WITHOUT masking the label out of the base, silently
+        resurrecting deleted rows.  Historical reads through scoped
+        epochs therefore fail loudly as out of time-travel reach."""
         self.edges: dict[int, list[RowsetMeta]] = {}
         for rs in rowsets:
             ok = rs.state == RowsetState.VISIBLE or (
@@ -168,6 +176,7 @@ class VersionGraph:
                 and rs.state == RowsetState.STALE
                 and rs.stale_reason == "retired"
                 and not rs.reclaimed
+                and not rs.partitions
             )
             if ok:
                 self.edges.setdefault(rs.start_version, []).append(rs)

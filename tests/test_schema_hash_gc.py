@@ -196,3 +196,61 @@ def test_rollback_discards_are_never_resurrected(spark, warehouse):
     garbage_collect(t, min_retained_version=0)
     got = {r["k"] for r in t.read(0, 1).collect()}
     assert got == {0, 100}
+
+
+def test_time_travel_never_crosses_scoped_epochs(spark, warehouse):
+    """A retired partition-SCOPED rowset must never serve as a global
+    time-travel edge: its interval covers only its labels, and the
+    global cover has no label masking — a scoped DELETE delta unioned
+    with the unmasked base would resurrect the deleted row.  Reads
+    through scoped epochs raise; purely-global prefixes stay
+    readable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators.compaction import (
+        compact,
+        delete_where,
+    )
+    from olap_storage_engine_spark.plans.manifest import VersionGraphError
+    from olap_storage_engine_spark.spec import (
+        PartitionPolicy,
+        PartitionType,
+    )
+
+    spec = TableSpec(
+        name="sh_scoped_tt",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("d", ColumnType.VARCHAR),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "d",
+            bounds=[("p1", "b"), ("p2", "z")],
+        ),
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "m", 3.0)],
+            "k long, d string, v double",
+        )
+    )  # v0, global
+    n = delete_where(t, F.col("k") == 3)  # v1, scoped to p2
+    assert n == 1
+    t.write(
+        spark.createDataFrame([(4, "m", 4.0)], "k long, d string, v double")
+    )  # v2, global — so [0, 1] is NOT covered by the compacted rowset
+    compact(t)  # retires global v0/v2 AND the scoped v1 delta
+    # head read: deletion holds
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 4}
+    # pre-DML snapshot: purely global cover, still readable
+    assert {r["k"] for r in t.read(0, 0).collect()} == {1, 2, 3}
+    # [0, 1] would need the retired SCOPED delta as a global edge —
+    # the union with the UNMASKED v0 base would resurrect k=3; the
+    # graph refuses instead (out of time-travel reach)
+    with pytest.raises(VersionGraphError):
+        t.read(0, 1).collect()
