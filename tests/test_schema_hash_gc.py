@@ -254,3 +254,61 @@ def test_time_travel_never_crosses_scoped_epochs(spark, warehouse):
     # graph refuses instead (out of time-travel reach)
     with pytest.raises(VersionGraphError):
         t.read(0, 1).collect()
+
+
+def test_gc_retention_with_scoped_history(spark, warehouse):
+    """Retention GC over a table whose history contains a scoped DML
+    epoch: retained covers are global-only (scoped epochs are out of
+    time-travel reach), retired scoped rowsets are conservatively
+    retained while a window is set, and the head stays correct."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators.compaction import (
+        compact,
+        delete_where,
+    )
+    from olap_storage_engine_spark.spec import (
+        PartitionPolicy,
+        PartitionType,
+    )
+
+    spec = TableSpec(
+        name="sh_scoped_gc",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("d", ColumnType.VARCHAR),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.UNIQUE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE, "d",
+            bounds=[("p1", "b"), ("p2", "z")],
+        ),
+        bucket=BucketSpec(BucketType.HASH, "k", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse, overwrite=True)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (3, "m", 3.0)], "k long, d string, v double"
+        )
+    )  # v0 global
+    delete_where(t, F.col("k") == 3)  # v1 scoped
+    t.write(
+        spark.createDataFrame([(4, "m", 4.0)], "k long, d string, v double")
+    )  # v2 global
+    compact(t)
+    removed = garbage_collect(t, min_retained_version=0)
+    # the retained cover for v0 keeps the global v0 rowset; the scoped
+    # delta is conservatively retained (not reclaimed) under a window
+    stale = {
+        r.rowset_id: r
+        for r in t.manifest.rowsets()
+        if r.state == RowsetState.STALE
+    }
+    scoped = [r for r in stale.values() if r.partitions]
+    assert scoped and all(not r.reclaimed for r in scoped)
+    assert {r["k"] for r in t.read(0, 0).collect()} == {1, 3}
+    assert {r["k"] for r in t.read().collect()} == {1, 4}
+    # head-only GC then reclaims everything stale, head unaffected
+    garbage_collect(t)
+    assert {r["k"] for r in t.read().collect()} == {1, 4}
