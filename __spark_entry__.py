@@ -2601,19 +2601,17 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-8 rotation.  Priority order within the head:
-    #   1-6   the six queries with NO driver row in ANY round — all
-    #         added in r7 after that round's gate head was composed
-    #         (LOCALCHECK_r07 green at sf0.01; VERDICT r7 task 1),
-    #   7-50  44 of the 50 queries whose newest driver row is r5
+    #   1-6   the six r7 queries with NO driver row in ANY round
+    #         (added after the r7 gate head was composed; VERDICT r7
+    #         task 1),
+    #   7-17  the eleven r8-NEW queries — each took its own head slot
+    #         the day it was added, so none repeats r7's past-the-cap
+    #         process gap,
+    #   18-50 33 of the 50 queries whose newest driver row is r5
     #         (CORRECTNESS_r05 minus newer rows; VERDICT r7 task 6).
-    #         The 6 r5 queries with a same-family representative
-    #         already in the head are demoted to the fill so a 50-row
-    #         cap loses only redundant twins: set_intersect (set_union
-    #         stays), ingest_jsonl + ingest_csv (ingest_orc stays),
-    #         agg_model_replace (agg_model_sum stays), window_lead_lag
-    #         (window_rank_family + window_range_frame cover the
-    #         family), dedup_clusters (dedup_keepset composes cluster
-    #         resolution end-to-end).
+    #         The 17 r5 queries with a same-family representative
+    #         already covered are demoted to the fill (each named
+    #         there) so the 50-row cap loses only redundant twins.
     # --- never driver-checked (r7-new) ---
     "decontaminate_bench",
     "decontaminate_indexed",
@@ -2634,11 +2632,7 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_gif_decode",
-    # --- r5-stale block (33 entries; 4 more family twins demoted to
-    #     the fill to keep the head at exactly 50: join_full_outer,
-    #     events_stream_append, filter_equality_point, having_filter,
-    #     string_date_funcs, pivot_status, sample_packing, join_band,
-    #     topn_per_group, correlated_subquery, agg_model_sum) ---
+    # --- r5-stale block (33 entries) ---
     "agg_percentiles",
     "bucket_routing_hash",
     "compaction_rewrite",
@@ -2709,14 +2703,12 @@ assert _DRIVER_CHECK_HEAD.index("agg_model_sum") == _HEAD_PROPER_LEN, (
     f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_model_sum')}"
 )
 # ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
-# query still lacking a green row, then the FIFTEEN demoted twins in
-# the fill above — the 10 r5 twins demoted this round
-# (join_full_outer, events_stream_append, filter_equality_point,
-# having_filter, string_date_funcs, pivot_status, sample_packing,
-# join_band, topn_per_group, correlated_subquery, agg_model_sum,
-# set_intersect,
-# ingest_jsonl,
-# ingest_csv,
+# query still lacking a green row, then the TWENTY-TWO demoted twins
+# in the fill above, in fill order — the 17 r5 twins demoted this
+# round (agg_model_sum, correlated_subquery, topn_per_group,
+# join_band, sample_packing, pivot_status, string_date_funcs,
+# join_full_outer, events_stream_append, filter_equality_point,
+# having_filter, set_intersect, ingest_jsonl, ingest_csv,
 # agg_model_replace, window_lead_lag, dedup_clusters) and the 5
 # r4-stale ones (partition_prune_list, set_except, grouping_cube,
 # window_running_total, scan_count) — then the oldest r6 rows (47
