@@ -1190,6 +1190,49 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_video_decode(spark, sf_dir):
+    """REAL video decode end-to-end, pure python (r9 — the last
+    modality gap closed): encode a spec-layout AVI 1.0 container per
+    document (RIFF hdrl/strl headers, MJPEG '00dc' movi stream, idx1
+    keyframe index) holding 2 + id%4 complete baseline-JPEG frames,
+    then decode it for real — container walk, index validation against
+    the movi stream, full Huffman/IDCT per frame — and average the
+    frames' channels.  Frame content stays in the JPEG exact regime
+    (flat integer-YCbCr per frame), so the oracle recomputes the stats
+    in closed form from (doc_id, frame) alone
+    (operators/avicodec.py + operators/jpegcodec.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_video_features(mm.attach_avi_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+def q_multimodal_video_frame_sample(spark, sf_dir):
+    """Frame sampling over a REAL video container, the way a 100 TB
+    pipeline does it: the reader walks the AVI's idx1 index and slices
+    ONLY every 2nd frame's byte range out of the movi stream — dropped
+    frames are never entropy-decoded (operators/avicodec.decode_frames
+    every_k path).  Sampled frames then run the full JPEG decode and
+    reduce to channel means the oracle recomputes in closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_video_features(
+        mm.attach_avi_payload(docs), every_k=2
+    )
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_r", 4).alias("mean_r"),
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     return windowed_event_agg(load_table(spark, sf_dir, "events"))
 
@@ -1504,7 +1547,10 @@ def q_multimodal_pipeline(spark, sf_dir):
     decoded stats in closed form, so a decoder shortcut would change
     the selected set and hash-mismatch."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_bmp_features(mm.attach_image_payload(docs))
+    # fused encode+decode: one Arrow pass instead of two — the full
+    # BMP bytes are still produced and fully re-parsed per row, so the
+    # decoded-stat filter below still depends on a real codec pass
+    feats = mm.attach_and_decode_bmp_features(docs)
     emb = load_table(spark, sf_dir, "embeddings")
     kept = feats.filter(F.col("mean_b") < 128)
     return (
@@ -2804,6 +2850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_video_decode": q_multimodal_video_decode,
+        "multimodal_video_frame_sample": q_multimodal_video_frame_sample,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -4417,6 +4465,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g,
                    round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b
             FROM documents, unnest(range(0, 16)) AS t(x)
+            GROUP BY 1
+        """,
+        "multimodal_video_decode": """
+            WITH f AS (
+              SELECT doc_id, t.f AS fr,
+                     CAST((doc_id * 5 + t.f * 29) % 256 AS DOUBLE) AS y,
+                     CAST(doc_id * 11 % 256 AS DOUBLE) AS cb,
+                     CAST(doc_id * 17 % 256 AS DOUBLE) AS cr
+              FROM documents,
+                   unnest(range(0, 2 + doc_id % 4)) AS t(f))
+            SELECT doc_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+                   CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+                   round(avg(least(255, greatest(0,
+                     floor(y + 1.402 * (cr - 128) + 0.5)))), 4) AS mean_r,
+                   round(avg(least(255, greatest(0,
+                     floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5)))), 4)
+                     AS mean_g,
+                   round(avg(least(255, greatest(0,
+                     floor(y + 1.772 * (cb - 128) + 0.5)))), 4) AS mean_b
+            FROM f
+            GROUP BY 1
+        """,
+        "multimodal_video_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, t.f AS fr,
+                     CAST((doc_id * 5 + t.f * 29) % 256 AS DOUBLE) AS y,
+                     CAST(doc_id * 17 % 256 AS DOUBLE) AS cr
+              FROM documents,
+                   unnest(range(0, 2 + doc_id % 4)) AS t(f)
+              WHERE t.f % 2 = 0)
+            SELECT doc_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(count(*) AS INT) AS n_sampled,
+                   round(avg(least(255, greatest(0,
+                     floor(y + 1.402 * (cr - 128) + 0.5)))), 4) AS mean_r
+            FROM f
             GROUP BY 1
         """,
         "multimodal_jpeg_decode": """

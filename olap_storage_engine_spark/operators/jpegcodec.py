@@ -451,49 +451,63 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             zz_store = [
                 np.zeros((nblocks, 64), np.int64) for _ in range(nc)
             ]
-            for bi in range(nblocks):
-                for ci in range(nc):
-                    if bp > nreal:
-                        raise ValueError(
-                            "entropy segment exhausted mid-scan"
-                        )
-                    (dval, dlen), (aval, alen) = luts[ci]
-                    zz = zz_store[ci][bi]
-                    pk = int(W[bp])
-                    ln = int(dlen[pk])
-                    if ln == 0:
-                        raise ValueError("invalid Huffman code in scan")
-                    s = int(dval[pk])
-                    bp += ln
-                    if s:
-                        diff = _extend(int(W[bp]) >> (16 - s), s)
-                        bp += s
-                    else:
-                        diff = 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
+            # the 32-bit pad covers one code lookahead past the real
+            # bits, not an arbitrarily deep mid-block overrun — so a
+            # malformed stream may run the cursor past the sliding
+            # window W; surface that as the documented ValueError
+            # rather than a raw IndexError (ADVICE r8)
+            try:
+                for bi in range(nblocks):
+                    for ci in range(nc):
+                        if bp > nreal:
+                            raise ValueError(
+                                "entropy segment exhausted mid-scan"
+                            )
+                        (dval, dlen), (aval, alen) = luts[ci]
+                        zz = zz_store[ci][bi]
                         pk = int(W[bp])
-                        ln = int(alen[pk])
+                        ln = int(dlen[pk])
                         if ln == 0:
                             raise ValueError(
                                 "invalid Huffman code in scan"
                             )
-                        rs = int(aval[pk])
+                        s = int(dval[pk])
                         bp += ln
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overrun")
-                        zz[k] = _extend(int(W[bp]) >> (16 - s), s)
-                        bp += s
-                        k += 1
+                        if s:
+                            diff = _extend(int(W[bp]) >> (16 - s), s)
+                            bp += s
+                        else:
+                            diff = 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            pk = int(W[bp])
+                            ln = int(alen[pk])
+                            if ln == 0:
+                                raise ValueError(
+                                    "invalid Huffman code in scan"
+                                )
+                            rs = int(aval[pk])
+                            bp += ln
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(
+                                int(W[bp]) >> (16 - s), s
+                            )
+                            bp += s
+                            k += 1
+            except IndexError:
+                raise ValueError(
+                    "entropy segment exhausted mid-scan"
+                ) from None
             if bp > nreal:
                 raise ValueError("entropy segment exhausted mid-scan")
             # batched dequantize + un-zigzag + IDCT per component

@@ -277,12 +277,17 @@ def _cell_assign_top1_arrow(
         key=lambda r: r["cent_id"],
     )
     base = df.select(*keep)
+    # keep the centroid frame's native cent_id type — the JVM
+    # big-quantizer fallback preserves it, so the two dispatch paths
+    # must return the same schema (ADVICE r8)
+    cid_type = cents.schema["cent_id"].dataType
     out_schema = T.StructType(
-        list(base.schema.fields)
-        + [T.StructField("cent_id", T.LongType(), True)]
+        list(base.schema.fields) + [T.StructField("cent_id", cid_type, True)]
     )
     if not rows:
-        return base.limit(0).withColumn("cent_id", F.lit(None).cast("long"))
+        return base.limit(0).withColumn(
+            "cent_id", F.lit(None).cast(cid_type)
+        )
     C = np.array([r["cent_vec"] for r in rows], dtype=np.float64)
     nrm = np.array([r["cent_norm"] for r in rows], dtype=np.float64)
     cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)

@@ -129,6 +129,29 @@ def _shuffle_partitions(spark: SparkSession, n: int):
 _SPLIT_CACHE: dict = {}
 
 
+def _events_stat(sf_dir: str) -> tuple:
+    """(st_mtime_ns, st_size) of the events fixture parquet — cache
+    keys include it so an in-process fixture rebuild invalidates the
+    split exports instead of silently serving streams from the old
+    corpus (same staleness fix as corpus.py's _BENCH_HASHES, ADVICE
+    r7/r8).  The path may be a single file or a parquet directory;
+    for a directory, fold in every data file's (mtime, size) so a
+    rewritten part-file invalidates even when the dir inode doesn't."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = tuple(
+            (fn, s.st_mtime_ns, s.st_size)
+            for fn in sorted(os.listdir(path))
+            if not fn.startswith((".", "_"))
+            for s in [os.stat(os.path.join(path, fn))]
+        )
+        return (st.st_mtime_ns, parts)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def prewarm_stream_sources(
     spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-16 00:00:00"
 ) -> None:
@@ -157,7 +180,7 @@ def _two_batch_stream(spark: SparkSession, sf_dir: str, cutoff: str):
     from ..sources.testdata import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    key = (sf_dir, cutoff)
+    key = (sf_dir, cutoff, _events_stat(sf_dir))
     if key not in _SPLIT_CACHE:
         src_dir = tempfile.mkdtemp(prefix="events_stream2_")
         f1 = os.path.join(src_dir, "batch1")
@@ -190,7 +213,7 @@ def _replay_split_dir(spark: SparkSession, sf_dir: str, cutoff: str) -> str:
 
     from ..sources.testdata import load_table
 
-    key = (sf_dir, cutoff, "replay")
+    key = (sf_dir, cutoff, "replay", _events_stat(sf_dir))
     if key not in _SPLIT_CACHE:
         ev = load_table(spark, sf_dir, "events")
         src_dir = tempfile.mkdtemp(prefix="events_replay_")

@@ -217,9 +217,35 @@ def test_multimodal_payload_and_features(spark, docs):
     assert math.isclose(feats[1]["byte_mean"], expected_mean, rel_tol=1e-9)
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        mm.decode_features(mm.attach_binary_payload(docs), fake=False)
+def test_multimodal_video_container_decodes_for_real(spark, docs):
+    """The last modality gap closed (r9): AVI/MJPEG payloads attach
+    and decode end-to-end, and the values match the exact-regime
+    closed form (flat YCbCr frame f of doc i -> clamped integer RGB)."""
+    feats = {
+        r["doc_id"]: r
+        for r in mm.decode_video_features(
+            mm.attach_avi_payload(docs)
+        ).collect()
+    }
+
+    def rgb(i, f):
+        y, cb, cr = (i * 5 + f * 29) % 256, i * 11 % 256, i * 17 % 256
+        clamp = lambda v: min(255, max(0, math.floor(v + 0.5)))
+        return (
+            clamp(y + 1.402 * (cr - 128)),
+            clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            clamp(y + 1.772 * (cb - 128)),
+        )
+
+    for i, r in feats.items():
+        n = 2 + i % 4
+        assert r["n_frames"] == n and r["n_sampled"] == n
+        assert (r["width"], r["height"]) == (8 * (1 + i % 4), 8 * (1 + i % 3))
+        exp = [rgb(i, f) for f in range(n)]
+        for ci, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+            assert math.isclose(
+                r[col], sum(e[ci] for e in exp) / n, abs_tol=1e-9
+            ), (i, col)
 
 
 # ---------------------------------------------------------------- clusters

@@ -84,12 +84,13 @@ def test_malformed_payload_raises(spark, mutate):
         mm.decode_bmp_features(sdf).collect()
 
 
-def test_fake_false_still_stubbed_for_non_bmp(spark):
-    """decode_features(fake=False) remains the documented stub for
-    formats needing external codecs; BMP has the real path."""
-    df = spark.range(1).withColumnRenamed("id", "doc_id")
-    with pytest.raises(NotImplementedError):
-        mm.decode_features(df, fake=False)
+def test_fake_parameter_retired():
+    """The r5-era ``fake=`` stub gate is gone (r9): all six modalities
+    decode for real, so decode_features is now the plain byte-profile
+    pass and no longer accepts a fake switch."""
+    import inspect
+
+    assert "fake" not in inspect.signature(mm.decode_features).parameters
 
 
 def test_png_roundtrip_all_filters():
@@ -298,6 +299,48 @@ def test_jpeg_rejects_unsupported_variants():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         J.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_mid_block_overrun_raises_cleanly():
+    """A truncated entropy segment that overruns the bit window deep
+    inside a block must surface the documented ValueError, never a raw
+    IndexError (ADVICE r8 on jpegcodec.py)."""
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24), np.uint8)
+    buf = bytearray(J.encode_jpeg(img))
+    eoi = bytes(buf).rindex(b"\xff\xd9")
+    sos = bytes(buf).index(b"\xff\xda")
+    # chop the entropy segment at several depths; every cut must fail
+    # with a clean ValueError (message varies: exhausted vs invalid
+    # Huffman code, depending on what the pad bits decode to)
+    for keep in [1, 4, 16, (eoi - sos) // 2]:
+        cut = bytes(buf[: sos + 14 + keep]) + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            J.decode_jpeg(cut)
+
+
+def test_wav_overlong_chunk_raises():
+    """A chunk header declaring more bytes than remain must fail loud
+    instead of silently truncating the PCM slice (ADVICE r8)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    buf = bytearray(m.encode_wav_pcm16(np.arange(16, dtype="<i2")))
+    data_at = bytes(buf).index(b"data")
+    # inflate the data chunk's declared length past the buffer, and
+    # re-pin the RIFF total so only the inner check can catch it
+    struct.pack_into("<I", buf, data_at + 4, 10_000)
+    with pytest.raises(ValueError, match="declares"):
+        m.wav_decode(bytes(buf[:4]) + struct.pack("<I", len(buf) - 8) + bytes(buf[8:]))
 
 
 def test_jpeg_spark_decode_matches_closed_form(spark):
@@ -540,3 +583,74 @@ def test_gif_spark_decode_matches_closed_form(spark):
         assert abs(r["mean_r"] - sum(idxs) / n) < 1e-9
         assert abs(r["mean_g"] - sum(2 * k % 256 for k in idxs) / n) < 1e-9
         assert abs(r["mean_b"] - sum(3 * k % 256 for k in idxs) / n) < 1e-9
+
+
+# ------------------------------------------------------------------ AVI
+
+
+def test_avi_mjpeg_roundtrip_and_index_seek():
+    """encode_avi_mjpeg -> parse/decode recovers every frame exactly
+    (exact-regime JPEG content); every_k decodes only the sampled
+    frames via the idx1 index."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import avicodec as A
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    w, h = 24, 16
+    imgs = []
+    for f in range(5):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = (40 + f * 29) % 256
+        img[:, :, 1] = 77
+        img[:, :, 2] = 131
+        imgs.append(img)
+    buf = A.encode_avi_mjpeg([J.encode_jpeg(im) for im in imgs], w, h, fps=12)
+    meta, frames = A.decode_frames(buf)
+    assert meta == {
+        "width": w, "height": h, "n_frames": 5, "fps": 12, "has_index": True,
+    }
+    ref = [J.decode_jpeg(J.encode_jpeg(im)) for im in imgs]
+    assert len(frames) == 5
+    for got, exp in zip(frames, ref):
+        assert (got == exp).all()
+    _, sampled = A.decode_frames(buf, every_k=2)
+    assert len(sampled) == 3
+    for got, exp in zip(sampled, ref[::2]):
+        assert (got == exp).all()
+
+
+def test_avi_rejects_malformed():
+    """Container validation fails loud: bad magic, truncation, index
+    disagreeing with the movi stream, odd idx1 length, non-MJPG
+    streams."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from olap_storage_engine_spark.operators import avicodec as A
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    buf = A.encode_avi_mjpeg([J.encode_jpeg(img)] * 2, 8, 8)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        A.parse_avi_mjpeg(b"JUNK" + buf[4:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        A.parse_avi_mjpeg(buf[:-4])
+    bad = bytearray(buf)
+    at = bytes(buf).index(b"idx1")
+    struct.pack_into("<I", bad, at + 8 + 8, 2)  # first entry offset
+    with pytest.raises(ValueError, match="00dc chunk"):
+        A.parse_avi_mjpeg(bytes(bad))
+    bad2 = bytearray(buf)
+    struct.pack_into("<I", bad2, at + 8 + 12, 7)  # first entry size
+    with pytest.raises(ValueError, match="disagrees with chunk size"):
+        A.parse_avi_mjpeg(bytes(bad2))
+    bad3 = bytearray(buf)
+    strh_at = bytes(buf).index(b"vids")
+    bad3[strh_at + 4 : strh_at + 8] = b"H264"
+    with pytest.raises(ValueError, match="unsupported AVI stream"):
+        A.parse_avi_mjpeg(bytes(bad3))
+    with pytest.raises(ValueError, match="at least one frame"):
+        A.encode_avi_mjpeg([], 8, 8)
