@@ -2646,74 +2646,36 @@ def q_set_intersect(spark, sf_dir):
 # full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-8 rotation.  Priority order within the head:
-    #   1-6   the six r7 queries with NO driver row in ANY round
-    #         (added after the r7 gate head was composed; VERDICT r7
-    #         task 1),
-    #   7-17  the eleven r8-NEW queries — each took its own head slot
-    #         the day it was added, so none repeats r7's past-the-cap
-    #         process gap,
-    #   18-50 33 of the 50 queries whose newest driver row is r5
-    #         (CORRECTNESS_r05 minus newer rows; VERDICT r7 task 6).
-    #         The 17 r5 queries with a same-family representative
-    #         already covered are demoted to the fill (each named
-    #         there) so the 50-row cap loses only redundant twins.
-    # --- never driver-checked (r7-new) ---
-    "decontaminate_bench",
-    "decontaminate_indexed",
-    "docs_stream_decontaminate",
-    "pii_scrub",
-    "mixture_sample",
-    "window_rank_family",
-    # --- r8-new queries (also never driver-checked; added this round
-    #     so they don't repeat r7's past-the-cap process gap) ---
-    "dsir_sample",
-    "decontamination_report",
-    "gram_novelty",
-    "embedding_diversity",
-    "gc_retention_read",
-    "multimodal_png_decode",
-    "multimodal_audio_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_gif_decode",
-    # --- r5-stale block (33 entries) ---
-    "agg_percentiles",
-    "bucket_routing_hash",
-    "compaction_rewrite",
-    "compaction_score",
-    "corpus_prep",
-    "dedup_exact",
-    "dedup_keepset",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "delete_rows",
-    "duplicate_model_scan",
-    "events_stream_join",
-    "filter_range_zonemap",
-    "ingest_orc",
-    "inverted_index_search",
-    "join_asof",
-    "join_range",
-    "join_salted",
-    "pandas_udaf_weighted_avg",
-    "partition_prune_range",
-    "rollup_coarser_agg",
-    "scan_projection",
-    "set_union",
-    "shortkey_prefix_seek",
-    "snapshot_read_versions",
-    "text_chunking",
-    "time_travel_read",
-    "tpch_q3",
-    "train_val_split",
-    "udtf_parse_props",
-    "unique_key_latest",
-    "write_read_roundtrip",
-    # --- fill (positions 51+; first to fall off under a ~50-row cap) ---
-    # the 17 demoted r5 family twins (scheduled for the r9 head)
+    # Round-9 rotation (executes the recipe the r8 head left in the
+    # fill).  Priority order within the head:
+    #   1-2   the two r9-NEW queries (AVI/MJPEG video codec) — never
+    #         driver-checked,
+    #   3-4   the two queries whose CODE changed in r9
+    #         (multimodal_pipeline fused into one Arrow pass;
+    #         multimodal_decode now routed through the shared
+    #         bmp_stats parser) — green rows predate the change,
+    #   5-26  the 22 queries whose newest driver row is r4/r5 (the 5
+    #         r4-stale ones first, then the 17 demoted r5 twins —
+    #         VERDICT r8 task 1; these have had no row for 3-4 rounds
+    #         while keys-model collapse, connected components, and
+    #         partition pruning kept changing underneath),
+    #   27-50 24 of the 47 queries whose newest row is r6, most-
+    #         changed-code-first (dedup/similarity/text internals
+    #         moved in r7-r8; the remaining 23 r6 rows are the fill
+    #         and lead the r10 head).
+    # --- r9-new (never driver-checked) ---
+    "multimodal_video_decode",
+    "multimodal_video_frame_sample",
+    # --- code changed in r9; latest green rows predate the change ---
+    "multimodal_pipeline",
+    "multimodal_decode",
+    # --- r4-stale (no driver row since r4) ---
+    "partition_prune_list",
+    "set_except",
+    "grouping_cube",
+    "window_running_total",
+    "scan_count",
+    # --- r5-stale (the 17 twins demoted by the r8 rotation) ---
     "agg_model_sum",
     "correlated_subquery",
     "topn_per_group",
@@ -2731,36 +2693,69 @@ _DRIVER_CHECK_HEAD = [
     "agg_model_replace",
     "window_lead_lag",
     "dedup_clusters",
-    # the 5 demoted r4 twins — no driver row since r4; they MUST lead
-    # the r9 head together with the 6 twins above (VERDICT r7 task 7)
-    "partition_prune_list",
-    "set_except",
-    "grouping_cube",
-    "window_running_total",
-    "scan_count",
+    # --- r6-stale, most-changed-code-first (24 of 47) ---
+    "dedup_semantic",
+    "dedup_minhash_verified",
+    "dedup_ngram_indexed",
+    "dedup_simhash_groups",
+    "embedding_corpus_prep",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "docs_stream_quality_filter",
+    "tpch_q2",
+    "tpch_q10",
+    "quality_filter_pipeline",
+    "token_budget_select",
+    "stratified_sample",
+    "text_bm25",
+    "text_repetition",
+    "events_cohort",
+    "events_funnel",
+    "events_histogram",
+    "events_ohlc",
+    "events_twap",
+    "events_winsorize",
+    "compaction_partition",
+    "merge_scoped",
+    "rowset_skip_scan",
+    # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     the 23 remaining r6-stale rows — these lead the r10 head ---
+    "dedup_exact_substring",
+    "fk_orphan_audit",
+    "join_string_similarity",
+    "sketch_theta_retention",
+    "snapshot_rollback",
+    "table_partitions",
+    "zorder_scan",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("agg_model_sum") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("dedup_exact_substring") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_model_sum')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_exact_substring')}"
 )
-# ROUND-9 ROTATION RECIPE: after CORRECTNESS_r08 lands, lead with any
-# query still lacking a green row, then the TWENTY-TWO demoted twins
-# in the fill above, in fill order — the 17 r5 twins demoted this
-# round (agg_model_sum, correlated_subquery, topn_per_group,
-# join_band, sample_packing, pivot_status, string_date_funcs,
-# join_full_outer, events_stream_append, filter_equality_point,
-# having_filter, set_intersect, ingest_jsonl, ingest_csv,
-# agg_model_replace, window_lead_lag, dedup_clusters) and the 5
-# r4-stale ones (partition_prune_list, set_except, grouping_cube,
-# window_running_total, scan_count) — then the oldest r6 rows (47
-# queries; CORRECTNESS_r06 minus newer rows) as budget allows.  Keep
-# the head proper at exactly 50 and update the assertion's anchor
-# query.
+# ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
+# query still lacking a green row, then the 23 r6-stale fill entries
+# above in fill order, then the oldest r7 rows (CORRECTNESS_r07 minus
+# newer rows) as budget allows.  Keep the head proper at exactly 50
+# and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

@@ -353,12 +353,97 @@ def main() -> None:
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
     )
+    # in-round regression gate (VERDICT r8 task 7): diff this run
+    # against the PREVIOUS detail file (floor-aware, same arithmetic
+    # as tools/bench_diff.py) BEFORE overwriting it, so a regression
+    # like the r8 multimodal/tpch cluster is flagged the moment it
+    # happens instead of one judge-round later
+    try:
+        _emit_regressions(detail_path, out)
+    except Exception as exc:  # the gate must never sink the bench
+        print(f"regression-diff skipped: {exc}", file=sys.stderr)
     try:
         with open(detail_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError:
         pass
     print(json.dumps(out))
+
+
+def _emit_regressions(
+    prev_path: str,
+    new: dict,
+    report_path: str | None = None,
+    ratio_thr: float = 1.5,
+    abs_thr: float = 0.15,
+) -> None:
+    """Write REGRESSIONS.md: per-query above-floor deltas vs the
+    previous bench detail, flagging queries that got BOTH >ratio_thr×
+    slower AND >abs_thr s slower (the double threshold keeps job-floor
+    jitter on sub-100 ms queries out of the report)."""
+    if report_path is None:
+        report_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_REGRESSIONS", "REGRESSIONS.md"
+        )
+    if not os.path.exists(prev_path):
+        return
+    with open(prev_path) as f:
+        old = json.load(f)
+    old_floor = float(old.get("floor_sec", 0.0))
+    new_floor = float(new.get("floor_sec", 0.0))
+    old_q = {
+        n: max(t - old_floor, 0.0)
+        for n, t in old.get("queries", {}).items()
+        if "#" not in n
+    }
+    new_q = {
+        n: max(t - new_floor, 0.0)
+        for n, t in new.get("queries", {}).items()
+        if "#" not in n
+    }
+    shared = sorted(set(old_q) & set(new_q))
+    flagged = []
+    improved = []
+    for n in shared:
+        d = new_q[n] - old_q[n]
+        if d > abs_thr and new_q[n] > ratio_thr * max(old_q[n], 1e-9):
+            flagged.append((d, n))
+        elif d < -abs_thr:
+            improved.append((d, n))
+    flagged.sort(reverse=True)
+    improved.sort()
+    o_tot = sum(old_q[n] for n in shared)
+    n_tot = sum(new_q[n] for n in shared)
+    lines = [
+        "# Bench regressions (auto-emitted by bench.py)",
+        "",
+        f"Thresholds: >{ratio_thr}x slower AND >{abs_thr}s slower, "
+        "above-floor seconds.",
+        f"Floors: prev={old_floor:.4f}s this={new_floor:.4f}s; "
+        f"shared queries: {len(shared)}; shared above-floor total "
+        f"{o_tot:.1f}s -> {n_tot:.1f}s ({n_tot - o_tot:+.1f}s).",
+        "",
+    ]
+    if flagged:
+        lines.append("## Regressions")
+        lines.append("")
+        lines.append("| query | prev (s) | now (s) | delta (s) |")
+        lines.append("|---|---|---|---|")
+        for d, n in flagged:
+            lines.append(
+                f"| {n} | {old_q[n]:.3f} | {new_q[n]:.3f} | {d:+.3f} |"
+            )
+    else:
+        lines.append("## Regressions: none over threshold")
+    if improved:
+        lines.append("")
+        lines.append("## Improvements (same thresholds, for symmetry)")
+        lines.append("")
+        for d, n in improved[:15]:
+            lines.append(f"- {n}: {old_q[n]:.3f} -> {new_q[n]:.3f} ({d:+.3f})")
+    lines.append("")
+    with open(report_path, "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

@@ -64,3 +64,33 @@ def test_oracle_sql_is_parseable_by_duckdb():
         except Exception as ex:  # noqa: BLE001
             bad.append((name, str(ex).splitlines()[0]))
     assert not bad, bad
+
+
+def test_bench_regression_emitter(tmp_path):
+    """bench._emit_regressions flags only >1.5x-and->0.15s above-floor
+    slowdowns, excludes '#2' repeat-pass diagnostics, and lists
+    improvements symmetrically (VERDICT r8 task 7)."""
+    import json
+
+    import bench
+
+    prev = tmp_path / "prev.json"
+    prev.write_text(
+        json.dumps(
+            {
+                "floor_sec": 0.03,
+                "queries": {"a": 1.0, "b": 0.2, "c": 0.5, "a#2": 9.9},
+            }
+        )
+    )
+    report = tmp_path / "REGRESSIONS.md"
+    bench._emit_regressions(
+        str(prev),
+        {"floor_sec": 0.05, "queries": {"a": 2.0, "b": 0.21, "c": 0.1}},
+        report_path=str(report),
+    )
+    text = report.read_text()
+    assert "| a |" in text            # 2x and ~1s slower -> flagged
+    assert "| b |" not in text        # within thresholds
+    assert "c: 0.470 -> 0.050" in text  # improvement listed
+    assert "#2" not in text           # repeat passes excluded
