@@ -37,7 +37,11 @@ def run_fixture_stream_corpus_filter(
     per-(lang, reason) verdict counts — deterministic under
     availableNow, so the batch SQL oracle checks it exactly."""
     from ..operators.text import quality_filter
-    from .events import _await_or_raise, _shuffle_partitions
+    from .events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
 
     path = os.path.join(sf_dir, "documents.parquet")
     src_dir = tempfile.mkdtemp(prefix="docs_stream_")
@@ -46,12 +50,13 @@ def run_fixture_stream_corpus_filter(
     stream = spark.readStream.schema(schema).parquet(src_dir)
     verdicts = quality_filter(stream)
     name = f"cf_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             verdicts.groupBy("lang", "reason")
             .agg(F.count(F.lit(1)).cast("int").alias("n"))
             .writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -78,7 +83,11 @@ def run_fixture_stream_decontaminate(
     kernel stays O(log |bench|) per gram however large the eval suite
     grows."""
     from ..functions.textfns import tokens
-    from .events import _await_or_raise, _shuffle_partitions
+    from .events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
 
     path = os.path.join(sf_dir, "documents.parquet")
     src_dir = tempfile.mkdtemp(prefix="docs_decon_stream_")
@@ -152,10 +161,11 @@ def run_fixture_stream_decontaminate(
         ~contaminated(gram_hashes(F.col("__toks")))
     ).select("doc_id", "lang", "source")
     name = f"dc_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             kept.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("append")
             .trigger(availableNow=True)
             .start()

@@ -89,11 +89,12 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     name = f"win_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             windowed_event_agg(stream)
             .writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -124,6 +125,22 @@ def _shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _ephemeral_checkpoint() -> str:
+    """Checkpoint dir for the fixture/bench stream runners: tmpfs when
+    the host has one, a normal tempdir otherwise.  Offset/commit WAL
+    writes and HDFSBackedStateStore delta files fsync per store per
+    micro-batch — on ext4 that measured ~0.3-0.5 s of a ~3.4 s
+    availableNow run at sf0.1 (BENCHNOTES_r09 §5).  Ephemeral by
+    design: these runners build a fresh query per call; production
+    restartable ingest passes its own durable checkpoint_dir
+    (streaming/ingest.py refuses to default silently)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="olap_stream_ckpt_", dir=base)
 
 
 _SPLIT_CACHE: dict = {}
@@ -281,10 +298,11 @@ def run_fixture_stream_join(
     # partition count is a per-query knob (read at stream start; the
     # fresh checkpoint pins it), sized to state volume, not to the
     # batch session default
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -324,11 +342,12 @@ def run_fixture_stream_append(
         "ts", watermark
     )
     name = f"app_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             windowed_event_agg(stream)
             .writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -439,11 +458,12 @@ def run_fixture_stream_replay_dedup(
         ["event_id", "ts"]
     )
     name = f"rdd_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             windowed_event_agg(deduped)
             .writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -599,10 +619,11 @@ def run_fixture_stream_user_totals(
         timeMode="None",
     )
     name = f"utot_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 4):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
