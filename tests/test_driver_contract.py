@@ -94,3 +94,53 @@ def test_bench_regression_emitter(tmp_path):
     assert "| b |" not in text        # within thresholds
     assert "c: 0.470 -> 0.050" in text  # improvement listed
     assert "#2" not in text           # repeat passes excluded
+
+
+def test_make_scale_data_preserves_structure(tmp_path):
+    """The perf-only scale-up keeps FK universes intact and grows
+    every fact table by the factor (BENCH_SF1 provenance)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = str(tmp_path / "sf2x")
+    subprocess.run(
+        [
+            sys.executable,
+            "tools/make_scale_data.py",
+            "/root/testdata/sf0.001",
+            out,
+            "2",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t, factor in [
+        ("lineitem", 2), ("orders", 2), ("customer", 2), ("events", 2),
+        ("documents", 2), ("embeddings", 2), ("region", 1), ("nation", 1),
+    ]:
+        n0 = con.execute(f"SELECT count(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        n1 = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        assert n1 == factor * n0, (t, n0, n1)
+    # FK integrity: every lineitem order resolves in BOTH universes
+    orphans = con.execute(
+        f"SELECT count(*) FROM '{out}/lineitem.parquet' l "
+        f"LEFT JOIN '{out}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0
+    # replica texts are fresh, not verbatim copies (MinHash density)
+    n_docs, n_distinct = con.execute(
+        f"SELECT count(*), count(DISTINCT text) FROM '{out}/documents.parquet'"
+    ).fetchone()
+    assert n_distinct > n_docs * 0.9
+    # embeddings stay unit-norm (cosine kernels assume it)
+    bad_norm = con.execute(
+        f"SELECT count(*) FROM (SELECT sqrt(sum(v * v)) AS nrm FROM "
+        f"(SELECT vec_id, unnest(embedding) AS v FROM '{out}/embeddings.parquet') "
+        "GROUP BY vec_id) WHERE abs(nrm - 1.0) > 1e-5"
+    ).fetchone()[0]
+    assert bad_norm == 0
