@@ -146,3 +146,48 @@ def test_rollback_visible_set_and_respawn(n_versions, cut):
     assert len(stale) == n_versions - 1 - cut
     cover = m.capture_consistent_versions(0, cut)
     assert [r.start_version for r in cover] == list(range(cut + 1))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 255),  # y
+            st.integers(0, 255),  # cb
+            st.integers(0, 255),  # cr
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 4).map(lambda m: 8 * m),  # width, whole MCUs
+    st.integers(1, 3).map(lambda m: 8 * m),  # height
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_mjpeg_container_roundtrip(frame_colors, w, h):
+    """Any frame count / size / flat-YCbCr content round-trips through
+    the AVI container bit-for-bit (frames re-decode to exactly what a
+    bare JPEG roundtrip gives), and index-seek sampling slices the
+    same bytes the sequential walk would."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators import avicodec as A
+    from olap_storage_engine_spark.operators import jpegcodec as J
+
+    jpegs = []
+    for y, cb, cr in frame_colors:
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = y, cb, cr
+        jpegs.append(J.encode_jpeg(img))
+    buf = A.encode_avi_mjpeg(jpegs, w, h)
+    meta, ranges = A.parse_avi_mjpeg(buf)
+    assert meta["n_frames"] == len(jpegs)
+    assert (meta["width"], meta["height"]) == (w, h)
+    # indexed byte ranges recover each original frame exactly
+    for (s, ln), jb in zip(ranges, jpegs):
+        assert buf[s : s + ln] == jb
+    # sampled decode == decoding the sampled originals
+    for k in (1, 2, 3):
+        _, frames = A.decode_frames(buf, every_k=k)
+        expect = [J.decode_jpeg(jb) for jb in jpegs[::k]]
+        assert len(frames) == len(expect)
+        for got, exp in zip(frames, expect):
+            assert (got == exp).all()
