@@ -1780,6 +1780,28 @@ def q_sketch_rollup_quantiles(spark, sf_dir):
     return merge_kll_quantiles(t.read().select("day", "kll"), ["day"])
 
 
+def q_sketch_freqitems_topk(spark, sf_dir):
+    """Top-5 tokens per language served from the PERSISTED frequent-
+    items rollup (docs_freqitems: per-lang truncated-count partials +
+    residual mass across two publishes, r9 — the heavy-hitters fourth
+    member of the mergeable-rollup family next to HLL/KLL/Theta).
+    Serving sums stored partials and never rescans the corpus; the
+    ``max_err`` column is the summed residual — the worst-case
+    undercount guarantee.  The fixture vocabulary (≤32 distinct
+    tokens per publish, under k=64) keeps residuals 0 at EVERY scale
+    factor, so the rollup is exact by construction and the oracle is
+    the exact SQL top-5 — no regime guard needed
+    (operators/sketches.group_freq_items / merge_freq_items)."""
+    from olap_storage_engine_spark.operators.sketches import (
+        merge_freq_items,
+    )
+
+    t = get_table(spark, sf_dir, "docs_freqitems")
+    return merge_freq_items(t.read(), ["lang"], top=5).orderBy(
+        "lang", "rnk"
+    )
+
+
 def q_sketch_theta_retention(spark, sf_dir):
     """Day-over-day retained distinct users served from the PERSISTED
     Theta rollup — sketch INTERSECTION, the set operation HLL cannot
@@ -2666,6 +2688,7 @@ _DRIVER_CHECK_HEAD = [
     # --- r9-new (never driver-checked) ---
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
+    "sketch_freqitems_topk",
     # --- code changed in r9; latest green rows predate the change ---
     "multimodal_pipeline",
     "multimodal_decode",
@@ -2717,9 +2740,11 @@ _DRIVER_CHECK_HEAD = [
     "events_winsorize",
     "compaction_partition",
     "merge_scoped",
-    "rowset_skip_scan",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     the 23 remaining r6-stale rows — these lead the r10 head ---
+    #     rowset_skip_scan demoted when sketch_freqitems_topk (r9-new)
+    #     took its head slot, then the 23 remaining r6-stale rows —
+    #     these lead the r10 head ---
+    "rowset_skip_scan",
     "dedup_exact_substring",
     "fk_orphan_audit",
     "join_string_similarity",
@@ -2747,9 +2772,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("dedup_exact_substring") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("rowset_skip_scan") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_exact_substring')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('rowset_skip_scan')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -2864,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "sketch_rollup_distinct": q_sketch_rollup_distinct,
         "sketch_rollup_quantiles": q_sketch_rollup_quantiles,
+        "sketch_freqitems_topk": q_sketch_freqitems_topk,
         "sketch_theta_retention": q_sketch_theta_retention,
         "zorder_scan": q_zorder_scan,
         "rowset_skip_scan": q_rowset_skip_scan,
@@ -5364,6 +5390,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY score DESC, doc_id
             LIMIT 50
+        """,
+        "sketch_freqitems_topk": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS item
+              FROM documents),
+            counts AS (
+              SELECT lang, item, count(*) AS cnt
+              FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT lang, item, cnt,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY cnt DESC, item ASC) AS rnk
+              FROM counts)
+            SELECT lang, item, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rnk AS INT) AS rnk,
+                   CAST(0 AS BIGINT) AS max_err
+            FROM ranked
+            WHERE rnk <= 5
+            ORDER BY lang, rnk
         """,
         "sketch_theta_retention": """
             WITH du AS (

@@ -1248,6 +1248,39 @@ def _build_events_qsketch(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_docs_freqitems(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Round-9 fourth mergeable rollup family: per-language frequent-
+    token partials over the documents corpus (sketches.
+    group_freq_items — top-k truncated counts + residual mass), as two
+    publishes split on doc_id % 3 so read-time merging is genuinely
+    exercised.  The fixture vocabulary (31 distinct tokens) sits under
+    k=64, so residuals are 0 and the rollup serves EXACT counts — the
+    same exact-regime discipline as the HLL/KLL/Theta fixtures."""
+    from .operators.sketches import group_freq_items
+
+    spec = TableSpec(
+        name="docs_freqitems",
+        columns=[
+            ColumnSpec.key("lang", ColumnType.VARCHAR),
+            ColumnSpec.value("item", ColumnType.VARCHAR),
+            ColumnSpec.value("cnt", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    for part in [
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    ]:
+        t.write(group_freq_items(part, ["lang"], "token", k=64))
+    return t
+
+
 def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
     """Additive schema evolution fixture: rowset 0 written under the
     v1 schema (no ``note`` column), then ``add_column``, then rowset 1
@@ -1301,6 +1334,7 @@ _BUILDERS = {
     "emb_cells_pq": _build_emb_cells_pq,
     "events_sketch": _build_events_sketch,
     "events_qsketch": _build_events_qsketch,
+    "docs_freqitems": _build_docs_freqitems,
     "orders_ranges": _build_orders_ranges,
     "orders_rollback": _build_orders_rollback,
     "orders_pcompact": _build_orders_pcompact,

@@ -246,3 +246,90 @@ def theta_day_over_day_retention(
         )
         .orderBy(day_col)
     )
+
+
+def group_freq_items(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group frequent-items PARTIAL for a persisted rollup — the
+    heavy-hitters analog of group_sketch/group_kll_sketch (r9).
+
+    Per publish: exact per-(group, item) counts, truncated to the top
+    ``k`` items (count desc, item asc — deterministic), plus ONE
+    residual row per group (item NULL) carrying the dropped mass.
+    This is the SpaceSaving/Misra-Gries guarantee in its mergeable
+    form: any item's true count within a publish is under-reported by
+    at most that publish's residual, so after merging partials the
+    total error is bounded by the SUM of residuals — an explicit,
+    queryable bound.  When a publish's per-group item cardinality is
+    at or under k the residual is 0 and the rollup is EXACT (the
+    fixture regime, mirroring the HLL coupon-list / KLL-under-k exact
+    regimes).
+
+    Scale: each publish contributes ≤ (k+1) rows per group regardless
+    of raw volume; maintenance is append-only (no read-modify-write);
+    serving merges (#groups x #publishes x k) tiny rows and never
+    rescans raw data."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col(col).asc()
+    )
+    ranked = counts.withColumn("__rnk", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rnk") <= k).select(
+        *group_cols, F.col(col).alias("item"), "cnt"
+    )
+    rest = (
+        ranked.filter(F.col("__rnk") > k)
+        .groupBy(*group_cols)
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            *group_cols,
+            F.lit(None).cast("string").alias("item"),
+            "cnt",
+        )
+    )
+    return kept.unionByName(rest)
+
+
+def merge_freq_items(
+    partials: DataFrame,
+    group_cols: list[str],
+    top: int = 5,
+) -> DataFrame:
+    """Serve per-group top-``top`` frequent items from stored partials:
+    sum counts per (group, item), take the deterministic top rows, and
+    attach ``max_err`` — the summed residual mass, the worst-case
+    undercount of ANY reported item's true count (0 in the exact
+    regime).  One hash aggregate + one tiny window over rollup rows;
+    raw data is never rescanned."""
+    from pyspark.sql import Window
+
+    merged = partials.groupBy(*group_cols, "item").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    err = (
+        merged.filter(F.col("item").isNull())
+        .groupBy(*group_cols)
+        .agg(F.sum("cnt").alias("max_err"))
+    )
+    items = merged.filter(F.col("item").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    topk = items.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top
+    )
+    return (
+        topk.join(err, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "item",
+            "cnt",
+            "rnk",
+            F.coalesce("max_err", F.lit(0)).alias("max_err"),
+        )
+    )

@@ -331,3 +331,57 @@ def test_theta_retention_matches_exact_self_join(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_freq_items_merge_exact_regime(spark):
+    """Two truncation-free partials merge to the exact top-k with
+    max_err = 0 (the docs_freqitems fixture regime)."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_freq_items,
+        merge_freq_items,
+    )
+
+    rows = [("g", f"w{i % 7}") for i in range(70)] + [
+        ("g", "rare") for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    parts = [
+        group_freq_items(df.filter(F.crc32("tok") % 2 == i), ["grp"], "tok", k=16)
+        for i in (0, 1)
+    ]
+    merged = merge_freq_items(parts[0].unionByName(parts[1]), ["grp"], top=8)
+    got = {(r["item"]): (r["cnt"], r["max_err"]) for r in merged.collect()}
+    assert got["rare"] == (3, 0)
+    for i in range(7):
+        assert got[f"w{i}"] == (10, 0)
+
+
+def test_freq_items_residual_bounds_undercount(spark):
+    """Beyond the exact regime (per-publish cardinality > k) every
+    reported count under-reports its true count by at most max_err —
+    the Misra-Gries merge guarantee the rollup documents."""
+    from olap_storage_engine_spark.operators.sketches import (
+        group_freq_items,
+        merge_freq_items,
+    )
+
+    # one heavy item + a long tail of singletons that overflow k
+    rows = [("g", "heavy")] * 50 + [("g", f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    parts = group_freq_items(df, ["grp"], "tok", k=8)
+    merged = merge_freq_items(parts, ["grp"], top=3).collect()
+    true_counts = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert merged, "top items must survive truncation"
+    for r in merged:
+        assert r["max_err"] > 0  # truncation really happened
+        true = true_counts[r["item"]]
+        assert r["cnt"] <= true <= r["cnt"] + r["max_err"], (
+            r["item"], r["cnt"], true, r["max_err"],
+        )
+    # the heavy hitter is never evicted and its count is exact here
+    # (it was kept in the single publish's top-k)
+    top1 = merged[0]
+    assert top1["item"] == "heavy" and top1["cnt"] == 50
