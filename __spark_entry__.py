@@ -624,6 +624,20 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-RES over a fixed md5 uniform, r9): the 25
+    documents sampled proportionally to n_chars — the source-weighting
+    sampler of a training-data mixture, with no RNG state so the
+    oracle reproduces the exact membership.  Top-n by priority is a
+    TakeOrderedAndProject, never a global sort
+    (operators/text.weighted_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.weighted_sample(docs, "n_chars", n=25).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
         load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
@@ -2689,6 +2703,7 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
+    "weighted_sample",
     # --- code changed in r9; latest green rows predate the change ---
     "multimodal_pipeline",
     "multimodal_decode",
@@ -2739,11 +2754,12 @@ _DRIVER_CHECK_HEAD = [
     "events_twap",
     "events_winsorize",
     "compaction_partition",
-    "merge_scoped",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     rowset_skip_scan demoted when sketch_freqitems_topk (r9-new)
-    #     took its head slot, then the 23 remaining r6-stale rows —
-    #     these lead the r10 head ---
+    #     merge_scoped and rowset_skip_scan demoted when the two
+    #     r9-new non-video queries (sketch_freqitems_topk,
+    #     weighted_sample) took their head slots, then the 23
+    #     remaining r6-stale rows — these lead the r10 head ---
+    "merge_scoped",
     "rowset_skip_scan",
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -2772,9 +2788,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("rowset_skip_scan") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("merge_scoped") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('rowset_skip_scan')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('merge_scoped')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -2829,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sample_packing": q_sample_packing,
         "train_val_split": q_train_val_split,
+        "weighted_sample": q_weighted_sample,
         "udtf_parse_props": q_udtf_parse_props,
         "join_salted": q_join_salted,
         "agg_salted_skew": q_agg_salted_skew,
@@ -4243,6 +4260,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     ln(({_MD5INT.format(expr="doc_id::VARCHAR")}::DOUBLE
+                         + 0.5) / 1152921504606846976.0)
+                       / n_chars AS priority
+              FROM documents)
+            ORDER BY priority DESC
+            LIMIT 25
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents

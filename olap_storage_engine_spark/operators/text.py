@@ -451,6 +451,40 @@ def pack_token_bins(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-RES, r9): each row gets priority
+    ln(u)/w where u is a fixed md5-derived uniform in (0,1) per id and
+    w its positive weight — the global top-n by priority is a weighted
+    sample without replacement, with heavier rows proportionally more
+    likely.  The source-weighting sampler a training-data mixture
+    needs, with NO RNG state: membership is reproducible on any engine
+    and any cluster size (same discipline as hash_split).
+
+    Scale: the ln/divide is row-local codegen and the top-n compiles
+    to TakeOrderedAndProject (per-partition heaps + driver merge of n
+    rows) — no global sort, no shuffle of the corpus."""
+    from ..functions.hashes import md5int
+
+    # md5int is 15 hex digits -> [0, 2^60); +0.5 keeps u strictly
+    # inside (0,1) so ln(u) is finite
+    u = (md5int(F.col(id_col).cast("string")).cast("double") + 0.5) / float(
+        1 << 60
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.withColumn("__priority", key)
+        .orderBy(F.col("__priority").desc())
+        .limit(n)
+        .drop("__priority")
+    )
+
+
 def hash_split(
     docs: DataFrame,
     train_pct: int = 95,

@@ -1258,3 +1258,39 @@ def test_dsir_scores_are_likelihood_ratios(spark):
     assert abs(out[1]["score"] - round(3 * lam_hit, 6)) < 2e-6
     assert abs(out[2]["score"] - round(3 * lam_miss, 6)) < 2e-6
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-RES sampling: same input -> identical membership every run
+    (no RNG state), and across many disjoint id blocks the heavy rows
+    win far more often than light ones (weight sensitivity)."""
+    from pyspark.sql import functions as F
+
+    # 40 blocks of 10 rows: in each block one heavy row (w=1000) and
+    # nine light rows (w=10). Sample 1 per block by running the global
+    # sampler per block via the priority ordering.
+    rows = [
+        (b * 10 + i, 1000 if i == 0 else 10)
+        for b in range(40)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got1 = {r["doc_id"] for r in tx.weighted_sample(df, "w", n=60).collect()}
+    got2 = {r["doc_id"] for r in tx.weighted_sample(df, "w", n=60).collect()}
+    assert got1 == got2  # deterministic
+    heavy = {b * 10 for b in range(40)}
+    # 40 heavy rows carry 1000/1090 of each block's mass; in a top-60
+    # over 400 rows nearly all heavies should appear
+    assert len(got1 & heavy) >= 30, len(got1 & heavy)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """The sampler must compile to TakeOrderedAndProject — a global
+    Sort+Limit would shuffle the corpus at 100 TB."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = tx.weighted_sample(df, "w", n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
