@@ -638,6 +638,59 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_global_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding — the training-export
+    primitive: permute the corpus by a seeded multiplicative hash of
+    doc_id, route to 8 shards, assign within-shard positions, and emit
+    the per-shard manifest (count + order-sensitive checksum) a loader
+    verifies before consuming.  One hash exchange + per-shard sort; no
+    ORDER BY rand(), no driver state; same seed -> bit-identical layout
+    at any cluster size (operators/export.py)."""
+    from olap_storage_engine_spark.operators.export import (
+        global_shuffle,
+        shard_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = global_shuffle(docs, "doc_id", n_shards=8, seed=42)
+    return shard_manifest(shuffled, "doc_id")
+
+
+def q_kanon_suppress(spark, sf_dir):
+    """k-anonymity release cut: per-(lang, source, size-bucket) corpus
+    stats with groups under k=5 suppressed — every released row shares
+    its quasi-identifier tuple with >= 4 others.  Single hash-aggregate
+    + HAVING (operators/privacy.py)."""
+    from olap_storage_engine_spark.operators.privacy import k_anonymize
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 100")
+    )
+    return k_anonymize(
+        docs,
+        ["lang", "source", "size_bucket"],
+        k=5,
+        agg_cols={
+            "total_chars": F.sum("n_chars"),
+            "avg_chars": F.round(F.avg("n_chars"), 4),
+        },
+    )
+
+
+def q_kanon_report(spark, sf_dir):
+    """The k-anonymity audit artifact: groups/rows kept vs suppressed
+    at k=5 over the same quasi-identifiers — the number a data owner
+    reads to price the utility cost of the release cut."""
+    from olap_storage_engine_spark.operators.privacy import (
+        suppression_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 100")
+    )
+    return suppression_report(docs, ["lang", "source", "size_bucket"], k=5)
+
+
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
         load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
@@ -1304,6 +1357,21 @@ def q_events_stream_append(spark, sf_dir):
     )
 
     return run_fixture_stream_append(spark, sf_dir)
+
+
+def q_events_stream_session_window(spark, sf_dir):
+    """Native session windows (F.session_window) as a real append-mode
+    streaming query: per-user dynamic windows merge in the state store
+    as events arrive and emit exactly once when the watermark passes
+    last_ts + gap.  The built-in complement to the
+    applyInPandasWithState sessionizer — state merges JVM-side with no
+    Python boundary, the shape per-user sessionization takes at
+    100 TB."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_session,
+    )
+
+    return run_fixture_stream_session(spark, sf_dir)
 
 
 def q_events_stream_join(spark, sf_dir):
@@ -2156,6 +2224,28 @@ def q_ingest_csv(spark, sf_dir):
     )
 
 
+def q_ingest_binaryfile(spark, sf_dir):
+    """Opaque-file ingestion through Spark's binaryFile source — how a
+    multimodal corpus (images/audio/video as loose files) enters the
+    engine: distributed file listing with the glob pushed into it, one
+    row per file, content as a binary column ready for the Arrow codec
+    layer.  The oracle closes the loop end-to-end: file bytes are the
+    documents' UTF-8 text, so doc_id/size/md5 must round-trip exactly
+    (sources/ingest.read_binary_files)."""
+    from olap_storage_engine_spark.fixtures import ingest_export
+    from olap_storage_engine_spark.sources.ingest import read_binary_files
+
+    d = ingest_export(spark, sf_dir, "binary")
+    df = read_binary_files(spark, d, glob="*.bin")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -2684,8 +2774,10 @@ def q_set_intersect(spark, sf_dir):
 _DRIVER_CHECK_HEAD = [
     # Round-9 rotation (executes the recipe the r8 head left in the
     # fill).  Priority order within the head:
-    #   1-2   the two r9-NEW queries (AVI/MJPEG video codec) — never
-    #         driver-checked,
+    #   1-9   the r9-NEW queries — never driver-checked (AVI/MJPEG
+    #         video codec, freq-items sketch, weighted sampling, and
+    #         the second-wave five: native session windows, global
+    #         shuffle shards, k-anonymity x2, binaryFile ingest),
     #   3-4   the two queries whose CODE changed in r9
     #         (multimodal_pipeline fused into one Arrow pass;
     #         multimodal_decode now routed through the shared
@@ -2704,6 +2796,11 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
     "weighted_sample",
+    "events_stream_session_window",
+    "global_shuffle_shards",
+    "kanon_suppress",
+    "kanon_report",
+    "ingest_binaryfile",
     # --- code changed in r9; latest green rows predate the change ---
     "multimodal_pipeline",
     "multimodal_decode",
@@ -2749,16 +2846,18 @@ _DRIVER_CHECK_HEAD = [
     "text_repetition",
     "events_cohort",
     "events_funnel",
+    # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     events_histogram/ohlc/twap/winsorize/compaction_partition
+    #     (r6-stale) demoted when the five second-wave r9-new queries
+    #     (session windows, global shuffle, k-anonymity x2, binaryFile)
+    #     took head slots; then merge_scoped/rowset_skip_scan from the
+    #     first-wave demotion, then the remaining r6-stale rows —
+    #     these lead the r10 head ---
     "events_histogram",
     "events_ohlc",
     "events_twap",
     "events_winsorize",
     "compaction_partition",
-    # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     merge_scoped and rowset_skip_scan demoted when the two
-    #     r9-new non-video queries (sketch_freqitems_topk,
-    #     weighted_sample) took their head slots, then the 23
-    #     remaining r6-stale rows — these lead the r10 head ---
     "merge_scoped",
     "rowset_skip_scan",
     "dedup_exact_substring",
@@ -2788,9 +2887,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("merge_scoped") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("events_histogram") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('merge_scoped')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('events_histogram')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -2846,6 +2945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_packing": q_sample_packing,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
+        "global_shuffle_shards": q_global_shuffle_shards,
+        "kanon_suppress": q_kanon_suppress,
+        "kanon_report": q_kanon_report,
         "udtf_parse_props": q_udtf_parse_props,
         "join_salted": q_join_salted,
         "agg_salted_skew": q_agg_salted_skew,
@@ -2895,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": q_events_variant_extract,
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
+        "events_stream_session_window": q_events_stream_session_window,
         "events_stream_join": q_events_stream_join,
         "events_stream_replay_dedup": q_events_stream_replay_dedup,
         "join_asof": q_join_asof,
@@ -2959,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_jsonl": q_ingest_jsonl,
         "ingest_orc": q_ingest_orc,
         "ingest_csv": q_ingest_csv,
+        "ingest_binaryfile": q_ingest_binaryfile,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -4276,6 +4380,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_MD5INT.format(expr="doc_id::VARCHAR")} % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         """,
+        # Knuth multiplicative hash permutation: exact 64-bit integer
+        # arithmetic, identical expression both engines (no engine hash
+        # builtin is cross-engine stable).  Checksum terms reduced mod
+        # 1e9+7 before summing so neither engine can overflow.
+        "global_shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761 + 42) % 9007199254740881 AS hv
+                FROM documents
+            ), p AS (
+                SELECT doc_id, hv,
+                       CAST(hv % 8 AS INT) AS shard,
+                       row_number() OVER (PARTITION BY hv % 8
+                                          ORDER BY hv, doc_id) - 1 AS pos
+                FROM h
+            )
+            SELECT shard, count(*) AS n_rows,
+                   CAST(sum(((pos + 1) % 1000000007)
+                            * (doc_id % 1000000007) % 1000000007)
+                        % 1000000007 AS BIGINT) AS order_checksum,
+                   min(doc_id) AS min_key, max(doc_id) AS max_key
+            FROM p GROUP BY shard
+        """,
+        "kanon_suppress": """
+            SELECT lang, source, n_chars // 100 AS size_bucket,
+                   count(*) AS group_n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY 1, 2, 3
+            HAVING count(*) >= 5
+        """,
+        "kanon_report": """
+            WITH sizes AS (
+                SELECT count(*) AS n
+                FROM documents GROUP BY lang, source, n_chars // 100
+            )
+            SELECT CAST(5 AS INT) AS k,
+                   count(*) AS groups_total,
+                   CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS groups_kept,
+                   CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_kept,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_suppressed
+            FROM sizes
+        """,
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_groups": _simhash_groups_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
@@ -4723,6 +4873,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
                   (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
+        """,
+        # Native session windows, append mode: sessions are gap-based
+        # runs (a break only when the inter-event gap is STRICTLY
+        # greater than 30 min — adjacent windows merge), emitted once
+        # the watermark (max ts - 1 h) passes session end
+        # (last_ts + gap).
+        "events_stream_session_window": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS last_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM s
+            GROUP BY user_id, sid
+            HAVING max(ts) + INTERVAL 30 MINUTE <=
+                   (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         """,
         "events_stream_join": """
             SELECT p.event_id AS purchase_id, p.user_id, c.ts AS c_ts
@@ -5181,6 +5360,16 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_price,
                    max(CAST(o_orderdate AS DATE)) AS last_date
             FROM orders GROUP BY 1
+        """,
+        # binaryFile round-trip: the exported files ARE the documents'
+        # UTF-8 bytes, so size and md5 re-derive from the source table
+        # (strlen = BYTE length; md5(VARCHAR) hashes the UTF-8 bytes,
+        # matching Spark's md5 over the binary content).
+        "ingest_binaryfile": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < 64
         """,
         "pandas_udaf_weighted_avg": """
             SELECT l_returnflag,

@@ -660,6 +660,22 @@ def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
             ).write.mode("overwrite").orc(path)
+        elif fmt == "binary":
+            # loose-file corpus for the binaryFile source: the first 64
+            # documents' UTF-8 bytes, one file each, named by doc_id.
+            # Driver-side loop is fixture-build only (64 tiny files);
+            # real corpora arrive as files already.
+            os.makedirs(path, exist_ok=True)
+            rows = (
+                load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 64)
+                .select("doc_id", "text")
+                .collect()
+            )
+            for r in rows:
+                fp = os.path.join(path, f"doc_{r['doc_id']:05d}.bin")
+                with open(fp, "wb") as fh:
+                    fh.write(r["text"].encode("utf-8"))
         else:
             raise ValueError(f"unknown ingest format: {fmt}")
         return path

@@ -66,3 +66,30 @@ def read_csv(
         return reader.option("mode", "FAILFAST").csv(path)
     df = reader.csv(path)
     return df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-file ingestion via Spark's ``binaryFile`` source — the
+    entry point for a multimodal corpus (images/audio/video land as
+    whole files, not rows).  Each file becomes one row of
+    ``(path, modificationTime, length, content: binary)``; downstream
+    decode is the Arrow-batched codec layer (operators/multimodal.py).
+
+    Scale posture: the source lists and splits FILES (content is never
+    split), so partitioning follows ``spark.sql.files.maxPartitionBytes``
+    over whole files; small-file explosion is the real 100 TB risk —
+    pack tiny assets into larger containers (or parquet binary columns,
+    see fixtures.multimodal docs) before this layer.  ``glob`` maps to
+    pathGlobFilter (pushed into the file listing, not a post-filter).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -356,6 +356,78 @@ def run_fixture_stream_append(
     return spark.table(name)
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session roll-up via Spark's NATIVE session windows
+    (``F.session_window``): dynamic-length windows that grow with each
+    event and close when ``gap`` passes with no activity.  Works on a
+    batch or streaming DataFrame; the streaming run merges session
+    state store-side (no Python boundary — contrast the
+    applyInPandasWithState sessionizer above, which exists for
+    semantics session_window can't express, e.g. processing-time
+    timeouts).
+
+    Note the window's ``end`` is last-event-ts + gap by definition, so
+    the roll-up also emits ``last_ts`` = max event time for parity with
+    gap-based batch sessionization."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_fixture_stream_session(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-16 00:00:00",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows as a real append-mode streaming query
+    over the two-batch fixture stream: session state merges in the
+    state store as events arrive, each closed session emits exactly
+    once when the watermark passes its end (last_ts + gap), state is
+    watermark-bounded — the 100 TB sessionization shape.
+
+    Determinism mirrors run_fixture_stream_append: files arrive in
+    event-time order, so no row is late and the result is exactly the
+    batch gap-sessionization filtered to sessions with
+    last_ts + gap <= max_ts - watermark_delay — a closed-form SQL
+    oracle (a session breaks only when the inter-event gap is STRICTLY
+    greater than ``gap``: adjacent windows merge, pinned by
+    tests/test_streaming_session.py)."""
+    import uuid
+
+    stream = _two_batch_stream(spark, sf_dir, cutoff).withWatermark(
+        "ts", watermark
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            session_window_agg(stream, gap)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     key_cols: list[str],

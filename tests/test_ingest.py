@@ -44,3 +44,22 @@ def test_csv_quoted_roundtrip(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["text"]) for r in back.collect()
     ) == sorted((r["doc_id"], r["text"]) for r in src.collect())
+
+
+def test_binaryfile_roundtrip_and_glob(spark, tmp_path):
+    from olap_storage_engine_spark.sources.ingest import read_binary_files
+
+    payloads = {
+        "a.bin": b"\x00\x01\xffbinary",
+        "b.bin": b"second file",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not matched by the glob")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)  # glob pushed into the listing
+    for name, data in payloads.items():
+        assert bytes(rows[name]["content"]) == data
+        assert rows[name]["length"] == len(data)
