@@ -524,6 +524,36 @@ def q_embedding_diversity(spark, sf_dir):
     return sim.embedding_diversity(emb, "label")
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-dim int8 scalar quantization of the embedding
+    corpus — the 4x float32->int8 storage cut an embedding store takes
+    before ANN serving.  One partial-aggregable max pass for scales,
+    then ROW-LOCAL code computation against the broadcast scale array
+    (scalar-subquery pattern, no second shuffle); rounding spelled
+    floor(+0.5) so the oracle reproduces codes bit-exactly; the
+    checked projection is pure-integer sums/extrema of the codes
+    (operators/similarity.int8_quantize)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.int8_quantize_stats(sim.int8_quantize(emb))
+
+
+def q_similarity_int8_topk(spark, sf_dir):
+    """Top-k served FROM the int8 codes (the serving half of the
+    embedding_quantize storage cut): exact integer dot products over
+    the quantized corpus, so the ranking is bit-reproducible and the
+    oracle re-derives every score — unlike float ANN, quantized
+    serving has no rounding frontier at all
+    (operators/similarity.int8_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [
+        r["vec_id"]
+        for r in _probes(spark, sf_dir, 5).select("vec_id").collect()
+    ]
+    return sim.int8_topk(emb, ids, k=10).select(
+        "probe_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """Rule-based PII redaction over a deterministic PII-bearing
     column (the synthetic corpus has no organic PII, so the query
@@ -1171,6 +1201,28 @@ def q_multimodal_audio_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_resample(spark, sf_dir):
+    """Sample-rate normalization (decimate 8000 -> 2000 Hz): decode
+    each WAV, keep every 4th sample, RE-ENCODE at the new rate and
+    emit the resampled stream's exact stats + output byte size — the
+    decode/transform/encode round a training pipeline runs to unify
+    source rates, fused into ONE Arrow pass (operators/multimodal.
+    resample_audio_features).  Oracle recomputes the strided sawtooth
+    stats and the 44-byte-header WAV size in closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.resample_audio_features(
+        mm.attach_audio_payload(docs), factor=4
+    )
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+        "n_bytes_out",
+    )
+
+
 def q_multimodal_jpeg_decode(spark, sf_dir):
     """REAL baseline-JPEG decode end-to-end, pure numpy (r8, no
     libjpeg/PIL): encode a spec-conformant SOF0 stream per document
@@ -1372,6 +1424,74 @@ def q_events_stream_session_window(spark, sf_dir):
     )
 
     return run_fixture_stream_session(spark, sf_dir)
+
+
+def q_events_stream_ingest_table(spark, sf_dir):
+    """Routine-load E2E: the two-batch events stream published INTO an
+    MVCC OlapTable via foreachBatch with EXACTLY-ONCE epochs (each
+    micro-batch's id committed atomically with its rowset publish in
+    the manifest CAS — streaming/ingest.py), then the table read back
+    through the snapshot/collapse path and aggregated.  n_rowsets pins
+    that each micro-batch became exactly one published rowset.  The
+    oracle is the same aggregate over the original events — streaming
+    ingest must be invisible to readers."""
+    import os
+    import uuid
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.streaming.events import (
+        _await_or_raise,
+        _shuffle_partitions,
+        _two_batch_stream,
+    )
+    from olap_storage_engine_spark.streaming.ingest import stream_ingest
+    from olap_storage_engine_spark.table import OlapTable
+
+    tag = uuid.uuid4().hex[:8]
+    spec = TableSpec(
+        name=f"events_ingest_{tag}",
+        columns=[
+            ColumnSpec.key("event_id", ColumnType.INT64),
+            ColumnSpec.value("ts", ColumnType.TIMESTAMP),
+            ColumnSpec.value("user_id", ColumnType.INT64),
+            ColumnSpec.value("event_type", ColumnType.VARCHAR),
+            ColumnSpec.value("value", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "user_id", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir))
+    stream = _two_batch_stream(spark, sf_dir, "2024-01-16 00:00:00").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ckpt = os.path.join(warehouse_for(sf_dir), f"ingest_ckpt_{tag}")
+    with _shuffle_partitions(spark, 4):
+        q = stream_ingest(
+            t,
+            stream,
+            checkpoint_dir=ckpt,
+            exactly_once=True,
+            source_id="events_bench",
+        )
+        _await_or_raise(q)
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("n_rowsets", F.lit(int(t.compaction_score())))
+    )
 
 
 def q_events_stream_join(spark, sf_dir):
@@ -2246,6 +2366,35 @@ def q_ingest_binaryfile(spark, sf_dir):
     )
 
 
+def q_ingest_segment_pushdown(spark, sf_dir):
+    """A bespoke binary SEGMENT format mounted as a real Spark table
+    through the Python DataSource API (Spark 4): footer/CRC validation
+    at open, per-block doc_id zone maps in the footer, and the WHERE
+    range arriving via pushFilters so pruned blocks are never even
+    SCHEDULED (partition planning, not a post-filter).  The reference's
+    segment-open + zone-map read stack (src/segment.rs A2, A16, A18)
+    as a Catalyst-planned source instead of a bespoke executor
+    (sources/segment_format.py)."""
+    from olap_storage_engine_spark.fixtures import ingest_export
+    from olap_storage_engine_spark.sources import segment_format
+
+    seg_path = ingest_export(spark, sf_dir, "olapseg")
+    segment_format.register(spark)
+    df = (
+        spark.read.format("olapseg")
+        .option("path", seg_path)
+        .load()
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -2774,10 +2923,13 @@ def q_set_intersect(spark, sf_dir):
 _DRIVER_CHECK_HEAD = [
     # Round-9 rotation (executes the recipe the r8 head left in the
     # fill).  Priority order within the head:
-    #   1-9   the r9-NEW queries — never driver-checked (AVI/MJPEG
+    #   1-14  the r9-NEW queries — never driver-checked (AVI/MJPEG
     #         video codec, freq-items sketch, weighted sampling, and
-    #         the second-wave five: native session windows, global
-    #         shuffle shards, k-anonymity x2, binaryFile ingest),
+    #         the second-wave ten: native session windows,
+    #         exactly-once stream-to-table ingest, global shuffle
+    #         shards, k-anonymity x2, binaryFile ingest, audio
+    #         resample, int8 embedding quantization + int8 serving,
+    #         olapseg custom-DataSource zone-map pushdown),
     #   3-4   the two queries whose CODE changed in r9
     #         (multimodal_pipeline fused into one Arrow pass;
     #         multimodal_decode now routed through the shared
@@ -2797,10 +2949,15 @@ _DRIVER_CHECK_HEAD = [
     "sketch_freqitems_topk",
     "weighted_sample",
     "events_stream_session_window",
+    "events_stream_ingest_table",
     "global_shuffle_shards",
     "kanon_suppress",
     "kanon_report",
     "ingest_binaryfile",
+    "multimodal_audio_resample",
+    "embedding_quantize",
+    "similarity_int8_topk",
+    "ingest_segment_pushdown",
     # --- code changed in r9; latest green rows predate the change ---
     "multimodal_pipeline",
     "multimodal_decode",
@@ -2841,18 +2998,21 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q10",
     "quality_filter_pipeline",
     "token_budget_select",
+    # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     stratified_sample/text_bm25/text_repetition + events_cohort/
+    #     funnel/histogram/ohlc/twap/winsorize/compaction_partition
+    #     (r6-stale) demoted when the ten second-wave r9-new queries
+    #     (session windows, exactly-once stream ingest, global
+    #     shuffle, k-anonymity x2, binaryFile, audio resample, int8
+    #     quantization + serving, olapseg DataSource pushdown) took
+    #     head slots; then merge_scoped/rowset_skip_scan from the
+    #     first-wave demotion, then the remaining r6-stale rows —
+    #     these lead the r10 head ---
     "stratified_sample",
     "text_bm25",
     "text_repetition",
     "events_cohort",
     "events_funnel",
-    # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     events_histogram/ohlc/twap/winsorize/compaction_partition
-    #     (r6-stale) demoted when the five second-wave r9-new queries
-    #     (session windows, global shuffle, k-anonymity x2, binaryFile)
-    #     took head slots; then merge_scoped/rowset_skip_scan from the
-    #     first-wave demotion, then the remaining r6-stale rows —
-    #     these lead the r10 head ---
     "events_histogram",
     "events_ohlc",
     "events_twap",
@@ -2887,9 +3047,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("events_histogram") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("stratified_sample") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('events_histogram')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('stratified_sample')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -2936,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "gram_novelty": q_gram_novelty,
         "embedding_diversity": q_embedding_diversity,
+        "embedding_quantize": q_embedding_quantize,
+        "similarity_int8_topk": q_similarity_int8_topk,
         "decontaminate_indexed": q_decontaminate_indexed,
         "docs_stream_decontaminate": q_docs_stream_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -2985,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
+        "multimodal_audio_resample": q_multimodal_audio_resample,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2998,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
         "events_stream_session_window": q_events_stream_session_window,
+        "events_stream_ingest_table": q_events_stream_ingest_table,
         "events_stream_join": q_events_stream_join,
         "events_stream_replay_dedup": q_events_stream_replay_dedup,
         "join_asof": q_join_asof,
@@ -3063,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_orc": q_ingest_orc,
         "ingest_csv": q_ingest_csv,
         "ingest_binaryfile": q_ingest_binaryfile,
+        "ingest_segment_pushdown": q_ingest_segment_pushdown,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -4299,6 +4464,62 @@ def oracle_sql() -> dict[str, str]:
             FROM sh JOIN fst USING (shingle)
             GROUP BY 1
         """,
+        # int8 quantization: scales are exact per-dim max(|x|) (no
+        # float-sum order), codes use explicit floor(+0.5) rounding so
+        # both engines agree bit-for-bit; checked columns are integer.
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id, t.i AS d,
+                       CAST(embedding[t.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)
+            ), s AS (
+                SELECT d, greatest(max(abs(x)), 1e-30) AS s
+                FROM e GROUP BY d
+            ), c AS (
+                SELECT e.vec_id,
+                       CAST(floor(e.x / s.s * 127.0 + 0.5) AS INT) AS code
+                FROM e JOIN s USING (d)
+            )
+            SELECT vec_id,
+                   CAST(count(*) AS INT) AS n_dims,
+                   CAST(sum(code) AS BIGINT) AS sum_code,
+                   CAST(sum(abs(code)) AS BIGINT) AS sum_abs_code,
+                   CAST(max(abs(code)) AS INT) AS max_abs_code
+            FROM c GROUP BY 1
+        """,
+        # int8 serving: same quantization CTE, exact integer dot
+        # products -> bit-reproducible ranking (rank ties by vec_id).
+        "similarity_int8_topk": """
+            WITH e AS (
+                SELECT vec_id, t.i AS d,
+                       CAST(embedding[t.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)
+            ), s AS (
+                SELECT d, greatest(max(abs(x)), 1e-30) AS s
+                FROM e GROUP BY d
+            ), c AS (
+                SELECT e.vec_id,  e.d,
+                       CAST(floor(e.x / s.s * 127.0 + 0.5) AS INT) AS code
+                FROM e JOIN s USING (d)
+            ), dots AS (
+                SELECT p.vec_id AS probe_id, x.vec_id,
+                       CAST(sum(p.code * x.code) AS BIGINT) AS score
+                FROM c p JOIN c x ON p.d = x.d AND x.vec_id <> p.vec_id
+                WHERE p.vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 5)
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT probe_id, vec_id, score,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY score DESC, vec_id)
+                         AS rank
+                FROM dots
+            )
+            SELECT probe_id, vec_id, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
         "embedding_diversity": f"""
             WITH u AS (
               SELECT label,
@@ -4736,6 +4957,24 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(0, 64 + doc_id % 129)) AS t(i))
             GROUP BY 1
         """,
+        # strided sawtooth: kept sample j is source index 4j, so
+        # v = (id*13 + 7*4j) mod 65536 - 32768 over ceil(n/4) samples;
+        # output WAV size = canonical 44-byte header + 2 bytes/sample.
+        "multimodal_audio_resample": """
+            SELECT doc_id,
+                   2000 AS sample_rate,
+                   CAST((64 + doc_id % 129 + 3) // 4 AS INT) AS n_samples,
+                   round(sum(v) * 1.0 / count(*), 4) AS mean_amp,
+                   round(sqrt(sum(v * v) * 1.0 / count(*)), 4) AS rms,
+                   CAST(44 + 2 * ((64 + doc_id % 129 + 3) // 4) AS INT)
+                     AS n_bytes_out
+            FROM (
+              SELECT doc_id,
+                     ((doc_id * 13 + 7 * t.i) % 65536 - 32768) AS v
+              FROM documents,
+                   unnest(range(0, 64 + doc_id % 129, 4)) AS t(i))
+            GROUP BY 1
+        """,
         "multimodal_png_decode": """
             SELECT doc_id,
                    CAST(8 + doc_id % 25 AS INT) AS width,
@@ -4902,6 +5141,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, sid
             HAVING max(ts) + INTERVAL 30 MINUTE <=
                    (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        """,
+        "events_stream_ingest_table": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(2 AS INT) AS n_rowsets
+            FROM events GROUP BY 1
         """,
         "events_stream_join": """
             SELECT p.event_id AS purchase_id, p.user_id, c.ts AS c_ts
@@ -5370,6 +5617,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 64
+        """,
+        "ingest_segment_pushdown": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
+            WHERE doc_id >= 100 AND doc_id < 300
+            GROUP BY 1
         """,
         "pandas_udaf_weighted_avg": """
             SELECT l_returnflag,

@@ -77,6 +77,8 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: ingest_export(spark, sf_dir, "jsonl"),
         lambda: ingest_export(spark, sf_dir, "csv"),
         lambda: ingest_export(spark, sf_dir, "orc"),
+        lambda: ingest_export(spark, sf_dir, "binary"),
+        lambda: ingest_export(spark, sf_dir, "olapseg"),
         lambda: bucketed_pair(spark, sf_dir),
         lambda: bucketed_fact_pair(spark, sf_dir),
         lambda: zorder_lineitem_path(spark, sf_dir),
@@ -660,6 +662,21 @@ def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
             ).write.mode("overwrite").orc(path)
+        elif fmt == "olapseg":
+            # one custom binary segment (sources/segment_format.py):
+            # the documents table in the bespoke block format the
+            # olapseg DataSource mounts with zone-map pushdown
+            from .sources.segment_format import write_segment
+
+            os.makedirs(path, exist_ok=True)
+            rows = [
+                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
+                for r in load_table(spark, sf_dir, "documents")
+                .select("doc_id", "n_chars", "lang", "source")
+                .collect()
+            ]
+            path = os.path.join(path, "documents.oseg")
+            write_segment(rows, path, block_rows=256)
         elif fmt == "binary":
             # loose-file corpus for the binaryFile source: the first 64
             # documents' UTF-8 bytes, one file each, named by doc_id.

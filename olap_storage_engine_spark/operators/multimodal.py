@@ -657,6 +657,71 @@ def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)
 
 
+def resample_audio_features(
+    mm: DataFrame, factor: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Sample-rate normalization — the audio twin of image resize: every
+    corpus mixes source rates, and training pipelines decimate to one
+    target rate before feature extraction.  Decode each WAV, keep every
+    ``factor``-th sample (integer decimation; a production pipeline
+    would low-pass first — this is the deterministic, oracle-checkable
+    core of that op, exactly like nearest-neighbor is for resize), then
+    RE-ENCODE at rate/factor to prove the write side and emit the
+    resampled stream's exact stats.
+
+    One Arrow pass does decode -> decimate -> encode -> stats; nothing
+    crosses the Python boundary twice (the r9 fused-pipeline pattern).
+    """
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1, got {factor}")
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int, "
+        "mean_amp double, rms double, n_bytes_out int"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                rate, pcm = wav_decode(bytes(b))
+                kept = pcm[::factor]
+                out_rate = rate // factor
+                buf = encode_wav_pcm16(kept.astype("<i2"), out_rate)
+                s = kept.astype(np.int64)
+                n = len(s)
+                rows.append(
+                    (
+                        out_rate,
+                        n,
+                        float(s.sum()) / n if n else 0.0,
+                        math.sqrt(float((s * s).sum()) / n) if n else 0.0,
+                        len(buf),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_rate",
+                    "n_samples",
+                    "mean_amp",
+                    "rms",
+                    "n_bytes_out",
+                ],
+                index=pdf.index,
+            )
+            out.insert(0, id_col, pdf[id_col])
+            for c in ("sample_rate", "n_samples", "n_bytes_out"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return mm.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # JPEG — baseline SOF0 codec (operators/jpegcodec.py; pure numpy)
 # ---------------------------------------------------------------------------

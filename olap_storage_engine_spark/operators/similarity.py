@@ -951,3 +951,110 @@ def embedding_diversity(
             ).alias("mean_pair_cos"),
         )
     )
+
+
+def int8_quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization — the 4x
+    storage cut every large embedding store takes before ANN serving
+    (float32 -> int8; PQ above goes further but loses per-dim
+    addressability).  Two passes, both cheap:
+
+    1. per-dim scale s_d = max |x_d| — ONE partial-aggregable groupBy
+       over posexplode (exact: max has no float-summation order);
+    2. codes = floor(x/s * 127 + 0.5), computed ROW-LOCALLY by zipping
+       each vector against the broadcast 64-entry scale array — the
+       scalar-subquery pattern, no second shuffle.
+
+    Rounding is spelled floor(+0.5) rather than an engine round() so
+    the SQL oracle reproduces codes bit-exactly (round() half-even vs
+    half-away differs between engines).  Scales are floored at 1e-30
+    so an all-zero dimension quantizes to 0 instead of NaN.
+
+    Returns (vec_id, codes array<int>, scales array<double>) — callers
+    persist codes+scales; dequantization is codes[d]*s_d/127.
+    """
+    dims = emb.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+    # cast BEFORE greatest: mixed float/double greatest coerces to
+    # float and mangles the 1e-30 floor into a float32 rounding of it
+    scales = dims.groupBy("d").agg(
+        F.greatest(
+            F.max(F.abs("x")).cast("double"), F.lit(1e-30)
+        ).alias("s")
+    )
+    # one tiny sorted row: scales as a position-indexed array
+    sarr = scales.agg(
+        F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds")
+    ).select(F.expr("transform(ds, e -> e.s)").alias("scales"))
+    code_expr = (
+        f"transform(arrays_zip({vec_col}, scales), p -> "
+        f"CAST(floor(p.{vec_col} / p.scales * 127.0 + 0.5) AS INT))"
+    )
+    return emb.crossJoin(F.broadcast(sarr)).select(
+        "vec_id",
+        F.expr(code_expr).alias("codes"),
+        "scales",
+    )
+
+
+def int8_quantize_stats(quantized: DataFrame) -> DataFrame:
+    """Per-vector exact-integer summary of an int8 quantization —
+    the oracle-checkable projection of `int8_quantize` (sums/extrema
+    of integer codes carry no float-order ambiguity)."""
+    return quantized.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.expr(
+            "aggregate(codes, 0L, (a, c) -> a + c)"
+        ).alias("sum_code"),
+        F.expr(
+            "aggregate(codes, 0L, (a, c) -> a + abs(c))"
+        ).alias("sum_abs_code"),
+        F.expr("array_max(transform(codes, c -> abs(c)))").alias(
+            "max_abs_code"
+        ),
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k served FROM the int8 codes: quantize once, score with
+    EXACT integer dot products (codes <= 127, so a 64-dim dot fits in
+    int32 with room; accumulated in long) — the int8-serving half of
+    the storage-cut story.  Scores are integers, so unlike a float ANN
+    the oracle reproduces the ranking bit-for-bit, and the quantized
+    ranking's agreement with the float ranking is a measured quantity
+    (tested), not an assumption.
+
+    Probes are corpus members given by id (their codes come from the
+    same quantization pass — one scan, no separate probe encode); the
+    probe side is a broadcast of len(probe_ids) rows.  One window per
+    probe for rank; at serving scale the corpus side would come from
+    the persisted codes table (indexes.py pattern)."""
+    q = int8_quantize(corpus, vec_col).select(id_col, "codes")
+    p = q.filter(F.col(id_col).isin([int(i) for i in probe_ids])).select(
+        F.col(id_col).alias("probe_id"), F.col("codes").alias("pcodes")
+    )
+    scored = (
+        q.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            F.expr(
+                "aggregate(zip_with(codes, pcodes, (a, b) -> a * b), "
+                "0L, (s, x) -> s + x)"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "score", "rank")
+    )

@@ -1294,3 +1294,89 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     plan = tx.weighted_sample(df, "w", n=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark):
+    """Symmetric int8 quantization: codes bounded, dequantization
+    error <= s_d/254 per element (half a quantization step), and the
+    integer-stat projection agrees with a numpy reference."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators.similarity import (
+        int8_quantize,
+        int8_quantize_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    vecs[:, 3] = 0.0  # an all-zero dimension must quantize to 0, not NaN
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = int8_quantize(emb, "embedding").collect()
+    scales = np.array(out[0]["scales"])
+    # reference in float64: the operator floors at a DOUBLE 1e-30
+    ref_scales = np.maximum(
+        np.abs(vecs).max(axis=0).astype(np.float64), 1e-30
+    )
+    assert np.allclose(scales, ref_scales, rtol=0, atol=0)
+
+    by_id = {r["vec_id"]: np.array(r["codes"]) for r in out}
+    for i, row in enumerate(vecs):
+        codes = by_id[i]
+        ref = np.floor(row.astype(np.float64) / ref_scales * 127.0 + 0.5)
+        assert (codes == ref.astype(np.int64)).all()
+        assert np.abs(codes).max() <= 127
+        dequant = codes * ref_scales / 127.0
+        assert (np.abs(dequant - row) <= ref_scales / 254.0 + 1e-12).all()
+        assert codes[3] == 0
+
+    stats = {
+        r["vec_id"]: (r["sum_code"], r["sum_abs_code"], r["max_abs_code"])
+        for r in int8_quantize_stats(
+            int8_quantize(emb, "embedding")
+        ).collect()
+    }
+    for i in range(50):
+        c = by_id[i]
+        assert stats[i] == (int(c.sum()), int(np.abs(c).sum()), int(np.abs(c).max()))
+
+
+def test_int8_topk_matches_integer_reference(spark):
+    """int8_topk's ranking equals a numpy integer-dot reference —
+    quantized serving is exactly reproducible, not approximately."""
+    import numpy as np
+
+    from olap_storage_engine_spark.operators.similarity import (
+        int8_quantize,
+        int8_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {
+        r["vec_id"]: np.array(r["codes"], dtype=np.int64)
+        for r in int8_quantize(emb, "embedding").collect()
+    }
+    got = {}
+    for r in int8_topk(emb, [0, 1], k=5).collect():
+        got.setdefault(r["probe_id"], []).append(
+            (r["rank"], r["vec_id"], r["score"])
+        )
+    for pid in (0, 1):
+        scores = sorted(
+            (
+                (-int(codes[pid] @ codes[v]), v)
+                for v in codes
+                if v != pid
+            ),
+        )[:5]
+        want = [
+            (rank + 1, v, -neg) for rank, (neg, v) in enumerate(scores)
+        ]
+        assert sorted(got[pid]) == want

@@ -654,3 +654,45 @@ def test_avi_rejects_malformed():
         A.parse_avi_mjpeg(bytes(bad3))
     with pytest.raises(ValueError, match="at least one frame"):
         A.encode_avi_mjpeg([], 8, 8)
+
+
+def test_audio_resample_matches_strided_reference(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    feats = m.resample_audio_features(m.attach_audio_payload(docs), factor=4)
+    for r in feats.collect():
+        i = r["doc_id"]
+        n_in = 64 + i % 129
+        vals = [
+            ((i * 13 + 7 * j) % 65536 - 32768) for j in range(0, n_in, 4)
+        ]
+        n = len(vals)
+        assert r["sample_rate"] == 2000 and r["n_samples"] == n
+        assert r["n_bytes_out"] == 44 + 2 * n  # canonical header + PCM16
+        assert abs(r["mean_amp"] - sum(vals) / n) < 1e-9
+        assert (
+            abs(r["rms"] - math.sqrt(sum(v * v for v in vals) / n)) < 1e-9
+        )
+
+
+def test_audio_resample_factor_one_is_decode(spark):
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators import multimodal as m
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    mm_df = m.attach_audio_payload(docs)
+    plain = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], r["mean_amp"], r["rms"])
+        for r in m.decode_audio_features(mm_df).collect()
+    }
+    resamp = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], r["mean_amp"], r["rms"])
+        for r in m.resample_audio_features(mm_df, factor=1).collect()
+    }
+    assert plain == resamp

@@ -1,0 +1,120 @@
+"""Custom binary segment format + the olapseg Python DataSource:
+round-trip, open-validation failures, and zone-map pushdown pruning
+at partition-planning time."""
+
+import struct
+
+import pytest
+
+from olap_storage_engine_spark.sources.segment_format import (
+    SEGMENT_SCHEMA,
+    make_datasource,
+    open_segment,
+    register,
+    write_segment,
+)
+
+ROWS = [(i, 100 + i, "en" if i % 3 else "de", f"src{i % 5}") for i in range(1000)]
+
+
+@pytest.fixture(scope="module")
+def seg(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("seg") / "t.oseg")
+    n = write_segment(ROWS, p, block_rows=100)
+    assert n == 1000
+    return p
+
+
+def test_open_validates_and_indexes(seg):
+    n_rows, block_rows, blocks = open_segment(seg)
+    assert n_rows == 1000 and block_rows == 100
+    assert len(blocks) == 10
+    assert blocks[0] == (0, 100, 0, 99)
+    assert blocks[-1] == (900, 100, 900, 999)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"XSEG" + b[4:],  # bad magic
+        lambda b: b[:-4] + b"XXXX",  # bad end magic
+        lambda b: b[:300] + bytes([b[300] ^ 0xFF]) + b[301:],  # CRC flip
+        lambda b: b[:-40],  # truncated footer
+    ],
+)
+def test_open_rejects_corruption(seg, tmp_path, mutate):
+    buf = open(seg, "rb").read()
+    bad = tmp_path / "bad.oseg"
+    bad.write_bytes(mutate(buf))
+    with pytest.raises(ValueError):
+        open_segment(str(bad))
+
+
+def test_spark_roundtrip_all_rows(spark, seg):
+    register(spark)
+    df = spark.read.format("olapseg").option("path", seg).load()
+    assert df.schema.simpleString() == (
+        "struct<" + SEGMENT_SCHEMA.replace(" ", ":").replace(",:", ",") + ">"
+    )
+    got = sorted(
+        (r["doc_id"], r["n_chars"], r["lang"], r["source"])
+        for r in df.collect()
+    )
+    assert got == sorted(ROWS)
+
+
+def test_pushdown_prunes_blocks_at_planning(seg):
+    """The doc_id range reaches the reader and prunes whole blocks
+    from the partition plan (not a post-filter)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    cls = make_datasource()
+    ds = cls(options={"path": seg})
+    r = ds.reader(None)
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 250),
+                LessThan(("doc_id",), 450),
+            ]
+        )
+    )
+    assert unsupported == []  # both served by the zone maps
+    parts = r.partitions()
+    # rows 250..449 live in blocks 2,3,4 (100-row blocks)
+    assert len(parts) == 3
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(x[0] for x in rows) == list(range(250, 450))
+
+
+def test_pushdown_returns_unsupported_filters(seg):
+    from pyspark.sql.datasource import EqualTo
+
+    cls = make_datasource()
+    r = cls(options={"path": seg}).reader(None)
+    leftover = list(
+        r.pushFilters([EqualTo(("lang",), "en"), EqualTo(("doc_id",), 123)])
+    )
+    # lang predicate bounces back to Spark; doc_id=123 pins one block
+    assert len(leftover) == 1 and leftover[0].attribute == ("lang",)
+    parts = r.partitions()
+    assert len(parts) == 1
+    rows = list(r.read(parts[0]))
+    assert [x[0] for x in rows] == [123]
+
+
+def test_spark_filtered_scan_matches(spark, seg):
+    register(spark)
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("olapseg")
+        .option("path", seg)
+        .load()
+        .filter((F.col("doc_id") >= 990) | (F.col("doc_id") < 5))
+    )
+    # an OR of ranges is not pushable as one range -> correctness must
+    # not depend on pushdown; Spark re-applies the predicate
+    assert sorted(r["doc_id"] for r in df.collect()) == list(range(0, 5)) + list(
+        range(990, 1000)
+    )

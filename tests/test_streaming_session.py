@@ -80,6 +80,8 @@ def test_session_stream_append_equals_batch_cut(spark, tmp_path):
         for fn in os.listdir(full):
             os.utime(os.path.join(full, fn), (now + i, now + i))
 
+    import uuid
+
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", "1")
@@ -87,10 +89,11 @@ def test_session_stream_append_equals_batch_cut(spark, tmp_path):
         .parquet(os.path.join(src, "*"))
         .withWatermark("ts", "1 hour")
     )
+    name = f"sess_test_{uuid.uuid4().hex[:8]}"
     q = (
         session_window_agg(stream, "30 minutes")
         .writeStream.format("memory")
-        .queryName("sess_test")
+        .queryName(name)
         .option(
             "checkpointLocation", str(tmp_path / "ckpt")
         )
@@ -98,10 +101,10 @@ def test_session_stream_append_equals_batch_cut(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(180)
-    got = sorted(
-        map(tuple, spark.table("sess_test").collect())
-    )
+    # generous timeout: the suite runs many Spark jobs concurrently
+    # and availableNow still has to schedule three micro-batches
+    assert q.awaitTermination(420)
+    got = sorted(map(tuple, spark.table(name).collect()))
 
     # batch expectation: gap sessions with last_ts + gap <= max_ts - 1h
     max_ts = BASE + dt.timedelta(minutes=24 * 60)
