@@ -1097,6 +1097,47 @@ def q_dedup_exact_substring(spark, sf_dir):
     return dd.duplicated_span_stats(idx)
 
 
+def q_corpus_span_dedup(spark, sf_dir):
+    """C4-style duplicated-span REMOVAL (the curation step, not just
+    the report): 4-word segments repeated verbatim in >= 2 distinct
+    documents are cut and each document is rewritten from its
+    surviving segments (operators/dedup.remove_duplicate_spans;
+    complements dedup_exact_substring, which only scores)."""
+    return dd.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), width=4, min_docs=2
+    )
+
+
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring: train add-one-smoothed
+    unigram/bigram counts over the corpus and score every document's
+    average log-prob in the same plan — exact fixed-point micro-nats,
+    no float-average rounding hazard
+    (operators/text.bigram_lm_scores)."""
+    return tx.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_classifier_score(spark, sf_dir):
+    """fastText-shaped model-based quality filter: hashed bag-of-words
+    linear classifier inference, pure in-row codegen (zero shuffles,
+    zero Python); the keep cut compares the EXACT dyadic weight sum
+    against 0 (operators/text.hashed_classifier_scores)."""
+    return tx.hashed_classifier_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Index-quality metric: recall@10 of the served IVF index
+    (similarity_ann_ivf, n_probe=4) against the exact brute-force
+    top-10 over the same probes — the evaluation every ANN deployment
+    publishes next to its index (operators/similarity.ann_recall)."""
+    return sim.ann_recall(
+        q_similarity_topk(spark, sf_dir),
+        q_similarity_ann_ivf(spark, sf_dir),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-shaped semantic near-dup pairs served from the
     PERSISTED cell table (emb_cells — the same publish-time-maintained
@@ -2944,6 +2985,12 @@ _DRIVER_CHECK_HEAD = [
     #         moved in r7-r8; the remaining 23 r6 rows are the fill
     #         and lead the r10 head).
     # --- r9-new (never driver-checked) ---
+    # second-session additions: span-removal rewrite, bigram-LM and
+    # classifier quality scoring, ANN recall eval
+    "corpus_span_dedup",
+    "text_lm_score",
+    "quality_classifier_score",
+    "ann_recall_eval",
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
@@ -2994,11 +3041,11 @@ _DRIVER_CHECK_HEAD = [
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "docs_stream_quality_filter",
-    "tpch_q2",
-    "tpch_q10",
-    "quality_filter_pipeline",
-    "token_budget_select",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     tpch_q2/tpch_q10/quality_filter_pipeline/token_budget_select
+    #     (r6-stale) demoted when the four second-session r9-new
+    #     queries (corpus_span_dedup, text_lm_score,
+    #     quality_classifier_score, ann_recall_eval) took head slots;
     #     stratified_sample/text_bm25/text_repetition + events_cohort/
     #     funnel/histogram/ohlc/twap/winsorize/compaction_partition
     #     (r6-stale) demoted when the ten second-wave r9-new queries
@@ -3008,6 +3055,10 @@ _DRIVER_CHECK_HEAD = [
     #     head slots; then merge_scoped/rowset_skip_scan from the
     #     first-wave demotion, then the remaining r6-stale rows —
     #     these lead the r10 head ---
+    "tpch_q2",
+    "tpch_q10",
+    "quality_filter_pipeline",
+    "token_budget_select",
     "stratified_sample",
     "text_bm25",
     "text_repetition",
@@ -3047,9 +3098,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("stratified_sample") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("tpch_q2") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('stratified_sample')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('tpch_q2')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -3091,6 +3142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepset": q_dedup_keepset,
+        "corpus_span_dedup": q_corpus_span_dedup,
+        "text_lm_score": q_text_lm_score,
+        "quality_classifier_score": q_quality_classifier_score,
+        "ann_recall_eval": q_ann_recall_eval,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -4654,6 +4709,114 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": _minhash_verified_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
+        # recall@10 of the IVF serving path vs exact top-10: both
+        # rankings reproduced by their existing oracles, joined on
+        # (probe_id, vec_id), hits counted per probe
+        "ann_recall_eval": f"""
+            WITH exact_k AS (
+              SELECT probe_id, vec_id FROM ({_similarity_topk_oracle()})
+            ),
+            ivf_k AS (
+              SELECT probe_id, vec_id FROM ({_similarity_ann_ivf_oracle()})
+            )
+            SELECT e.probe_id,
+                   CAST(count(i.vec_id) AS INT) AS hits,
+                   CAST(count(*) AS INT) AS k,
+                   round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4)
+                     AS recall
+            FROM exact_k e LEFT JOIN ivf_k i USING (probe_id, vec_id)
+            GROUP BY 1
+        """,
+        # C4-style span removal: 4-word segments, cut at corpus
+        # document-frequency >= 2, document rebuilt in segment order
+        "corpus_span_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            s0 AS (
+              SELECT doc_id,
+                     CAST(unnest(range(CAST(ceil(len(arr) / 4.0) AS BIGINT)))
+                          AS INT) AS seg_idx,
+                     arr
+              FROM w
+            ),
+            segs AS (
+              SELECT doc_id, seg_idx,
+                     array_to_string(arr[seg_idx*4+1 : seg_idx*4+4], ' ')
+                       AS seg
+              FROM s0
+            ),
+            freq AS (SELECT seg, count(DISTINCT doc_id) AS nd
+                     FROM segs GROUP BY 1)
+            SELECT s.doc_id,
+                   CAST(count(*) AS INT) AS n_spans,
+                   CAST(count(*) FILTER (f.nd < 2) AS INT) AS kept_spans,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                            FILTER (f.nd < 2), '') AS cleaned_text
+            FROM segs s JOIN freq f USING (seg)
+            GROUP BY 1
+        """,
+        # bigram LM with add-one smoothing; per-bigram log-prob rounded
+        # to 6dp then summed as exact DECIMAL fixed-point, average as
+        # integer micro-nats (see operators/text.bigram_lm_scores)
+        "text_lm_score": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            uc AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(arr) AS w1 FROM w) GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS vocab FROM uc),
+            bi0 AS (
+              SELECT doc_id, arr,
+                     CAST(unnest(range(len(arr) - 1)) AS BIGINT) AS i
+              FROM w WHERE len(arr) >= 2
+            ),
+            bi AS (SELECT doc_id, arr[i+1] AS w1, arr[i+2] AS w2 FROM bi0),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+            s AS (
+              SELECT bi.doc_id,
+                     CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE)
+                                   / CAST(uc.c1 + v.vocab AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM bi JOIN bc USING (w1, w2)
+              JOIN uc ON bi.w1 = uc.w1 CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                     CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+              FROM s GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST(micro AS DOUBLE) / 1000000.0 AS sum_logprob,
+                   CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
+                     AS avg_lp_micro
+            FROM agg
+        """,
+        # hashed bag-of-words linear classifier: rolling hash
+        # (h*31+ord) % 1000003 -> bucket % 4096 -> Knuth-derived dyadic
+        # weight; the sum of dyadic k/2^16 weights is exact in a double
+        "quality_classifier_score": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     list_sum(list_transform(toks, tok ->
+                       CAST(((list_reduce(
+                                list_prepend(7::BIGINT,
+                                  list_transform(range(1, length(tok) + 1),
+                                    i -> ord(substr(tok, i, 1))::BIGINT)),
+                                (h, b) -> (h * 31 + b) % 1000003)
+                              % 4096) * 2654435761) % 65536 AS DOUBLE)
+                       / 65536.0 - 0.5)) AS raw
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   round(raw / n_tokens, 6) AS raw_score,
+                   round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
+                     AS quality_prob,
+                   (raw >= 0) AS keep
+            FROM s
+        """,
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
         "similarity_ann_pq": _similarity_ann_pq_oracle(),

@@ -912,6 +912,82 @@ def duplicated_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    width: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL: rewrite each document with
+    every boilerplate span deleted (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning" §2.2 — C4 drops any three-sentence
+    span occurring more than once in the corpus; here the unit is a
+    fixed ``width``-word segment, the whitespace analogue).
+
+    Where :func:`duplicated_span_stats` only *reports* per-document
+    duplication, this operator performs the curation step itself:
+    segments whose exact text appears in >= ``min_docs`` DISTINCT
+    documents are cut, and the survivors are reassembled in original
+    order into ``cleaned_text``.
+
+    Plan shape (the canonical C4 topology): segment in-row (zero
+    exchanges — one ``transform`` over the split array), one hash
+    aggregate keyed on the span text for corpus document-frequency,
+    one shuffle join back on the same key, one per-document aggregate
+    that rebuilds the text via ``array_sort(collect_list(struct))``.
+    At 100 TB every shuffle keys on high-cardinality span text with
+    map-side combine; a span is ~``width`` words so the shuffle
+    payload is bounded (key it on ``xxhash64(seg)`` instead when span
+    text is long — kept as raw text here for oracle parity).  The
+    per-document ``collect_list`` holds one document's own segments
+    only — row-local state, never corpus-proportional.
+
+    Returns (id_col, n_spans, kept_spans, cleaned_text); a document
+    whose every span is boilerplate survives with cleaned_text = ''.
+    """
+    arr = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(arr) / F.lit(float(width))).cast("int")
+    segs_col = F.when(
+        F.size(arr) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(arr, i * width + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = docs.select(
+        F.col(id_col), F.posexplode(segs_col).alias("seg_idx", "seg")
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    keep = F.col("__nd") < min_docs
+    return (
+        segs.join(freq, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("int")
+            .alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -953,6 +953,46 @@ def embedding_diversity(
     )
 
 
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, id_cols=("probe_id", "vec_id")
+) -> DataFrame:
+    """Index-quality EVALUATION: recall@k of an approximate top-k
+    result against the exact brute-force top-k — the metric every ANN
+    deployment ships next to the index (FAISS/ScaNN benchmark
+    convention: |approx ∩ exact| / k per probe).
+
+    Both inputs are (probe_id, vec_id, ...) rankings of the SAME
+    probes at the same k (e.g. :func:`ivf_topk` vs
+    :func:`brute_topk`).  One left join on (probe_id, vec_id) + one
+    per-probe aggregate; at scale both sides are k-rows-per-probe —
+    tiny relative to the corpus — so the whole evaluation costs two
+    index reads regardless of corpus size.  Probes with zero overlap
+    still emit a row (left join from the exact side).
+
+    Returns (probe_id, hits, k, recall); recall exact at 4dp since
+    hits/k is a small-integer ratio.
+    """
+    pid, vid = id_cols
+    a = approx.select(pid, vid, F.lit(1).alias("__hit"))
+    return (
+        exact.select(pid, vid)
+        .join(a, [pid, vid], "left")
+        .groupBy(pid)
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("int")
+            .alias("hits"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+        )
+        .select(
+            pid,
+            "hits",
+            "k",
+            F.round(F.col("hits") / F.col("k"), 4).alias("recall"),
+        )
+    )
+
+
 def int8_quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-dimension int8 scalar quantization — the 4x
     storage cut every large embedding store takes before ANN serving

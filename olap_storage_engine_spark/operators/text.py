@@ -1011,3 +1011,150 @@ def dsir_select(
     ).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets" — documents
+    are ranked by LM perplexity and the worst tail dropped): score
+    every document under a corpus-trained bigram LM with add-one
+    smoothing,  lp(w1,w2) = ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Training and inference in one plan: two hash aggregates build the
+    unigram and bigram count tables (map-side combined), inference
+    joins each document's bigrams back to them.  The unigram/vocab
+    tables are vocabulary-sized -> broadcast (also removes stopword
+    key skew from the w1 join); the bigram join shuffles on the
+    high-cardinality (w1,w2) key.  No Python UDFs anywhere.
+
+    Determinism across engines: each bigram's log-prob is rounded to
+    6dp and cast to DECIMAL(18,6), so the per-document sum is EXACT
+    fixed-point (order-independent); the per-token average is emitted
+    as integer micro-nats (round of an exact-integer/int division) —
+    no float-average rounding boundary can flip a row vs the oracle.
+
+    Returns (id_col, n_bigrams, sum_logprob, avg_lp_micro); documents
+    with fewer than two tokens carry no bigram and drop out, matching
+    the oracle's ``len(arr) >= 2`` filter.
+    """
+    arr = F.split(F.col(text_col), " ")
+    w = docs.select(F.col(id_col), arr.alias("__w"))
+    uni = (
+        w.select(F.explode("__w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bg_col = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - 2),
+            lambda i: F.struct(
+                F.element_at("__w", i + 1).alias("w1"),
+                F.element_at("__w", i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = w.select(id_col, F.explode(bg_col).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("__V")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        (F.sum("lp") * 1000000).cast("long").alias("__micro"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        (F.col("__micro").cast("double") / 1000000.0).alias("sum_logprob"),
+        F.round(F.col("__micro").cast("double") / F.col("n_bigrams"), 0)
+        .cast("long")
+        .alias("avg_lp_micro"),
+    )
+
+
+# fastText-style classifier geometry: 2^12 hashed feature buckets keeps
+# the bucket id inside exact 64-bit arithmetic everywhere, and the
+# Knuth multiplicative constant derives a fixed pseudo-random weight
+# per bucket.  Weights are dyadic rationals (k/2^16 - 1/2), so any
+# per-document sum of a few thousand of them is EXACT in a double —
+# summation order cannot perturb the score.
+_CLS_HASH_MOD = 1000003
+_CLS_BUCKETS = 4096
+_CLS_KNUTH = 2654435761
+
+
+def _cls_token_hash(tok: F.Column) -> F.Column:
+    """Polynomial rolling hash (h*31 + ord) mod 1000003 — chosen over
+    FNV-1a because it stays inside non-overflowing BIGINT range in
+    both Spark's ANSI mode and the DuckDB oracle (products are
+    < 2^45), no unsigned wrap emulation needed."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + F.ascii(c)) % _CLS_HASH_MOD,
+    )
+
+
+def hashed_classifier_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality filtering: linear classifier inference over
+    hashed bag-of-words features (the fastText architecture of Joulin
+    et al. 2016, "Bag of Tricks for Efficient Text Classification" —
+    the quality-filter stage of GPT-3/PaLM-class data pipelines runs
+    exactly this shape: hash tokens into buckets, average bucket
+    weights, squash).
+
+    The model here is a fixed deterministic weight table derived from
+    the bucket id (so the operator is oracle-checkable end to end);
+    swapping in trained weights is a broadcast-join or a literal-map
+    substitution — the plan does not change.  Everything is in-row
+    built-in expressions (split -> transform -> aggregate fold):
+    ZERO shuffles, zero Python, whole-stage codegen end to end —
+    at 100 TB this is a pure map stage pipelined into whatever
+    follows.
+
+    Returns (id_col, n_tokens, raw_score, quality_prob, keep);
+    ``keep`` compares the EXACT dyadic sum against 0 (sign of the
+    logit), so the cut cannot flip on float rounding.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def weight(tok: F.Column) -> F.Column:
+        bucket = _cls_token_hash(tok) % _CLS_BUCKETS
+        return ((bucket * _CLS_KNUTH) % 65536).cast("double") / 65536.0 - 0.5
+
+    raw = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    score = raw / n
+    return docs.select(
+        id_col,
+        n.cast("int").alias("n_tokens"),
+        F.round(score, 6).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias(
+            "quality_prob"
+        ),
+        (raw >= 0).alias("keep"),
+    )

@@ -1,0 +1,147 @@
+"""Golden tests for the round-9 curation-model operators: C4-style
+span removal, bigram-LM scoring, hashed-classifier quality filtering,
+and ANN recall evaluation."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from olap_storage_engine_spark.operators import dedup as dd
+from olap_storage_engine_spark.operators import similarity as sim
+from olap_storage_engine_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # width=2 segments: doc 1 = ["a b", "c d", "e f"],
+    # doc 2 = ["a b", "x y"], doc 3 = ["c d", "a b"], doc 4 = ["q r"]
+    rows = [
+        Row(doc_id=1, text="a b c d e f"),
+        Row(doc_id=2, text="a b x y"),
+        Row(doc_id=3, text="c d a b"),
+        Row(doc_id=4, text="q r"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_span_removal_cuts_corpus_duplicates(spark, span_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_duplicate_spans(
+            span_docs, width=2, min_docs=2
+        ).collect()
+    }
+    # "a b" in docs 1,2,3; "c d" in docs 1,3 -> both cut
+    assert out[1]["cleaned_text"] == "e f"
+    assert (out[1]["n_spans"], out[1]["kept_spans"]) == (3, 1)
+    assert out[2]["cleaned_text"] == "x y"
+    assert out[3]["cleaned_text"] == ""  # every span was boilerplate
+    assert out[3]["kept_spans"] == 0
+    assert out[4]["cleaned_text"] == "q r"  # unique doc untouched
+
+
+def test_span_removal_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="z z p q m n"),
+            Row(doc_id=2, text="p q"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in dd.remove_duplicate_spans(
+            docs, width=2, min_docs=2
+        ).collect()
+    }
+    # middle segment "p q" cut; flanks rejoin in original order
+    assert out[1] == "z z m n"
+
+
+def test_span_removal_partial_tail_segment(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    row = dd.remove_duplicate_spans(docs, width=2, min_docs=2).collect()[0]
+    # 5 words at width 2 -> 3 segments, last one partial ("e")
+    assert row["n_spans"] == 3
+    assert row["cleaned_text"] == "a b c d e"
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="a"),  # single token: no bigram, drops
+        ]
+    )
+    out = {r["doc_id"]: r for r in tx.bigram_lm_scores(docs).collect()}
+    # corpus: c1(a)=4, c1(b)=3, c1(c)=1, V=3
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    lp_ab = round(math.log((3 + 1) / (4 + 3)), 6)
+    lp_ba = round(math.log((1 + 1) / (3 + 3)), 6)
+    lp_bc = round(math.log((1 + 1) / (3 + 3)), 6)
+    micro1 = round(lp_ab * 1e6) * 2 + round(lp_ba * 1e6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_lp_micro"] == round(micro1 / 3)
+    assert out[1]["sum_logprob"] == pytest.approx(micro1 / 1e6)
+    assert out[2]["n_bigrams"] == 2
+    assert 3 not in out
+
+
+def test_classifier_scores_exact_sign_and_bounds(spark, span_docs):
+    out = tx.hashed_classifier_scores(span_docs).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0.0 < r["quality_prob"] < 1.0
+        # keep is the exact sign of the raw (pre-division) sum
+        assert r["keep"] == (r["raw_score"] >= 0)
+        assert r["n_tokens"] > 0
+
+
+def test_classifier_deterministic_per_token(spark):
+    # same token multiset => identical score regardless of order
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma alpha beta")]
+    )
+    out = {r["doc_id"]: r for r in tx.hashed_classifier_scores(docs).collect()}
+    assert out[1]["quality_prob"] == out[2]["quality_prob"]
+    assert out[1]["raw_score"] == out[2]["raw_score"]
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        [Row(probe_id=p, vec_id=v, cosine=0.5, rank=i + 1)
+         for p, vs in rows.items() for i, v in enumerate(vs)]
+    )
+
+
+def test_ann_recall_full_and_partial(spark):
+    exact = _ranking(spark, {10: [1, 2, 3, 4], 20: [5, 6, 7, 8]})
+    approx = _ranking(spark, {10: [1, 2, 3, 4], 20: [5, 6, 99, 98]})
+    out = {r["probe_id"]: r for r in sim.ann_recall(exact, approx).collect()}
+    assert (out[10]["hits"], out[10]["k"], out[10]["recall"]) == (4, 4, 1.0)
+    assert (out[20]["hits"], out[20]["recall"]) == (2, 0.5)
+
+
+def test_ann_recall_zero_overlap_probe_still_reports(spark):
+    exact = _ranking(spark, {10: [1, 2]})
+    approx = _ranking(spark, {10: [7, 8]})
+    row = sim.ann_recall(exact, approx).collect()[0]
+    assert (row["hits"], row["recall"]) == (0, 0.0)
+
+
+def test_ivf_recall_is_high_on_fixture(spark):
+    """End-to-end: the served IVF index should recover most of the
+    exact top-10 on the sf0.001 fixture (sanity on the real metric)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    out = mod.queries()["ann_recall_eval"](spark, sf).collect()
+    assert len(out) == 5
+    avg = sum(r["recall"] for r in out) / len(out)
+    assert avg >= 0.5  # n_probe=4 of ~16 cells should recall >= half
