@@ -1138,6 +1138,44 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
 
+def q_text_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage eval: per-document OOV rate against the
+    corpus's top-20 unigram vocabulary (count DESC, word ASC ties);
+    vocab broadcast, rate an exact int/int division — no rounding
+    step at all (operators/text.vocab_oov_rates)."""
+    return tx.vocab_oov_rates(load_table(spark, sf_dir, "documents"), k=20)
+
+
+def q_similarity_kmeans_centroids(spark, sf_dir):
+    """The k-means TRAINING step as a first-class checked query: the
+    persisted coarse-quantizer index (trained once at fixture-build
+    time by operators/similarity.train_ivf_centroids) exploded to
+    (cent_id, pos, val) and compared against DuckDB re-deriving the
+    same centroids from scratch — proving the deterministic sampled
+    k-means recipe (sample mod 4, lowest-id init, 2 Lloyd iterations,
+    6dp mean rounding) is bit-reproducible across engines, which is
+    the foundation every IVF/PQ/SemDeDup oracle stands on."""
+    from olap_storage_engine_spark.fixtures import ivf_centroids
+
+    c = ivf_centroids(spark, sf_dir)
+    return c.select(
+        "cent_id", F.posexplode("cent_vec").alias("pos", "val")
+    ).select("cent_id", F.col("pos").cast("int").alias("pos"), "val")
+
+
+def q_docs_stream_classifier_filter(spark, sf_dir):
+    """Model-based quality filtering AT INGEST: the hashed-classifier
+    inference running inside a Structured Streaming query as a
+    stateless append-mode filter — same operator, same verdicts as
+    the batch path, checked by the batch SQL oracle
+    (streaming/corpus.run_fixture_stream_classifier_filter)."""
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_classifier_filter,
+    )
+
+    return run_fixture_stream_classifier_filter(spark, sf_dir)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-shaped semantic near-dup pairs served from the
     PERSISTED cell table (emb_cells — the same publish-time-maintained
@@ -2991,6 +3029,9 @@ _DRIVER_CHECK_HEAD = [
     "text_lm_score",
     "quality_classifier_score",
     "ann_recall_eval",
+    "text_oov_rate",
+    "similarity_kmeans_centroids",
+    "docs_stream_classifier_filter",
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
@@ -3038,14 +3079,14 @@ _DRIVER_CHECK_HEAD = [
     "dedup_ngram_indexed",
     "dedup_simhash_groups",
     "embedding_corpus_prep",
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "docs_stream_quality_filter",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     tpch_q2/tpch_q10/quality_filter_pipeline/token_budget_select
-    #     (r6-stale) demoted when the four second-session r9-new
-    #     queries (corpus_span_dedup, text_lm_score,
-    #     quality_classifier_score, ann_recall_eval) took head slots;
+    #     similarity_ann_pq/similarity_ann_ivfpq/
+    #     docs_stream_quality_filter + tpch_q2/tpch_q10/
+    #     quality_filter_pipeline/token_budget_select (r6-stale)
+    #     demoted when the seven second-session r9-new queries
+    #     (corpus_span_dedup, text_lm_score, quality_classifier_score,
+    #     ann_recall_eval, text_oov_rate, similarity_kmeans_centroids,
+    #     docs_stream_classifier_filter) took head slots;
     #     stratified_sample/text_bm25/text_repetition + events_cohort/
     #     funnel/histogram/ohlc/twap/winsorize/compaction_partition
     #     (r6-stale) demoted when the ten second-wave r9-new queries
@@ -3055,6 +3096,9 @@ _DRIVER_CHECK_HEAD = [
     #     head slots; then merge_scoped/rowset_skip_scan from the
     #     first-wave demotion, then the remaining r6-stale rows —
     #     these lead the r10 head ---
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "docs_stream_quality_filter",
     "tpch_q2",
     "tpch_q10",
     "quality_filter_pipeline",
@@ -3098,9 +3142,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("tpch_q2") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("similarity_ann_pq") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('tpch_q2')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('similarity_ann_pq')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -3146,6 +3190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "quality_classifier_score": q_quality_classifier_score,
         "ann_recall_eval": q_ann_recall_eval,
+        "text_oov_rate": q_text_oov_rate,
+        "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
+        "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -4816,6 +4863,51 @@ def oracle_sql() -> dict[str, str]:
                      AS quality_prob,
                    (raw >= 0) AS keep
             FROM s
+        """,
+        # per-doc OOV rate vs the corpus top-20 unigram vocabulary;
+        # exact int/int division, no rounding anywhere
+        "text_oov_rate": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+            top AS (SELECT w FROM c ORDER BY c DESC, w LIMIT 20)
+            SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   CAST(count(*) FILTER (top.w IS NULL) AS INT)
+                     AS oov_tokens,
+                   CAST(count(*) FILTER (top.w IS NULL) AS DOUBLE)
+                     / count(*) AS oov_rate
+            FROM t LEFT JOIN top ON t.w = top.w
+            GROUP BY 1
+        """,
+        # DuckDB re-derives the trained coarse quantizer from scratch
+        # and must reproduce the persisted index bit-for-bit
+        "similarity_kmeans_centroids": f"""
+            WITH {_kmeans_ctes(_NCENT_SQL, 4, 2)}
+            SELECT cent_id, CAST(i - 1 AS INT) AS pos,
+                   cent_vec[i]::DOUBLE AS val
+            FROM cents CROSS JOIN range(1, 65) t(i)
+        """,
+        # the streaming classifier filter's keep-set == the batch
+        # classifier SQL filtered to raw >= 0
+        "docs_stream_classifier_filter": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     list_sum(list_transform(toks, tok ->
+                       CAST(((list_reduce(
+                                list_prepend(7::BIGINT,
+                                  list_transform(range(1, length(tok) + 1),
+                                    i -> ord(substr(tok, i, 1))::BIGINT)),
+                                (h, b) -> (h * 31 + b) % 1000003)
+                              % 4096) * 2654435761) % 65536 AS DOUBLE)
+                       / 65536.0 - 0.5)) AS raw
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
+                     AS quality_prob
+            FROM s WHERE raw >= 0
         """,
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),

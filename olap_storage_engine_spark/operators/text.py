@@ -1158,3 +1158,55 @@ def hashed_classifier_scores(
         ),
         (raw >= 0).alias("keep"),
     )
+
+
+def vocab_oov_rates(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-coverage signal: per-document out-of-vocabulary rate
+    against the corpus's own top-``k`` unigram vocabulary — the cheap
+    proxy for "how much of this document will a fixed tokenizer
+    shatter into rare pieces" that pipelines use to flag encoding
+    junk, wrong-language residue, and OCR noise before paying for
+    model-based scoring.
+
+    Vocabulary = top-k unigrams by (count DESC, word ASC) — the tie
+    order makes the cut deterministic.  Plan: one token-keyed count
+    aggregate, a driver-light ``TakeOrderedAndProject`` for the top-k,
+    then a BROADCAST left join (the vocab is k rows at any corpus
+    size) and one per-document aggregate.  The oov_rate division is
+    exact-int/exact-int in a double — no rounding step, so no
+    cross-engine rounding boundary exists.
+
+    Returns (id_col, n_tokens, oov_tokens, oov_rate).
+    """
+    toks_e = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    counts = toks_e.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("w"))
+        .limit(k)
+        .select("w", F.lit(1).alias("__v"))
+    )
+    return (
+        toks_e.join(F.broadcast(top), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("oov_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -172,3 +172,52 @@ def run_fixture_stream_decontaminate(
         )
         _await_or_raise(q)
     return spark.table(name)
+
+
+def run_fixture_stream_classifier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hashed-bag-of-words quality classifier
+    (operators/text.hashed_classifier_scores) run as a REAL Structured
+    Streaming query: file source -> row-local classifier inference ->
+    stateless append-mode keep filter -> memory sink.
+
+    This is the deployment shape of model-based filtering at ingest
+    time: because the classifier is pure in-row column expressions
+    (hash fold + dyadic weight sum, zero shuffles, zero Python), the
+    SAME operator lifts into the stream unchanged — no watermark, no
+    state store; the filter parallelizes by source file at any ingest
+    rate.  Deterministic under availableNow, so the batch classifier
+    SQL (filtered to keep) checks the stream's output exactly.
+
+    Returns the kept documents' (doc_id, n_tokens, quality_prob).
+    """
+    from ..operators.text import hashed_classifier_scores
+    from .events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="docs_cls_stream_")
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    kept = (
+        hashed_classifier_scores(stream)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens", "quality_prob")
+    )
+    name = f"cls_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)

@@ -145,3 +145,74 @@ def test_ivf_recall_is_high_on_fixture(spark):
     assert len(out) == 5
     avg = sum(r["recall"] for r in out) / len(out)
     assert avg >= 0.5  # n_probe=4 of ~16 cells should recall >= half
+
+
+def test_oov_rate_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b"),
+            Row(doc_id=2, text="a b z"),
+            Row(doc_id=3, text="q r s t"),
+        ]
+    )
+    # top-2 vocab by (count desc, word asc): a(4), b(2)
+    out = {
+        r["doc_id"]: r for r in tx.vocab_oov_rates(docs, k=2).collect()
+    }
+    assert (out[1]["oov_tokens"], out[1]["oov_rate"]) == (0, 0.0)
+    assert (out[2]["n_tokens"], out[2]["oov_tokens"]) == (3, 1)
+    assert out[2]["oov_rate"] == pytest.approx(1 / 3)
+    assert out[3]["oov_rate"] == 1.0
+
+
+def test_oov_vocab_tie_break_deterministic(spark):
+    # z and a tie at count 2 -> word order keeps 'a' for k=1
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="z a"), Row(doc_id=2, text="a z")]
+    )
+    out = tx.vocab_oov_rates(docs, k=1).collect()
+    assert all(r["oov_tokens"] == 1 for r in out)  # 'z' always OOV
+
+
+def test_kmeans_centroid_query_shape(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod2", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    rows = mod.queries()["similarity_kmeans_centroids"](spark, sf).collect()
+    from olap_storage_engine_spark.operators.similarity import (
+        derived_n_centroids,
+    )
+
+    n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    cents = {r["cent_id"] for r in rows}
+    # every surviving centroid carries all 64 dims exactly once
+    assert len(rows) == len(cents) * 64
+    assert len(cents) <= derived_n_centroids(n_emb)
+    assert all(-1.0 <= r["val"] <= 1.0 for r in rows)  # unit-norm corpus
+
+
+def test_stream_classifier_filter_matches_batch(spark):
+    from olap_storage_engine_spark.sources.testdata import load_table
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_classifier_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["doc_id"]: r
+        for r in run_fixture_stream_classifier_filter(spark, sf).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in tx.hashed_classifier_scores(load_table(spark, sf, "documents"))
+        .filter("keep")
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for d, r in streamed.items():
+        assert r["quality_prob"] == batch[d]["quality_prob"]
