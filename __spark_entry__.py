@@ -1138,6 +1138,34 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_pr_eval(spark, sf_dir):
+    """LSH tuning metric: precision/recall of the banded-MinHash
+    candidate set (8 hashes, 2-row bands, served from the persisted
+    signature index) against the exact-Jaccard truth pairs (n=3
+    shingle index, jaccard >= 0.4, df-capped) — one row of counts and
+    exact ratios (operators/dedup.lsh_pr_eval)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    cand = _minhash_pairs_indexed(spark, sf_dir)
+    idx3 = (
+        spark.read.parquet(shingle_index_path(spark, sf_dir))
+        .filter(F.col("n") == 3)
+        .select("doc_id", "sz", "sh")
+    )
+    truth = dd.ngram_pairs_from_index(idx3, threshold=0.4, max_doc_freq=50)
+    return dd.lsh_pr_eval(cand, truth)
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-0.5 mixture rebalancing by source: shares damped
+    toward sqrt(n_s), thresholds in exact integer arithmetic, per-
+    source audit row (operators/text.temperature_mixture_summary;
+    complements the uniform-target mixture_sample)."""
+    return tx.temperature_mixture_summary(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_text_oov_rate(spark, sf_dir):
     """Tokenizer-coverage eval: per-document OOV rate against the
     corpus's top-20 unigram vocabulary (count DESC, word ASC ties);
@@ -3032,6 +3060,8 @@ _DRIVER_CHECK_HEAD = [
     "text_oov_rate",
     "similarity_kmeans_centroids",
     "docs_stream_classifier_filter",
+    "dedup_minhash_pr_eval",
+    "mixture_temperature",
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
@@ -3077,16 +3107,16 @@ _DRIVER_CHECK_HEAD = [
     "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
-    "dedup_simhash_groups",
-    "embedding_corpus_prep",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     dedup_simhash_groups/embedding_corpus_prep +
     #     similarity_ann_pq/similarity_ann_ivfpq/
     #     docs_stream_quality_filter + tpch_q2/tpch_q10/
     #     quality_filter_pipeline/token_budget_select (r6-stale)
-    #     demoted when the seven second-session r9-new queries
+    #     demoted when the nine second-session r9-new queries
     #     (corpus_span_dedup, text_lm_score, quality_classifier_score,
     #     ann_recall_eval, text_oov_rate, similarity_kmeans_centroids,
-    #     docs_stream_classifier_filter) took head slots;
+    #     docs_stream_classifier_filter, dedup_minhash_pr_eval,
+    #     mixture_temperature) took head slots;
     #     stratified_sample/text_bm25/text_repetition + events_cohort/
     #     funnel/histogram/ohlc/twap/winsorize/compaction_partition
     #     (r6-stale) demoted when the ten second-wave r9-new queries
@@ -3096,6 +3126,8 @@ _DRIVER_CHECK_HEAD = [
     #     head slots; then merge_scoped/rowset_skip_scan from the
     #     first-wave demotion, then the remaining r6-stale rows —
     #     these lead the r10 head ---
+    "dedup_simhash_groups",
+    "embedding_corpus_prep",
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "docs_stream_quality_filter",
@@ -3142,9 +3174,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("similarity_ann_pq") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("dedup_simhash_groups") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('similarity_ann_pq')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_simhash_groups')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the 23 r6-stale fill entries
@@ -3193,6 +3225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": q_text_oov_rate,
         "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
         "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
+        "dedup_minhash_pr_eval": q_dedup_minhash_pr_eval,
+        "mixture_temperature": q_mixture_temperature,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -4863,6 +4897,66 @@ def oracle_sql() -> dict[str, str]:
                      AS quality_prob,
                    (raw >= 0) AS keep
             FROM s
+        """,
+        # precision/recall of the banded-LSH candidate set against the
+        # exact-Jaccard truth at the same n=3 shingles; truth derived
+        # from the SAME sh CTE the candidate chain builds, so the two
+        # sides can never disagree on the shingle definition
+        "dedup_minhash_pr_eval": f"""
+            WITH {_minhash_ctes(8, 2, 3)},
+            szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= 50) f USING (shingle)
+            ),
+            cm AS (
+              SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS c
+              FROM rare l JOIN rare r
+                ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b FROM cm
+              JOIN szs sa ON sa.doc_id = cm.doc_a
+              JOIN szs sb ON sb.doc_id = cm.doc_b
+              WHERE cm.c / (sa.sz + sb.sz - cm.c)::DOUBLE >= 0.4
+            ),
+            hits AS (SELECT count(*) AS n_hits
+                     FROM truth JOIN mh_pairs USING (doc_a, doc_b)),
+            nc AS (SELECT count(*) AS n_candidates FROM mh_pairs),
+            nt AS (SELECT count(*) AS n_truth FROM truth)
+            SELECT CAST(n_candidates AS INT) AS n_candidates,
+                   CAST(n_truth AS INT) AS n_truth,
+                   CAST(n_hits AS INT) AS n_hits,
+                   CAST(n_hits AS DOUBLE) / n_candidates AS precision,
+                   CAST(n_hits AS DOUBLE) / n_truth AS recall
+            FROM nc CROSS JOIN nt CROSS JOIN hits
+        """,
+        # temperature-0.5 mixture: floor(sqrt) weights, HUGEINT
+        # threshold arithmetic mirroring the driver's Python ints
+        "mixture_temperature": """
+            WITH cnt AS (SELECT source, count(*) AS ns FROM documents
+                         WHERE source IS NOT NULL GROUP BY 1),
+            w AS (SELECT source, ns,
+                         CAST(floor(sqrt(ns * 1000000.0)) AS BIGINT) AS ws
+                  FROM cnt),
+            tot AS (SELECT sum(ns) AS total, sum(ws) AS wtot FROM w),
+            kept AS (
+              SELECT d.source, count(*) AS n_kept
+              FROM documents d JOIN w USING (source) CROSS JOIN tot
+              WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 1000000)
+                    < least(1000000::HUGEINT,
+                            (1000000::HUGEINT * (total // 2) * ws)
+                            // (wtot::HUGEINT * ns))
+              GROUP BY 1
+            )
+            SELECT w.source, w.ns AS n_docs,
+                   COALESCE(kept.n_kept, 0) AS n_kept,
+                   round(COALESCE(kept.n_kept, 0)
+                         / CAST(w.ns AS DOUBLE), 6) AS kept_frac
+            FROM w LEFT JOIN kept USING (source)
         """,
         # per-doc OOV rate vs the corpus top-20 unigram vocabulary;
         # exact int/int division, no rounding anywhere

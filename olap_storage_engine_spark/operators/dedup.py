@@ -1329,3 +1329,48 @@ def gram_novelty(
             F.round(F.col("n_novel") / F.col("n_grams"), 6),
         )
     )
+
+
+def lsh_pr_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
+    """LSH-parameter EVALUATION: precision/recall of a banded-MinHash
+    candidate set against the exact-Jaccard pair set — the measurement
+    behind every (num_hashes, band_rows) tuning decision (the S-curve
+    in Leskovec/Rajaraman/Ullman ch.3 tells you the *expected*
+    collision probability; this query tells you what the corpus
+    actually got).
+
+    ``candidates`` and ``truth`` are (doc_a, doc_b) pair frames (e.g.
+    :func:`minhash_candidates_from_sigs` vs
+    :func:`ngram_pairs_from_index` at the same shingle width).  One
+    pair-keyed join + three scalar aggregates broadcast into a single
+    row — at scale both inputs are pair sets (already sub-corpus
+    sized) and nothing here is corpus-proportional.
+
+    Returns one row (n_candidates, n_truth, n_hits, precision,
+    recall); the ratios are exact int/int doubles, no rounding step.
+    Note precision is measured against the df-capped truth set — a
+    candidate pair whose overlap lives only in stop-shingles counts
+    as a false positive, which is the conservative reading.
+    """
+    cand = candidates.select("doc_a", "doc_b")
+    tr = truth.select("doc_a", "doc_b")
+    hits = tr.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = tr.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            F.col("n_candidates").cast("int").alias("n_candidates"),
+            F.col("n_truth").cast("int").alias("n_truth"),
+            F.col("n_hits").cast("int").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+                "recall"
+            ),
+        )
+    )

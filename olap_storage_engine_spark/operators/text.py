@@ -1210,3 +1210,96 @@ def vocab_oov_rates(
             ),
         )
     )
+
+
+def temperature_mixture_summary(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture sampling at T = 0.5: target shares
+    proportional to n_s^0.5 instead of uniform — the standard
+    multilingual/multi-source rebalancing (smaller sources keep a
+    LARGER fraction, hot sources are damped, but the mix never goes
+    fully uniform).  Target kept total = half the corpus.
+
+    T = 0.5 specifically because it is the one temperature whose
+    weights stay EXACTLY reproducible across engines without float
+    policy: w_s = floor(sqrt(n_s * weight_scale)) — both Python's
+    C sqrt and the oracle's sqrt are correctly rounded on these
+    magnitudes, so the floor is identical — and every threshold is
+    then pure integer arithmetic,
+
+        thr_s = min(scale, (scale * (total//2) * w_s) // (W * n_s)),
+
+    evaluated with arbitrary-precision Python ints driver-side (no
+    overflow at any corpus size; the SQL oracle needs HUGEINT).  A
+    document survives iff md5int(id) % scale < thr_s — the same
+    deterministic uniform draw as :func:`mixture_sample`.
+
+    Plan: one per-source count aggregate (tiny, combine-enabled),
+    thresholds broadcast back, row-local filter, one summary
+    aggregate.  The corpus never shuffles.
+
+    Returns (source_col, n_docs, n_kept, kept_frac) per source.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    from ..functions.hashes import md5int
+
+    counts = {
+        r[source_col]: r["__ns"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .collect()
+        if r[source_col] is not None
+    }
+    total = sum(counts.values())
+    ws = {
+        s: int(math.floor(math.sqrt(ns * float(weight_scale))))
+        for s, ns in counts.items()
+    }
+    wtot = sum(ws.values())
+    target = total // 2
+    src_type = docs.schema[source_col].dataType
+    thr_df = docs.sparkSession.createDataFrame(
+        [
+            (s, min(scale, (scale * target * ws[s]) // (wtot * ns)))
+            for s, ns in counts.items()
+        ],
+        T.StructType(
+            [
+                T.StructField(source_col, src_type),
+                T.StructField("__thr", T.LongType()),
+            ]
+        ),
+    )
+    u = md5int(F.col(id_col).cast("string")) % F.lit(scale)
+    kept = (
+        docs.join(F.broadcast(thr_df), on=source_col)
+        .filter(u < F.col("__thr"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    orig = docs.sparkSession.createDataFrame(
+        [(s, n) for s, n in counts.items()],
+        T.StructType(
+            [
+                T.StructField(source_col, src_type),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        ),
+    )
+    return orig.join(F.broadcast(kept), on=source_col, how="left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)) / F.col("n_docs").cast("double"),
+            6,
+        ).alias("kept_frac"),
+    )

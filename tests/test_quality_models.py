@@ -216,3 +216,59 @@ def test_stream_classifier_filter_matches_batch(spark):
     assert set(streamed) == set(batch)
     for d, r in streamed.items():
         assert r["quality_prob"] == batch[d]["quality_prob"]
+
+
+def test_lsh_pr_eval_hand_computed(spark):
+    cand = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=1, doc_b=3), Row(doc_a=4, doc_b=5)]
+    )
+    truth = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=4, doc_b=5), Row(doc_a=6, doc_b=7)]
+    )
+    row = dd.lsh_pr_eval(cand, truth).collect()[0]
+    assert (row["n_candidates"], row["n_truth"], row["n_hits"]) == (3, 3, 2)
+    assert row["precision"] == pytest.approx(2 / 3)
+    assert row["recall"] == pytest.approx(2 / 3)
+
+
+def test_temperature_mixture_favors_rare_sources(spark):
+    import math
+
+    rows = [
+        Row(doc_id=i, text="x", source=("big" if i < 400 else "small"))
+        for i in range(420)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {
+        r["source"]: r
+        for r in tx.temperature_mixture_summary(docs).collect()
+    }
+    assert out["big"]["n_docs"] == 400 and out["small"]["n_docs"] == 20
+    # T=0.5 damping: the small source must keep a LARGER fraction
+    assert out["small"]["kept_frac"] > out["big"]["kept_frac"]
+    # exact golden: recompute the documented integer thresholds and
+    # the md5 uniform draw per doc — n_kept must match to the row
+    import hashlib
+
+    scale = 1_000_000
+    ns = {"big": 400, "small": 20}
+    ws = {s: int(math.floor(math.sqrt(n * 1e6))) for s, n in ns.items()}
+    wtot, total = sum(ws.values()), 420
+    thr = {
+        s: min(scale, (scale * (total // 2) * ws[s]) // (wtot * n))
+        for s, n in ns.items()
+    }
+
+    def draw(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % scale
+
+    exp_kept = {
+        s: sum(
+            1
+            for i in range(420)
+            if (("big" if i < 400 else "small") == s) and draw(i) < thr[s]
+        )
+        for s in ns
+    }
+    for s in ns:
+        assert out[s]["n_kept"] == exp_kept[s]
