@@ -3179,10 +3179,12 @@ assert _DRIVER_CHECK_HEAD.index("dedup_simhash_groups") == _HEAD_PROPER_LEN, (
     f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_simhash_groups')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
-# query still lacking a green row, then the 23 r6-stale fill entries
-# above in fill order, then the oldest r7 rows (CORRECTNESS_r07 minus
-# newer rows) as budget allows.  Keep the head proper at exactly 50
-# and update the assertion's anchor query.
+# query still lacking a green row, then the fill entries above in fill
+# order (the 9 r6-stale rows the second-session additions displaced —
+# dedup_simhash_groups through token_budget_select — lead it, then the
+# earlier demotions and remaining r6-stale rows), then the oldest r7
+# rows (CORRECTNESS_r07 minus newer rows) as budget allows.  Keep the
+# head proper at exactly 50 and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
