@@ -4931,8 +4931,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_candidates AS INT) AS n_candidates,
                    CAST(n_truth AS INT) AS n_truth,
                    CAST(n_hits AS INT) AS n_hits,
-                   CAST(n_hits AS DOUBLE) / n_candidates AS precision,
-                   CAST(n_hits AS DOUBLE) / n_truth AS recall
+                   CASE WHEN n_candidates > 0
+                        THEN CAST(n_hits AS DOUBLE) / n_candidates
+                   END AS precision,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hits AS DOUBLE) / n_truth
+                   END AS recall
             FROM nc CROSS JOIN nt CROSS JOIN hits
         """,
         # temperature-0.5 mixture: floor(sqrt) weights, HUGEINT

@@ -1366,11 +1366,17 @@ def lsh_pr_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
             F.col("n_candidates").cast("int").alias("n_candidates"),
             F.col("n_truth").cast("int").alias("n_truth"),
             F.col("n_hits").cast("int").alias("n_hits"),
-            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
-                "precision"
-            ),
-            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
-                "recall"
-            ),
+            # a clean corpus legitimately has an empty candidate or
+            # truth set — the metric is undefined (NULL), not a crash
+            # (ANSI division by zero; hit at the 10x scale-up where
+            # the synthesized texts carry no >=0.4 pairs)
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double") / F.col("n_candidates"),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
         )
     )

@@ -272,3 +272,21 @@ def test_temperature_mixture_favors_rare_sources(spark):
     }
     for s in ns:
         assert out[s]["n_kept"] == exp_kept[s]
+
+
+def test_lsh_pr_eval_empty_sets_yield_null_not_crash(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_a", T.LongType()),
+                          T.StructField("doc_b", T.LongType())])
+    )
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    # empty truth: recall undefined (NULL), precision 0
+    row = dd.lsh_pr_eval(pairs, empty).collect()[0]
+    assert (row["n_truth"], row["recall"]) == (0, None)
+    assert row["precision"] == 0.0
+    # empty candidates: precision undefined (NULL), recall 0
+    row = dd.lsh_pr_eval(empty, pairs).collect()[0]
+    assert (row["n_candidates"], row["precision"]) == (0, None)
+    assert row["recall"] == 0.0
