@@ -1303,3 +1303,140 @@ def temperature_mixture_summary(
             6,
         ).alias("kept_frac"),
     )
+
+
+_DEC9 = "decimal(18,9)"
+_DEC6 = "decimal(18,6)"
+
+
+def naive_bayes_train_hashed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """TRAIN the quality classifier in-engine: multinomial Naive
+    Bayes over hashed bag-of-words features — the standard baseline
+    text quality/domain classifier, and the one whose training is
+    CLOSED FORM, which is what makes in-engine training both fast and
+    oracle-checkable (no iterations, no learning rate, no convergence
+    question; a full-batch GD logreg was prototyped first and
+    rejected — on this near-single-vocabulary corpus its gradient
+    dynamics degenerate to the majority class at some scale factors).
+
+    Weights are add-one-smoothed log count ratios,
+
+        w_b = round(ln( ((c_{b,+}+1)/(T_+ +V)) /
+                        ((c_{b,-}+1)/(T_- +V)) ), 6)
+
+    with the class prior ln(N_+/N_-) emitted as the intercept row
+    ``bucket = -1``.  Training is two hash aggregates (per-(bucket,
+    class) token counts with map-side combine + one scalar totals
+    row broadcast back) over one corpus pass — at 100 TB this is a
+    token-keyed count job, nothing more.  Inference
+    (:func:`nb_confusion`, or serving via a broadcast join) sums
+    integer counts times 6dp-decimal weights — EXACT arithmetic, so
+    the predicted class cannot flip on float rounding.
+
+    Returns (bucket, weight) incl. the bucket=-1 intercept.
+    """
+    tb = docs.select(
+        F.col(id_col),
+        F.when(F.col(label_col) == positive, 1).otherwise(0).alias("y"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        id_col,
+        "y",
+        (_cls_token_hash(F.col("tok")) % _CLS_BUCKETS).alias("bucket"),
+    )
+    bc = tb.groupBy("bucket").agg(
+        F.sum("y").alias("cp"),
+        F.sum(F.lit(1) - F.col("y")).alias("cn"),
+    )
+    totals = tb.groupBy().agg(
+        F.sum("y").alias("__tp"),
+        F.sum(F.lit(1) - F.col("y")).alias("__tn"),
+        F.countDistinct("bucket").alias("__v"),
+        F.countDistinct(F.when(F.col("y") == 1, F.col(id_col))).alias(
+            "__np"
+        ),
+        F.countDistinct(F.when(F.col("y") == 0, F.col(id_col))).alias(
+            "__nn"
+        ),
+    )
+    w = (
+        bc.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                F.log(
+                    (
+                        (F.col("cp") + 1).cast("double")
+                        / (F.col("__tp") + F.col("__v"))
+                    )
+                    / (
+                        (F.col("cn") + 1).cast("double")
+                        / (F.col("__tn") + F.col("__v"))
+                    )
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+    prior = totals.select(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.round(
+            F.log(F.col("__np").cast("double") / F.col("__nn")), 6
+        ).alias("weight"),
+    )
+    return w.unionByName(prior)
+
+
+def nb_confusion(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """Training-set confusion matrix of a trained NB model: per-doc
+    margin = prior + sum(count_b * w_b) in EXACT decimal arithmetic
+    (integer counts x 6dp weights), pred = margin > 0.  Returns
+    (y, pred, n) — at most 4 rows at any corpus size."""
+    cnt = (
+        docs.select(
+            F.col(id_col),
+            F.when(F.col(label_col) == positive, 1).otherwise(0).alias(
+                "y"
+            ),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(
+            id_col,
+            "y",
+            (_cls_token_hash(F.col("tok")) % _CLS_BUCKETS).alias("bucket"),
+        )
+        .groupBy(id_col, "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdec = weights.filter(F.col("bucket") >= 0).select(
+        "bucket", F.col("weight").cast(_DEC6).alias("w")
+    )
+    prior = weights.filter(F.col("bucket") == -1).select(
+        F.col("weight").cast(_DEC6).alias("__prior")
+    )
+    m = (
+        cnt.join(F.broadcast(wdec), "bucket")
+        .groupBy(id_col, "y")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("__wsum"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "y",
+            ((F.col("__wsum") + F.col("__prior")) > 0).alias("pred"),
+        )
+    )
+    return m.groupBy("y", "pred").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )

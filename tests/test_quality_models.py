@@ -290,3 +290,61 @@ def test_lsh_pr_eval_empty_sets_yield_null_not_crash(spark):
     row = dd.lsh_pr_eval(empty, pairs).collect()[0]
     assert (row["n_candidates"], row["precision"]) == (0, None)
     assert row["recall"] == 0.0
+
+
+def test_nb_train_hand_computed_weights(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="good good fine", lbl="pos"),
+            Row(doc_id=2, text="good bad", lbl="pos"),
+            Row(doc_id=3, text="bad bad awful", lbl="neg"),
+        ]
+    )
+    w = {
+        r["bucket"]: r["weight"]
+        for r in tx.naive_bayes_train_hashed(
+            docs, label_col="lbl", positive="pos"
+        ).collect()
+    }
+
+    def bucket(tok):
+        h = 7
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1000003
+        return h % 4096
+
+    # Tp=5 (good x3, fine, bad), Tn=3, V=4 distinct buckets
+    # good: cp=3, cn=0 -> ln((4/9)/(1/7))
+    assert w[bucket("good")] == round(math.log((4 / 9) / (1 / 7)), 6)
+    # bad: cp=1, cn=2 -> ln((2/9)/(3/7))
+    assert w[bucket("bad")] == round(math.log((2 / 9) / (3 / 7)), 6)
+    # prior row: ln(Np/Nn) = ln(2/1)
+    assert w[-1] == round(math.log(2 / 1), 6)
+
+
+def test_nb_confusion_separates_learnable_label(spark):
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "__lbl",
+        F.when(
+            F.array_contains(F.split("text", " "), "spark"), "pos"
+        ).otherwise("neg"),
+    )
+    w = tx.naive_bayes_train_hashed(docs, label_col="__lbl", positive="pos")
+    conf = {
+        (r["y"], r["pred"]): r["n"]
+        for r in tx.nb_confusion(
+            docs, w, label_col="__lbl", positive="pos"
+        ).collect()
+    }
+    total = sum(conf.values())
+    acc = sum(n for (y, p), n in conf.items() if (y == 1) == p) / total
+    majority = (
+        max(
+            sum(n for (y, _), n in conf.items() if y == 1),
+            sum(n for (y, _), n in conf.items() if y == 0),
+        )
+        / total
+    )
+    assert acc > majority + 0.05  # real learning, not the one-class model
