@@ -1173,6 +1173,14 @@ def q_quality_classifier_train_eval(spark, sf_dir):
     return tx.nb_confusion(docs, w, label_col="__lbl", positive="pos")
 
 
+def q_corpus_drift_report(spark, sf_dir):
+    """Dataset-shift alarm: symmetric unigram-KL between two
+    deterministic md5 halves of the corpus (stand-in for adjacent
+    publishes), exact fixed-point term sums
+    (operators/text.corpus_drift_report)."""
+    return tx.corpus_drift_report(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_pr_eval(spark, sf_dir):
     """LSH tuning metric: precision/recall of the banded-MinHash
     candidate set (8 hashes, 2-row bands, served from the persisted
@@ -3099,6 +3107,7 @@ _DRIVER_CHECK_HEAD = [
     "mixture_temperature",
     "quality_classifier_train",
     "quality_classifier_train_eval",
+    "corpus_drift_report",
     "multimodal_video_decode",
     "multimodal_video_frame_sample",
     "sketch_freqitems_topk",
@@ -3140,11 +3149,10 @@ _DRIVER_CHECK_HEAD = [
     "agg_model_replace",
     "window_lead_lag",
     "dedup_clusters",
-    # --- r6-stale, most-changed-code-first (24 of 47) ---
-    "dedup_semantic",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     dedup_minhash_verified/dedup_ngram_indexed demoted when the
-    #     logreg train/eval pair took head slots;
+    #     dedup_semantic/dedup_minhash_verified/dedup_ngram_indexed
+    #     demoted when the classifier train/eval pair and the drift
+    #     report took head slots;
     #     dedup_simhash_groups/embedding_corpus_prep +
     #     similarity_ann_pq/similarity_ann_ivfpq/
     #     docs_stream_quality_filter + tpch_q2/tpch_q10/
@@ -3163,6 +3171,7 @@ _DRIVER_CHECK_HEAD = [
     #     head slots; then merge_scoped/rowset_skip_scan from the
     #     first-wave demotion, then the remaining r6-stale rows —
     #     these lead the r10 head ---
+    "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
     "dedup_simhash_groups",
@@ -3213,9 +3222,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("dedup_minhash_verified") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("dedup_semantic") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_minhash_verified')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_semantic')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the fill entries above in fill
@@ -3270,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": q_mixture_temperature,
         "quality_classifier_train": q_quality_classifier_train,
         "quality_classifier_train_eval": q_quality_classifier_train_eval,
+        "corpus_drift_report": q_corpus_drift_report,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -5010,7 +5020,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n
             FROM mf CROSS JOIN prior GROUP BY 1, 2
         """,
-        # precision/recall of the banded-LSH candidate set against the        # precision/recall of the banded-LSH candidate set against the
+        # symmetric unigram-KL between the two md5 corpus halves;
+        # per-word terms rounded to 9dp and decimal-summed exactly
+        "corpus_drift_report": """
+            WITH s AS (
+              SELECT CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 2) = 0
+                          THEN 1 ELSE 0 END AS a,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, sum(a) AS ca, sum(1 - a) AS cb
+                   FROM s GROUP BY 1),
+            tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v
+                    FROM wc),
+            terms AS (
+              SELECT ta, tb,
+                     CAST(round((CAST(ca + 1 AS DOUBLE) / (ta + v))
+                                * ln((CAST(ca + 1 AS DOUBLE) / (ta + v))
+                                     / (CAST(cb + 1 AS DOUBLE) / (tb + v))),
+                                9) AS DECIMAL(18,9)) AS t_ab,
+                     CAST(round((CAST(cb + 1 AS DOUBLE) / (tb + v))
+                                * ln((CAST(cb + 1 AS DOUBLE) / (tb + v))
+                                     / (CAST(ca + 1 AS DOUBLE) / (ta + v))),
+                                9) AS DECIMAL(18,9)) AS t_ba
+              FROM wc CROSS JOIN tot
+            )
+            SELECT CAST(count(*) AS INT) AS n_words,
+                   max(ta) AS tokens_a, max(tb) AS tokens_b,
+                   CAST(round(sum(t_ab), 6) AS DOUBLE) AS kl_ab,
+                   CAST(round(sum(t_ba), 6) AS DOUBLE) AS kl_ba,
+                   CAST(round(sum(t_ab + t_ba), 6) AS DOUBLE) AS kl_sym
+            FROM terms
+        """,
+        # precision/recall of the banded-LSH candidate set against the
         # exact-Jaccard truth at the same n=3 shingles; truth derived
         # from the SAME sh CTE the candidate chain builds, so the two
         # sides can never disagree on the shingle definition

@@ -1440,3 +1440,64 @@ def nb_confusion(
     return m.groupBy("y", "pred").agg(
         F.count(F.lit(1)).cast("int").alias("n")
     )
+
+
+def corpus_drift_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-shift monitoring: symmetric KL divergence between the
+    unigram distributions of two deterministic halves of the corpus
+    (md5 doc-id split — in production the two sides are adjacent
+    publishes or train-vs-incoming batches; the statistic is the
+    standard drift alarm a training pipeline fires before a bad batch
+    reaches the trainer).
+
+    Distributions are add-one smoothed over the union vocabulary,
+    p_s(w) = (c_{s,w}+1)/(T_s+V).  Plan: one token-count aggregate
+    keyed (word, side) with map-side combine, a scalar totals row
+    broadcast back, per-word KL terms rounded to 9dp and summed as
+    exact DECIMAL fixed-point (order-independent — the lm-score
+    discipline), one output row.  At 100 TB this is a word-keyed
+    count job plus vocabulary-sized arithmetic.
+
+    Returns one row (n_words, tokens_a, tokens_b, kl_ab, kl_ba,
+    kl_sym), KL values in nats on the 6dp grid.
+    """
+    from ..functions.hashes import md5int
+
+    side = F.when(
+        md5int(F.col(id_col).cast("string")) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    toks = docs.select(
+        side.alias("__a"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    wc = toks.groupBy("w").agg(
+        F.sum("__a").alias("ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("cb"),
+    )
+    totals = wc.groupBy().agg(
+        F.sum("ca").alias("__ta"),
+        F.sum("cb").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("__ta") + F.col("__v"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("__tb") + F.col("__v"))
+    terms = wc.crossJoin(F.broadcast(totals)).select(
+        F.col("__ta"),
+        F.col("__tb"),
+        F.round(pa * F.log(pa / pb), 9).cast(_DEC9).alias("t_ab"),
+        F.round(pb * F.log(pb / pa), 9).cast(_DEC9).alias("t_ba"),
+    )
+    return terms.groupBy().agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.max("__ta").alias("tokens_a"),
+        F.max("__tb").alias("tokens_b"),
+        F.round(F.sum("t_ab"), 6).cast("double").alias("kl_ab"),
+        F.round(F.sum("t_ba"), 6).cast("double").alias("kl_ba"),
+        F.round(F.sum(F.col("t_ab") + F.col("t_ba")), 6)
+        .cast("double")
+        .alias("kl_sym"),
+    )

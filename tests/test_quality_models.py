@@ -348,3 +348,34 @@ def test_nb_confusion_separates_learnable_label(spark):
         / total
     )
     assert acc > majority + 0.05  # real learning, not the one-class model
+
+
+def test_corpus_drift_zero_for_identical_halves(spark):
+    # ids 0 and 1 split to different md5 halves? construct docs whose
+    # two halves have IDENTICAL unigram distributions -> KL == 0
+    import hashlib
+
+    def side(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+
+    a_ids = [i for i in range(40) if side(i) == 0][:3]
+    b_ids = [i for i in range(40) if side(i) == 1][:3]
+    rows = [Row(doc_id=i, text="x y z") for i in a_ids + b_ids]
+    out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
+    assert (out["kl_ab"], out["kl_ba"], out["kl_sym"]) == (0.0, 0.0, 0.0)
+    assert out["n_words"] == 3
+    assert out["tokens_a"] == out["tokens_b"] == 9
+
+
+def test_corpus_drift_positive_and_asymmetric_inputs(spark):
+    import hashlib
+
+    def side(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+
+    a_id = next(i for i in range(40) if side(i) == 0)
+    b_id = next(i for i in range(40) if side(i) == 1)
+    rows = [Row(doc_id=a_id, text="p p p q"), Row(doc_id=b_id, text="q q q p")]
+    out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
+    assert out["kl_ab"] > 0 and out["kl_ba"] > 0
+    assert out["kl_sym"] == pytest.approx(out["kl_ab"] + out["kl_ba"], abs=2e-6)
