@@ -1,9 +1,17 @@
-"""Text-analysis operators for training-data pipelines (SURVEY §2
-Part C, X4): per-language stats, heuristic language ID, quality
-scoring, token counting, and document fingerprinting.
+"""Text-analysis and curation-model operators for training-data
+pipelines (SURVEY §2 Part C, X4): per-language stats, heuristic
+language ID, rule-based quality scoring, token counting, document
+fingerprinting, BM25 retrieval, chunking/packing/splitting, sampling
+(stratified / weighted / uniform- and temperature-mixture / DSIR),
+PII scrubbing, bigram-LM scoring, hashed-classifier inference AND
+in-engine Naive Bayes training, tokenizer OOV coverage, and corpus
+drift (KL) monitoring.
 
-All pure built-in column expressions (whole-stage codegen end to end);
-each has an exact DuckDB-oracle formulation in __spark_entry__.py.
+Row-local operators are pure built-in column expressions (whole-stage
+codegen end to end); corpus-level ones follow the exact fixed-point
+discipline (9dp-rounded terms summed as DECIMAL) so results are
+partition-order independent.  Each has an exact DuckDB-oracle
+formulation in __spark_entry__.py.
 """
 
 from __future__ import annotations
