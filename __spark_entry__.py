@@ -3228,8 +3228,8 @@ assert _DRIVER_CHECK_HEAD.index("dedup_semantic") == _HEAD_PROPER_LEN, (
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the fill entries above in fill
-# order (the 9 r6-stale rows the second-session additions displaced —
-# dedup_simhash_groups through token_budget_select — lead it, then the
+# order (the 12 r6-stale rows the second-session additions displaced —
+# dedup_semantic through token_budget_select — lead it, then the
 # earlier demotions and remaining r6-stale rows), then the oldest r7
 # rows (CORRECTNESS_r07 minus newer rows) as budget allows.  Keep the
 # head proper at exactly 50 and update the assertion's anchor query.

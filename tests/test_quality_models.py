@@ -379,3 +379,103 @@ def test_corpus_drift_positive_and_asymmetric_inputs(spark):
     out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
     assert out["kl_ab"] > 0 and out["kl_ba"] > 0
     assert out["kl_sym"] == pytest.approx(out["kl_ab"] + out["kl_ba"], abs=2e-6)
+
+
+def _py_span_dedup(texts, width, min_docs):
+    """Pure-python reference for remove_duplicate_spans."""
+    segs = {}
+    for did, text in texts.items():
+        arr = text.split(" ")
+        segs[did] = [
+            " ".join(arr[i * width : (i + 1) * width])
+            for i in range((len(arr) + width - 1) // width)
+        ]
+    from collections import defaultdict
+
+    df = defaultdict(set)
+    for did, ss in segs.items():
+        for s in ss:
+            df[s].add(did)
+    out = {}
+    for did, ss in segs.items():
+        kept = [s for s in ss if len(df[s]) < min_docs]
+        out[did] = (len(ss), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_span_removal_matches_python_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 17)))
+        for i in range(25)
+    }
+    ref = _py_span_dedup(texts, width=2, min_docs=2)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["kept_spans"], r["cleaned_text"])
+        for r in dd.remove_duplicate_spans(
+            docs, width=2, min_docs=2
+        ).collect()
+    }
+    assert got == ref
+
+
+def _py_bigram_lm(texts):
+    """Pure-python reference for bigram_lm_scores."""
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts.values():
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+    out = {}
+    for did, t in texts.items():
+        ws = t.split(" ")
+        if len(ws) < 2:
+            continue
+        micros = [
+            round(round(math.log((bi[(a, b)] + 1) / (uni[a] + V)), 6) * 1e6)
+            for a, b in zip(ws, ws[1:])
+        ]
+        micro = sum(micros)
+        n = len(micros)
+        out[did] = (n, micro / 1e6, round(micro / n))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_bigram_lm_matches_python_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["p", "q", "r", "s"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for i in range(20)
+    }
+    ref = _py_bigram_lm(texts)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["sum_logprob"],
+            r["avg_lp_micro"],
+        )
+        for r in tx.bigram_lm_scores(docs).collect()
+    }
+    assert set(got) == set(ref)
+    for did, (n, s, avg) in ref.items():
+        gn, gs, gavg = got[did]
+        assert gn == n
+        assert gs == pytest.approx(s, abs=2e-6)
+        assert abs(gavg - avg) <= 1  # python bankers-round vs HALF_UP
