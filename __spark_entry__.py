@@ -1173,6 +1173,25 @@ def q_quality_classifier_train_eval(spark, sf_dir):
     return tx.nb_confusion(docs, w, label_col="__lbl", positive="pos")
 
 
+def q_quality_pareto_filter(spark, sf_dir):
+    """GPT-3-style stochastic quality filter: keep a document iff a
+    derandomized Pareto(9) draw exceeds 1 - quality_prob — heavy-
+    tailed survival for low scorers instead of a hard cut; one
+    zero-shuffle map pass (operators/text.pareto_quality_filter)."""
+    return tx.pareto_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: per
+    probe, the top-5 most-similar corpus vectors with a DIFFERENT
+    label (operators/similarity.hard_negatives)."""
+    return sim.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=5,
+    )
+
+
 def q_corpus_drift_report(spark, sf_dir):
     """Dataset-shift alarm: symmetric unigram-KL between two
     deterministic md5 halves of the corpus (stand-in for adjacent
@@ -3150,6 +3169,11 @@ _DRIVER_CHECK_HEAD = [
     "window_lead_lag",
     "dedup_clusters",
     # --- fill (positions 51+; first to fall off under a ~50-row cap):
+    #     quality_pareto_filter/similarity_hard_negatives lead the
+    #     fill rather than displacing 4-round-stale head rows — both
+    #     are thin compositions of already-verified paths (classifier
+    #     score + md5 draw; brute_topk + label filter), so re-greening
+    #     the stale rows carries more information;
     #     dedup_semantic/dedup_minhash_verified/dedup_ngram_indexed
     #     demoted when the classifier train/eval pair and the drift
     #     report took head slots;
@@ -3171,6 +3195,8 @@ _DRIVER_CHECK_HEAD = [
     #     head slots; then merge_scoped/rowset_skip_scan from the
     #     first-wave demotion, then the remaining r6-stale rows —
     #     these lead the r10 head ---
+    "quality_pareto_filter",
+    "similarity_hard_negatives",
     "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
@@ -3222,9 +3248,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("dedup_semantic") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("quality_pareto_filter") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('dedup_semantic')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('quality_pareto_filter')}"
 )
 # ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
 # query still lacking a green row, then the fill entries above in fill
@@ -3280,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_train": q_quality_classifier_train,
         "quality_classifier_train_eval": q_quality_classifier_train_eval,
         "corpus_drift_report": q_corpus_drift_report,
+        "quality_pareto_filter": q_quality_pareto_filter,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -5019,6 +5047,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT y, ((wsum + prior.pw) > 0) AS pred,
                    CAST(count(*) AS INT) AS n
             FROM mf CROSS JOIN prior GROUP BY 1, 2
+        """,
+        # derandomized Pareto(9) rejection sampling over the hashed
+        # classifier score (GPT-3 Appendix A quality filter)
+        "quality_pareto_filter": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     list_sum(list_transform(toks, tok ->
+                       CAST(((list_reduce(
+                                list_prepend(7::BIGINT,
+                                  list_transform(range(1, length(tok) + 1),
+                                    i -> ord(substr(tok, i, 1))::BIGINT)),
+                                (h, b) -> (h * 31 + b) % 1000003)
+                              % 4096) * 2654435761) % 65536 AS DOUBLE)
+                       / 65536.0 - 0.5)) AS raw
+              FROM t
+            ),
+            q AS (
+              SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                     round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
+                       AS quality_prob,
+                     CAST((('0x' || substr(md5('pareto#'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000) AS DOUBLE) / 1000000 AS u
+              FROM s
+            )
+            SELECT doc_id, n_tokens, quality_prob
+            FROM q
+            WHERE pow(1.0 - u, -1.0 / 9.0) - 1.0 > 1.0 - quality_prob
+        """,
+        # hard negatives: exact top-5 cosine among DIFFERENT-label
+        # corpus vectors per probe
+        "similarity_hard_negatives": f"""
+            WITH p AS (
+              SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+              FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            s AS (
+              SELECT p.probe_id, e.vec_id,
+                     {_cos_sql('e.embedding', 'p.pe')} AS cos
+              FROM embeddings e CROSS JOIN p
+              WHERE e.vec_id <> p.probe_id AND e.label <> p.plabel
+            ),
+            r AS (
+              SELECT probe_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT probe_id, vec_id, round(cos, 6) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         # symmetric unigram-KL between the two md5 corpus halves;
         # per-word terms rounded to 9dp and decimal-summed exactly

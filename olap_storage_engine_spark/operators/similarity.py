@@ -1098,3 +1098,56 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, "score", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative MINING for embedding-model training: per probe,
+    the top-k most-similar corpus vectors whose label DIFFERS from the
+    probe's — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; the near-boundary ones
+    carry the gradient).
+
+    Same plan class as :func:`brute_topk`: probes broadcast with their
+    labels, the label-mismatch predicate rides the broadcast join (the
+    corpus is filtered before any scoring), exact cosine, one tiny
+    per-probe top-k window.  At scale, swap the scoring pass for the
+    IVF cell route exactly as ANN serving does — the label filter is a
+    residual predicate either way.
+
+    Returns (probe_id, vec_id, cosine, rank), rank 1..k.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col(label_col).alias("probe_label"),
+    )
+    joined = corpus.join(
+        F.broadcast(p),
+        (F.col(id_col) != F.col("probe_id"))
+        & (F.col(label_col) != F.col("probe_label")),
+    )
+    scored = joined.select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("probe_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            id_col,
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1509,3 +1509,40 @@ def corpus_drift_report(
         .cast("double")
         .alias("kl_sym"),
     )
+
+
+def pareto_quality_filter(
+    docs: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """GPT-3-style stochastic quality filtering (Brown et al. 2020,
+    Appendix A: "documents were kept if
+    np.random.pareto(alpha) > 1 - document_score"): low-scoring
+    documents mostly drop but keep a heavy-tailed chance of survival,
+    preserving distributional coverage that a hard threshold destroys.
+
+    The Pareto draw is DERANDOMIZED the way every sampler in this
+    engine is: u = md5('pareto#' || id) / scale, then the inverse-CDF
+    transform (1-u)^(-1/alpha) - 1 — identical membership on any
+    engine, any cluster size, any run.  The score is the hashed
+    classifier's quality_prob (row-local, rounded 6dp), so the whole
+    filter is one zero-shuffle map pass over the corpus.
+
+    Returns surviving (id_col, n_tokens, quality_prob).
+    """
+    from ..functions.hashes import md5int
+
+    scored = hashed_classifier_scores(
+        docs, id_col=id_col, text_col=text_col
+    )
+    u = (
+        md5int(F.concat(F.lit("pareto#"), F.col(id_col).cast("string")))
+        % scale
+    ).cast("double") / scale
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.filter(
+        pareto > (F.lit(1.0) - F.col("quality_prob"))
+    ).select(id_col, "n_tokens", "quality_prob")

@@ -479,3 +479,50 @@ def test_bigram_lm_matches_python_reference(spark, seed):
         assert gn == n
         assert gs == pytest.approx(s, abs=2e-6)
         assert abs(gavg - avg) <= 1  # python bankers-round vs HALF_UP
+
+
+def test_pareto_filter_matches_python_reference(spark):
+    import hashlib
+
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in tx.hashed_classifier_scores(docs).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in tx.pareto_quality_filter(docs).collect()
+    }
+
+    def u(i):
+        return (
+            int(hashlib.md5(f"pareto#{i}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+        ) / 1_000_000
+
+    expected = {
+        d
+        for d, p in scored.items()
+        if (1.0 - u(d)) ** (-1.0 / 9.0) - 1.0 > 1.0 - p
+    }
+    assert kept == expected
+    # stochastic, not a hard cut: some survivors below the median score
+    assert kept and len(kept) < len(scored)
+
+
+def test_hard_negatives_excludes_probe_label(spark):
+    rows = [
+        Row(vec_id=i, embedding=[float(i == j) for j in range(4)] * 16,
+            label=i % 2)
+        for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows)
+    probes = emb.filter("vec_id = 0")  # label 0
+    out = sim.hard_negatives(emb, probes, k=3).collect()
+    assert {r["vec_id"] for r in out} == {1, 3}  # only label-1 vectors
+    assert all(r["probe_id"] == 0 for r in out)
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == [1, 2]
