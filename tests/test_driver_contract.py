@@ -74,26 +74,66 @@ def test_bench_regression_emitter(tmp_path):
 
     import bench
 
+    stable_prev = {f"s{i}": 1.0 for i in range(5)}
+    stable_new = {f"s{i}": 1.0 for i in range(5)}
     prev = tmp_path / "prev.json"
     prev.write_text(
         json.dumps(
             {
                 "floor_sec": 0.03,
-                "queries": {"a": 1.0, "b": 0.2, "c": 0.5, "a#2": 9.9},
+                "queries": {
+                    "a": 1.0, "b": 0.2, "c": 0.5, "a#2": 9.9,
+                    **stable_prev,
+                },
             }
         )
     )
     report = tmp_path / "REGRESSIONS.md"
     bench._emit_regressions(
         str(prev),
-        {"floor_sec": 0.05, "queries": {"a": 2.0, "b": 0.21, "c": 0.1}},
+        {
+            "floor_sec": 0.05,
+            "queries": {"a": 2.0, "b": 0.21, "c": 0.1, **stable_new},
+        },
         report_path=str(report),
     )
     text = report.read_text()
     assert "| a |" in text            # 2x and ~1s slower -> flagged
     assert "| b |" not in text        # within thresholds
-    assert "c: 0.470 -> 0.050" in text  # improvement listed
+    assert "c: 0.503 (adj) -> 0.050" in text  # improvement listed
     assert "#2" not in text           # repeat passes excluded
+    assert "drift factor 1.0" in text  # near-1 drift on a stable fleet
+
+
+def test_bench_regression_emitter_cancels_uniform_drift(tmp_path):
+    """A uniform host slowdown (everything 1.3x — the second-r9-session
+    signature where the DuckDB oracle slowed identically) flags ZERO
+    regressions after drift normalization."""
+    import json
+
+    import bench
+
+    prev = tmp_path / "prev.json"
+    prev.write_text(
+        json.dumps(
+            {
+                "floor_sec": 0.0,
+                "queries": {f"q{i}": 0.5 + i * 0.1 for i in range(20)},
+            }
+        )
+    )
+    report = tmp_path / "REGRESSIONS.md"
+    bench._emit_regressions(
+        str(prev),
+        {
+            "floor_sec": 0.0,
+            "queries": {f"q{i}": (0.5 + i * 0.1) * 1.3 for i in range(20)},
+        },
+        report_path=str(report),
+    )
+    text = report.read_text()
+    assert "Regressions: none over threshold" in text
+    assert "drift factor 1.300" in text
 
 
 def test_make_scale_data_preserves_structure(tmp_path):
