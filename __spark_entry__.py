@@ -4479,6 +4479,23 @@ _CLS_HASH_SQL = (
 )
 
 
+def _cls_score_ctes() -> str:
+    """Shared hashed-classifier scoring chain — terminal CTE ``cls``
+    (doc_id, n_tokens, raw).  The ONE SQL source of the hash+weight
+    fold; the score/pareto/stream-filter oracles all compose it, so a
+    hash change cannot silently desynchronize one of them (r9 review
+    finding: the fold was previously pasted into three oracles)."""
+    return f"""cls_t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+cls AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, tok ->
+           CAST(({_CLS_HASH_SQL} * 2654435761) % 65536 AS DOUBLE)
+           / 65536.0 - 0.5)) AS raw
+  FROM cls_t
+)"""
+
+
 def _nb_ctes() -> str:
     """Closed-form multinomial-NB training in SQL — mirrors
     operators/text.naive_bayes_train_hashed (same add-one-smoothed
@@ -5004,27 +5021,14 @@ def oracle_sql() -> dict[str, str]:
         # hashed bag-of-words linear classifier: rolling hash
         # (h*31+ord) % 1000003 -> bucket % 4096 -> Knuth-derived dyadic
         # weight; the sum of dyadic k/2^16 weights is exact in a double
-        "quality_classifier_score": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            s AS (
-              SELECT doc_id, len(toks) AS n_tokens,
-                     list_sum(list_transform(toks, tok ->
-                       CAST(((list_reduce(
-                                list_prepend(7::BIGINT,
-                                  list_transform(range(1, length(tok) + 1),
-                                    i -> ord(substr(tok, i, 1))::BIGINT)),
-                                (h, b) -> (h * 31 + b) % 1000003)
-                              % 4096) * 2654435761) % 65536 AS DOUBLE)
-                       / 65536.0 - 0.5)) AS raw
-              FROM t
-            )
+        "quality_classifier_score": f"""
+            WITH {_cls_score_ctes()}
             SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                    round(raw / n_tokens, 6) AS raw_score,
                    round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
                      AS quality_prob,
                    (raw >= 0) AS keep
-            FROM s
+            FROM cls
         """,
         # DuckDB re-derives the closed-form NB weights and must land
         # on the identical 6dp grid
@@ -5050,21 +5054,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # derandomized Pareto(9) rejection sampling over the hashed
         # classifier score (GPT-3 Appendix A quality filter)
-        "quality_pareto_filter": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            s AS (
-              SELECT doc_id, len(toks) AS n_tokens,
-                     list_sum(list_transform(toks, tok ->
-                       CAST(((list_reduce(
-                                list_prepend(7::BIGINT,
-                                  list_transform(range(1, length(tok) + 1),
-                                    i -> ord(substr(tok, i, 1))::BIGINT)),
-                                (h, b) -> (h * 31 + b) % 1000003)
-                              % 4096) * 2654435761) % 65536 AS DOUBLE)
-                       / 65536.0 - 0.5)) AS raw
-              FROM t
-            ),
+        "quality_pareto_filter": f"""
+            WITH {_cls_score_ctes()},
             q AS (
               SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                      round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
@@ -5072,7 +5063,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST((('0x' || substr(md5('pareto#'
                             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                            % 1000000) AS DOUBLE) / 1000000 AS u
-              FROM s
+              FROM cls
             )
             SELECT doc_id, n_tokens, quality_prob
             FROM q
@@ -5223,25 +5214,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the streaming classifier filter's keep-set == the batch
         # classifier SQL filtered to raw >= 0
-        "docs_stream_classifier_filter": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            s AS (
-              SELECT doc_id, len(toks) AS n_tokens,
-                     list_sum(list_transform(toks, tok ->
-                       CAST(((list_reduce(
-                                list_prepend(7::BIGINT,
-                                  list_transform(range(1, length(tok) + 1),
-                                    i -> ord(substr(tok, i, 1))::BIGINT)),
-                                (h, b) -> (h * 31 + b) % 1000003)
-                              % 4096) * 2654435761) % 65536 AS DOUBLE)
-                       / 65536.0 - 0.5)) AS raw
-              FROM t
-            )
+        "docs_stream_classifier_filter": f"""
+            WITH {_cls_score_ctes()}
             SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                    round(1.0 / (1.0 + exp(-(raw / n_tokens))), 6)
                      AS quality_prob
-            FROM s WHERE raw >= 0
+            FROM cls WHERE raw >= 0
         """,
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),

@@ -426,12 +426,30 @@ def _emit_regressions(
     # Machine-drift normalization (second r9 session: two back-to-back
     # runs of identical code drifted +-25% TOGETHER with the DuckDB
     # oracle — host contention, not plans).  Scale the previous run's
-    # per-query times by the shared-set ratio before thresholding, so
-    # a uniform host slowdown flags nothing while a query regressing
-    # RELATIVE to the rest of the suite still does.  The drift factor
-    # itself is reported prominently — a factor far from 1.0 on a
-    # same-machine rerun is its own finding.
-    drift = (n_tot / o_tot) if o_tot > 1e-9 else 1.0
+    # per-query times by the MEDIAN per-query ratio before
+    # thresholding, so a uniform host slowdown flags nothing while a
+    # query regressing RELATIVE to the rest of the suite still does.
+    # Median, not the total ratio: one dominant query's genuine
+    # regression inflates a total-based factor enough to mask itself
+    # and mislabel every unchanged query as an improvement (r9 review
+    # finding); the median is immune to any minority of true movers.
+    # Sub-0.05 s rows are excluded from the estimate (floor jitter
+    # dominates their ratios).  The factor is reported prominently —
+    # far from 1.0 on a same-machine rerun it is its own finding.
+    ratios = sorted(
+        new_q[n] / old_q[n]
+        for n in shared
+        if old_q[n] > 0.05 and new_q[n] > 0.0
+    )
+    if ratios:
+        mid = len(ratios) // 2
+        drift = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2.0
+        )
+    else:
+        drift = (n_tot / o_tot) if o_tot > 1e-9 else 1.0
     old_adj = {n: t * drift for n, t in old_q.items()}
     flagged = []
     improved = []

@@ -1115,9 +1115,17 @@ def _cls_token_hash(tok: F.Column) -> F.Column:
     """Polynomial rolling hash (h*31 + ord) mod 1000003 — chosen over
     FNV-1a because it stays inside non-overflowing BIGINT range in
     both Spark's ANSI mode and the DuckDB oracle (products are
-    < 2^45), no unsigned wrap emulation needed."""
+    < 2^45), no unsigned wrap emulation needed.
+
+    The empty-string filter pins the EMPTY-TOKEN case to the oracle:
+    ``F.split('', '')`` yields ``['']`` whose ``ascii('') = 0`` would
+    fold once (hash 217), while DuckDB's ``range(1, length+1)`` over
+    an empty token folds zero times (hash 7 — the seed).  Documents
+    with doubled/leading/trailing spaces produce empty tokens, so
+    without the filter their buckets diverge cross-engine (r9 review
+    finding; regression-tested on a double-spaced doc)."""
     return F.aggregate(
-        F.split(tok, ""),
+        F.filter(F.split(tok, ""), lambda c: c != ""),
         F.lit(7).cast("long"),
         lambda h, c: (h * 31 + F.ascii(c)) % _CLS_HASH_MOD,
     )
@@ -1435,10 +1443,20 @@ def nb_confusion(
     prior = weights.filter(F.col("bucket") == -1).select(
         F.col("weight").cast(_DEC6).alias("__prior")
     )
+    # LEFT join + coalesce: a document whose tokens all hash to
+    # buckets absent from the model (possible when evaluating held-out
+    # data under foreign weights) classifies from the PRIOR alone
+    # instead of silently vanishing from the matrix (r9 review
+    # finding; the per-class counts must always sum to the evaluated
+    # document count).  On the training corpus every bucket is in the
+    # weights, so the declared query's result is unchanged.
+    zero = F.lit(0).cast(_DEC6)
     m = (
-        cnt.join(F.broadcast(wdec), "bucket")
+        cnt.join(F.broadcast(wdec), "bucket", "left")
         .groupBy(id_col, "y")
-        .agg(F.sum(F.col("c") * F.col("w")).alias("__wsum"))
+        .agg(
+            F.sum(F.col("c") * F.coalesce(F.col("w"), zero)).alias("__wsum")
+        )
         .crossJoin(F.broadcast(prior))
         .select(
             "y",

@@ -100,9 +100,9 @@ def test_bench_regression_emitter(tmp_path):
     text = report.read_text()
     assert "| a |" in text            # 2x and ~1s slower -> flagged
     assert "| b |" not in text        # within thresholds
-    assert "c: 0.503 (adj) -> 0.050" in text  # improvement listed
+    assert "c: 0.460 (adj) -> 0.050" in text  # improvement listed
     assert "#2" not in text           # repeat passes excluded
-    assert "drift factor 1.0" in text  # near-1 drift on a stable fleet
+    assert "drift factor 0.9" in text  # near-1 drift on a stable fleet
 
 
 def test_bench_regression_emitter_cancels_uniform_drift(tmp_path):
@@ -134,6 +134,31 @@ def test_bench_regression_emitter_cancels_uniform_drift(tmp_path):
     text = report.read_text()
     assert "Regressions: none over threshold" in text
     assert "drift factor 1.300" in text
+
+
+def test_bench_regression_emitter_dominant_query_not_masked(tmp_path):
+    """A single dominant query's genuine 3x regression must be flagged
+    even though it moves the suite TOTAL by >2x — the median-based
+    drift estimate ignores it (r9 review finding: a total-ratio
+    factor let the regression normalize itself away and labeled every
+    stable query an improvement)."""
+    import json
+
+    import bench
+
+    prev = {"floor_sec": 0.0, "queries": {"big": 60.0}}
+    new = {"floor_sec": 0.0, "queries": {"big": 180.0}}
+    for i in range(40):
+        prev["queries"][f"q{i}"] = 1.0
+        new["queries"][f"q{i}"] = 1.0
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    report = tmp_path / "REGRESSIONS.md"
+    bench._emit_regressions(str(p), new, report_path=str(report))
+    text = report.read_text()
+    assert "| big |" in text                      # the real regression
+    assert "Improvements" not in text             # no phantom wins
+    assert "drift factor 1.000" in text
 
 
 def test_make_scale_data_preserves_structure(tmp_path):

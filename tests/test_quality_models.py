@@ -133,13 +133,8 @@ def test_ann_recall_zero_overlap_probe_still_reports(spark):
 def test_ivf_recall_is_high_on_fixture(spark):
     """End-to-end: the served IVF index should recover most of the
     exact top-10 on the sf0.001 fixture (sanity on the real metric)."""
-    import importlib.util
+    import __spark_entry__ as mod
 
-    spec = importlib.util.spec_from_file_location(
-        "entry_mod", "/root/repo/__spark_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
     sf = "/root/testdata/sf0.001"
     out = mod.queries()["ann_recall_eval"](spark, sf).collect()
     assert len(out) == 5
@@ -175,13 +170,8 @@ def test_oov_vocab_tie_break_deterministic(spark):
 
 
 def test_kmeans_centroid_query_shape(spark):
-    import importlib.util
+    import __spark_entry__ as mod
 
-    spec = importlib.util.spec_from_file_location(
-        "entry_mod2", "/root/repo/__spark_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
     sf = "/root/testdata/sf0.001"
     rows = mod.queries()["similarity_kmeans_centroids"](spark, sf).collect()
     from olap_storage_engine_spark.operators.similarity import (
@@ -526,3 +516,46 @@ def test_hard_negatives_excludes_probe_label(spark):
     assert all(r["probe_id"] == 0 for r in out)
     ranks = sorted(r["rank"] for r in out)
     assert ranks == [1, 2]
+
+
+def test_classifier_empty_token_matches_oracle_seed(spark):
+    """Doubled/leading spaces produce EMPTY tokens; their hash must be
+    the seed (7), matching the oracle's zero-iteration fold — not a
+    one-step fold over ascii('')=0 (r9 review finding)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="good  bad"), Row(doc_id=2, text=" lead")]
+    )
+    out = {r["doc_id"]: r for r in tx.hashed_classifier_scores(docs).collect()}
+
+    def bucket(tok):
+        h = 7
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1000003
+        return h % 4096
+
+    def weight(tok):
+        return ((bucket(tok) * 2654435761) % 65536) / 65536.0 - 0.5
+
+    for did, text in ((1, "good  bad"), (2, " lead")):
+        toks = text.split(" ")  # includes '' tokens
+        raw = sum(weight(t) for t in toks)
+        assert out[did]["raw_score"] == round(raw / len(toks), 6)
+        assert out[did]["keep"] == (raw >= 0)
+
+
+def test_nb_confusion_keeps_unseen_bucket_docs(spark):
+    """Evaluating under FOREIGN weights: a document whose every bucket
+    is absent from the model must classify from the prior alone, not
+    vanish from the matrix (r9 review finding)."""
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa bbb", lbl="pos"),
+         Row(doc_id=2, text="ccc", lbl="neg")]
+    )
+    w = tx.naive_bayes_train_hashed(train, label_col="lbl", positive="pos")
+    # eval corpus with a doc of entirely novel tokens
+    ev = spark.createDataFrame(
+        [Row(doc_id=10, text="aaa", lbl="pos"),
+         Row(doc_id=11, text="zzz qqq www", lbl="neg")]
+    )
+    conf = tx.nb_confusion(ev, w, label_col="lbl", positive="pos").collect()
+    assert sum(r["n"] for r in conf) == 2  # both docs present
