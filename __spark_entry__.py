@@ -1173,6 +1173,21 @@ def q_quality_classifier_train_eval(spark, sf_dir):
     return tx.nb_confusion(docs, w, label_col="__lbl", positive="pos")
 
 
+def q_quality_classifier_serve(spark, sf_dir):
+    """Serve the PERSISTED NB quality model (fixtures.nb_model_path —
+    trained once at publish time, stored as a tiny parquet weight
+    table): per-document predictions via broadcast join + exact-
+    decimal margins; training never runs inside the query plan — the
+    train-once/serve-many model-registry pattern
+    (operators/text.nb_predict)."""
+    from olap_storage_engine_spark.fixtures import nb_model_path
+
+    return tx.nb_predict(
+        load_table(spark, sf_dir, "documents"),
+        spark.read.parquet(nb_model_path(spark, sf_dir)),
+    )
+
+
 def q_quality_pareto_filter(spark, sf_dir):
     """GPT-3-style stochastic quality filter: keep a document iff a
     derandomized Pareto(9) draw exceeds 1 - quality_prob — heavy-
@@ -3197,6 +3212,7 @@ _DRIVER_CHECK_HEAD = [
     #     these lead the r10 head ---
     "quality_pareto_filter",
     "similarity_hard_negatives",
+    "quality_classifier_serve",
     "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
@@ -3308,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_report": q_corpus_drift_report,
         "quality_pareto_filter": q_quality_pareto_filter,
         "similarity_hard_negatives": q_similarity_hard_negatives,
+        "quality_classifier_serve": q_quality_classifier_serve,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -5051,6 +5068,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT y, ((wsum + prior.pw) > 0) AS pred,
                    CAST(count(*) AS INT) AS n
             FROM mf CROSS JOIN prior GROUP BY 1, 2
+        """,
+        # serving from the persisted NB model: DuckDB re-trains the
+        # closed-form weights and classifies every document, matching
+        # the broadcast-join serve over the parquet weight table
+        "quality_classifier_serve": f"""
+            WITH {_nb_ctes()},
+            wdec AS (SELECT bucket, CAST(weight AS DECIMAL(18,6)) AS w
+                     FROM wf WHERE bucket >= 0),
+            prior AS (SELECT CAST(weight AS DECIMAL(18,6)) AS pw
+                      FROM wf WHERE bucket = -1),
+            dcnt AS (SELECT doc_id, bucket, count(*) AS c
+                     FROM tb GROUP BY 1, 2),
+            mf AS (
+              SELECT d.doc_id,
+                     sum(d.c * COALESCE(wdec.w, 0)) AS wsum,
+                     CAST(sum(d.c) AS INT) AS n_tokens
+              FROM dcnt d LEFT JOIN wdec USING (bucket) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens,
+                   ((wsum + prior.pw) > 0) AS pred
+            FROM mf CROSS JOIN prior
         """,
         # derandomized Pareto(9) rejection sampling over the hashed
         # classifier score (GPT-3 Appendix A quality filter)

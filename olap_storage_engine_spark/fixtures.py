@@ -86,6 +86,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
         lambda: simhash_fps_path(spark, sf_dir),
+        lambda: nb_model_path(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)
@@ -1373,3 +1374,33 @@ _BUILDERS = {
     "orders_pcompact": _build_orders_pcompact,
     "orders_evolve": _build_orders_evolve,
 }
+
+
+def nb_model_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted NB quality-model weights
+    (bucket, weight; bucket=-1 is the prior) — trained ONCE per corpus
+    on the learnable token-presence label by
+    operators/text.naive_bayes_train_hashed and stored as a tiny
+    parquet table, the model-registry artifact the serving query
+    broadcasts.  Oracle-checkable because training is closed-form and
+    exact-decimal: DuckDB re-derives identical weights from the same
+    corpus."""
+
+    def build():
+        from pyspark.sql import functions as F
+
+        from .operators.text import naive_bayes_train_hashed
+
+        path = os.path.join(warehouse_for(sf_dir), "nb_model")
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "__lbl",
+            F.when(
+                F.array_contains(F.split("text", " "), "spark"), "pos"
+            ).otherwise("neg"),
+        )
+        naive_bayes_train_hashed(
+            docs, label_col="__lbl", positive="pos"
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+    return _aux_cached("nb_model", sf_dir, build)

@@ -1564,3 +1564,56 @@ def pareto_quality_filter(
     return scored.filter(
         pareto > (F.lit(1.0) - F.col("quality_prob"))
     ).select(id_col, "n_tokens", "quality_prob")
+
+
+def nb_predict(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SERVE a trained NB model: per-document prediction under a
+    (possibly persisted) weight table — the inference half of the
+    train-once / serve-many model-registry pattern.  Same exact-
+    decimal margin discipline as :func:`nb_confusion` (integer counts
+    x 6dp weights + prior; LEFT join so all-novel-bucket documents
+    classify from the prior); one broadcast join + one per-doc
+    aggregate, no corpus shuffle beyond the (doc, bucket) counts.
+
+    Returns (id_col, n_tokens, pred).
+    """
+    cnt = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(
+            id_col,
+            (_cls_token_hash(F.col("tok")) % _CLS_BUCKETS).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdec = weights.filter(F.col("bucket") >= 0).select(
+        "bucket", F.col("weight").cast(_DEC6).alias("w")
+    )
+    prior = weights.filter(F.col("bucket") == -1).select(
+        F.col("weight").cast(_DEC6).alias("__prior")
+    )
+    zero = F.lit(0).cast(_DEC6)
+    return (
+        cnt.join(F.broadcast(wdec), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.coalesce(F.col("w"), zero)).alias(
+                "__wsum"
+            ),
+            F.sum("c").cast("int").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_tokens",
+            ((F.col("__wsum") + F.col("__prior")) > 0).alias("pred"),
+        )
+    )

@@ -559,3 +559,29 @@ def test_nb_confusion_keeps_unseen_bucket_docs(spark):
     )
     conf = tx.nb_confusion(ev, w, label_col="lbl", positive="pos").collect()
     assert sum(r["n"] for r in conf) == 2  # both docs present
+
+
+def test_nb_serve_from_persisted_model_matches_inline(spark):
+    """The persisted-model serving path must predict identically to
+    inline train+predict (train-once / serve-many parity)."""
+    from olap_storage_engine_spark.fixtures import nb_model_path
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    served = {
+        r["doc_id"]: r["pred"]
+        for r in tx.nb_predict(
+            docs, spark.read.parquet(nb_model_path(spark, sf))
+        ).collect()
+    }
+    labeled = docs.withColumn(
+        "__lbl",
+        F.when(
+            F.array_contains(F.split("text", " "), "spark"), "pos"
+        ).otherwise("neg"),
+    )
+    w = tx.naive_bayes_train_hashed(labeled, label_col="__lbl", positive="pos")
+    inline = {r["doc_id"]: r["pred"] for r in tx.nb_predict(docs, w).collect()}
+    assert served == inline
+    assert len(served) == docs.count()
