@@ -1173,6 +1173,20 @@ def q_quality_classifier_train_eval(spark, sf_dir):
     return tx.nb_confusion(docs, w, label_col="__lbl", positive="pos")
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-corpus QA: vectors whose cosine to their OWN stored
+    cluster centroid falls below 0.17 — the corrupt-embedding detector,
+    served from the persisted cell table + broadcast centroid index
+    with zero shuffles (operators/similarity.centroid_outliers)."""
+    from olap_storage_engine_spark.fixtures import get_table, ivf_centroids
+
+    return sim.centroid_outliers(
+        get_table(spark, sf_dir, "emb_cells").read(),
+        ivf_centroids(spark, sf_dir),
+        threshold=0.17,
+    )
+
+
 def q_quality_classifier_serve(spark, sf_dir):
     """Serve the PERSISTED NB quality model (fixtures.nb_model_path —
     trained once at publish time, stored as a tiny parquet weight
@@ -3213,6 +3227,7 @@ _DRIVER_CHECK_HEAD = [
     "quality_pareto_filter",
     "similarity_hard_negatives",
     "quality_classifier_serve",
+    "embedding_outliers",
     "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
@@ -3325,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pareto_filter": q_quality_pareto_filter,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "quality_classifier_serve": q_quality_classifier_serve,
+        "embedding_outliers": q_embedding_outliers,
         "decontaminate_bench": q_decontaminate_bench,
         "decontamination_report": q_decontamination_report,
         "dsir_sample": q_dsir_sample,
@@ -3938,6 +3954,36 @@ r AS (
 )
 SELECT probe_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}
+"""
+
+
+def _embedding_outliers_oracle(
+    threshold=0.17, n_centroids=_NCENT_SQL, sample_mod=4, iters=2
+) -> str:
+    """Centroid-distance outliers in SQL: the IVF oracle's k-means +
+    nearest-cell assignment, then the cut on the ROUNDED cosine to the
+    assigned centroid (mirrors similarity.centroid_outliers over the
+    persisted cell table)."""
+    cos_ec = (
+        f"({_dot_sql('e.embedding', 'c.cent_vec')} / "
+        f"{_norm_sql('c.cent_vec')})"
+    )
+    return f"""
+WITH {_kmeans_ctes(n_centroids, sample_mod, iters)},
+cell AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id) AS cr
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE cr = 1
+),
+scored AS (
+  SELECT cell.vec_id, cell.cent_id,
+         round({_cos_sql('cell.embedding', 'c.cent_vec')}, 6) AS cosine
+  FROM cell JOIN cents c USING (cent_id)
+)
+SELECT vec_id, cent_id, cosine FROM scored WHERE cosine < {threshold}
 """
 
 
@@ -5259,6 +5305,7 @@ def oracle_sql() -> dict[str, str]:
                      AS quality_prob
             FROM cls WHERE raw >= 0
         """,
+        "embedding_outliers": _embedding_outliers_oracle(),
         "similarity_ann_lsh": _similarity_ann_lsh_oracle(),
         "similarity_ann_ivf": _similarity_ann_ivf_oracle(),
         "similarity_ann_pq": _similarity_ann_pq_oracle(),

@@ -1151,3 +1151,39 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def centroid_outliers(
+    cells: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-corpus QA: vectors far from their OWN cluster
+    centroid — the corrupt/degenerate-embedding detector every
+    embedding pipeline runs before training or indexing (a zeroed,
+    truncated, or wrong-model vector lands nowhere near any cluster;
+    its cosine-to-assigned-centroid is the cheapest anomaly score
+    that needs no pairwise work).
+
+    Serves from the PERSISTED cell table (assignment already stored;
+    no full-corpus argmax at query time) + the broadcast centroid
+    index: one map-side cosine per vector, one filter — O(N·dim),
+    zero shuffles beyond the scan.  The cut compares the ROUNDED
+    cosine so the flag set is engine-exact.
+
+    Returns flagged (id_col, cent_id, cosine), cosine to own centroid
+    rounded 6dp, ascending = worst first is the caller's sort.
+    """
+    j = cells.join(
+        F.broadcast(centroids.select("cent_id", "cent_vec")), "cent_id"
+    )
+    scored = j.select(
+        F.col(id_col),
+        F.col("cent_id"),
+        F.round(
+            cosine(F.col(vec_col), F.col("cent_vec")), 6
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") < threshold)

@@ -585,3 +585,20 @@ def test_nb_serve_from_persisted_model_matches_inline(spark):
     inline = {r["doc_id"]: r["pred"] for r in tx.nb_predict(docs, w).collect()}
     assert served == inline
     assert len(served) == docs.count()
+
+
+def test_centroid_outliers_flags_corrupt_vector(spark):
+    """A zeroed-out (corrupt) vector must be flagged; a vector near
+    its centroid must not."""
+    cents = spark.createDataFrame(
+        [Row(cent_id=0, cent_vec=[1.0] + [0.0] * 63)]
+    )
+    cells = spark.createDataFrame(
+        [
+            Row(cent_id=0, vec_id=1, embedding=[0.99] + [0.01] * 63),
+            Row(cent_id=0, vec_id=2, embedding=[0.001] * 64),  # degenerate
+        ]
+    )
+    out = sim.centroid_outliers(cells, cents, threshold=0.5).collect()
+    assert {r["vec_id"] for r in out} == {2}
+    assert all(r["cosine"] < 0.5 for r in out)
