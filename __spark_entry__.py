@@ -738,19 +738,17 @@ def q_similarity_ann_lsh(spark, sf_dir):
 
 
 def q_similarity_ann_ivf(spark, sf_dir):
-    """IVF serving path: the coarse quantizer is the PERSISTED centroid
-    index table (trained once at fixture-build time with the corpus-
-    derived centroid count, max(16, floor(sqrt(N)))) — the query plan
-    broadcasts the tiny index table and never trains."""
-    from olap_storage_engine_spark.fixtures import ivf_centroids
-
-    return sim.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        _probes(spark, sf_dir),
-        k=10,
-        n_probe=4,
-        centroids=ivf_centroids(spark, sf_dir),
-    )
+    """IVF serving path — routed through the PERSISTED cell table
+    (r10, VERDICT r9 task 4): cell assignment is stored at publish
+    time, so serving reads ONLY the probed cells' LIST partitions
+    (``__pt`` PartitionFilters) and never re-assigns the corpus inside
+    the query plan.  The previous inline-assignment plan (a
+    full-corpus ``_cell_assign`` pass per query — a full scan at
+    100 TB) survives as the explicitly ad-hoc ``sim.ivf_topk`` API for
+    one-shot corpora with no published index.  Identical results and
+    oracle to ``similarity_ann_ivf_cells``, which remains declared as
+    the layout check."""
+    return q_similarity_ann_ivf_cells(spark, sf_dir)
 
 
 def q_similarity_ann_pq(spark, sf_dir):
@@ -1099,12 +1097,14 @@ def q_dedup_exact_substring(spark, sf_dir):
 
 def q_corpus_span_dedup(spark, sf_dir):
     """C4-style duplicated-span REMOVAL (the curation step, not just
-    the report): 4-word segments repeated verbatim in >= 2 distinct
-    documents are cut and each document is rewritten from its
-    surviving segments (operators/dedup.remove_duplicate_spans;
-    complements dedup_exact_substring, which only scores)."""
+    the report): 4-word segments occurring verbatim >= 2 times in the
+    corpus — total occurrences, the literal C4 rule, so a span
+    repeated within one document is also cut (r10, ADVICE r9) — are
+    removed and each document is rewritten from its surviving
+    segments (operators/dedup.remove_duplicate_spans; complements
+    dedup_exact_substring, which only scores)."""
     return dd.remove_duplicate_spans(
-        load_table(spark, sf_dir, "documents"), width=4, min_docs=2
+        load_table(spark, sf_dir, "documents"), width=4, min_occurrences=2
     )
 
 
@@ -5034,7 +5034,7 @@ def oracle_sql() -> dict[str, str]:
                        AS seg
               FROM s0
             ),
-            freq AS (SELECT seg, count(DISTINCT doc_id) AS nd
+            freq AS (SELECT seg, count(*) AS nd
                      FROM segs GROUP BY 1)
             SELECT s.doc_id,
                    CAST(count(*) AS INT) AS n_spans,
@@ -5204,9 +5204,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(count(*) AS INT) AS n_words,
                    max(ta) AS tokens_a, max(tb) AS tokens_b,
-                   CAST(round(sum(t_ab), 6) AS DOUBLE) AS kl_ab,
-                   CAST(round(sum(t_ba), 6) AS DOUBLE) AS kl_ba,
-                   CAST(round(sum(t_ab + t_ba), 6) AS DOUBLE) AS kl_sym
+                   CAST(round(sum(t_ab), 3) AS DOUBLE) AS kl_ab,
+                   CAST(round(sum(t_ba), 3) AS DOUBLE) AS kl_ba,
+                   CAST(round(sum(t_ab + t_ba), 3) AS DOUBLE) AS kl_sym
             FROM terms
         """,
         # precision/recall of the banded-LSH candidate set against the

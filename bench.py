@@ -473,6 +473,22 @@ def _emit_regressions(
         "comparison).",
         "",
     ]
+    # A drift factor outside the documented ~25% host-drift band can
+    # also be a GENUINE uniform code regression (everything 1.3x
+    # slower from one shared-path change normalizes to zero flags) —
+    # the normalization cannot tell the two apart, so say so loudly
+    # and ask for the confirming rerun instead of silently absorbing
+    # the shift (ADVICE r9).
+    if abs(drift - 1.0) > 0.25:
+        lines.append(
+            f"**WARNING: drift factor {drift:.3f} is outside the "
+            "documented ~25% host-drift band.** This is either heavy "
+            "host contention or a UNIFORM code regression that the "
+            "normalization has absorbed — rerun the bench in a fresh "
+            "session to confirm before trusting the empty/short "
+            "regression list below."
+        )
+        lines.append("")
     if flagged:
         lines.append("## Regressions")
         lines.append("")

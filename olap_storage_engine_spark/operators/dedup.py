@@ -915,7 +915,7 @@ def duplicated_span_stats(
 def remove_duplicate_spans(
     docs: DataFrame,
     width: int = 4,
-    min_docs: int = 2,
+    min_occurrences: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -927,9 +927,13 @@ def remove_duplicate_spans(
 
     Where :func:`duplicated_span_stats` only *reports* per-document
     duplication, this operator performs the curation step itself:
-    segments whose exact text appears in >= ``min_docs`` DISTINCT
-    documents are cut, and the survivors are reassembled in original
-    order into ``cleaned_text``.
+    segments whose exact text occurs >= ``min_occurrences`` times in
+    the corpus — TOTAL occurrences, counting repeats inside a single
+    document, exactly the C4 rule ("any span occurring more than once
+    in the dataset") — are cut, and the survivors are reassembled in
+    original order into ``cleaned_text``.  (Until r10 this counted
+    distinct documents, which let a span repeated only within one
+    document survive — ADVICE r9.)
 
     Plan shape (the canonical C4 topology): segment in-row (zero
     exchanges — one ``transform`` over the split array), one hash
@@ -959,9 +963,9 @@ def remove_duplicate_spans(
         F.col(id_col), F.posexplode(segs_col).alias("seg_idx", "seg")
     )
     freq = segs.groupBy("seg").agg(
-        F.countDistinct(id_col).alias("__nd")
+        F.count(F.lit(1)).alias("__nd")
     )
-    keep = F.col("__nd") < min_docs
+    keep = F.col("__nd") < min_occurrences
     return (
         segs.join(freq, "seg")
         .groupBy(id_col)

@@ -290,7 +290,12 @@ def _cell_assign_top1_arrow(
         )
     C = np.array([r["cent_vec"] for r in rows], dtype=np.float64)
     nrm = np.array([r["cent_norm"] for r in rows], dtype=np.float64)
-    cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    # the emitted pandas column must carry the SAME width as the
+    # declared cent_id type — an int64 ndarray under an int32 schema
+    # rides on Arrow's silent downcast, which the JVM fallback path
+    # never performs (ADVICE r9: dtype divergence between paths)
+    cid_np = np.int32 if isinstance(cid_type, T.IntegerType) else np.int64
+    cids = np.array([r["cent_id"] for r in rows], dtype=cid_np)
     k, dim = C.shape
     # bound the (block, K, dim) product temp to ~256 MB
     blk = max(1, 4_000_000 // max(k * dim // 8, 1))
@@ -508,7 +513,16 @@ def ivf_topk(
     train_iters: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
+    """IVF (inverted-file) approximate top-k — the AD-HOC path.
+
+    This API assigns the corpus to cells INSIDE the query plan (one
+    broadcast Arrow pass over every vector), which is correct but a
+    full corpus scan per query — use it only for one-shot corpora
+    with no published index.  The production serving path (and the
+    declared ``similarity_ann_ivf`` query since r10) reads the
+    PERSISTED LIST-partitioned cell table instead, touching only the
+    probed cells' partitions (see ``__spark_entry__.
+    q_similarity_ann_ivf_cells`` and fixtures._build_emb_cells).
 
     Coarse quantizer, in preference order:
 
@@ -970,10 +984,15 @@ def ann_recall(
     still emit a row (left join from the exact side).
 
     Returns (probe_id, hits, k, recall); recall exact at 4dp since
-    hits/k is a small-integer ratio.
+    hits/k is a small-integer ratio.  The approx side is deduplicated
+    on (probe_id, vec_id) before the join — a candidate list that
+    repeats a pair (legal for some LSH band unions) must count one
+    hit, not several, or recall could exceed 1.0.
     """
     pid, vid = id_cols
-    a = approx.select(pid, vid, F.lit(1).alias("__hit"))
+    a = approx.select(pid, vid).dropDuplicates([pid, vid]).select(
+        pid, vid, F.lit(1).alias("__hit")
+    )
     return (
         exact.select(pid, vid)
         .join(a, [pid, vid], "left")

