@@ -1265,6 +1265,17 @@ def q_text_oov_rate(spark, sf_dir):
     return tx.vocab_oov_rates(load_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_tokenizer_train(spark, sf_dir):
+    """In-engine BPE tokenizer TRAINING (r10, VERDICT r9 task 7): the
+    first 6 merges learned over the documents corpus — one corpus
+    pass for word counts, then 6 vocabulary-sized pair-count argmax
+    iterations, winner by (count DESC, pair ASC), every merge applied
+    via a sentinel-framed non-overlapping replace with identical
+    semantics in both engines (operators/text.bpe_train; the DuckDB
+    oracle unrolls the 6 iterations as CTE stages)."""
+    return tx.bpe_train(load_table(spark, sf_dir, "documents"), k=6)
+
+
 def q_similarity_kmeans_centroids(spark, sf_dir):
     """The k-means TRAINING step as a first-class checked query: the
     persisted coarse-quantizer index (trained once at fixture-build
@@ -2935,6 +2946,37 @@ def q_schema_evolution_read(spark, sf_dir):
     )
 
 
+def q_schema_evolution_rename(spark, sf_dir):
+    """Non-additive schema evolution — RENAME across rowset
+    generations (r10; reference declares schema_version at
+    src/meta.rs:57): rowset 0's files physically carry
+    ``o_orderstatus`` (and a since-dropped ``o_comment``), rowset 1's
+    carry ``status``; one snapshot read serves both generations under
+    the current name via schema-log replay
+    (table.OlapTable.rename_column / _replay_schema_ops)."""
+    t = get_table(spark, sf_dir, "orders_evolve_nonadd")
+    return t.read().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "status",
+    )
+
+
+def q_schema_evolution_drop(spark, sf_dir):
+    """Non-additive schema evolution — DROP, including the hard
+    re-add-at-a-different-type case (r10): ``flag`` was VARCHAR in
+    rowset 0, dropped, re-added as INT64 before rowset 1.  The old
+    generation must surface typed NULLs — its stale VARCHAR bytes are
+    discarded by schema-log replay before the null fill, never cast
+    or leaked (table.OlapTable.drop_column)."""
+    t = get_table(spark, sf_dir, "orders_evolve_readd")
+    return t.read().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "flag",
+    )
+
+
 def q_delete_rows(spark, sf_dir):
     """Row-level DELETE (copy-on-write rewrite, MVCC): post-delete
     snapshot has no 'F' orders; version 0 still does (time travel —
@@ -3330,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_score": q_quality_classifier_score,
         "ann_recall_eval": q_ann_recall_eval,
         "text_oov_rate": q_text_oov_rate,
+        "tokenizer_train": q_tokenizer_train,
         "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
         "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
         "dedup_minhash_pr_eval": q_dedup_minhash_pr_eval,
@@ -3463,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "table_stats": q_table_stats,
         "schema_evolution_read": q_schema_evolution_read,
+        "schema_evolution_rename": q_schema_evolution_rename,
+        "schema_evolution_drop": q_schema_evolution_drop,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -3494,6 +3539,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _MD5INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _bpe_train_oracle(k: int = 6) -> str:
+    """Unroll bpe_train's k merge iterations as SQL CTE stages: W{i}
+    holds the vocabulary's symbol arrays after i merges, P{i} the
+    weighted adjacent-pair counts, B{i} the deterministic winner
+    (count DESC, pair ASC).  The merge rewrite is the SAME
+    sentinel-framed replace the Spark side runs (chr(1)/chr(2)
+    symbol frames; non-overlapping left-to-right replace is identical
+    in both engines), so the whole merge table matches exactly."""
+    sep = "chr(2) || chr(1)"
+    ctes = [
+        """W0 AS (
+          SELECT string_split(w, '') AS syms, cnt
+          FROM (SELECT w, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE length(w) > 0 GROUP BY 1)
+        )"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""P{i} AS (
+          SELECT syms[j+1] AS a, syms[j+2] AS b, sum(cnt) AS c
+          FROM (SELECT syms, cnt,
+                       unnest(range(len(syms) - 1)) AS j
+                FROM W{i-1} WHERE len(syms) >= 2)
+          GROUP BY 1, 2
+        )""")
+        ctes.append(f"""B{i} AS (
+          SELECT {i} AS rank, a, b, a || b AS merged, c
+          FROM P{i} ORDER BY c DESC, a, b LIMIT 1
+        )""")
+        ctes.append(f"""W{i} AS (
+          SELECT string_split(substr(r, 2, length(r) - 2), {sep}) AS syms,
+                 cnt
+          FROM (SELECT replace(
+                  chr(1) || array_to_string(syms, {sep}) || chr(2),
+                  (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM B{i}),
+                  (SELECT chr(1)||a||b||chr(2) FROM B{i})) AS r, cnt
+                FROM W{i-1})
+        )""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM B{i}" for i in range(1, k + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT CAST(rank AS INT) AS rank, a AS lhs, b AS rhs, merged,
+               CAST(c AS BIGINT) AS pair_cnt
+        FROM ({union})
+    """
+    )
 
 
 def _minhash_ctes(num_hashes=8, band_rows=2, n=3, src="documents") -> str:
@@ -5273,6 +5367,9 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(w.ns AS DOUBLE), 6) AS kept_frac
             FROM w LEFT JOIN kept USING (source)
         """,
+        # BPE training: the 6-merge table, iterations unrolled as CTE
+        # stages (generator above — deterministic argmax per stage)
+        "tokenizer_train": _bpe_train_oracle(6),
         # per-doc OOV rate vs the corpus top-20 unigram vocabulary;
         # exact int/int division, no rounding anywhere
         "text_oov_rate": """
@@ -6137,6 +6234,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
                    CASE WHEN o_orderkey % 2 = 1 THEN 'v2' END AS note
             FROM orders
+        """,
+        # rename across generations: every order serves under the
+        # current name regardless of which file schema it was written
+        # with (the dropped o_comment never appears)
+        "schema_evolution_rename": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus AS status
+            FROM orders
+        """,
+        # drop + re-add at a different type: generation 0 (keys % 3 =
+        # 0) surfaces typed NULLs, generation 1 the new INT64 values
+        "schema_evolution_drop": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CASE WHEN o_orderkey % 3 = 1 THEN CAST(7 AS BIGINT) END
+                     AS flag
+            FROM orders WHERE o_orderkey % 3 IN (0, 1)
         """,
         "delete_rows": """
             SELECT o_orderstatus, count(*) AS n,

@@ -1341,6 +1341,80 @@ def _build_orders_evolve(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_evolve_nonadd(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Non-additive schema evolution fixture (r10): rowset 0 written
+    under the v1 schema with an ``o_comment`` column (later dropped)
+    and an ``o_orderstatus`` column (later renamed to ``status``);
+    rowset 1 written under the evolved schema.  Reads must serve BOTH
+    generations under the current layout: the drop projected away from
+    old files, the rename applied to them, new files verbatim."""
+    spec = TableSpec(
+        name="orders_evolve_nonadd",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+            ColumnSpec.value("o_comment", ColumnType.VARCHAR),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select(
+        "o_orderkey",
+        "o_totalprice",
+        # synthesized: the fixture orders table carries no comment
+        # column; the content is irrelevant — it exists to be dropped
+        F.concat(F.lit("c"), F.col("o_orderkey")).alias("o_comment"),
+        "o_orderstatus",
+    )
+    t.write(base.filter(F.col("o_orderkey") % 2 == 0))
+    t.drop_column("o_comment")
+    t.rename_column("o_orderstatus", "status")
+    t.write(
+        base.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    return t
+
+
+def _build_orders_evolve_readd(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """The hard drop case: a column dropped and RE-ADDED at a
+    different type.  Rowset 0 carries ``flag`` as VARCHAR; after
+    drop_column + add_column(INT64), rowset 1 carries it as INT64.
+    Reads must surface the old generation's flag as typed NULLs — the
+    stale VARCHAR bytes in the old files must never leak into the new
+    column (the schema-log replay drops them before the null fill)."""
+    spec = TableSpec(
+        name="orders_evolve_readd",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+            ColumnSpec.value("flag", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t.write(
+        base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "flag", F.lit("old")
+        )
+    )
+    t.drop_column("flag")
+    t.add_column(ColumnSpec.value("flag", ColumnType.INT64))
+    t.write(
+        base.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+            "flag", F.lit(7).cast("long")
+        )
+    )
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -1373,6 +1447,8 @@ _BUILDERS = {
     "orders_rollback": _build_orders_rollback,
     "orders_pcompact": _build_orders_pcompact,
     "orders_evolve": _build_orders_evolve,
+    "orders_evolve_nonadd": _build_orders_evolve_nonadd,
+    "orders_evolve_readd": _build_orders_evolve_readd,
 }
 
 

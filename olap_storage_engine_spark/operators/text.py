@@ -1624,3 +1624,172 @@ def nb_predict(
             ((F.col("__wsum") + F.col("__prior")) > 0).alias("pred"),
         )
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+# Symbol-boundary sentinels for the merge rewrite: each symbol is
+# framed as \x01<sym>\x02, so the pattern \x01a\x02\x01b\x02 can only
+# match a REAL adjacent (a, b) symbol pair — never a substring inside
+# a longer symbol, and back-to-back occurrences share no characters,
+# so one non-overlapping left-to-right replace() (identical semantics
+# in Spark and DuckDB) applies the merge with classic greedy-BPE
+# behavior ("aaa" + merge(a,a) -> ["aa","a"]).
+_BPE_L = "\x01"
+_BPE_R = "\x02"
+
+
+def _bpe_frame(syms: F.Column) -> F.Column:
+    """array<string> of symbols -> framed string \x01s1\x02\x01s2\x02..."""
+    return F.concat(
+        F.lit(_BPE_L), F.array_join(syms, _BPE_R + _BPE_L), F.lit(_BPE_R)
+    )
+
+
+def _bpe_unframe(framed: F.Column) -> F.Column:
+    """framed string -> array<string> of symbols."""
+    return F.split(
+        F.substring(framed, 2, F.length(framed) - 2), _BPE_R + _BPE_L
+    )
+
+
+def bpe_word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The one corpus-sized pass of BPE training: whitespace words with
+    occurrence counts.  Everything after this runs on VOCABULARY-sized
+    data — at 100 TB the corpus is touched exactly once, and the k
+    merge iterations cost O(vocab * avg_word_len) each."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the current symbol arrays.
+    The sequence is guarded for 1-symbol words (F.sequence(0, -1) is
+    DESCENDING, not empty — the repo's documented ANSI trap)."""
+    idx = F.when(
+        F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("a"),
+                    F.element_at("syms", i + 2).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").alias("c")
+    )
+
+
+def bpe_train(
+    docs: DataFrame, k: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) —
+    the one text-pipeline surface the engine could evaluate (OOV
+    rates, vocab_oov_rates) but not produce until r10.
+
+    Exactly ``k`` merges, fully deterministic: each iteration counts
+    weighted adjacent symbol pairs over the word vocabulary and picks
+    the winner by (count DESC, left ASC, right ASC) — binary string
+    order, identical in Spark and DuckDB, so the whole merge table is
+    oracle-checkable by unrolling the k iterations in SQL.  No early
+    stop: a count-1 merge is still applied (a stop threshold would
+    make the oracle's later iterations diverge; callers wanting one
+    truncate the returned table on pair_cnt).
+
+    Scale shape: one corpus pass (bpe_word_counts) then k
+    vocabulary-sized jobs; the per-iteration winner is ONE collected
+    row (the distributed pair-count argmax — the same combine-
+    aggregate discipline as dsir_gram_features), broadcast back into
+    a framed-string replace that stays in whole-stage codegen.
+
+    Returns (rank, lhs, rhs, merged, pair_cnt) — rank 1-based merge
+    order.
+    """
+    spark = docs.sparkSession
+    words = bpe_word_counts(docs, text_col).select(
+        F.split("w", "").alias("syms"), "cnt"
+    )
+    words = words.persist()
+    merges = []
+    for rank in range(1, k + 1):
+        best = (
+            _bpe_pairs(words)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus exhausted to single-symbol words
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((rank, a, b, a + b, c))
+        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+        rep = _BPE_L + a + b + _BPE_R
+        words = words.select(
+            _bpe_unframe(
+                F.replace(_bpe_frame(F.col("syms")), F.lit(pat), F.lit(rep))
+            ).alias("syms"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_cnt bigint",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge list (rank-ordered (lhs, rhs) pairs, e.g.
+    ``[(r["lhs"], r["rhs"]) for r in bpe_train(...).collect()]`` —
+    driver-sized by construction) to a corpus: every word re-tokenized
+    by replaying the merges in training order.  One row-local pass —
+    the k replaces nest into a single codegen'd expression, zero
+    shuffles, so encoding throughput is scan-bound at any corpus size.
+
+    Returns (id_col, tokens array<string>), tokens in document order
+    (concatenating them restores the original text minus spaces — the
+    BPE lossless-round-trip property, pinned in tests).
+    """
+    framed = _bpe_frame(F.split(F.col("w"), ""))
+    for a, b in merges:
+        framed = F.replace(
+            framed,
+            F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+            F.lit(_BPE_L + a + b + _BPE_R),
+        )
+    per_word = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(id_col, "pos", _bpe_unframe(framed).alias("toks"))
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+    )

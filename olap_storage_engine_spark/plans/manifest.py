@@ -94,6 +94,14 @@ class RowsetMeta:
     stale_reason: str | None = None
     # True once GC physically deleted this rowset's data directory.
     reclaimed: bool = False
+    # TableSpec.schema_version this rowset's files were written under
+    # (stamped by OlapTable.write since r10) — the read path replays
+    # spec.schema_log entries newer than this over the physical
+    # columns, which is what makes column drop/rename sound across
+    # rowset generations.  Pre-r10 manifests default to 1: those
+    # tables only ever evolved additively (the log carries no
+    # drop/rename), so the replay is a no-op for them.
+    schema_version: int = 1
 
     def __post_init__(self) -> None:
         self.state = RowsetState(self.state)
@@ -123,6 +131,7 @@ class RowsetMeta:
             "txn": self.txn,
             "stale_reason": self.stale_reason,
             "reclaimed": self.reclaimed,
+            "schema_version": self.schema_version,
         }
 
     @classmethod

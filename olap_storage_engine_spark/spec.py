@@ -335,6 +335,17 @@ class TableSpec:
     # block compression codec (reference: src/compression/mod.rs — LZ4
     # default there; zstd default here, both Parquet-supported)
     compression: str = "zstd"
+    # Append-only evolution log (reference declares schema_version at
+    # src/meta.rs:57; the executable semantics live here).  Each entry
+    # is {"v": <schema_version the op created>, "op": "add"|"drop"|
+    # "rename", ...op fields...}.  A rowset written under version wv
+    # is read by replaying every entry with v > wv over its physical
+    # columns (rename -> withColumnRenamed, drop -> drop, add -> the
+    # typed-null fill) — the Iceberg idea expressed over names, sound
+    # because a dropped name may only be re-added AFTER the drop is
+    # logged, so the replay always discards the stale physical column
+    # before the null-fill materializes its successor.
+    schema_log: list = field(default_factory=list)
 
     # names used internally by the write/read path (hidden metadata and
     # directory columns) — user columns must not collide
@@ -403,6 +414,7 @@ class TableSpec:
             "partition": self.partition.to_dict(),
             "bucket": self.bucket.to_dict(),
             "compression": self.compression,
+            "schema_log": self.schema_log,
         }
 
     def to_json(self) -> str:
@@ -418,6 +430,7 @@ class TableSpec:
             partition=PartitionPolicy.from_dict(d.get("partition", {})),
             bucket=BucketSpec.from_dict(d.get("bucket", {})),
             compression=d.get("compression", "zstd"),
+            schema_log=d.get("schema_log", []),
         )
 
     @classmethod

@@ -347,6 +347,7 @@ class OlapTable:
             collapsed=collapsed,
             partitions=sorted(partitions) if partitions is not None else None,
             col_stats=col_stats or None,
+            schema_version=self.spec.schema_version,
         )
         if publish:
             try:
@@ -396,6 +397,20 @@ class OlapTable:
         return self.manifest.with_retry(lambda m: m.rollback(to_version))
 
     # -- schema evolution ------------------------------------------------
+    def _persist_schema_change(self, log_entry: dict) -> None:
+        """Shared tail of every evolution op: bump schema_version,
+        append the replayable log entry, rewrite the spec file, and
+        evolve the manifest's pinned hash in the same step so the next
+        publish validates against the new layout.  Driver-side
+        metadata only — no data file is touched at any table size."""
+        self.spec.schema_version += 1
+        log_entry["v"] = self.spec.schema_version
+        self.spec.schema_log.append(log_entry)
+        with open(os.path.join(self.root, SPEC_FILE), "w") as f:
+            f.write(self.spec.to_json())
+        self.manifest.doc["schema_hash"] = self.spec.schema_hash()
+        self.manifest.save()
+
     def add_column(self, col) -> None:
         """Additive schema evolution (reference: schema_version /
         schema_hash fields, src/meta.rs:55-66 — declared there,
@@ -410,13 +425,83 @@ class OlapTable:
         if col.name in self.spec.column_names():
             raise ValueError(f"column exists: {col.name}")
         self.spec.columns.append(col)
-        self.spec.schema_version += 1
-        with open(os.path.join(self.root, SPEC_FILE), "w") as f:
-            f.write(self.spec.to_json())
-        # evolve the manifest's pinned hash in the same step, so the
-        # next publish validates against the new layout
-        self.manifest.doc["schema_hash"] = self.spec.schema_hash()
-        self.manifest.save()
+        self._persist_schema_change({"op": "add", "name": col.name})
+
+    def _guard_structural_column(self, name: str, verb: str) -> None:
+        """Partition/bucket routing and the keys model are keyed by
+        column NAME in persisted metadata (PartitionPolicy.column,
+        BucketSpec.column, directory layouts) — dropping or renaming
+        those out from under existing rowset directories would corrupt
+        routing, so both are refused outright."""
+        if self.spec.partition.column == name:
+            raise ValueError(f"cannot {verb} partition column {name!r}")
+        if self.spec.bucket.column == name:
+            raise ValueError(f"cannot {verb} bucket column {name!r}")
+
+    def drop_column(self, name: str) -> None:
+        """Non-additive schema evolution: drop a VALUE column.
+
+        Metadata-only (the Iceberg discipline): the spec loses the
+        column and logs the drop; old rowsets keep the physical data
+        until compaction naturally rewrites them, and the read path
+        discards the column during schema-log replay.  The name may be
+        re-added later — even at a different type — because replay
+        drops the stale physical column from every pre-drop rowset
+        before the typed-null fill surfaces its successor.
+
+        Key columns cannot be dropped (the keys-model collapse is
+        keyed on them); partition/bucket source columns cannot be
+        dropped (routing metadata names them)."""
+        spec_c = next(
+            (c for c in self.spec.columns if c.name == name), None
+        )
+        if spec_c is None:
+            raise ValueError(f"no such column: {name}")
+        if spec_c.is_key:
+            raise ValueError(f"cannot drop key column {name!r}")
+        self._guard_structural_column(name, "drop")
+        if len(self.spec.columns) == 1:
+            raise ValueError("cannot drop the only column")
+        self.spec.columns = [c for c in self.spec.columns if c.name != name]
+        self._persist_schema_change({"op": "drop", "name": name})
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Non-additive schema evolution: rename a column (key or
+        value) across rowset generations.  Metadata-only: old rowsets'
+        physical files keep the old name; the read path renames during
+        schema-log replay, so every snapshot — including time travel
+        into pre-rename versions — serves the CURRENT name.
+
+        Partition/bucket source columns are refused (their names are
+        baked into routing metadata and directory layouts)."""
+        spec_c = next(
+            (c for c in self.spec.columns if c.name == old), None
+        )
+        if spec_c is None:
+            raise ValueError(f"no such column: {old}")
+        self._guard_structural_column(old, "rename")
+        if new in self.spec.column_names():
+            raise ValueError(f"column exists: {new}")
+        if new in self.spec.RESERVED:
+            raise ValueError(f"reserved column name: {new}")
+        spec_c.name = new
+        self._persist_schema_change({"op": "rename", "old": old, "new": new})
+
+    def _replay_schema_ops(self, df: DataFrame, written_v: int) -> DataFrame:
+        """Map a rowset's PHYSICAL columns (as written under schema
+        version ``written_v``) to the CURRENT schema by replaying the
+        spec's evolution log forward.  Pure projection — stays inside
+        whole-stage codegen, costs nothing at any scale."""
+        for e in self.spec.schema_log:
+            if e["v"] <= written_v:
+                continue
+            if e["op"] == "rename" and e["old"] in df.columns:
+                df = df.withColumnRenamed(e["old"], e["new"])
+            elif e["op"] == "drop" and e["name"] in df.columns:
+                df = df.drop(e["name"])
+            # "add" needs no replay — the physical column is simply
+            # absent and the typed-null fill below supplies it
+        return df
 
     # -- read path -------------------------------------------------------
     def scan(
@@ -463,16 +548,38 @@ class OlapTable:
             return r
 
         # one parquet scan per distinct filter shape, so the unscoped
-        # case stays a single reader over the path union (unchanged)
+        # case stays a single reader over the path union (unchanged).
+        # Rowsets additionally group by their EFFECTIVE schema
+        # generation — the set of drop/rename log entries newer than
+        # their write version.  Same-generation rowsets share one
+        # reader (for a never-evolved table that set is always empty,
+        # so the grouping adds nothing); cross-generation rowsets get
+        # per-group replay before the union, which is what lets one
+        # snapshot read span a rename or drop.
+        def _gen_key(wv: int) -> tuple:
+            return tuple(
+                i
+                for i, e in enumerate(self.spec.schema_log)
+                if e["v"] > wv and e["op"] in ("drop", "rename")
+            )
+
         groups: dict[tuple, list[str]] = {}
+        gen_wv: dict[tuple, int] = {}
         for rs, mode, labels in plan:
-            key = (mode, tuple(labels) if labels else ())
+            wv = getattr(rs, "schema_version", 1)
+            gk = _gen_key(wv)
+            key = (mode, tuple(labels) if labels else (), gk)
             groups.setdefault(key, []).append(
                 os.path.join(self.root, rs.path)
             )
+            # any write version with the same pending-replay set reads
+            # identically; keep the smallest for the replay call
+            gen_wv[key] = min(gen_wv.get(key, wv), wv)
         parts = []
-        for (mode, labels), paths in groups.items():
+        for (mode, labels, gk), paths in groups.items():
             part = _reader().parquet(*paths)
+            if gk:
+                part = self._replay_schema_ops(part, gen_wv[(mode, labels, gk)])
             if mode == "include":
                 part = part.filter(F.col(PT_COL).isin(list(labels)))
             elif mode == "exclude":

@@ -73,17 +73,25 @@ def test_random_mvcc_op_sequences_match_model(spark, warehouse, seed):
     t = _make(spark, warehouse, f"mvcc_{seed}")
     model: dict[int, float] = {}
     history: list[dict[int, float]] = []  # model snapshot per version
+    # current name of the value column — the "rename" op below evolves
+    # it mid-sequence (r10 non-additive schema evolution), so every
+    # write/merge/read goes through the live spec name
+    vcol = ["v"]
 
     def spark_df(pairs):
-        return spark.createDataFrame(_rows(pairs), "k long, v double")
+        return spark.createDataFrame(_rows(pairs), f"k long, {vcol[0]} double")
 
     def check():
-        got = {r["k"]: r["v"] for r in t.read().collect()}
+        df = t.read()
+        # evolution invariant: reads serve exactly the CURRENT layout,
+        # whatever generation each surviving rowset was written under
+        assert set(df.columns) == {"k", vcol[0]}, df.columns
+        got = {r["k"]: r[vcol[0]] for r in df.collect()}
         assert got == model, (sorted(got.items())[:5], sorted(model.items())[:5])
         lo = rng.randrange(10, 50)
         hi = lo + rng.randrange(0, 25)
         skipped = {
-            r["k"]: r["v"]
+            r["k"]: r[vcol[0]]
             for r in t.read_skipped("k", lo, hi).collect()
         }
         want = {k: v for k, v in model.items() if lo <= k <= hi}
@@ -96,9 +104,37 @@ def test_random_mvcc_op_sequences_match_model(spark, warehouse, seed):
     history.append(dict(model))
     check()
 
-    for _ in range(10):
-        op = rng.choice(["write", "merge", "delete", "rollback", "compact", "pcompact"])
-        if op == "write":
+    for step in range(10):
+        op = rng.choice(
+            ["write", "merge", "delete", "rollback", "compact", "pcompact",
+             "rename", "adddrop"]
+        )
+        if op == "rename":
+            # non-additive evolution interleaved with MVCC: old rowset
+            # generations keep the old physical name; every read after
+            # this (including post-rollback covers) must serve the new
+            new = f"v{step}_{seed}"
+            t.rename_column(vcol[0], new)
+            vcol[0] = new
+            # metadata-only: no data version advances, so no history
+            # snapshot — rollback indexes stay aligned with versions
+        elif op == "adddrop":
+            # add a throwaway column, write a batch carrying it, drop
+            # it again — surviving reads must never surface it, and the
+            # batch's (k, v) data must still serve
+            aux = f"aux{step}"
+            t.add_column(ColumnSpec.value(aux, ColumnType.INT64))
+            batch = [(k, rng.randrange(100)) for k in rng.sample(KEYS, 4)]
+            t.write(
+                spark.createDataFrame(
+                    [(k, float(v), k) for k, v in batch],
+                    f"k long, {vcol[0]} double, {aux} long",
+                )
+            )
+            model.update({k: float(v) for k, v in batch})
+            history.append(dict(model))
+            t.drop_column(aux)
+        elif op == "write":
             batch = [(k, rng.randrange(100)) for k in rng.sample(KEYS, rng.randrange(1, 8))]
             t.write(spark_df(batch))
             model.update({k: float(v) for k, v in batch})
