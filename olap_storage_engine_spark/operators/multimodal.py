@@ -671,9 +671,12 @@ def resample_audio_features(
 
     One Arrow pass does decode -> decimate -> encode -> stats; nothing
     crosses the Python boundary twice (the r9 fused-pipeline pattern).
+    Only (id, payload) enters the pass — shipping the documents' text
+    column through Arrow cost ~0.4 s at sf0.1 (r10 regression triage).
     """
     if factor < 1:
         raise ValueError(f"decimation factor must be >= 1, got {factor}")
+    mm = mm.select(id_col, "payload")
     schema = (
         f"{id_col} long, sample_rate int, n_samples int, "
         "mean_amp double, rms double, n_bytes_out int"

@@ -103,6 +103,15 @@ def run_fixture_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Per-query-name state/progress metrics of the most recent completed
+# fixture stream run (rows in the state store, state memory, input
+# rows per micro-batch) — populated by _await_or_raise, read by the
+# scale-regime bench (BENCH_SF1 streaming section): state growth vs
+# input growth is the number that shows a topology is
+# watermark-bounded rather than accumulating.
+LAST_RUN_METRICS: dict = {}
+
+
 def _await_or_raise(q, timeout_sec: int = 300) -> None:
     """awaitTermination returns False on timeout with the query still
     running — a partially-populated memory sink would then read as a
@@ -113,6 +122,26 @@ def _await_or_raise(q, timeout_sec: int = 300) -> None:
             f"streaming query {q.name!r} still running after "
             f"{timeout_sec}s — memory sink would be incomplete"
         )
+    try:
+        prog = q.recentProgress or []
+        state_rows = state_bytes = in_rows = 0
+        batches = 0
+        for p in prog:
+            batches += 1
+            in_rows += int(p.get("numInputRows") or 0)
+            for so in p.get("stateOperators") or []:
+                state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
+                state_bytes = max(
+                    state_bytes, int(so.get("memoryUsedBytes") or 0)
+                )
+        LAST_RUN_METRICS[q.name] = {
+            "batches": batches,
+            "input_rows": in_rows,
+            "state_rows_peak": state_rows,
+            "state_bytes_peak": state_bytes,
+        }
+    except Exception:  # metrics are best-effort introspection only
+        pass
 
 
 @contextmanager
