@@ -3155,121 +3155,48 @@ def q_set_intersect(spark, sf_dir):
 # the 6 dict-tail queries were the ones without rows, so the driver's
 # correctness pass appears bounded (count or time).  Ordering policy:
 # queries that have never had a driver row run FIRST (the dict head),
-# then the round-2-green set, and last the tail of round-2-green
-# queries with a same-family representative earlier in the dict — if
-# the pass is bounded, coverage loss lands on redundant twins.  The
-# full set is additionally compared locally each round
+# then code-changed-this-round queries, then the stalest green rows.
+# The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-9 rotation (executes the recipe the r8 head left in the
-    # fill).  Priority order within the head:
-    #   1-14  the r9-NEW queries — never driver-checked (AVI/MJPEG
-    #         video codec, freq-items sketch, weighted sampling, and
-    #         the second-wave ten: native session windows,
-    #         exactly-once stream-to-table ingest, global shuffle
-    #         shards, k-anonymity x2, binaryFile ingest, audio
-    #         resample, int8 embedding quantization + int8 serving,
-    #         olapseg custom-DataSource zone-map pushdown),
-    #   3-4   the two queries whose CODE changed in r9
-    #         (multimodal_pipeline fused into one Arrow pass;
-    #         multimodal_decode now routed through the shared
-    #         bmp_stats parser) — green rows predate the change,
-    #   5-26  the 22 queries whose newest driver row is r4/r5 (the 5
-    #         r4-stale ones first, then the 17 demoted r5 twins —
-    #         VERDICT r8 task 1; these have had no row for 3-4 rounds
-    #         while keys-model collapse, connected components, and
-    #         partition pruning kept changing underneath),
-    #   27-50 24 of the 47 queries whose newest row is r6, most-
-    #         changed-code-first (dedup/similarity/text internals
-    #         moved in r7-r8; the remaining 23 r6 rows are the fill
-    #         and lead the r10 head).
-    # --- r9-new (never driver-checked) ---
-    # second-session additions: span-removal rewrite, bigram-LM and
-    # classifier quality scoring, ANN recall eval
-    "corpus_span_dedup",
-    "text_lm_score",
-    "quality_classifier_score",
-    "ann_recall_eval",
-    "text_oov_rate",
-    "similarity_kmeans_centroids",
-    "docs_stream_classifier_filter",
-    "dedup_minhash_pr_eval",
-    "mixture_temperature",
-    "quality_classifier_train",
-    "quality_classifier_train_eval",
+    # Round-10 rotation (executes the recipe the r9 head left in the
+    # fill).  Priority order within the 50-slot head proper:
+    #   1-5   the 5 queries with NO green driver row anywhere in
+    #         r1-r9: corpus_drift_report (the single r9 red — hash fix
+    #         shipped this round: KL on the 3dp grid) and the four
+    #         never-driver-checked thin compositions
+    #         (embedding_outliers, quality_classifier_serve,
+    #         quality_pareto_filter, similarity_hard_negatives),
+    #   6-8   the r10-NEW queries (non-additive schema evolution
+    #         rename/drop across rowset generations; BPE tokenizer
+    #         training),
+    #   9-12  queries whose CODE or semantics changed in r10:
+    #         similarity_ann_ivf (now served from the persisted cell
+    #         table), corpus_span_dedup (C4 total-occurrence rule),
+    #         ann_recall_eval (candidate dedup), and
+    #         multimodal_audio_resample (Arrow-pass projection fix),
+    #   13-41 ALL 29 queries whose newest green row is r6 — four
+    #         rounds stale, the oldest rows on the board (VERDICT r9
+    #         task 2: no row older than 4 rounds),
+    #   42-50 9 of the 47 r7-stale rows, most-touched-family-first
+    #         (the IVF/similarity serving family moved this round;
+    #         multimodal and events internals moved in r8-r9).
+    # --- no green driver row yet ---
     "corpus_drift_report",
-    "multimodal_video_decode",
-    "multimodal_video_frame_sample",
-    "sketch_freqitems_topk",
-    "weighted_sample",
-    "events_stream_session_window",
-    "events_stream_ingest_table",
-    "global_shuffle_shards",
-    "kanon_suppress",
-    "kanon_report",
-    "ingest_binaryfile",
-    "multimodal_audio_resample",
-    "embedding_quantize",
-    "similarity_int8_topk",
-    "ingest_segment_pushdown",
-    # --- code changed in r9; latest green rows predate the change ---
-    "multimodal_pipeline",
-    "multimodal_decode",
-    # --- r4-stale (no driver row since r4) ---
-    "partition_prune_list",
-    "set_except",
-    "grouping_cube",
-    "window_running_total",
-    "scan_count",
-    # --- r5-stale (the 17 twins demoted by the r8 rotation) ---
-    "agg_model_sum",
-    "correlated_subquery",
-    "topn_per_group",
-    "join_band",
-    "sample_packing",
-    "pivot_status",
-    "string_date_funcs",
-    "join_full_outer",
-    "events_stream_append",
-    "filter_equality_point",
-    "having_filter",
-    "set_intersect",
-    "ingest_jsonl",
-    "ingest_csv",
-    "agg_model_replace",
-    "window_lead_lag",
-    "dedup_clusters",
-    # --- fill (positions 51+; first to fall off under a ~50-row cap):
-    #     quality_pareto_filter/similarity_hard_negatives lead the
-    #     fill rather than displacing 4-round-stale head rows — both
-    #     are thin compositions of already-verified paths (classifier
-    #     score + md5 draw; brute_topk + label filter), so re-greening
-    #     the stale rows carries more information;
-    #     dedup_semantic/dedup_minhash_verified/dedup_ngram_indexed
-    #     demoted when the classifier train/eval pair and the drift
-    #     report took head slots;
-    #     dedup_simhash_groups/embedding_corpus_prep +
-    #     similarity_ann_pq/similarity_ann_ivfpq/
-    #     docs_stream_quality_filter + tpch_q2/tpch_q10/
-    #     quality_filter_pipeline/token_budget_select (r6-stale)
-    #     demoted when the nine second-session r9-new queries
-    #     (corpus_span_dedup, text_lm_score, quality_classifier_score,
-    #     ann_recall_eval, text_oov_rate, similarity_kmeans_centroids,
-    #     docs_stream_classifier_filter, dedup_minhash_pr_eval,
-    #     mixture_temperature) took head slots;
-    #     stratified_sample/text_bm25/text_repetition + events_cohort/
-    #     funnel/histogram/ohlc/twap/winsorize/compaction_partition
-    #     (r6-stale) demoted when the ten second-wave r9-new queries
-    #     (session windows, exactly-once stream ingest, global
-    #     shuffle, k-anonymity x2, binaryFile, audio resample, int8
-    #     quantization + serving, olapseg DataSource pushdown) took
-    #     head slots; then merge_scoped/rowset_skip_scan from the
-    #     first-wave demotion, then the remaining r6-stale rows —
-    #     these lead the r10 head ---
+    "embedding_outliers",
+    "quality_classifier_serve",
     "quality_pareto_filter",
     "similarity_hard_negatives",
-    "quality_classifier_serve",
-    "embedding_outliers",
+    # --- r10-new (never existed before this round) ---
+    "schema_evolution_rename",
+    "schema_evolution_drop",
+    "tokenizer_train",
+    # --- code/semantics changed in r10; green rows predate it ---
+    "similarity_ann_ivf",
+    "corpus_span_dedup",
+    "ann_recall_eval",
+    "multimodal_audio_resample",
+    # --- all 29 r6-stale rows (oldest on the board) ---
     "dedup_semantic",
     "dedup_minhash_verified",
     "dedup_ngram_indexed",
@@ -3278,8 +3205,6 @@ _DRIVER_CHECK_HEAD = [
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "docs_stream_quality_filter",
-    "tpch_q2",
-    "tpch_q10",
     "quality_filter_pipeline",
     "token_budget_select",
     "stratified_sample",
@@ -3301,37 +3226,72 @@ _DRIVER_CHECK_HEAD = [
     "snapshot_rollback",
     "table_partitions",
     "zorder_scan",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
+    # --- 9 oldest r7 rows, most-touched-family-first ---
+    "similarity_ann_ivf_cells",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "multimodal_join",
+    "multimodal_features",
+    "events_window_agg",
+    "sketch_profile",
+    "tpch_q1",
+    "agg_salted_skew",
+    # --- fill (positions 51+; first to fall off under a ~50-row
+    #     cap): the remaining 37 r7-stale rows in name order — every
+    #     r8/r9 row is fresher than these, so they lead the r11 head
+    #     if not reached ---
+    "agg_model_min_max",
+    "array_funcs",
+    "bucket_point_lookup",
+    "bucketed_fact_join",
+    "bucketed_join",
+    "cdc_changes",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "events_gap_fill",
+    "events_json_extract",
+    "events_sessionize",
+    "events_stream_replay_dedup",
+    "events_stream_window",
+    "events_variant_extract",
+    "grouping_rollup",
+    "grouping_sets_id",
+    "inverted_index_fresh",
+    "join_anti",
+    "join_semi",
+    "join_star_revenue",
+    "merge_upsert",
+    "multimodal_meta",
+    "rollup_routed_read",
+    "schema_evolution_read",
+    "sketch_rollup_distinct",
+    "sketch_rollup_quantiles",
+    "sql_engine_views",
+    "table_stats",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tokens",
+    "text_vocab",
+    "tpch_q18",
+    "tpch_q5",
+    "unpivot_metrics",
+    "window_range_frame",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("quality_pareto_filter") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("agg_model_min_max") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('quality_pareto_filter')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_model_min_max')}"
 )
-# ROUND-10 ROTATION RECIPE: after CORRECTNESS_r09 lands, lead with any
-# query still lacking a green row, then the fill entries above in fill
-# order (the 12 r6-stale rows the second-session additions displaced —
-# dedup_semantic through token_budget_select — lead it, then the
-# earlier demotions and remaining r6-stale rows), then the oldest r7
-# rows (CORRECTNESS_r07 minus newer rows) as budget allows.  Keep the
-# head proper at exactly 50 and update the assertion's anchor query.
+# ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
+# query still lacking a green row, then the 37 r7-stale fill entries
+# above in order, then the oldest r8 rows (CORRECTNESS_r08 minus newer
+# rows) as budget allows.  Keep the head proper at exactly 50 and
+# update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

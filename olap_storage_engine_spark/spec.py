@@ -335,6 +335,13 @@ class TableSpec:
     # block compression codec (reference: src/compression/mod.rs — LZ4
     # default there; zstd default here, both Parquet-supported)
     compression: str = "zstd"
+    # Replica count, echoed for migration fidelity with the
+    # reference's create_table_with_partitions(..., replication_num)
+    # (src/storage.rs:40-60).  Durability itself is delegated to the
+    # object store / DFS under Spark (SURVEY §1.5) — no read or write
+    # path consumes this; it round-trips through the spec sidecar so
+    # a migrated table keeps its declared replication intent.
+    replication_num: int = 1
     # Append-only evolution log (reference declares schema_version at
     # src/meta.rs:57; the executable semantics live here).  Each entry
     # is {"v": <schema_version the op created>, "op": "add"|"drop"|
@@ -414,6 +421,7 @@ class TableSpec:
             "partition": self.partition.to_dict(),
             "bucket": self.bucket.to_dict(),
             "compression": self.compression,
+            "replication_num": self.replication_num,
             "schema_log": self.schema_log,
         }
 
@@ -430,6 +438,7 @@ class TableSpec:
             partition=PartitionPolicy.from_dict(d.get("partition", {})),
             bucket=BucketSpec.from_dict(d.get("bucket", {})),
             compression=d.get("compression", "zstd"),
+            replication_num=d.get("replication_num", 1),
             schema_log=d.get("schema_log", []),
         )
 

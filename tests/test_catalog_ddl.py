@@ -219,6 +219,19 @@ def test_schema_evolution_drop_and_readd_at_new_type(spark, warehouse):
     assert t.read().filter(F.col("s") == 42).count() == 1
 
 
+def test_replication_num_roundtrips_spec_sidecar(spark, warehouse):
+    """Migration fidelity with the reference's
+    create_table_with_partitions(..., replication_num)
+    (src/storage.rs:40-60): the field is metadata-only under Spark
+    (durability is the object store's job) but must survive the spec
+    sidecar so a migrated table keeps its declared intent."""
+    spec = _spec("t_repl")
+    spec.replication_num = 3
+    OlapTable.create(spark, spec, warehouse)
+    t2 = OlapTable.load(spark, warehouse, "t_repl")
+    assert t2.spec.replication_num == 3
+
+
 def test_schema_evolution_guards(spark, warehouse):
     t = OlapTable.create(spark, _spec(), warehouse)
     t.write(_df(spark, 5))
