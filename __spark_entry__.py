@@ -1276,6 +1276,20 @@ def q_tokenizer_train(spark, sf_dir):
     return tx.bpe_train(load_table(spark, sf_dir, "documents"), k=6)
 
 
+def q_tokenizer_encode(spark, sf_dir):
+    """BPE ENCODING with the trained merge table (r10): train the
+    6-merge tokenizer (driver-sized merge list by construction), then
+    re-tokenize the whole corpus in ONE row-local replace-chain pass —
+    doc-level framing with spaces as unfusable framed symbols, so the
+    plan is zero-shuffle scan-bound at any corpus size
+    (operators/text.bpe_encode_corpus; oracle unrolls training then
+    applies the same replace chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    trained = tx.bpe_train(docs, k=6).orderBy("rank").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in trained]
+    return tx.bpe_encode_corpus(docs, merges)
+
+
 def q_similarity_kmeans_centroids(spark, sf_dir):
     """The k-means TRAINING step as a first-class checked query: the
     persisted coarse-quantizer index (trained once at fixture-build
@@ -2962,6 +2976,21 @@ def q_schema_evolution_rename(spark, sf_dir):
     )
 
 
+def q_schema_evolution_widen(spark, sf_dir):
+    """Non-additive schema evolution — type WIDENING across rowset
+    generations (r10): ``qty`` was written as INT32 in rowset 0,
+    widened to INT64, and rowset 1 stores values past the int32 range.
+    The read casts the old generation's physical int32 during
+    schema-log replay, one bigint column out
+    (table.OlapTable.widen_column)."""
+    t = get_table(spark, sf_dir, "orders_evolve_widen")
+    return t.read().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "qty",
+    )
+
+
 def q_schema_evolution_drop(spark, sf_dir):
     """Non-additive schema evolution — DROP, including the hard
     re-add-at-a-different-type case (r10): ``flag`` was VARCHAR in
@@ -3167,18 +3196,18 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-8   the r10-NEW queries (non-additive schema evolution
-    #         rename/drop across rowset generations; BPE tokenizer
-    #         training),
-    #   9-12  queries whose CODE or semantics changed in r10:
+    #   6-10  the r10-NEW queries (non-additive schema evolution
+    #         rename/drop/widen across rowset generations; BPE
+    #         tokenizer training + corpus encoding),
+    #   11-14 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   13-41 ALL 29 queries whose newest green row is r6 — four
+    #   15-43 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   42-50 9 of the 47 r7-stale rows, most-touched-family-first
+    #   44-50 7 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3190,7 +3219,9 @@ _DRIVER_CHECK_HEAD = [
     # --- r10-new (never existed before this round) ---
     "schema_evolution_rename",
     "schema_evolution_drop",
+    "schema_evolution_widen",
     "tokenizer_train",
+    "tokenizer_encode",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3234,12 +3265,13 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_features",
     "events_window_agg",
     "sketch_profile",
-    "tpch_q1",
-    "agg_salted_skew",
     # --- fill (positions 51+; first to fall off under a ~50-row
-    #     cap): the remaining 37 r7-stale rows in name order — every
+    #     cap): agg_salted_skew/tpch_q1 then the remaining r7-stale
+    #     rows in name order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
+    "agg_salted_skew",
+    "tpch_q1",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3283,9 +3315,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("agg_model_min_max") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("agg_salted_skew") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_model_min_max')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_salted_skew')}"
 )
 # ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
 # query still lacking a green row, then the 37 r7-stale fill entries
@@ -3333,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         "text_oov_rate": q_text_oov_rate,
         "tokenizer_train": q_tokenizer_train,
+        "tokenizer_encode": q_tokenizer_encode,
         "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
         "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
         "dedup_minhash_pr_eval": q_dedup_minhash_pr_eval,
@@ -3468,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q_schema_evolution_read,
         "schema_evolution_rename": q_schema_evolution_rename,
         "schema_evolution_drop": q_schema_evolution_drop,
+        "schema_evolution_widen": q_schema_evolution_widen,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -3548,6 +3582,42 @@ def _bpe_train_oracle(k: int = 6) -> str:
         FROM ({union})
     """
     )
+
+
+def _bpe_encode_oracle(k: int = 6) -> str:
+    """Corpus encoding with the trained merges: re-derive B1..Bk with
+    the training CTEs, then apply the SAME k sentinel-framed replaces
+    to every document's DOC-LEVEL framed text (spaces are framed
+    symbols no learned merge can contain, so word boundaries hold) and
+    count/join the surviving tokens — the mirror of
+    operators/text.bpe_encode_corpus."""
+    train = _bpe_train_oracle(k)
+    ctes = train[len("WITH ") : train.index("\n        SELECT CAST(rank")]
+    sep = "chr(2) || chr(1)"
+    expr = f"chr(1) || array_to_string(string_split(text, ''), {sep}) || chr(2)"
+    for i in range(1, k + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM B{i}),\n"
+            f"  (SELECT chr(1)||a||b||chr(2) FROM B{i}))"
+        )
+    return f"""
+        WITH {ctes},
+        enc AS (
+          SELECT doc_id, {expr} AS r
+          FROM documents WHERE length(text) > 0
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(substr(r, 2, length(r) - 2), {sep}),
+                   t -> t <> ' ') AS ts
+          FROM enc
+        )
+        SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+               array_to_string(ts, chr(31)) AS token_str
+        FROM toks
+    """
 
 
 def _minhash_ctes(num_hashes=8, band_rows=2, n=3, src="documents") -> str:
@@ -5330,6 +5400,9 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: the 6-merge table, iterations unrolled as CTE
         # stages (generator above — deterministic argmax per stage)
         "tokenizer_train": _bpe_train_oracle(6),
+        # BPE encoding: same trained merges replayed over doc-level
+        # framed text; tokens \x1f-joined for a stable value hash
+        "tokenizer_encode": _bpe_encode_oracle(6),
         # per-doc OOV rate vs the corpus top-20 unigram vocabulary;
         # exact int/int division, no rounding anywhere
         "text_oov_rate": """
@@ -6201,6 +6274,15 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_rename": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
                    o_orderstatus AS status
+            FROM orders
+        """,
+        # widen INT32 -> INT64 across generations: generation 0 casts
+        # up at read time, generation 1 exceeds the int32 range
+        "schema_evolution_widen": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(o_orderkey % 100 AS BIGINT)
+                        ELSE o_orderkey + 3000000000 END AS qty
             FROM orders
         """,
         # drop + re-add at a different type: generation 0 (keys % 3 =

@@ -1415,6 +1415,37 @@ def _build_orders_evolve_readd(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_evolve_widen(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Type-widening evolution fixture: rowset 0 carries ``qty`` as
+    INT32; after widen_column(INT64), rowset 1 stores values past the
+    int32 range.  Reads must cast the old generation's physical int32
+    to long during schema-log replay and serve one bigint column."""
+    spec = TableSpec(
+        name="orders_evolve_widen",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+            ColumnSpec.value("qty", ColumnType.INT32),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t.write(
+        base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "qty", (F.col("o_orderkey") % 100).cast("int")
+        )
+    )
+    t.widen_column("qty", ColumnType.INT64)
+    t.write(
+        base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "qty", F.col("o_orderkey") + F.lit(3_000_000_000)
+        )
+    )
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -1449,6 +1480,7 @@ _BUILDERS = {
     "orders_evolve": _build_orders_evolve,
     "orders_evolve_nonadd": _build_orders_evolve_nonadd,
     "orders_evolve_readd": _build_orders_evolve_readd,
+    "orders_evolve_widen": _build_orders_evolve_widen,
 }
 
 

@@ -1793,3 +1793,39 @@ def bpe_encode(
             ).alias("tokens")
         )
     )
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus encoding with a trained merge list, DOC-LEVEL framing:
+    the whole text is char-framed (spaces become ordinary framed
+    symbols) and the merges replay over the single framed string.
+    Equivalent to the per-word :func:`bpe_encode` — training never
+    learns a merge containing a space, and a framed space breaks any
+    cross-word pattern match by construction — but expressible as pure
+    string ops, which is what makes the DuckDB oracle a straight
+    replace-chain (no per-word lateral).  Space symbols are dropped
+    from the output tokens.
+
+    One row-local codegen pass: zero shuffles, scan-bound at any
+    corpus size.  Returns (id_col, n_tokens, token_str) with tokens
+    joined by the unit separator \\x1f (a raw array column would make
+    the cross-engine hash depend on list formatting).
+    """
+    framed = _bpe_frame(F.split(F.col(text_col), ""))
+    for a, b in merges:
+        framed = F.replace(
+            framed,
+            F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+            F.lit(_BPE_L + a + b + _BPE_R),
+        )
+    toks = F.filter(_bpe_unframe(framed), lambda t: t != F.lit(" "))
+    return docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_join(toks, "\x1f").alias("token_str"),
+    )

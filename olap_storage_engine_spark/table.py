@@ -487,11 +487,49 @@ class OlapTable:
         spec_c.name = new
         self._persist_schema_change({"op": "rename", "old": old, "new": new})
 
+    # widening-safe type promotions: exact value preservation only
+    _WIDEN_OK = {
+        ("INT32", "INT64"),
+        ("FLOAT32", "FLOAT64"),
+        ("INT32", "FLOAT64"),  # every int32 is exact in a double
+    }
+
+    def widen_column(self, name: str, to_type) -> None:
+        """Non-additive schema evolution: widen a column's type along
+        an exact-promotion edge (INT32->INT64, FLOAT32->FLOAT64,
+        INT32->FLOAT64).  Metadata-only like drop/rename: old rowsets
+        keep the narrow physical type and the read path casts during
+        schema-log replay; new writes carry the wide type physically.
+
+        Key and routing-source columns are allowed: routing hashes and
+        partition bounds compare the STRINGIFIED key (routing.py), and
+        str(int32 x) == str(int64 x) for every promotable value, so
+        bucket/partition placement of existing directories is
+        unchanged by construction."""
+        from .spec import ColumnType
+
+        spec_c = next(
+            (c for c in self.spec.columns if c.name == name), None
+        )
+        if spec_c is None:
+            raise ValueError(f"no such column: {name}")
+        frm = ColumnType(spec_c.column_type).value
+        to = ColumnType(to_type).value
+        if (frm, to) not in self._WIDEN_OK:
+            raise ValueError(
+                f"not a widening promotion: {frm} -> {to} "
+                f"(allowed: {sorted(self._WIDEN_OK)})"
+            )
+        spec_c.column_type = ColumnType(to_type)
+        self._persist_schema_change({"op": "widen", "name": name, "to": to})
+
     def _replay_schema_ops(self, df: DataFrame, written_v: int) -> DataFrame:
         """Map a rowset's PHYSICAL columns (as written under schema
         version ``written_v``) to the CURRENT schema by replaying the
         spec's evolution log forward.  Pure projection — stays inside
         whole-stage codegen, costs nothing at any scale."""
+        from .spec import _SPARK_TYPES, ColumnType
+
         for e in self.spec.schema_log:
             if e["v"] <= written_v:
                 continue
@@ -499,6 +537,13 @@ class OlapTable:
                 df = df.withColumnRenamed(e["old"], e["new"])
             elif e["op"] == "drop" and e["name"] in df.columns:
                 df = df.drop(e["name"])
+            elif e["op"] == "widen" and e["name"] in df.columns:
+                df = df.withColumn(
+                    e["name"],
+                    F.col(e["name"]).cast(
+                        _SPARK_TYPES[ColumnType(e["to"])]
+                    ),
+                )
             # "add" needs no replay — the physical column is simply
             # absent and the typed-null fill below supplies it
         return df
@@ -560,7 +605,7 @@ class OlapTable:
             return tuple(
                 i
                 for i, e in enumerate(self.spec.schema_log)
-                if e["v"] > wv and e["op"] in ("drop", "rename")
+                if e["v"] > wv and e["op"] in ("drop", "rename", "widen")
             )
 
         groups: dict[tuple, list[str]] = {}

@@ -109,6 +109,25 @@ def test_bpe_encode_empty_merges_is_char_split(spark):
     assert toks == ["a", "b", "c"]
 
 
+def test_bpe_encode_corpus_matches_wordwise_encode(spark, tiny_docs):
+    """Doc-level framing (the oracle-friendly replace chain over the
+    whole text, spaces as framed symbols) must produce exactly the
+    word-wise bpe_encode tokens: merges never contain a space, so a
+    framed space breaks any cross-word match by construction."""
+    trained = tx.bpe_train(tiny_docs, k=6).orderBy("rank").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in trained]
+    word = {
+        r["doc_id"]: r["tokens"]
+        for r in tx.bpe_encode(tiny_docs, merges).collect()
+    }
+    doc = {
+        r["doc_id"]: (r["n_tokens"], r["token_str"])
+        for r in tx.bpe_encode_corpus(tiny_docs, merges).collect()
+    }
+    for did, toks in word.items():
+        assert doc[did] == (len(toks), "\x1f".join(toks))
+
+
 def test_bpe_exhausted_corpus_stops_early(spark):
     # one single-char word: no pairs exist; train returns 0 merges
     docs = spark.createDataFrame([Row(doc_id=1, text="a a a")])

@@ -219,6 +219,35 @@ def test_schema_evolution_drop_and_readd_at_new_type(spark, warehouse):
     assert t.read().filter(F.col("s") == 42).count() == 1
 
 
+def test_schema_evolution_widen_across_generations(spark, warehouse):
+    from olap_storage_engine_spark.spec import ColumnType as CT
+
+    spec = TableSpec(
+        name="t_widen",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("q", ColumnType.INT32),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    t = OlapTable.create(spark, spec, warehouse)
+    t.write(spark.createDataFrame([(1, 5)], "k long, q int"))
+    t.widen_column("q", CT.INT64)
+    # past the int32 range — only representable after the widen
+    t.write(
+        spark.createDataFrame([(2, 4_000_000_000)], "k long, q long")
+    )
+    out = t.read()
+    assert dict(out.dtypes)["q"] == "bigint"
+    got = {r["k"]: r["q"] for r in out.collect()}
+    assert got == {1: 5, 2: 4_000_000_000}
+    # non-widening promotions are refused
+    with pytest.raises(ValueError):
+        t.widen_column("q", CT.INT32)
+    with pytest.raises(ValueError):
+        t.widen_column("k", CT.INT32)
+
+
 def test_replication_num_roundtrips_spec_sidecar(spark, warehouse):
     """Migration fidelity with the reference's
     create_table_with_partitions(..., replication_num)
