@@ -1320,6 +1320,24 @@ def q_docs_stream_classifier_filter(spark, sf_dir):
     return run_fixture_stream_classifier_filter(spark, sf_dir)
 
 
+def q_docs_stream_tokenize(spark, sf_dir):
+    """BPE tokenization AT INGEST (r10): train the 6-merge tokenizer
+    on the published corpus (driver-sized merge table), then encode a
+    documents file STREAM with it — a stateless append-mode
+    replace-chain map, no watermark, no state store, parallel by
+    source file at any rate.  Deterministic under availableNow, so the
+    batch encode oracle checks the stream exactly
+    (streaming/corpus.run_fixture_stream_tokenize)."""
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = tx.bpe_train(docs, k=6).orderBy("rank").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in trained]
+    return run_fixture_stream_tokenize(spark, sf_dir, merges)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-shaped semantic near-dup pairs served from the
     PERSISTED cell table (emb_cells — the same publish-time-maintained
@@ -3196,18 +3214,19 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-10  the r10-NEW queries (non-additive schema evolution
+    #   6-11  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
-    #         tokenizer training + corpus encoding),
-    #   11-14 queries whose CODE or semantics changed in r10:
+    #         tokenizer training + corpus encoding + tokenize-on-
+    #         ingest streaming twin),
+    #   12-15 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   15-43 ALL 29 queries whose newest green row is r6 — four
+    #   16-44 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   44-50 7 of the 47 r7-stale rows, most-touched-family-first
+    #   45-50 6 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3222,6 +3241,7 @@ _DRIVER_CHECK_HEAD = [
     "schema_evolution_widen",
     "tokenizer_train",
     "tokenizer_encode",
+    "docs_stream_tokenize",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3264,14 +3284,14 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_join",
     "multimodal_features",
     "events_window_agg",
-    "sketch_profile",
     # --- fill (positions 51+; first to fall off under a ~50-row
-    #     cap): agg_salted_skew/tpch_q1 then the remaining r7-stale
-    #     rows in name order — every
+    #     cap): agg_salted_skew/tpch_q1/sketch_profile then the
+    #     remaining r7-stale rows in name order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
     "tpch_q1",
+    "sketch_profile",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3366,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": q_text_oov_rate,
         "tokenizer_train": q_tokenizer_train,
         "tokenizer_encode": q_tokenizer_encode,
+        "docs_stream_tokenize": q_docs_stream_tokenize,
         "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
         "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
         "dedup_minhash_pr_eval": q_dedup_minhash_pr_eval,
@@ -5403,6 +5424,9 @@ def oracle_sql() -> dict[str, str]:
         # BPE encoding: same trained merges replayed over doc-level
         # framed text; tokens \x1f-joined for a stable value hash
         "tokenizer_encode": _bpe_encode_oracle(6),
+        # the streaming twin is a stateless availableNow map — the
+        # batch encode oracle checks it exactly
+        "docs_stream_tokenize": _bpe_encode_oracle(6),
         # per-doc OOV rate vs the corpus top-20 unigram vocabulary;
         # exact int/int division, no rounding anywhere
         "text_oov_rate": """

@@ -221,3 +221,45 @@ def run_fixture_stream_classifier_filter(
         )
         _await_or_raise(q)
     return spark.table(name)
+
+
+def run_fixture_stream_tokenize(
+    spark: SparkSession, sf_dir: str, merges: list
+) -> DataFrame:
+    """BPE tokenization AT INGEST: the trained merge list (driver-sized
+    by construction — k rows) replayed over a documents file stream as
+    a stateless append-mode map (operators/text.bpe_encode_corpus is a
+    single replace-chain projection, so it lifts into the stream
+    unchanged — no watermark, no state store, parallel by source file
+    at any ingest rate).  This is the production tokenize-on-ingest
+    shape: train once per corpus publish, encode every arriving batch.
+
+    Deterministic under availableNow, so the batch encode SQL checks
+    the stream's output exactly.  Returns (doc_id, n_tokens,
+    token_str).
+    """
+    from ..operators.text import bpe_encode_corpus
+    from .events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="docs_tok_stream_")
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    toks = bpe_encode_corpus(stream, merges)
+    name = f"tok_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            toks.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)

@@ -267,3 +267,19 @@ def test_stream_decontaminate_matches_batch(spark):
         )
     )
     assert got == want and len(got) > 100
+
+
+def test_run_metrics_recorded_for_fixture_streams(spark):
+    """r10: _await_or_raise records per-run progress metrics
+    (LAST_RUN_METRICS) — the introspection the sf1 streaming scale
+    bench reads.  A windowed fixture run must report its input rows
+    and a positive bounded state size."""
+    from olap_storage_engine_spark.streaming import events as sev
+
+    sev.LAST_RUN_METRICS.clear()
+    sev.run_fixture_stream_windowed(spark, "/root/testdata/sf0.001")
+    assert sev.LAST_RUN_METRICS, "no metrics recorded"
+    m = next(iter(sev.LAST_RUN_METRICS.values()))
+    assert m["input_rows"] > 0
+    assert m["batches"] >= 1
+    assert m["state_rows_peak"] > 0  # complete-mode windowed agg

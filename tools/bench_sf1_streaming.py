@@ -34,6 +34,7 @@ STREAM_QUERIES = [
     "docs_stream_quality_filter",
     "docs_stream_classifier_filter",
     "docs_stream_decontaminate",
+    "docs_stream_tokenize",
 ]
 
 
