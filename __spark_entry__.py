@@ -2994,6 +2994,26 @@ def q_schema_evolution_rename(spark, sf_dir):
     )
 
 
+def q_repartition_read(spark, sf_dir):
+    """Layout evolution (r10): the fixture table was born coarse
+    (2 RANGE partitions, bucket 2), REORGANIZED via one
+    compaction-shaped rewrite into 4 finer partitions at bucket 4
+    (operators/compaction.repartition_table — the grown-table reshape;
+    partition/bucket layouts never mix, so label pruning stays sound),
+    then written again under the new layout.  The pruned read serves
+    1995 from the post-reorg directories
+    (fixtures._build_orders_repart)."""
+    t = get_table(spark, sf_dir, "orders_repart")
+    return (
+        t.read_pruned("1995-01-01", "1996-01-01")
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 def q_schema_evolution_widen(spark, sf_dir):
     """Non-additive schema evolution — type WIDENING across rowset
     generations (r10): ``qty`` was written as INT32 in rowset 0,
@@ -3214,19 +3234,20 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-11  the r10-NEW queries (non-additive schema evolution
+    #   6-12  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
     #         tokenizer training + corpus encoding + tokenize-on-
-    #         ingest streaming twin),
-    #   12-15 queries whose CODE or semantics changed in r10:
+    #         ingest streaming twin; partition/bucket layout
+    #         reorganization),
+    #   13-16 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   16-44 ALL 29 queries whose newest green row is r6 — four
+    #   17-45 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   45-50 6 of the 47 r7-stale rows, most-touched-family-first
+    #   46-50 5 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3242,6 +3263,7 @@ _DRIVER_CHECK_HEAD = [
     "tokenizer_train",
     "tokenizer_encode",
     "docs_stream_tokenize",
+    "repartition_read",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3283,15 +3305,16 @@ _DRIVER_CHECK_HEAD = [
     "similarity_ann_lsh",
     "multimodal_join",
     "multimodal_features",
-    "events_window_agg",
     # --- fill (positions 51+; first to fall off under a ~50-row
-    #     cap): agg_salted_skew/tpch_q1/sketch_profile then the
-    #     remaining r7-stale rows in name order — every
+    #     cap): agg_salted_skew/tpch_q1/sketch_profile/
+    #     events_window_agg then the remaining r7-stale rows in name
+    #     order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
     "tpch_q1",
     "sketch_profile",
+    "events_window_agg",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3523,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_rename": q_schema_evolution_rename,
         "schema_evolution_drop": q_schema_evolution_drop,
         "schema_evolution_widen": q_schema_evolution_widen,
+        "repartition_read": q_repartition_read,
         "delete_rows": q_delete_rows,
         "time_travel_read": q_time_travel_read,
         "pivot_status": q_pivot_status,
@@ -6299,6 +6323,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
                    o_orderstatus AS status
             FROM orders
+        """,
+        # post-reorganization pruned read: results must equal the plain
+        # range aggregate regardless of the layout history
+        "repartition_read": """
+            SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(count(*) AS INT) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY 1
         """,
         # widen INT32 -> INT64 across generations: generation 0 casts
         # up at read time, generation 1 exceeds the int32 range

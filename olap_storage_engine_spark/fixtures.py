@@ -1446,6 +1446,52 @@ def _build_orders_evolve_widen(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_repart(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Layout-evolution fixture: born as a coarse 2-partition RANGE
+    table on o_orderdate (bucket 2), written, then REORGANIZED
+    (operators/compaction.repartition_table) into 4 finer partitions
+    at bucket 4, then written again — the grown-table reshape.  Reads
+    and pruned reads must serve the post-reorg layout exactly."""
+    from .operators.compaction import repartition_table
+
+    spec = TableSpec(
+        name="orders_repart",
+        columns=[
+            ColumnSpec.key("o_orderdate", ColumnType.DATE),
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        partition=PartitionPolicy(
+            PartitionType.RANGE,
+            "o_orderdate",
+            bounds=[("h1", "1996-01-01"), ("h2", "9999-12-31")],
+        ),
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    o = _orders_df(spark, sf_dir).select(
+        "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0))
+    repartition_table(
+        t,
+        new_partition=PartitionPolicy(
+            PartitionType.RANGE,
+            "o_orderdate",
+            bounds=[
+                ("q1", "1994-01-01"),
+                ("q2", "1995-01-01"),
+                ("q3", "1996-01-01"),
+                ("q4", "9999-12-31"),
+            ],
+        ),
+        new_bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1))
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -1481,6 +1527,7 @@ _BUILDERS = {
     "orders_evolve_nonadd": _build_orders_evolve_nonadd,
     "orders_evolve_readd": _build_orders_evolve_readd,
     "orders_evolve_widen": _build_orders_evolve_widen,
+    "orders_repart": _build_orders_repart,
 }
 
 

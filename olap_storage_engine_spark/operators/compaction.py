@@ -108,6 +108,83 @@ def compact(table: OlapTable, lo: int = 0, hi: int | None = None) -> None:
         table.manifest.mark_stale(rs.rowset_id)
 
 
+def repartition_table(
+    table: OlapTable,
+    new_partition=None,
+    new_bucket=None,
+) -> None:
+    """Online layout reorganization: change the table's partition
+    policy and/or bucket spec with ONE compaction-shaped rewrite —
+    the operation a year-old table needs when its ranges got too
+    coarse or its bucket count too small for the data it grew into.
+
+    Deliberately NOT metadata-only (unlike column evolution): old
+    directories carry old ``__pt``/``__bk`` labels, and partition-
+    scoped DML chains are keyed by label STRING, so two layouts
+    cannot soundly coexist under scoped rewrites.  Instead: pin the
+    current snapshot's scan plan (file lists resolve eagerly, under
+    the old layout), swap the spec, rewrite everything as one
+    collapsed rowset routed under the NEW layout, retire the old
+    cover.  At 100 TB this is one full-table job — run it like any
+    reorganization (Iceberg's rewrite-data-files), not like a DDL.
+
+    Crash safety: the spec swap logs a ``repartition`` entry whose
+    schema version orders it against every rowset's write stamp.  If
+    the process dies between the swap and the rewrite's publish, the
+    cover is "mixed" (``OlapTable.has_mixed_layout``) and BOTH label
+    pruning (read_pruned / read_point) and scoped DML fall back to
+    label-free plans — slower, never wrong; re-running this function
+    completes the reorganization.  Time travel into pre-reorg
+    versions takes the same fallback for the same reason.
+    """
+    if new_partition is None and new_bucket is None:
+        return
+    hi = table.manifest.max_version
+    covered = [
+        rs
+        for rs in table.manifest.visible_rowsets()
+        if rs.end_version <= hi
+    ]
+    if not covered:  # empty table: the swap alone reorganizes nothing
+        if new_partition is not None:
+            table.spec.partition = new_partition
+        if new_bucket is not None:
+            table.spec.bucket = new_bucket
+        table._persist_schema_change(
+            {"op": "repartition", "from": "empty", "to": "empty"}
+        )
+        return
+    # snapshot plan pinned BEFORE the swap: scan() resolves the file
+    # groups eagerly from the manifest, so the lazy DataFrame keeps
+    # reading the old directories regardless of the spec change
+    merged = table.read(0, hi)
+    old_p = PartitionType(table.spec.partition.ptype).value
+    old_b = table.spec.bucket.num_buckets
+    if new_partition is not None:
+        table.spec.partition = new_partition
+    if new_bucket is not None:
+        table.spec.bucket = new_bucket
+    table._persist_schema_change(
+        {
+            "op": "repartition",
+            "from": f"{old_p}/b{old_b}",
+            "to": (
+                f"{PartitionType(table.spec.partition.ptype).value}"
+                f"/b{table.spec.bucket.num_buckets}"
+            ),
+        }
+    )
+    table.write(
+        merged,
+        start_version=0,
+        end_version=hi,
+        collapsed=True,
+        strict_routing=False,  # rewrite of already-ingested rows
+    )
+    for rs in covered:
+        table.manifest.mark_stale(rs.rowset_id)
+
+
 def compact_partitions(
     table: OlapTable,
     labels: list[str],
@@ -380,7 +457,9 @@ def merge_into(
     cols = table.spec.column_names()
     src = source.select(*cols)
     policy = table.spec.partition
-    if policy.ptype == PartitionType.UNPARTITIONED:
+    # mixed-layout covers take the global path — see delete_where
+    if (policy.ptype == PartitionType.UNPARTITIONED
+            or table.has_mixed_layout(0, hi)):
         current = table.read(0, hi)
         remaining = current.join(
             src.select(*key_cols), on=key_cols, how="anti"
@@ -649,7 +728,12 @@ def delete_where(table: OlapTable, predicate) -> int:
     hi = table.manifest.max_version
     policy = table.spec.partition
     is_true = predicate.eqNullSafe(F.lit(True))
-    if policy.ptype == PartitionType.UNPARTITIONED:
+    # a mixed-layout cover (mid-reorg crash or pre-reorg time travel)
+    # cannot take the label-scoped path: old directories carry old
+    # labels and the per-label chains would mask the wrong rowsets —
+    # the global rewrite is layout-agnostic and always sound
+    if (policy.ptype == PartitionType.UNPARTITIONED
+            or table.has_mixed_layout(0, hi)):
         current = table.read(0, hi)
         n_before = current.count()
         remaining = current.filter(~is_true)

@@ -523,6 +523,38 @@ class OlapTable:
         spec_c.column_type = ColumnType(to_type)
         self._persist_schema_change({"op": "widen", "name": name, "to": to})
 
+    # -- layout evolution (partition/bucket reorganization) --------------
+    def last_layout_version(self) -> int:
+        """Schema version of the most recent repartition op (0 if the
+        layout never changed) — rowsets stamped BELOW this were routed
+        under a previous partition/bucket policy."""
+        return max(
+            (
+                e["v"]
+                for e in self.spec.schema_log
+                if e["op"] == "repartition"
+            ),
+            default=0,
+        )
+
+    def has_mixed_layout(self, lo: int = 0, hi: int | None = None) -> bool:
+        """True when the visible cover of [lo, hi] contains a rowset
+        written under a PREVIOUS partition/bucket policy.  Label-based
+        partition pruning and partition-scoped DML are unsound on a
+        mixed cover (old directories carry old labels), so both fall
+        back to label-free plans until the reorganization's rewrite is
+        visible — which normally happens in the same call
+        (operators/compaction.repartition_table); a mixed cover is
+        only observable after a mid-reorg crash or under time travel
+        into pre-reorg versions."""
+        last = self.last_layout_version()
+        if last == 0:
+            return False
+        plan = self.manifest.capture_scoped_plan(lo, hi)
+        return any(
+            getattr(rs, "schema_version", 1) < last for rs, _, _ in plan
+        )
+
     def _replay_schema_ops(self, df: DataFrame, written_v: int) -> DataFrame:
         """Map a rowset's PHYSICAL columns (as written under schema
         version ``written_v``) to the CURRENT schema by replaying the
@@ -776,6 +808,13 @@ class OlapTable:
             if range_hi is not None:
                 upper = key < F.lit(range_hi)
                 pred = upper if pred is None else (pred & upper)
+        if labels is not None and self.has_mixed_layout(lo, hi):
+            # a pre-reorg rowset's directories carry labels from the
+            # OLD policy — an isin on current labels would wrongly
+            # exclude its rows.  Correctness never depended on the
+            # label filter (the residual row predicate enforces the
+            # range); drop only the pruning step.
+            labels = None
         if labels is not None:
             df = df.filter(F.col(PT_COL).isin(labels))
         if pred is not None:
@@ -822,8 +861,13 @@ class OlapTable:
         bucket = self.spec.bucket
         df = self.scan(lo, hi, with_hidden=True)
         if bucket.btype == BucketType.HASH and bucket.column is not None:
-            b = fnv1a64(str(key_value)) % bucket.num_buckets
-            df = df.filter(F.col(BK_COL) == b)
+            if not self.has_mixed_layout(lo, hi):
+                # pre-reorg rowsets' __bk directories were routed under
+                # the OLD bucket count — directory pruning is only
+                # sound on a single-layout cover; the key equality
+                # below carries correctness either way
+                b = fnv1a64(str(key_value)) % bucket.num_buckets
+                df = df.filter(F.col(BK_COL) == b)
             df = df.filter(F.col(bucket.column) == F.lit(key_value))
         drop = [c for c in (PT_COL, BK_COL) if c in df.columns]
         return collapse(df.drop(*drop), self.spec)

@@ -43,6 +43,15 @@ def test_list_prune_hits_partition_dirs(spark, entrymod):
     assert any("__pt" in f and "IN" in f for f in pf), pf
 
 
+def test_repartitioned_table_pruned_read_keeps_pt_filters(spark, entrymod):
+    """r10 layout evolution: after repartition_table the cover is a
+    single new-layout generation, so read_pruned must still prune by
+    __pt directories (the mixed-layout fallback only fires on covers
+    that actually span two layouts)."""
+    pf = partition_filters(_df(spark, entrymod, "repartition_read"))
+    assert any("__pt" in f for f in pf), pf
+
+
 def test_rollup_coarser_read_prunes_partitions(spark, entrymod):
     # the A15 thesis: a one-year rollup read must NOT list every
     # partition directory — year() over the data column can't match
