@@ -2009,6 +2009,35 @@ def q_multimodal_pipeline(spark, sf_dir):
     )
 
 
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (r10; Spark 4's WITH RECURSIVE): hierarchy
+    closure over the implicit 10-ary tree on customer keys
+    (parent(k) = k div 10, roots = single-digit keys) — the org-chart
+    /BOM-traversal shape SQL engines are asked for daily and the last
+    SQL-surface family the engine had not exercised.  Depth is unique
+    per node (one parent each), so per-depth counts/key-sums are
+    deterministic; recursion depth is log10(N) — at 100 TB the
+    iteration count stays tiny while each step is one broadcast-able
+    join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rc_cust"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(k, depth) AS (
+          SELECT c_custkey, 0 FROM rc_cust WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM rc_cust c JOIN tree t ON c.c_custkey DIV 10 = t.k
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, CAST(count(*) AS INT) AS n,
+               sum(k) AS sum_keys
+        FROM tree GROUP BY depth
+        """
+    )
+
+
 def q_sql_engine_views(spark, sf_dir):
     """SQL front-end over ENGINE tables: the UNIQUE-model collapse
     view and a raw dimension registered as temp views, queried with
@@ -3234,20 +3263,20 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-12  the r10-NEW queries (non-additive schema evolution
+    #   6-13  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
     #         tokenizer training + corpus encoding + tokenize-on-
     #         ingest streaming twin; partition/bucket layout
-    #         reorganization),
-    #   13-16 queries whose CODE or semantics changed in r10:
+    #         reorganization; recursive CTE),
+    #   14-17 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   17-45 ALL 29 queries whose newest green row is r6 — four
+    #   18-46 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   46-50 5 of the 47 r7-stale rows, most-touched-family-first
+    #   47-50 4 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3264,6 +3293,7 @@ _DRIVER_CHECK_HEAD = [
     "tokenizer_encode",
     "docs_stream_tokenize",
     "repartition_read",
+    "recursive_cte",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3304,17 +3334,17 @@ _DRIVER_CHECK_HEAD = [
     "similarity_topk",
     "similarity_ann_lsh",
     "multimodal_join",
-    "multimodal_features",
     # --- fill (positions 51+; first to fall off under a ~50-row
-    #     cap): agg_salted_skew/tpch_q1/sketch_profile/
-    #     events_window_agg then the remaining r7-stale rows in name
-    #     order — every
+    #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
+    #     sketch_profile, events_window_agg, multimodal_features) then
+    #     the remaining r7-stale rows in name order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
     "tpch_q1",
     "sketch_profile",
     "events_window_agg",
+    "multimodal_features",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3516,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "table_partitions": q_table_partitions,
         "sql_engine_views": q_sql_engine_views,
+        "recursive_cte": q_recursive_cte,
         "multimodal_pipeline": q_multimodal_pipeline,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
@@ -6562,6 +6593,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents JOIN embeddings ON doc_id = vec_id
             WHERE doc_id % 256 < 128
             ORDER BY doc_id
+        """,
+        # hierarchy closure over the implicit customer-key tree; both
+        # engines run the same recursion (DuckDB: // int division)
+        "recursive_cte": """
+            WITH RECURSIVE tree(k, depth) AS (
+              SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+              UNION ALL
+              SELECT c.c_custkey, t.depth + 1
+              FROM customer c JOIN tree t ON c.c_custkey // 10 = t.k
+              WHERE c.c_custkey >= 10
+            )
+            SELECT depth, CAST(count(*) AS INT) AS n,
+                   sum(k) AS sum_keys
+            FROM tree GROUP BY depth
         """,
         "sql_engine_views": """
             WITH u AS (
