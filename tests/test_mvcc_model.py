@@ -104,11 +104,48 @@ def test_random_mvcc_op_sequences_match_model(spark, warehouse, seed):
     history.append(dict(model))
     check()
 
+    # layout toggle targets for the "repartition" op: same label names
+    # resolve the same keys, only the boundaries/bucket count move
+    alt_layouts = [
+        (
+            PartitionPolicy(
+                PartitionType.RANGE,
+                "k",
+                bounds=[("pa", "30"), ("pb", "50"), ("pc", "99")],
+            ),
+            3,
+        ),
+        (
+            PartitionPolicy(
+                PartitionType.RANGE,
+                "k",
+                bounds=[("pa", "20"), ("pb", "40"), ("pc", "99")],
+            ),
+            2,
+        ),
+    ]
+
     for step in range(10):
         op = rng.choice(
             ["write", "merge", "delete", "rollback", "compact", "pcompact",
-             "rename", "adddrop"]
+             "rename", "adddrop", "repartition"]
         )
+        if op == "repartition":
+            from olap_storage_engine_spark.operators.compaction import (
+                repartition_table,
+            )
+
+            pol, nb = alt_layouts[step % 2]
+            repartition_table(
+                t,
+                new_partition=pol,
+                new_bucket=BucketSpec(BucketType.HASH, "k", nb),
+            )
+            # the rewrite spans [0, max]: like compact, earlier history
+            # boundaries are erased (rollback below them would refuse)
+            history = [dict(model)]
+            check()
+            continue
         if op == "rename":
             # non-additive evolution interleaved with MVCC: old rowset
             # generations keep the old physical name; every read after
