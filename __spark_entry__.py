@@ -2009,6 +2009,22 @@ def q_multimodal_pipeline(spark, sf_dir):
     )
 
 
+def q_write_audit_publish(spark, sf_dir):
+    """Write-audit-publish (r10): expectation checks between
+    durability and visibility — the good batch (even keys) passed its
+    checks and committed; the bad batch (odd keys, negated prices,
+    violating the >= 0 domain expectation) was staged PREPARED,
+    audited against its own files, and DISCARDED.  The read must see
+    exactly the good batch: an aborted publish is invisible to every
+    reader forever (operators/audit.write_audit_publish over the
+    two-phase publish, reference src/meta.rs:85)."""
+    t = get_table(spark, sf_dir, "orders_wap")
+    return t.read().select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def q_recursive_cte(spark, sf_dir):
     """Recursive CTE (r10; Spark 4's WITH RECURSIVE): hierarchy
     closure over the implicit 10-ary tree on customer keys
@@ -3263,20 +3279,20 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-13  the r10-NEW queries (non-additive schema evolution
+    #   6-14  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
     #         tokenizer training + corpus encoding + tokenize-on-
     #         ingest streaming twin; partition/bucket layout
-    #         reorganization; recursive CTE),
-    #   14-17 queries whose CODE or semantics changed in r10:
+    #         reorganization; recursive CTE; write-audit-publish),
+    #   15-18 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   18-46 ALL 29 queries whose newest green row is r6 — four
+    #   19-47 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   47-50 4 of the 47 r7-stale rows, most-touched-family-first
+    #   48-50 3 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3294,6 +3310,7 @@ _DRIVER_CHECK_HEAD = [
     "docs_stream_tokenize",
     "repartition_read",
     "recursive_cte",
+    "write_audit_publish",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3333,11 +3350,11 @@ _DRIVER_CHECK_HEAD = [
     "similarity_ann_ivf_cells",
     "similarity_topk",
     "similarity_ann_lsh",
-    "multimodal_join",
     # --- fill (positions 51+; first to fall off under a ~50-row
     #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
-    #     sketch_profile, events_window_agg, multimodal_features) then
-    #     the remaining r7-stale rows in name order — every
+    #     sketch_profile, events_window_agg, multimodal_features,
+    #     multimodal_join) then the remaining r7-stale rows in name
+    #     order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
@@ -3345,6 +3362,7 @@ _DRIVER_CHECK_HEAD = [
     "sketch_profile",
     "events_window_agg",
     "multimodal_features",
+    "multimodal_join",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3547,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_partitions": q_table_partitions,
         "sql_engine_views": q_sql_engine_views,
         "recursive_cte": q_recursive_cte,
+        "write_audit_publish": q_write_audit_publish,
         "multimodal_pipeline": q_multimodal_pipeline,
         # Part B — relational surface
         "tpch_q1": q_tpch_q1,
@@ -6593,6 +6612,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents JOIN embeddings ON doc_id = vec_id
             WHERE doc_id % 256 < 128
             ORDER BY doc_id
+        """,
+        # WAP: the discarded bad batch (odd keys) must be invisible
+        "write_audit_publish": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
         """,
         # hierarchy closure over the implicit customer-key tree; both
         # engines run the same recursion (DuckDB: // int division)

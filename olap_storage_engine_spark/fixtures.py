@@ -1492,6 +1492,49 @@ def _build_orders_repart(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
+def _build_orders_wap(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """Write-audit-publish fixture: a good batch (even keys) passes
+    its expectation checks and commits; a bad batch (odd keys with
+    negated prices, violating the >= 0 domain check) is staged,
+    audited, and DISCARDED — it must never become visible.  The final
+    table holds exactly the good batch (operators/audit)."""
+    from .operators.audit import (
+        expect_in_range,
+        expect_min_rows,
+        expect_no_nulls,
+        write_audit_publish,
+    )
+
+    spec = TableSpec(
+        name="orders_wap",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),
+            ColumnSpec.value("o_totalprice", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    base = _orders_df(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    checks = [
+        expect_min_rows(1),
+        expect_no_nulls("o_totalprice"),
+        expect_in_range("o_totalprice", lo=0.0),
+    ]
+    ok1, _, _ = write_audit_publish(
+        t, base.filter(F.col("o_orderkey") % 2 == 0), checks
+    )
+    ok2, _, _ = write_audit_publish(
+        t,
+        base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+        checks,
+    )
+    assert ok1 and not ok2, (ok1, ok2)
+    return t
+
+
 _BUILDERS = {
     "orders_dup": _build_orders_dup,
     "orders_delete": _build_orders_delete,
@@ -1528,6 +1571,7 @@ _BUILDERS = {
     "orders_evolve_readd": _build_orders_evolve_readd,
     "orders_evolve_widen": _build_orders_evolve_widen,
     "orders_repart": _build_orders_repart,
+    "orders_wap": _build_orders_wap,
 }
 
 
