@@ -375,9 +375,14 @@ class Manifest:
         self.doc["rowsets"].append(rs.to_dict())
         self.save()
 
-    def commit_rowset(self, rowset_id: int) -> None:
+    def commit_rowset(self, rowset_id: int, txn=None) -> None:
         """Two-phase publish, phase 2: PREPARED -> VISIBLE, extend the
-        graph, bump max_version."""
+        graph, bump max_version.  ``txn=(source_id, epoch)`` records
+        the streaming epoch watermark IN THE SAME save — the audited
+        exactly-once path (stage -> audit -> commit+epoch) needs the
+        same atomicity publish(txn=...) gives the unaudited one: a
+        crash between visibility and "remember the batch" cannot
+        exist, because they are one write."""
         for d in self.doc["rowsets"]:
             if d["rowset_id"] == rowset_id:
                 if d["state"] != RowsetState.PREPARED.value:
@@ -385,6 +390,12 @@ class Manifest:
                         f"rowset {rowset_id} is {d['state']}, not PREPARED"
                     )
                 d["state"] = RowsetState.VISIBLE.value
+                if txn is not None:
+                    source_id, epoch = txn
+                    d["txn"] = [source_id, int(epoch)]
+                    self.doc.setdefault("stream_txn", {})[source_id] = int(
+                        epoch
+                    )
                 self.doc["max_version"] = max(
                     self.max_version, d["end_version"]
                 )

@@ -44,9 +44,22 @@ def stream_ingest(
     processing_time: str | None = None,
     exactly_once: bool = False,
     source_id: str = "stream_ingest",
+    checks: list | None = None,
 ):
     """Start a streaming query that publishes each micro-batch as a
-    rowset of ``table``.  Returns the StreamingQuery handle."""
+    rowset of ``table``.  Returns the StreamingQuery handle.
+
+    ``checks`` (operators/audit expectation tuples) turns this into
+    QUALITY-GATED ingest: each micro-batch stages PREPARED, is audited
+    against its staged files, and commits — with the epoch recorded in
+    the SAME manifest save when ``exactly_once`` — only on green.  A
+    red batch is discarded and the batch FAILS (the stream halts):
+    the epoch is never committed, so after the upstream fix the same
+    batch redelivers — at-least-once for red data, exactly-once for
+    green, and wrong data is never visible to any reader for any
+    window.  (Routing red batches to a quarantine table instead is a
+    caller policy: catch the error, read the discarded rowset's path
+    from the report, continue.)"""
     if checkpoint_dir is None:
         if exactly_once:
             raise ValueError(
@@ -61,11 +74,32 @@ def stream_ingest(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        txn = (source_id, batch_id) if exactly_once else None
         if exactly_once:
             committed = table.manifest.committed_epoch(source_id)
             if committed is not None and batch_id <= committed:
                 return  # replayed batch: already atomically published
-            table.write(batch_df, txn=(source_id, batch_id))
+        if checks:
+            import os
+
+            rs = table.write(batch_df, publish=False)
+            staged = table.spark.read.option(
+                "basePath", table.root
+            ).parquet(os.path.join(table.root, rs.path))
+            report = [(name, bool(fn(staged))) for name, fn in checks]
+            if all(p for _, p in report):
+                table.commit(rs.rowset_id, txn=txn)
+                return
+            table.manifest.with_retry(
+                lambda m: m.mark_stale(rs.rowset_id, reason="discarded")
+            )
+            raise ValueError(
+                f"{table.spec.name}: batch {batch_id} failed audit "
+                f"{[n for n, p in report if not p]} — rowset "
+                f"{rs.rowset_id} discarded, epoch not committed"
+            )
+        if txn is not None:
+            table.write(batch_df, txn=txn)
             return
         table.write(batch_df)
 

@@ -382,11 +382,15 @@ class OlapTable:
             self.manifest.prepare(rs)
         return rs
 
-    def commit(self, rowset_id: int) -> None:
+    def commit(self, rowset_id: int, txn=None) -> None:
         """Phase 2 of the two-phase publish: PREPARED -> VISIBLE.
         Conflict-safe: a lost CAS reloads and replays (the mutation is
-        a pure function of the reloaded state)."""
-        self.manifest.with_retry(lambda m: m.commit_rowset(rowset_id))
+        a pure function of the reloaded state).  ``txn=(source_id,
+        epoch)`` records the streaming epoch in the same save (the
+        audited exactly-once ingest path)."""
+        self.manifest.with_retry(
+            lambda m: m.commit_rowset(rowset_id, txn=txn)
+        )
 
     def rollback(self, to_version: int) -> list[int]:
         """Roll the table back to the snapshot at ``to_version`` —

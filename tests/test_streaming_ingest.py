@@ -186,3 +186,81 @@ def test_exactly_once_end_to_end_stream(spark, warehouse, tmp_path):
     assert q.awaitTermination(120)
     assert t.read().count() == 2
     assert t.manifest.committed_epoch("e2e") is not None
+
+
+def _gate_spec(name):
+    return TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("v", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+
+
+def test_gated_ingest_green_batches_commit_with_epochs(
+    spark, warehouse, tmp_path
+):
+    """r10 quality-gated exactly-once: green micro-batches stage,
+    audit, and commit with their epoch in the same manifest save."""
+    from olap_storage_engine_spark.operators.audit import expect_in_range
+
+    src = str(tmp_path / "gsrc")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).repartition(2).write.parquet(src)
+    t = OlapTable.create(spark, _gate_spec("gate_ok"), warehouse)
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest(
+        t,
+        stream,
+        checkpoint_dir=str(tmp_path / "gckpt"),
+        exactly_once=True,
+        source_id="gate_ok",
+        checks=[expect_in_range("v", lo=0.0)],
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 20
+    # epochs recorded atomically with the audited commits
+    assert t.manifest.committed_epoch("gate_ok") is not None
+    # every published rowset is VISIBLE (none left PREPARED)
+    states = {d["state"] for d in t.manifest.doc["rowsets"]}
+    assert states == {"VISIBLE"}
+
+
+def test_gated_ingest_red_batch_halts_and_stays_invisible(
+    spark, warehouse, tmp_path
+):
+    from olap_storage_engine_spark.operators.audit import expect_in_range
+
+    src = str(tmp_path / "rsrc")
+    spark.createDataFrame(
+        [(1, -5.0), (2, -6.0)], "k long, v double"
+    ).coalesce(1).write.parquet(src)
+    t = OlapTable.create(spark, _gate_spec("gate_red"), warehouse)
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    q = stream_ingest(
+        t,
+        stream,
+        checkpoint_dir=str(tmp_path / "rckpt"),
+        exactly_once=True,
+        source_id="gate_red",
+        checks=[expect_in_range("v", lo=0.0)],
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+    assert "failed audit" in str(exc.value)
+    # nothing visible, epoch never committed -> the batch redelivers
+    assert t.read().count() == 0
+    assert t.manifest.committed_epoch("gate_red") is None
+    assert all(
+        d["state"] == "STALE" and d["stale_reason"] == "discarded"
+        for d in t.manifest.doc["rowsets"]
+    )
