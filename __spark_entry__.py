@@ -616,6 +616,38 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_corpus_prep_provenance(spark, sf_dir):
+    """Per-document curation PROVENANCE (r10): the same pipeline as
+    corpus_prep, but instead of the kept-corpus roll-up it answers the
+    question every pipeline owner gets asked — "why was my document
+    removed?"  One row per input document labeled with the stage that
+    dropped it (quality_filter / exact_dup / near_dup) or 'kept'.
+    Each stage's drop set is a byproduct the pipeline already
+    computes (the anti side of each filter/join), so the audit costs
+    the pipeline's own plan plus three cheap unions — no second
+    pass over the corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = tx.enrich(docs)
+    lowq = enriched.filter(F.col("quality") < 0.95).select(
+        "doc_id", F.lit("quality_filter").alias("stage")
+    )
+    corpus = enriched.filter(F.col("quality") >= 0.95)
+    keep = dd.sha_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    ex_victims = corpus.join(keep, "doc_id", "anti").select(
+        "doc_id", F.lit("exact_dup").alias("stage")
+    )
+    ex = corpus.join(keep, "doc_id", "semi")
+    pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
+    cc = dd.connected_components(pairs)
+    near = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit("near_dup").alias("stage")
+    )
+    kept = ex.join(
+        near.select("doc_id"), "doc_id", "anti"
+    ).select("doc_id", F.lit("kept").alias("stage"))
+    return lowq.unionByName(ex_victims).unionByName(near).unionByName(kept)
+
+
 def q_text_chunking(spark, sf_dir):
     """Context-window chunking: overlapping token windows per doc
     (64-token chunks, stride 48) — all JVM-side sequence/transform/
@@ -3279,20 +3311,21 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-14  the r10-NEW queries (non-additive schema evolution
+    #   6-15  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
     #         tokenizer training + corpus encoding + tokenize-on-
     #         ingest streaming twin; partition/bucket layout
-    #         reorganization; recursive CTE; write-audit-publish),
-    #   15-18 queries whose CODE or semantics changed in r10:
+    #         reorganization; recursive CTE; write-audit-publish;
+    #         per-document curation provenance),
+    #   16-19 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   19-47 ALL 29 queries whose newest green row is r6 — four
+    #   20-48 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   48-50 3 of the 47 r7-stale rows, most-touched-family-first
+    #   49-50 2 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3311,6 +3344,7 @@ _DRIVER_CHECK_HEAD = [
     "repartition_read",
     "recursive_cte",
     "write_audit_publish",
+    "corpus_prep_provenance",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3349,12 +3383,11 @@ _DRIVER_CHECK_HEAD = [
     # --- 9 oldest r7 rows, most-touched-family-first ---
     "similarity_ann_ivf_cells",
     "similarity_topk",
-    "similarity_ann_lsh",
     # --- fill (positions 51+; first to fall off under a ~50-row
     #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
     #     sketch_profile, events_window_agg, multimodal_features,
-    #     multimodal_join) then the remaining r7-stale rows in name
-    #     order — every
+    #     multimodal_join, similarity_ann_lsh) then the remaining
+    #     r7-stale rows in name order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
@@ -3363,6 +3396,7 @@ _DRIVER_CHECK_HEAD = [
     "events_window_agg",
     "multimodal_features",
     "multimodal_join",
+    "similarity_ann_lsh",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3481,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_provenance": q_corpus_prep_provenance,
         "text_chunking": q_text_chunking,
         "sample_packing": q_sample_packing,
         "train_val_split": q_train_val_split,
@@ -3805,11 +3840,12 @@ WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
 """
 
 
-def _corpus_prep_oracle(num_hashes=8, band_rows=2, n=3) -> str:
-    """The pipeline oracle: quality + langid features -> filter ->
-    exact dedup (min doc_id per text) -> minhash CC keepset (the
-    recursive CTEs run against the deduped corpus) -> per-language
-    token roll-up."""
+def _corpus_prep_ctes(num_hashes=8, band_rows=2, n=3) -> str:
+    """The pipeline oracle CTE chain (quality + langid features ->
+    filter -> exact dedup (min doc_id per text) -> minhash CC keepset,
+    recursive CTEs against the deduped corpus) with a ``{terminal}``
+    placeholder — shared by the roll-up oracle (corpus_prep) and the
+    per-document disposition oracle (corpus_prep_provenance)."""
     from olap_storage_engine_spark.operators.text import STOPWORDS
 
     all_words = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
@@ -3873,14 +3909,41 @@ kept AS (
   SELECT * FROM exdup
   WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
 )
-SELECT lang, pred_lang, count(*) AS n_docs,
+{{terminal}}
+"""
+
+
+def _corpus_prep_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    # .replace, not .format: the SQL body may legitimately contain
+    # braces and must never be re-interpreted as a format template
+    return _corpus_prep_ctes(num_hashes, band_rows, n).replace(
+        "{terminal}",
+        """SELECT lang, pred_lang, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
        CAST(sum(len(regexp_extract_all(text,
             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
        round(avg(quality), 4) AS avg_quality,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM kept GROUP BY 1, 2
-"""
+FROM kept GROUP BY 1, 2""",
+    )
+
+
+def _corpus_prep_provenance_oracle(num_hashes=8, band_rows=2, n=3) -> str:
+    """Per-document disposition through the SAME pipeline CTEs: which
+    stage dropped each document, or 'kept'."""
+    return _corpus_prep_ctes(num_hashes, band_rows, n).replace(
+        "{terminal}",
+        """SELECT doc_id, stage FROM (
+  SELECT doc_id, 'quality_filter' AS stage FROM scored WHERE quality < 0.95
+  UNION ALL
+  SELECT doc_id, 'exact_dup' FROM corpus
+  WHERE doc_id NOT IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+  UNION ALL
+  SELECT id, 'near_dup' FROM cc WHERE id != comp
+  UNION ALL
+  SELECT doc_id, 'kept' FROM kept
+)""",
+    )
 
 
 def _simhash_fp_ctes(bits=32) -> str:
@@ -5112,6 +5175,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "corpus_prep": _corpus_prep_oracle(),
+        "corpus_prep_provenance": _corpus_prep_provenance_oracle(),
         "text_chunking": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
