@@ -616,6 +616,21 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    """Stream-STATIC join (r10): the production enrichment shape —
+    arriving events joined to a broadcast static dimension (per-user
+    tier), then aggregated per (tier, type).  No state store for the
+    join (the static side broadcasts into every micro-batch), no
+    watermark, stream side never shuffles for the join; deterministic
+    under availableNow so the batch join+aggregate oracle checks the
+    final table exactly (streaming/events.run_fixture_stream_enrich)."""
+    from olap_storage_engine_spark.streaming.events import (
+        run_fixture_stream_enrich,
+    )
+
+    return run_fixture_stream_enrich(spark, sf_dir)
+
+
 def q_corpus_prep_provenance(spark, sf_dir):
     """Per-document curation PROVENANCE (r10): the same pipeline as
     corpus_prep, but instead of the kept-corpus roll-up it answers the
@@ -3311,21 +3326,22 @@ _DRIVER_CHECK_HEAD = [
     #         never-driver-checked thin compositions
     #         (embedding_outliers, quality_classifier_serve,
     #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-15  the r10-NEW queries (non-additive schema evolution
+    #   6-16  the r10-NEW queries (non-additive schema evolution
     #         rename/drop/widen across rowset generations; BPE
     #         tokenizer training + corpus encoding + tokenize-on-
     #         ingest streaming twin; partition/bucket layout
     #         reorganization; recursive CTE; write-audit-publish;
-    #         per-document curation provenance),
-    #   16-19 queries whose CODE or semantics changed in r10:
+    #         per-document curation provenance; stream-static
+    #         enrichment),
+    #   17-20 queries whose CODE or semantics changed in r10:
     #         similarity_ann_ivf (now served from the persisted cell
     #         table), corpus_span_dedup (C4 total-occurrence rule),
     #         ann_recall_eval (candidate dedup), and
     #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   20-48 ALL 29 queries whose newest green row is r6 — four
+    #   21-49 ALL 29 queries whose newest green row is r6 — four
     #         rounds stale, the oldest rows on the board (VERDICT r9
     #         task 2: no row older than 4 rounds),
-    #   49-50 2 of the 47 r7-stale rows, most-touched-family-first
+    #   50    1 of the 47 r7-stale rows, most-touched-family-first
     #         (the IVF/similarity serving family moved this round;
     #         multimodal and events internals moved in r8-r9).
     # --- no green driver row yet ---
@@ -3345,6 +3361,7 @@ _DRIVER_CHECK_HEAD = [
     "recursive_cte",
     "write_audit_publish",
     "corpus_prep_provenance",
+    "events_stream_enrich",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3382,12 +3399,11 @@ _DRIVER_CHECK_HEAD = [
     "zorder_scan",
     # --- 9 oldest r7 rows, most-touched-family-first ---
     "similarity_ann_ivf_cells",
-    "similarity_topk",
     # --- fill (positions 51+; first to fall off under a ~50-row
     #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
     #     sketch_profile, events_window_agg, multimodal_features,
-    #     multimodal_join, similarity_ann_lsh) then the remaining
-    #     r7-stale rows in name order — every
+    #     multimodal_join, similarity_ann_lsh, similarity_topk) then
+    #     the remaining r7-stale rows in name order — every
     #     r8/r9 row is fresher than these, so they lead the r11 head
     #     if not reached ---
     "agg_salted_skew",
@@ -3397,6 +3413,7 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_features",
     "multimodal_join",
     "similarity_ann_lsh",
+    "similarity_topk",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3573,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": q_events_variant_extract,
         "events_stream_window": q_events_stream_window,
         "events_stream_append": q_events_stream_append,
+        "events_stream_enrich": q_events_stream_enrich,
         "events_stream_session_window": q_events_stream_session_window,
         "events_stream_ingest_table": q_events_stream_ingest_table,
         "events_stream_join": q_events_stream_join,
@@ -6056,6 +6074,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
                   (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
+        """,
+        # stream-static enrichment: broadcast tier dim, stateless agg
+        "events_stream_enrich": """
+            SELECT CAST(user_id % 3 AS INT) AS tier, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         # Native session windows, append mode: sessions are gap-based
         # runs (a break only when the inter-event gap is STRICTLY

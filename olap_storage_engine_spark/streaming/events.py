@@ -748,3 +748,56 @@ def run_fixture_stream_user_totals(
         )
     )
     return final
+
+
+def run_fixture_stream_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-16 00:00:00",
+) -> DataFrame:
+    """Stream-STATIC join — the most common production enrichment
+    shape: every arriving event joined to a small static dimension
+    (per-user tier; derived deterministically here, a customer/user
+    dim in production), then a stateless per-(tier, type) aggregate.
+
+    The static side is a bounded batch DataFrame, so Catalyst
+    broadcasts it into every micro-batch — no state store, no
+    watermark, no shuffle of the stream side for the join itself; the
+    topology holds at any ingest rate because the only stateful node
+    is the tiny complete-mode aggregate (|tiers| x |types| rows),
+    which production would replace with an append-mode window.
+    Deterministic under availableNow: the batch join+aggregate oracle
+    checks the final table exactly.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = _two_batch_stream(spark, sf_dir, cutoff)
+    joined = stream.join(F.broadcast(tiers), "user_id")
+    # the established events-value discipline (events_stream_window):
+    # plain double sum rounded 4dp — stable for this column's values
+    out = joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)
