@@ -1330,11 +1330,14 @@ def q_tokenizer_encode(spark, sf_dir):
     doc-level framing with spaces as unfusable framed symbols, so the
     plan is zero-shuffle scan-bound at any corpus size
     (operators/text.bpe_encode_corpus; oracle unrolls training then
-    applies the same replace chain)."""
+    applies the same replace chain).  Serves from the PERSISTED merge
+    table (fixtures.bpe_merges_rows — trained once per corpus publish,
+    k rows read driver-side via pyarrow): encoding never retrains,
+    the IVF-centroid discipline applied to the tokenizer artifact."""
+    from olap_storage_engine_spark.fixtures import bpe_merges_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    trained = tx.bpe_train(docs, k=6).orderBy("rank").collect()
-    merges = [(r["lhs"], r["rhs"]) for r in trained]
-    return tx.bpe_encode_corpus(docs, merges)
+    return tx.bpe_encode_corpus(docs, bpe_merges_rows(spark, sf_dir))
 
 
 def q_similarity_kmeans_centroids(spark, sf_dir):
@@ -1374,15 +1377,17 @@ def q_docs_stream_tokenize(spark, sf_dir):
     replace-chain map, no watermark, no state store, parallel by
     source file at any rate.  Deterministic under availableNow, so the
     batch encode oracle checks the stream exactly
-    (streaming/corpus.run_fixture_stream_tokenize)."""
+    (streaming/corpus.run_fixture_stream_tokenize).  The merge list
+    comes from the PERSISTED per-publish table
+    (fixtures.bpe_merges_rows), never retrained at query time."""
+    from olap_storage_engine_spark.fixtures import bpe_merges_rows
     from olap_storage_engine_spark.streaming.corpus import (
         run_fixture_stream_tokenize,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    trained = tx.bpe_train(docs, k=6).orderBy("rank").collect()
-    merges = [(r["lhs"], r["rhs"]) for r in trained]
-    return run_fixture_stream_tokenize(spark, sf_dir, merges)
+    return run_fixture_stream_tokenize(
+        spark, sf_dir, bpe_merges_rows(spark, sf_dir)
+    )
 
 
 def q_dedup_semantic(spark, sf_dir):

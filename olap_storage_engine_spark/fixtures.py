@@ -626,6 +626,47 @@ def _ivf_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     return _aux_cached("ivf_centroids", sf_dir, build)
 
 
+def bpe_merges_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted BPE merge table — the
+    tokenizer artifact every training pipeline versions alongside its
+    corpus: trained ONCE per publish (operators/text.bpe_train, the
+    deterministic 6-merge recipe), stored as a k-row parquet; encode
+    queries load it driver-side and never retrain.  Oracle-checkable
+    because training is deterministic — DuckDB re-derives the
+    identical table from the same corpus."""
+
+    def build():
+        from .operators.text import bpe_train
+
+        path = os.path.join(warehouse_for(sf_dir), "bpe_merges")
+        docs = load_table(spark, sf_dir, "documents")
+        bpe_train(docs, k=6).write.mode("overwrite").parquet(path)
+        return path
+
+    return _aux_cached("bpe_merges", sf_dir, build)
+
+
+def bpe_merges_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The merge table as rank-ordered driver-resident (lhs, rhs)
+    pairs — the form an encoder holds it in (k tuples in memory).
+    Read via pyarrow straight from the index parquet: resolving the
+    merge list must not cost a distributed job."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = bpe_merges_path(spark, sf_dir)
+    tbl = pq.read_table(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    rows = sorted(
+        zip(
+            tbl.column("rank").to_pylist(),
+            tbl.column("lhs").to_pylist(),
+            tbl.column("rhs").to_pylist(),
+        )
+    )
+    return [(lhs, rhs) for _, lhs, rhs in rows]
+
+
 def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
     """The centroid index as driver-resident rows — the form an ANN
     query router actually holds it in (a handful of (cent_id,
