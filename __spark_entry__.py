@@ -478,10 +478,20 @@ def q_dsir_sample(spark, sf_dir):
     doc_id % 97 == 0) over the RAW corpus model — unigram+bigram
     features, add-1 smoothing over the union vocabulary — and keep the
     100 highest-scoring docs, ties by doc_id.  The k-boundary is cut
-    on the 6dp-ROUNDED score in both engines
-    (operators/text.dsir_select)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return tx.dsir_select(docs, _bench_docs(docs), k=100)
+    on the 6dp-ROUNDED score in both engines.
+
+    Served ENTIRELY from the persisted shingle index (widths 1 and 2,
+    partition-pruned): the corpus is never tokenized at query time —
+    gram identity is (n, sh), count-equivalent to the oracle's string
+    grams (operators/text.dsir_select_from_grams)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    raw_g = idx.filter(F.col("n") <= 2).select("doc_id", "n", "sh")
+    tgt_g = raw_g.filter(F.col("doc_id") % 97 == 0)
+    return tx.dsir_select_from_grams(
+        raw_g, tgt_g, k=100, gram_cols=("n", "sh")
+    )
 
 
 def q_decontamination_report(spark, sf_dir):

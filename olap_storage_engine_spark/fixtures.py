@@ -1211,21 +1211,27 @@ def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
     starts at the posting-list aggregate.  Same maintenance story as
     doc_postings: refresh by shingling only delta rowsets.
 
-    Two shingle widths (``n`` = 3 and 5) and two hash columns live in
-    the one index: ``sh`` = xxhash64 drives n-gram Jaccard posting
-    lists, ``mh`` = md5int % MINHASH_P is the minhash affine family's
-    base hash — so BOTH near-dup variants serve from the same
-    publish-time pass with their declared semantics (and oracles)
-    unchanged."""
+    Four shingle widths (``n`` = 1, 2, 3, 5) and two hash columns live
+    in the one index: ``sh`` = xxhash64 drives n-gram Jaccard posting
+    lists AND the DSIR unigram+bigram feature space (widths 1/2),
+    ``mh`` = md5int % MINHASH_P is the minhash affine family's base
+    hash — so the near-dup variants and importance-resampling serve
+    from the same publish-time pass with their declared semantics (and
+    oracles) unchanged.
+
+    LIST-partitioned by ``n`` (one directory per width), so every
+    consumer's ``n == k`` filter is a partition PRUNE — a width-3
+    reader never lists, let alone scans, the width-1/2/5 files — the
+    same layout discipline as the IVF cell table."""
 
     def build():
         from .operators.indexes import shingle_rows_from
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(warehouse_for(sf_dir), "shingle_index")
-        shingle_rows_from(docs, widths=(3, 5)).write.mode(
+        shingle_rows_from(docs, widths=(1, 2, 3, 5)).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).partitionBy("n").parquet(path)
         return path
 
     return _aux_cached("shingle_index", sf_dir, build)

@@ -981,14 +981,36 @@ def dsir_select(
     value so float summation order can't flip membership vs the
     oracle).
     """
-    from pyspark.sql import Window
-
     raw_g = dsir_gram_features(docs, text_col, id_col)
     tgt_g = dsir_gram_features(target, text_col, id_col)
-    r_cnt = raw_g.groupBy("gram").agg(F.count(F.lit(1)).alias("r"))
-    t_cnt = tgt_g.groupBy("gram").agg(F.count(F.lit(1)).alias("t"))
-    vocab = r_cnt.join(t_cnt, "gram", "full_outer").select(
-        "gram",
+    return dsir_select_from_grams(raw_g, tgt_g, k=k, id_col=id_col)
+
+
+def dsir_select_from_grams(
+    raw_g: DataFrame,
+    tgt_g: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    gram_cols: tuple[str, ...] = ("gram",),
+) -> DataFrame:
+    """DSIR scoring over pre-materialized gram frames — the serving
+    path when the (id, gram) rows come from the publish-time shingle
+    index (fixtures.shingle_index_path widths 1/2) instead of an
+    inline tokenize: the corpus is never re-tokenized at query time,
+    only the index's posting rows are aggregated and joined.
+
+    ``gram_cols`` is the gram identity — ``("n", "sh")`` for the
+    hashed index (keeping ``n`` in the key makes cross-width hash
+    collisions impossible), ``("gram",)`` for inline string grams.
+    Counts, λ, and scores are identical either way, so the DuckDB
+    oracle (which re-derives from raw text) is unchanged."""
+    from pyspark.sql import Window
+
+    gcols = list(gram_cols)
+    r_cnt = raw_g.groupBy(*gcols).agg(F.count(F.lit(1)).alias("r"))
+    t_cnt = tgt_g.groupBy(*gcols).agg(F.count(F.lit(1)).alias("t"))
+    vocab = r_cnt.join(t_cnt, gcols, "full_outer").select(
+        *gcols,
         F.coalesce("r", F.lit(0)).alias("r"),
         F.coalesce("t", F.lit(0)).alias("t"),
     )
@@ -998,14 +1020,14 @@ def dsir_select(
         F.count(F.lit(1)).alias("__v"),
     )
     lam = vocab.crossJoin(F.broadcast(totals)).select(
-        "gram",
+        *gcols,
         (
             F.log((F.col("t") + 1) / (F.col("__tt") + F.col("__v")))
             - F.log((F.col("r") + 1) / (F.col("__rt") + F.col("__v")))
         ).alias("lam"),
     )
     scored = (
-        raw_g.join(lam, "gram")
+        raw_g.join(lam, gcols)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_grams"),
