@@ -936,16 +936,19 @@ def remove_duplicate_spans(
     document survive — ADVICE r9.)
 
     Plan shape (the canonical C4 topology): segment in-row (zero
-    exchanges — one ``transform`` over the split array), one hash
-    aggregate keyed on the span text for corpus document-frequency,
-    one shuffle join back on the same key, one per-document aggregate
-    that rebuilds the text via ``array_sort(collect_list(struct))``.
-    At 100 TB every shuffle keys on high-cardinality span text with
-    map-side combine; a span is ~``width`` words so the shuffle
-    payload is bounded (key it on ``xxhash64(seg)`` instead when span
-    text is long — kept as raw text here for oracle parity).  The
-    per-document ``collect_list`` holds one document's own segments
-    only — row-local state, never corpus-proportional.
+    exchanges — one ``transform`` over the split array), corpus
+    occurrence counts via a ``count().over(partitionBy(seg))`` WINDOW
+    — one shuffle keyed on the span text, replacing the r9 aggregate +
+    join-back pair (two shuffles of the same rows) — then one
+    per-document aggregate that rebuilds the text via
+    ``array_sort(collect_list(struct))``.  At 100 TB both shuffles key
+    on bounded payloads: a span is ~``width`` words (key the window on
+    ``xxhash64(seg)`` when spans are long — kept as raw text here for
+    oracle parity), and the per-document ``collect_list`` holds one
+    document's own segments only — row-local state, never
+    corpus-proportional.  The window partition is one span's
+    occurrence list (skew-bounded: boilerplate spans cap at corpus
+    document count, same bound the join build side had).
 
     Returns (id_col, n_spans, kept_spans, cleaned_text); a document
     whose every span is boilerplate survives with cleaned_text = ''.
@@ -959,16 +962,17 @@ def remove_duplicate_spans(
             lambda i: F.array_join(F.slice(arr, i * width + 1, width), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
     segs = docs.select(
         F.col(id_col), F.posexplode(segs_col).alias("seg_idx", "seg")
     )
-    freq = segs.groupBy("seg").agg(
-        F.count(F.lit(1)).alias("__nd")
+    counted = segs.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy("seg"))
     )
     keep = F.col("__nd") < min_occurrences
     return (
-        segs.join(freq, "seg")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_spans"),
             F.sum(F.when(keep, 1).otherwise(0))

@@ -1052,12 +1052,18 @@ def bigram_lm_scores(
     every document under a corpus-trained bigram LM with add-one
     smoothing,  lp(w1,w2) = ln((c(w1,w2)+1) / (c(w1)+V)).
 
-    Training and inference in one plan: two hash aggregates build the
-    unigram and bigram count tables (map-side combined), inference
-    joins each document's bigrams back to them.  The unigram/vocab
-    tables are vocabulary-sized -> broadcast (also removes stopword
-    key skew from the w1 join); the bigram join shuffles on the
-    high-cardinality (w1,w2) key.  No Python UDFs anywhere.
+    Training and inference in one LINEAR pipeline: one per-(doc,
+    bigram) combine aggregate carries multiplicity ``m``, the corpus
+    count c12 is a window sum over (w1, w2) on that frame, and the
+    document score is Σ m·lp(bg) — the bigram explode runs exactly
+    once (the r9 shape aggregated raw bigram rows on one branch and
+    joined raw rows back on the other, re-exploding the corpus).
+    The unigram/vocab tables are vocabulary-sized -> broadcast; the
+    window shuffles on the high-cardinality (w1,w2) key, and the
+    combine caps any one bigram's window partition at the document
+    count (stop-bigram skew shrinks by the in-doc multiplicity — at
+    100 TB salt the window key for stop-bigrams and merge the salted
+    partials, same two-level discipline).  No Python UDFs anywhere.
 
     Determinism across engines: each bigram's log-prob is rounded to
     6dp and cast to DECIMAL(18,6), so the per-document sum is EXACT
@@ -1089,14 +1095,26 @@ def bigram_lm_scores(
     bi = w.select(id_col, F.explode(bg_col).alias("bg")).select(
         id_col, "bg.w1", "bg.w2"
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    from pyspark.sql import Window
+
+    # the shared combine: one row per (doc, bigram) with multiplicity;
+    # the corpus count c12 is a WINDOW sum over it, so training and
+    # inference are one linear pipeline — the bigram explode runs
+    # exactly once (the r9 shape aggregated raw bigram rows on one
+    # branch and joined raw rows on the other, re-exploding the corpus)
+    dbg = bi.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    counted = dbg.withColumn(
+        "c12", F.sum("m").over(Window.partitionBy("w1", "w2"))
+    )
     vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
     scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
+        counted.join(F.broadcast(uni), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
+            F.col("m"),
             F.round(
                 F.log(
                     (F.col("c12") + F.lit(1)).cast("double")
@@ -1109,8 +1127,10 @@ def bigram_lm_scores(
         )
     )
     agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-        (F.sum("lp") * 1000000).cast("long").alias("__micro"),
+        F.sum("m").cast("int").alias("n_bigrams"),
+        (F.sum(F.col("m") * F.col("lp")) * 1000000)
+        .cast("long")
+        .alias("__micro"),
     )
     return agg.select(
         id_col,

@@ -188,15 +188,17 @@ def test_events_funnel_single_user_exchange(spark, entrymod):
 
 
 def test_decontaminate_indexed_pushes_width_filter(spark, entrymod):
-    """The index-served decontamination must push the n=5 width filter
-    into the shingle-index parquet scan (column pruning + predicate
-    pushdown — the serving path reads one width's rows, never the
-    whole index), and resolve both joins as broadcasts (bench side is
-    tiny by contract)."""
+    """The index-served decontamination's n=5 width filter must be a
+    partition PRUNE on the width-partitioned shingle index (the
+    serving path lists one width's directory, never the whole index —
+    stronger than the pre-r10 row-group filter pushdown), and resolve
+    both joins as broadcasts (bench side is tiny by contract)."""
     df = _df(spark, entrymod, "decontaminate_indexed")
-    pushed = pushed_filters(df)
-    assert any("EqualTo(n,5)" in f for f in pushed), pushed
     plan = formatted_plan(df)
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("(n = 5)" in f or "n#" in f and "= 5" in f for f in pf), pf
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
 
