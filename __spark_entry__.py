@@ -191,6 +191,79 @@ def q_rollup_coarser_agg(spark, sf_dir):
     )
 
 
+def q_join_mv_revenue(spark, sf_dir):
+    """Revenue per (order year, status) served from the JOIN
+    materialized view — lineitem pre-joined to orders at PUBLISH time
+    and delta-refreshed per fact publish (operators/rollup.
+    join_mv_delta_refresh; fixture writes the fact in three publishes),
+    so the serving plan is scan -> aggregate with ZERO join exchanges;
+    the oracle re-derives the same numbers from the raw fact⋈dim
+    join.  Decimal fixed-point revenue sum (order-independent)."""
+    mv = get_table(spark, sf_dir, "lineorder_mv")
+    return (
+        mv.read()
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_dpp_join_prune(spark, sf_dir):
+    """DYNAMIC partition pruning — the TPC-DS date_dim pattern: the
+    ship-year-partitioned lineitem export joins a dim of order-years
+    derived from a filtered orders scan (a predicate the optimizer
+    cannot fold onto the fact statically), so Spark injects the dim's
+    surviving years as a runtime ``dynamicpruning`` PartitionFilter
+    and the fact scan lists ONLY those year directories — at 100 TB
+    the difference between scanning 2 partitions and all of them.
+    Plan pinned by tests/test_plans.py::test_dpp_join_prunes_fact."""
+    from olap_storage_engine_spark.fixtures import lineitem_year_path
+
+    fact = spark.read.parquet(lineitem_year_path(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        )
+        .select(
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("int")
+            .alias("o_year")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["l_year"] == dim["o_year"])
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_filter_range_zonemap(spark, sf_dir):
     t = get_table(spark, sf_dir, "lineitem_ship")
     return (
@@ -509,6 +582,23 @@ def q_decontamination_report(spark, sf_dir):
         (F.col("n") == 5) & (F.col("doc_id") % 97 != 0)
     ).select("doc_id", "sh")
     return dd.decontamination_report(corpus_grams, _bench_docs(docs), n=5)
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """EMBEDDING-space decontamination — the retrieval-based check
+    that n-gram matching misses (paraphrased eval items share no
+    verbatim 5-gram): every corpus vector's single nearest eval-split
+    vector (vec_id % 97 == 0, the bench-split convention) by cosine;
+    rows clearing 0.3 on the 6dp-ROUNDED similarity are flagged.
+    Eval set broadcast, per-vector argmax as a combine-enabled
+    max(struct) — no corpus shuffle, no window over the joined frame
+    (operators/dedup.semantic_decontaminate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.3,
+    )
 
 
 def q_gram_novelty(spark, sf_dir):
@@ -1348,6 +1438,20 @@ def q_tokenizer_encode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_encode_corpus(docs, bpe_merges_rows(spark, sf_dir))
+
+
+def q_tokenizer_compression(spark, sf_dir):
+    """Tokenizer COMPRESSION audit: bytes/chars per BPE token for each
+    corpus source under the persisted 6-merge table — the standard
+    "does this vocabulary serve this slice" signal (a slice near 1
+    byte/token is under-served and the mixture or tokenizer training
+    set needs rebalancing).  Zero-shuffle replace-chain encode (token
+    counts only, the token string never materializes), one tiny
+    per-source aggregate (operators/text.bpe_compression_stats)."""
+    from olap_storage_engine_spark.fixtures import bpe_merges_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_compression_stats(docs, bpe_merges_rows(spark, sf_dir))
 
 
 def q_similarity_kmeans_centroids(spark, sf_dir):
@@ -3377,11 +3481,17 @@ _DRIVER_CHECK_HEAD = [
     "write_audit_publish",
     "corpus_prep_provenance",
     "events_stream_enrich",
+    "decontaminate_semantic",
+    "tokenizer_compression",
+    "join_mv_revenue",
+    "dpp_join_prune",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
     "ann_recall_eval",
     "multimodal_audio_resample",
+    "dsir_sample",
+    "text_lm_score",
     # --- all 29 r6-stale rows (oldest on the board) ---
     "dedup_semantic",
     "dedup_minhash_verified",
@@ -3406,14 +3516,18 @@ _DRIVER_CHECK_HEAD = [
     "merge_scoped",
     "rowset_skip_scan",
     "dedup_exact_substring",
+    # --- 9 oldest r7 rows, most-touched-family-first ---
+    "similarity_ann_ivf_cells",
+    # --- 6 r6-stale rows displaced to the fill top by this session's
+    #     head additions (decontaminate_semantic, tokenizer_compression,
+    #     join_mv_revenue, dpp_join_prune + the two reworked queries);
+    #     they lead the r11 head if not reached ---
     "fk_orphan_audit",
     "join_string_similarity",
     "sketch_theta_retention",
     "snapshot_rollback",
     "table_partitions",
     "zorder_scan",
-    # --- 9 oldest r7 rows, most-touched-family-first ---
-    "similarity_ann_ivf_cells",
     # --- fill (positions 51+; first to fall off under a ~50-row
     #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
     #     sketch_profile, events_window_agg, multimodal_features,
@@ -3472,9 +3586,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("agg_salted_skew") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("fk_orphan_audit") == _HEAD_PROPER_LEN, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_salted_skew')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('fk_orphan_audit')}"
 )
 # ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
 # query still lacking a green row, then the 37 r7-stale fill entries
@@ -3499,6 +3613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_prune_range": q_partition_prune_range,
         "partition_prune_list": q_partition_prune_list,
         "rollup_coarser_agg": q_rollup_coarser_agg,
+        "join_mv_revenue": q_join_mv_revenue,
+        "dpp_join_prune": q_dpp_join_prune,
         "filter_range_zonemap": q_filter_range_zonemap,
         "filter_equality_point": q_filter_equality_point,
         "shortkey_prefix_seek": q_shortkey_prefix_seek,
@@ -3523,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": q_text_oov_rate,
         "tokenizer_train": q_tokenizer_train,
         "tokenizer_encode": q_tokenizer_encode,
+        "tokenizer_compression": q_tokenizer_compression,
         "docs_stream_tokenize": q_docs_stream_tokenize,
         "similarity_kmeans_centroids": q_similarity_kmeans_centroids,
         "docs_stream_classifier_filter": q_docs_stream_classifier_filter,
@@ -3543,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "similarity_int8_topk": q_similarity_int8_topk,
         "decontaminate_indexed": q_decontaminate_indexed,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "docs_stream_decontaminate": q_docs_stream_decontaminate,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
@@ -4986,6 +5104,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY 1
         """,
+        "dpp_join_prune": """
+            WITH dim AS (
+              SELECT DISTINCT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                     AS o_year
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+            )
+            SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN dim ON CAST(year(CAST(l_shipdate AS DATE)) AS INT) = o_year
+            GROUP BY 1
+        """,
+        "join_mv_revenue": """
+            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+                   o_orderstatus,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
         "rollup_coarser_agg": """
             SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
                    round(sum(o_totalprice), 2) AS sum_price,
@@ -5204,6 +5347,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1
         """,
         "decontaminate_indexed": _decontaminate_oracle(),
+        "decontaminate_semantic": f"""
+            WITH ev AS (
+              SELECT vec_id AS eid, embedding AS ee
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            s AS (
+              SELECT e.vec_id, e.label, ev.eid,
+                     round({_cos_sql('e.embedding', 'ev.ee')}, 6) AS cos
+              FROM embeddings e CROSS JOIN ev
+              WHERE e.vec_id % 97 <> 0
+            ),
+            r AS (
+              SELECT vec_id, label, eid, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, eid ASC) AS rk
+              FROM s
+            )
+            SELECT vec_id, label, eid AS eval_id, cos AS cosine
+            FROM r WHERE rk = 1 AND cos >= 0.3
+        """,
         "docs_stream_decontaminate": _decontaminate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
@@ -5595,6 +5758,20 @@ def oracle_sql() -> dict[str, str]:
         # BPE encoding: same trained merges replayed over doc-level
         # framed text; tokens \x1f-joined for a stable value hash
         "tokenizer_encode": _bpe_encode_oracle(6),
+        "tokenizer_compression": f"""
+            WITH enc AS ({_bpe_encode_oracle(6)})
+            SELECT d.source,
+                   CAST(count(*) AS INT) AS n_docs,
+                   CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
+                   CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+                   CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+                   round(sum(strlen(d.text)) * 1.0 / sum(e.n_tokens), 6)
+                     AS bytes_per_token,
+                   round(sum(length(d.text)) * 1.0 / sum(e.n_tokens), 6)
+                     AS chars_per_token
+            FROM enc e JOIN documents d USING (doc_id)
+            GROUP BY 1
+        """,
         # the streaming twin is a stateless availableNow map — the
         # batch encode oracle checks it exactly
         "docs_stream_tokenize": _bpe_encode_oracle(6),

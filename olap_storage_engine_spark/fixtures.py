@@ -82,6 +82,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: bucketed_pair(spark, sf_dir),
         lambda: bucketed_fact_pair(spark, sf_dir),
         lambda: zorder_lineitem_path(spark, sf_dir),
+        lambda: lineitem_year_path(spark, sf_dir),
         lambda: shingle_index_path(spark, sf_dir),
         lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
@@ -284,6 +285,62 @@ def _build_orders_rollup(spark: SparkSession, sf_dir: str) -> OlapTable:
     t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
     t.write(base.read().select("o_orderdate", "sum_price", "n_orders"))
     return t
+
+
+def _build_lineorder_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """JOIN materialized view (lineitem pre-joined to orders),
+    maintained INCREMENTALLY: the fact lands in three publishes and
+    the MV is delta-refreshed after each (operators/rollup.
+    join_mv_delta_refresh) — so reading it exercises the
+    publish-time-denormalization path, never a serving-path
+    fact⋈dim shuffle."""
+    from .operators.rollup import join_mv_delta_refresh
+
+    fact_spec = TableSpec(
+        name="lineorder_fact",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
+    )
+    fact = OlapTable.create(
+        spark, fact_spec, warehouse_for(sf_dir), overwrite=True
+    )
+    mv_spec = TableSpec(
+        name="lineorder_mv",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+            ColumnSpec.value("o_orderdate", ColumnType.DATE),
+            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
+    )
+    mv = OlapTable.create(
+        spark, mv_spec, warehouse_for(sf_dir), overwrite=True
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = _orders_df(spark, sf_dir).select(
+        F.col("o_orderkey"), "o_orderdate", "o_orderstatus"
+    )
+    for i in range(3):
+        rs = fact.write(li.filter(F.col("l_orderkey") % 3 == i))
+        join_mv_delta_refresh(
+            fact,
+            dim,
+            mv,
+            rs.start_version,
+            rs.end_version,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    return mv
 
 
 def _build_customer_list(spark: SparkSession, sf_dir: str) -> OlapTable:
@@ -1204,6 +1261,25 @@ def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _aux_cached("pq_index", sf_dir, build)
 
 
+def lineitem_year_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once ship-year-partitioned lineitem export (directory per
+    ``l_year``) — the fact-side layout for the dynamic-partition-
+    pruning query: a join keyed on the partition column lets Spark
+    inject the dim side's matching years as a runtime PartitionFilter
+    (``dynamicpruning`` subquery), so the fact scan lists only the
+    surviving year directories — the TPC-DS date_dim pattern."""
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        path = os.path.join(warehouse_for(sf_dir), "lineitem_year")
+        li.withColumn(
+            "l_year", F.year(F.col("l_shipdate").cast("date")).cast("int")
+        ).write.mode("overwrite").partitionBy("l_year").parquet(path)
+        return path
+
+    return _aux_cached("lineitem_year", sf_dir, build)
+
+
 def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted shingle index (doc_id, n, sz, sh, mh) — the
     publish-time materialization of the dedup family's shared
@@ -1619,6 +1695,7 @@ _BUILDERS = {
     "orders_evolve_widen": _build_orders_evolve_widen,
     "orders_repart": _build_orders_repart,
     "orders_wap": _build_orders_wap,
+    "lineorder_mv": _build_lineorder_mv,
 }
 
 

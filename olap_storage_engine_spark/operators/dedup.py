@@ -1294,6 +1294,62 @@ def decontamination_report(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-space decontamination — the retrieval-based
+    contamination check that n-gram matching misses: a training
+    example that *paraphrases* an eval item shares no verbatim 5-gram
+    but sits next to it in embedding space (the LLM-curation
+    complement to ``decontaminate``'s verbatim rule; cf. the
+    similarity-based splits in Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" §6).
+
+    For every corpus vector, find its single nearest eval vector by
+    cosine and flag it when that max similarity clears ``threshold``.
+    The cut and the tie-break both happen on the 6dp-ROUNDED cosine
+    (the rounded-cut discipline), so float summation order cannot
+    flip a row between engines.
+
+    Plan shape for 100 TB: the eval set is benchmark-sized at any
+    corpus scale -> broadcast; scoring is one corpus pass behind a
+    broadcast nested join (no corpus shuffle), and the per-vector
+    argmax is a combine-enabled ``max(struct(cos, -eval_id))``
+    aggregate — map-side partials, NO window over the corpus×eval
+    joined frame.  Same eval-side economics as n-gram
+    decontamination: the corpus never re-embeds or shuffles.
+
+    Returns flagged rows only: (id_col, label, eval_id, cosine),
+    eval_id = the argmax eval vector (smallest id on cosine ties).
+    """
+    ev = evalset.select(
+        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__evec")
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col),
+        F.col("label"),
+        F.col("__eid"),
+        F.round(cosine(F.col(vec_col), F.col("__evec")), 6).alias("__cos"),
+    )
+    best = scored.groupBy(id_col, "label").agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("__eid")).alias("__neg")))
+        .alias("__best")
+    )
+    return (
+        best.filter(F.col("__best.__cos") >= threshold)
+        .select(
+            id_col,
+            "label",
+            (-F.col("__best.__neg")).cast("long").alias("eval_id"),
+            F.col("__best.__cos").alias("cosine"),
+        )
+    )
+
+
 def gram_novelty(
     doc_grams: DataFrame,
     id_col: str = "doc_id",

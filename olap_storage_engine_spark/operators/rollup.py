@@ -75,6 +75,41 @@ def rollup_read(
     )
 
 
+def join_mv_delta_refresh(
+    fact: OlapTable,
+    dim: DataFrame,
+    mv: OlapTable,
+    lo: int,
+    hi: int,
+    on,
+) -> None:
+    """Incremental JOIN materialized-view maintenance — the
+    denormalization twin of ``rollup_delta_refresh``: the MV holds the
+    fact PRE-JOINED to a dimension, and each fact publish appends only
+    ``delta_fact ⋈ dim`` (one broadcast join over the delta, never a
+    re-join of the full fact).  Because the MV is a DUPLICATE-model
+    table and fact rowsets are disjoint by version, the refreshed MV
+    equals a from-scratch join by construction (pinned by
+    tests/test_rollup.py).
+
+    Contract: APPEND-ONLY facts and a STATIC dimension (the
+    star-schema norm — dims change by slowly-rewriting partitions; a
+    dim update rewrites the affected MV partitions or rebuilds, same
+    caveat as shingle_index_delta_refresh).  ``on`` is the join
+    condition or column name; the dim side is broadcast — dimension
+    tables are broadcast-sized at any fact scale.
+
+    At 100 TB this converts every serving-path fact⋈dim shuffle into
+    a publish-time broadcast over the delta: queries against the MV
+    scan pre-joined rows with zero exchanges before aggregation.
+    """
+    from pyspark.sql import functions as F
+
+    delta = fact.read(lo, hi)
+    joined = delta.join(F.broadcast(dim), on)
+    mv.write(joined.select(*[c.name for c in mv.spec.columns]))
+
+
 def rollup_delta_refresh(
     base: OlapTable, rollup: OlapTable, lo: int, hi: int
 ) -> None:

@@ -1858,16 +1858,65 @@ def bpe_encode_corpus(
     joined by the unit separator \\x1f (a raw array column would make
     the cross-engine hash depend on list formatting).
     """
-    framed = _bpe_frame(F.split(F.col(text_col), ""))
+    toks = _bpe_token_array(F.col(text_col), merges)
+    return docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_join(toks, "\x1f").alias("token_str"),
+    )
+
+
+def _bpe_token_array(text: F.Column, merges: list) -> F.Column:
+    """The doc-level framed replace chain as a column expression:
+    char-frame, replay the k trained merges, unframe, drop the space
+    symbols — shared by corpus encoding and the compression audit."""
+    framed = _bpe_frame(F.split(text, ""))
     for a, b in merges:
         framed = F.replace(
             framed,
             F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
             F.lit(_BPE_L + a + b + _BPE_R),
         )
-    toks = F.filter(_bpe_unframe(framed), lambda t: t != F.lit(" "))
-    return docs.filter(F.length(text_col) > 0).select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.array_join(toks, "\x1f").alias("token_str"),
+    return F.filter(_bpe_unframe(framed), lambda t: t != F.lit(" "))
+
+
+def bpe_compression_stats(
+    docs: DataFrame,
+    merges: list,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer COMPRESSION audit — the standard "is this vocabulary
+    any good for this corpus slice" metric (bytes and chars per token,
+    cf. the per-language compression tables in tokenizer papers, e.g.
+    Rust et al. 2021): encode every document with the trained merge
+    list and aggregate per ``group_col``.  A slice whose
+    bytes-per-token sits near 1 is paying one token per byte — the
+    signal that the vocabulary under-serves that source/language and
+    the mixture or the tokenizer training set needs rebalancing.
+
+    Plan shape: the encode is the same zero-shuffle row-local replace
+    chain as :func:`bpe_encode_corpus` (token COUNTS only — the token
+    string is never materialized into the aggregate), followed by one
+    group-count-sized combine aggregate.  Scan-bound at any corpus
+    size.
+
+    Returns (group_col, n_docs, total_bytes, total_chars,
+    total_tokens, bytes_per_token, chars_per_token), ratios rounded
+    to 6dp (exact-integer ratios — engine-stable).
+    """
+    toks = _bpe_token_array(F.col(text_col), merges)
+    per_doc = docs.filter(F.length(text_col) > 0).select(
+        F.col(group_col),
+        F.octet_length(text_col).alias("__b"),
+        F.length(text_col).alias("__c"),
+        F.size(toks).alias("__t"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("__b").cast("long").alias("total_bytes"),
+        F.sum("__c").cast("long").alias("total_chars"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+        F.round(F.sum("__b") / F.sum("__t"), 6).alias("bytes_per_token"),
+        F.round(F.sum("__c") / F.sum("__t"), 6).alias("chars_per_token"),
     )

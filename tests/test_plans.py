@@ -290,3 +290,13 @@ def test_ivf_declared_query_serves_from_cell_table(spark, entrymod):
     plan = formatted_plan(df)
     assert "MapInPandas" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dpp_join_prunes_fact(spark, entrymod):
+    """The year-partitioned fact scan must carry a runtime
+    ``dynamicpruning`` PartitionFilter injected from the dim side —
+    the whole point of the query; without it the fact scan lists
+    every year directory."""
+    plan = formatted_plan(_df(spark, entrymod, "dpp_join_prune"))
+    assert "dynamicpruning" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -385,3 +385,52 @@ def test_freq_items_residual_bounds_undercount(spark):
     # (it was kept in the single publish's top-k)
     top1 = merged[0]
     assert top1["item"] == "heavy" and top1["cnt"] == 50
+
+
+def test_join_mv_delta_refresh_equals_full_join(spark, warehouse):
+    """The delta-refreshed JOIN MV must equal a from-scratch fact⋈dim
+    join after every publish — the invariant that makes serving from
+    the denormalized table safe."""
+    from olap_storage_engine_spark.operators.rollup import (
+        join_mv_delta_refresh,
+    )
+
+    fact_spec = TableSpec(
+        name="jmv_fact",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    mv_spec = TableSpec(
+        name="jmv_mv",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.FLOAT64),
+            ColumnSpec.value("d", ColumnType.VARCHAR),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    fact = OlapTable.create(spark, fact_spec, warehouse)
+    mv = OlapTable.create(spark, mv_spec, warehouse)
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "dk long, d string"
+    )
+    import pyspark.sql.functions as SF
+
+    for chunk in range(3):
+        rows = [(i, float(i + chunk * 100)) for i in range(chunk * 5, chunk * 5 + 5)]
+        rs = fact.write(spark.createDataFrame(rows, "k long, x double"))
+        join_mv_delta_refresh(
+            fact, dim, mv, rs.start_version, rs.end_version,
+            SF.col("k") % 7 == SF.col("dk"),
+        )
+        expect = sorted(
+            (r["k"], r["x"], f"d{r['k'] % 7}")
+            for r in fact.read().collect()
+        )
+        got = sorted(
+            (r["k"], r["x"], r["d"]) for r in mv.read().collect()
+        )
+        assert got == expect, f"after publish {chunk}"
