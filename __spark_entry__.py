@@ -638,18 +638,21 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 def q_similarity_int8_topk(spark, sf_dir):
-    """Top-k served FROM the int8 codes (the serving half of the
-    embedding_quantize storage cut): exact integer dot products over
-    the quantized corpus, so the ranking is bit-reproducible and the
-    oracle re-derives every score — unlike float ANN, quantized
-    serving has no rounding frontier at all
-    (operators/similarity.int8_topk)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Top-k served FROM the PERSISTED int8 codes table (the serving
+    half of the embedding_quantize storage cut): quantization happened
+    at publish time, so the query scans 4x-smaller integer codes —
+    the embedding column is never read — and scores with exact integer
+    dot products, bit-reproducible in the oracle
+    (operators/similarity.int8_topk_from_codes;
+    fixtures.int8_codes_path)."""
+    from olap_storage_engine_spark.fixtures import int8_codes_path
+
+    codes = spark.read.parquet(int8_codes_path(spark, sf_dir))
     ids = [
         r["vec_id"]
         for r in _probes(spark, sf_dir, 5).select("vec_id").collect()
     ]
-    return sim.int8_topk(emb, ids, k=10).select(
+    return sim.int8_topk_from_codes(codes, ids, k=10).select(
         "probe_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )
 

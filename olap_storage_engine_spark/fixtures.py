@@ -83,6 +83,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: bucketed_fact_pair(spark, sf_dir),
         lambda: zorder_lineitem_path(spark, sf_dir),
         lambda: lineitem_year_path(spark, sf_dir),
+        lambda: int8_codes_path(spark, sf_dir),
         lambda: shingle_index_path(spark, sf_dir),
         lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
@@ -1259,6 +1260,27 @@ def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return (cb_path, codes_path)
 
     return _aux_cached("pq_index", sf_dir, build)
+
+
+def int8_codes_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted int8 CODES table (vec_id, codes) — the
+    publish-time half of the scalar-quantization storage cut: the
+    corpus is encoded once per publish (operators/similarity.
+    int8_quantize) and serving scans 4x-smaller integer codes, never
+    the float vectors.  Delta refresh = encode new rowsets with the
+    frozen published scales (scale drift forces a rebuild)."""
+
+    def build():
+        from .operators.similarity import int8_quantize
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(warehouse_for(sf_dir), "int8_codes")
+        int8_quantize(emb).select("vec_id", "codes").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return path
+
+    return _aux_cached("int8_codes", sf_dir, build)
 
 
 def lineitem_year_path(spark: SparkSession, sf_dir: str) -> str:

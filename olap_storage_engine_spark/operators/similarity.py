@@ -1092,9 +1092,30 @@ def int8_topk(
     Probes are corpus members given by id (their codes come from the
     same quantization pass — one scan, no separate probe encode); the
     probe side is a broadcast of len(probe_ids) rows.  One window per
-    probe for rank; at serving scale the corpus side would come from
-    the persisted codes table (indexes.py pattern)."""
+    probe for rank.  This is the ad-hoc one-shot path; serving reads
+    the PERSISTED codes table via :func:`int8_topk_from_codes`."""
     q = int8_quantize(corpus, vec_col).select(id_col, "codes")
+    return int8_topk_from_codes(q, probe_ids, k=k, id_col=id_col)
+
+
+def int8_topk_from_codes(
+    codes: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8 top-k over the PERSISTED codes table — the serving path:
+    quantization happened at publish time (fixtures.int8_codes_path),
+    so a query scans int8 codes (4x less I/O than the float vectors)
+    and never touches the embedding column at all.  Delta refresh =
+    encode only new rowsets with the FROZEN published scale vector
+    (re-scale drift forces a rebuild — the standard contract for
+    symmetric scalar quantization); same maintenance story as
+    pq_codes/IVF cells.
+
+    Identical results to :func:`int8_topk` by construction (same
+    codes, same exact-integer scoring)."""
+    q = codes.select(id_col, "codes")
     p = q.filter(F.col(id_col).isin([int(i) for i in probe_ids])).select(
         F.col(id_col).alias("probe_id"), F.col("codes").alias("pcodes")
     )
