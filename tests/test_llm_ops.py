@@ -1380,3 +1380,38 @@ def test_int8_topk_matches_integer_reference(spark):
             (rank + 1, v, -neg) for rank, (neg, v) in enumerate(scores)
         ]
         assert sorted(got[pid]) == want
+
+
+def test_dsir_index_served_equals_inline(spark):
+    """DSIR selection served from the shingle index (widths 1/2,
+    gram identity (n, sh)) returns exactly the inline tokenize path's
+    top-k — counts in hashed-gram space equal counts in string-gram
+    space, so scores and ranks agree row for row."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+    from olap_storage_engine_spark.operators.text import (
+        dsir_select,
+        dsir_select_from_grams,
+    )
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    tgt = docs.filter(F.col("doc_id") % 97 == 0)
+    inline = dsir_select(docs, tgt, k=50)
+    idx = spark.read.parquet(shingle_index_path(spark, sf))
+    raw_g = idx.filter(F.col("n") <= 2).select("doc_id", "n", "sh")
+    served = dsir_select_from_grams(
+        raw_g,
+        raw_g.filter(F.col("doc_id") % 97 == 0),
+        k=50,
+        gram_cols=("n", "sh"),
+    )
+    a = sorted(
+        (r["doc_id"], r["n_grams"], r["score"], r["rank"])
+        for r in inline.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_grams"], r["score"], r["rank"])
+        for r in served.collect()
+    )
+    assert a == b and len(a) == 50

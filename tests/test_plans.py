@@ -300,3 +300,25 @@ def test_dpp_join_prunes_fact(spark, entrymod):
     plan = formatted_plan(_df(spark, entrymod, "dpp_join_prune"))
     assert "dynamicpruning" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_sample_prunes_index_widths(spark, entrymod):
+    """The index-served DSIR must read ONLY the width-1/2 partition
+    directories of the shingle index (partition prune on n), and never
+    tokenize: no Generate (explode-of-split) over documents.text in
+    the plan."""
+    df = _df(spark, entrymod, "dsir_sample")
+    plan = formatted_plan(df)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("n#" in f and "<= 2" in f for f in pf), pf
+    assert "split(text" not in plan, "dsir_sample re-tokenizes"
+
+
+def test_int8_topk_scans_codes_not_embeddings(spark, entrymod):
+    """The int8 serve reads the persisted codes table only — the
+    embedding column never appears in any scan's ReadSchema (the 4x
+    I/O cut is the point of the persisted quantization)."""
+    plan = formatted_plan(_df(spark, entrymod, "similarity_int8_topk"))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "embedding" not in line, line
