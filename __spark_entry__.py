@@ -1904,6 +1904,82 @@ def q_events_stream_ingest_table(spark, sf_dir):
     )
 
 
+def q_events_stream_mv(spark, sf_dir):
+    """STREAMING join-MV maintenance — the streaming twin of
+    join_mv_revenue: arriving events are enriched against a broadcast
+    static dimension INSIDE the stream (no state store, no stream-side
+    shuffle for the join) and each micro-batch publishes the
+    pre-joined rows into a DUPLICATE MV OlapTable with EXACTLY-ONCE
+    epochs — publish-time denormalization arriving via the stream, so
+    serving reads pre-joined rows with zero join exchanges.  n_rowsets
+    pins one rowset per micro-batch; the oracle is the batch join +
+    aggregate over the raw events (streaming maintenance must be
+    invisible to readers)."""
+    import os
+    import uuid
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.streaming.events import (
+        _await_or_raise,
+        _shuffle_partitions,
+        _two_batch_stream,
+    )
+    from olap_storage_engine_spark.streaming.ingest import stream_ingest
+    from olap_storage_engine_spark.table import OlapTable
+
+    tag = uuid.uuid4().hex[:8]
+    spec = TableSpec(
+        name=f"events_mv_{tag}",
+        columns=[
+            ColumnSpec.key("event_id", ColumnType.INT64),
+            ColumnSpec.value("user_id", ColumnType.INT64),
+            ColumnSpec.value("tier", ColumnType.INT32),
+            ColumnSpec.value("event_type", ColumnType.VARCHAR),
+            ColumnSpec.value("value", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "user_id", 4),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir))
+    ev = load_table(spark, sf_dir, "events")
+    tiers = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = _two_batch_stream(spark, sf_dir, "2024-01-16 00:00:00")
+    enriched = stream.join(F.broadcast(tiers), "user_id").select(
+        "event_id", "user_id", "tier", "event_type", "value"
+    )
+    ckpt = os.path.join(warehouse_for(sf_dir), f"mv_ckpt_{tag}")
+    with _shuffle_partitions(spark, 4):
+        q = stream_ingest(
+            t,
+            enriched,
+            checkpoint_dir=ckpt,
+            exactly_once=True,
+            source_id="events_mv_bench",
+        )
+        _await_or_raise(q)
+    return (
+        t.read()
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .withColumn("n_rowsets", F.lit(int(t.compaction_score())))
+    )
+
+
 def q_events_stream_join(spark, sf_dir):
     """Stream-stream inner join (watermarked, event-time-bounded state)
     — purchases x same-user clicks in the preceding hour, emitted
@@ -3488,6 +3564,7 @@ _DRIVER_CHECK_HEAD = [
     "tokenizer_compression",
     "join_mv_revenue",
     "dpp_join_prune",
+    "events_stream_mv",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3518,13 +3595,13 @@ _DRIVER_CHECK_HEAD = [
     "compaction_partition",
     "merge_scoped",
     "rowset_skip_scan",
-    "dedup_exact_substring",
     # --- 9 oldest r7 rows, most-touched-family-first ---
     "similarity_ann_ivf_cells",
-    # --- 6 r6-stale rows displaced to the fill top by this session's
+    # --- 7 r6-stale rows displaced to the fill top by this session's
     #     head additions (decontaminate_semantic, tokenizer_compression,
-    #     join_mv_revenue, dpp_join_prune + the two reworked queries);
-    #     they lead the r11 head if not reached ---
+    #     join_mv_revenue, dpp_join_prune, events_stream_mv + the two
+    #     reworked queries); they lead the r11 head if not reached ---
+    "dedup_exact_substring",
     "fk_orphan_audit",
     "join_string_similarity",
     "sketch_theta_retention",
@@ -3589,9 +3666,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("fk_orphan_audit") == _HEAD_PROPER_LEN, (
+assert _DRIVER_CHECK_HEAD.index("similarity_ann_ivf_cells") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('fk_orphan_audit')}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('similarity_ann_ivf_cells') + 1}"
 )
 # ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
 # query still lacking a green row, then the 37 r7-stale fill entries
@@ -3729,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enrich": q_events_stream_enrich,
         "events_stream_session_window": q_events_stream_session_window,
         "events_stream_ingest_table": q_events_stream_ingest_table,
+        "events_stream_mv": q_events_stream_mv,
         "events_stream_join": q_events_stream_join,
         "events_stream_replay_dedup": q_events_stream_replay_dedup,
         "join_asof": q_join_asof,
@@ -6304,6 +6382,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, sid
             HAVING max(ts) + INTERVAL 30 MINUTE <=
                    (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        """,
+        "events_stream_mv": """
+            SELECT CAST(user_id % 3 AS INT) AS tier,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   CAST(2 AS INT) AS n_rowsets
+            FROM events GROUP BY 1, 2
         """,
         "events_stream_ingest_table": """
             SELECT event_type,
