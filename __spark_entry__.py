@@ -3671,10 +3671,11 @@ assert _DRIVER_CHECK_HEAD.index("similarity_ann_ivf_cells") == _HEAD_PROPER_LEN 
     f"fill starts at {_DRIVER_CHECK_HEAD.index('similarity_ann_ivf_cells') + 1}"
 )
 # ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
-# query still lacking a green row, then the 37 r7-stale fill entries
-# above in order, then the oldest r8 rows (CORRECTNESS_r08 minus newer
-# rows) as budget allows.  Keep the head proper at exactly 50 and
-# update the assertion's anchor query.
+# query still lacking a green row (likely the 7 displaced r6-stale
+# rows above plus any r10 head entries past the ~50-row cap), then the
+# r7-stale fill entries above in order, then the oldest r8 rows
+# (CORRECTNESS_r08 minus newer rows) as budget allows.  Keep the head
+# proper at exactly 50 and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

@@ -35,6 +35,8 @@ STREAM_QUERIES = [
     "docs_stream_classifier_filter",
     "docs_stream_decontaminate",
     "docs_stream_tokenize",
+    "events_stream_enrich",
+    "events_stream_mv",
 ]
 
 
