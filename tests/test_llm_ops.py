@@ -1415,3 +1415,45 @@ def test_dsir_index_served_equals_inline(spark):
         for r in served.collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_semantic_decontaminate_argmax_and_threshold(spark):
+    """Survivors-only gemm kernel semantics: flagged rows carry the
+    argmax eval (smallest id on rounded-cosine ties), sub-threshold
+    rows never appear, and the threshold cut happens on the ROUNDED
+    cosine."""
+    from olap_storage_engine_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    def row(i, label, vec):
+        return (i, vec, label)
+
+    # eval 100 and 200 are the SAME direction -> cosine ties at 1.0;
+    # corpus 1 aligns with them, corpus 2 is orthogonal (cos 0),
+    # corpus 3 sits at cos ~0.6 of eval 300's direction
+    corpus = spark.createDataFrame(
+        [
+            row(1, "a", [1.0, 0.0, 0.0, 0.0]),
+            row(2, "a", [0.0, 0.0, 1.0, 0.0]),
+            row(3, "b", [0.6, 0.0, 0.0, 0.8]),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    evalset = spark.createDataFrame(
+        [
+            row(200, "e", [2.0, 0.0, 0.0, 0.0]),
+            row(100, "e", [1.0, 0.0, 0.0, 0.0]),
+            row(300, "e", [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {
+        r["vec_id"]: (r["eval_id"], r["cosine"])
+        for r in semantic_decontaminate(
+            corpus, evalset, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {1, 3}  # corpus 2 (cos 0) never appears
+    assert got[1] == (100, 1.0)  # tie at 1.0 -> smallest eval id
+    assert got[3] == (300, 0.8)
