@@ -132,3 +132,42 @@ def test_bpe_exhausted_corpus_stops_early(spark):
     # one single-char word: no pairs exist; train returns 0 merges
     docs = spark.createDataFrame([Row(doc_id=1, text="a a a")])
     assert tx.bpe_train(docs, k=3).count() == 0
+
+
+def test_bpe_compression_stats_ties_to_encoder(spark, tiny_docs):
+    """The compression audit's per-group totals must equal the
+    encoder's own per-doc sums (same replace chain, counts-only
+    projection) and byte/char ratios must be the exact integer
+    ratios."""
+    docs = tiny_docs.withColumn(
+        "source", (F.col("doc_id") % 2).cast("string")
+    )
+    trained = tx.bpe_train(docs, k=6).orderBy("rank").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in trained]
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tx.bpe_encode_corpus(docs, merges).collect()
+    }
+    texts = {
+        r["doc_id"]: (r["text"], r["source"]) for r in docs.collect()
+    }
+    want = {}
+    for did, (text, src) in texts.items():
+        b, c, t = (
+            len(text.encode()),
+            len(text),
+            enc[did],
+        )
+        agg = want.setdefault(src, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += b
+        agg[2] += c
+        agg[3] += t
+    got = tx.bpe_compression_stats(docs, merges).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, b, c, t = want[r["source"]]
+        assert (r["n_docs"], r["total_bytes"], r["total_chars"],
+                r["total_tokens"]) == (n, b, c, t)
+        assert r["bytes_per_token"] == round(b / t, 6)
+        assert r["chars_per_token"] == round(c / t, 6)
