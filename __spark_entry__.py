@@ -221,6 +221,22 @@ def q_join_mv_revenue(spark, sf_dir):
     )
 
 
+def q_agg_mv_revenue(spark, sf_dir):
+    """The AGGREGATE-over-JOIN materialized view (the classic async-MV
+    shape): revenue per (order year, status) pre-aggregated at publish
+    — each fact publish wrote its delta⋈dim PARTIAL aggregate and the
+    AGGREGATE keys-model collapse merges the three partials at read
+    time (operators/rollup.join_agg_mv_delta_refresh).  The serving
+    scan touches |group| pre-aggregated rows per publish, never the
+    fact.  Revenue checked as exact integer micro-units (per-row
+    decimal scaled+cast, integer-summed — partial merging cannot
+    perturb the value); the oracle re-derives from the raw join."""
+    mv = get_table(spark, sf_dir, "lineorder_agg_mv")
+    return mv.read().select(
+        "o_year", "o_orderstatus", "revenue_micro", "n_lines"
+    )
+
+
 def q_dpp_join_prune(spark, sf_dir):
     """DYNAMIC partition pruning — the TPC-DS date_dim pattern: the
     ship-year-partitioned lineitem export joins a dim of order-years
@@ -3574,6 +3590,7 @@ _DRIVER_CHECK_HEAD = [
     "join_mv_revenue",
     "dpp_join_prune",
     "events_stream_mv",
+    "agg_mv_revenue",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3603,13 +3620,14 @@ _DRIVER_CHECK_HEAD = [
     "events_winsorize",
     "compaction_partition",
     "merge_scoped",
-    "rowset_skip_scan",
     # --- 9 oldest r7 rows, most-touched-family-first ---
     "similarity_ann_ivf_cells",
-    # --- 7 r6-stale rows displaced to the fill top by this session's
+    # --- 8 r6-stale rows displaced to the fill top by this session's
     #     head additions (decontaminate_semantic, tokenizer_compression,
-    #     join_mv_revenue, dpp_join_prune, events_stream_mv + the two
-    #     reworked queries); they lead the r11 head if not reached ---
+    #     join_mv_revenue, agg_mv_revenue, dpp_join_prune,
+    #     events_stream_mv + the two reworked queries); they lead the
+    #     r11 head if not reached ---
+    "rowset_skip_scan",
     "dedup_exact_substring",
     "fk_orphan_audit",
     "join_string_similarity",
@@ -3705,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_coarser_agg": q_rollup_coarser_agg,
         "join_mv_revenue": q_join_mv_revenue,
         "dpp_join_prune": q_dpp_join_prune,
+        "agg_mv_revenue": q_agg_mv_revenue,
         "filter_range_zonemap": q_filter_range_zonemap,
         "filter_equality_point": q_filter_equality_point,
         "shortkey_prefix_seek": q_shortkey_prefix_seek,
@@ -5194,6 +5213,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY 1
+        """,
+        "agg_mv_revenue": """
+            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+                   o_orderstatus,
+                   CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+                     AS revenue_micro,
+                   count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
         """,
         "dpp_join_prune": """
             WITH dim AS (

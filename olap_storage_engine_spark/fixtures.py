@@ -344,6 +344,78 @@ def _build_lineorder_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
     return mv
 
 
+def _build_lineorder_agg_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
+    """AGGREGATE-over-JOIN materialized view: revenue per (order year,
+    status), maintained incrementally — each of the three fact
+    publishes writes its delta⋈dim PARTIAL aggregate and the
+    AGGREGATE keys-model collapse merges partials at read time
+    (operators/rollup.join_agg_mv_delta_refresh).  Revenue is summed
+    as exact integer micro-units (decimal-per-row, scaled) so partial
+    merging is exact integer math."""
+    from .operators.rollup import join_agg_mv_delta_refresh
+
+    fact_spec = TableSpec(
+        name="lineorder_agg_fact",
+        columns=[
+            ColumnSpec.key("l_orderkey", ColumnType.INT64),
+            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
+    )
+    fact = OlapTable.create(
+        spark, fact_spec, warehouse_for(sf_dir), overwrite=True
+    )
+    mv_spec = TableSpec(
+        name="lineorder_agg_mv",
+        columns=[
+            ColumnSpec.key("o_year", ColumnType.INT32),
+            ColumnSpec.key("o_orderstatus", ColumnType.VARCHAR),
+            ColumnSpec.value(
+                "revenue_micro", ColumnType.INT64, AggregateType.SUM
+            ),
+            ColumnSpec.value(
+                "n_lines", ColumnType.INT64, AggregateType.SUM
+            ),
+        ],
+        keys_type=KeysType.AGGREGATE,
+    )
+    mv = OlapTable.create(
+        spark, mv_spec, warehouse_for(sf_dir), overwrite=True
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = _orders_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    aggs = [
+        F.sum(
+            (
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+                * 1000000
+            ).cast("long")
+        ).alias("revenue_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    ]
+    for i in range(3):
+        rs = fact.write(li.filter(F.col("l_orderkey") % 3 == i))
+        join_agg_mv_delta_refresh(
+            fact,
+            dim.withColumn(
+                "o_year", F.year("o_orderdate").cast("int")
+            ).select("o_orderkey", "o_year", "o_orderstatus"),
+            mv,
+            rs.start_version,
+            rs.end_version,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            aggs,
+        )
+    return mv
+
+
 def _build_customer_list(spark: SparkSession, sf_dir: str) -> OlapTable:
     """LIST-partitioned customer table on c_mktsegment."""
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -1718,6 +1790,7 @@ _BUILDERS = {
     "orders_repart": _build_orders_repart,
     "orders_wap": _build_orders_wap,
     "lineorder_mv": _build_lineorder_mv,
+    "lineorder_agg_mv": _build_lineorder_agg_mv,
 }
 
 

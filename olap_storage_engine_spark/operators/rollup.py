@@ -110,6 +110,42 @@ def join_mv_delta_refresh(
     mv.write(joined.select(*[c.name for c in mv.spec.columns]))
 
 
+def join_agg_mv_delta_refresh(
+    fact: OlapTable,
+    dim: DataFrame,
+    mv: OlapTable,
+    lo: int,
+    hi: int,
+    on,
+    agg_exprs: list,
+) -> None:
+    """Incremental AGGREGATE-over-JOIN materialized view — the classic
+    async-MV shape (a pre-aggregated star join), composing the two
+    existing disciplines: each fact publish joins ONLY the delta to
+    the broadcast dim (``join_mv_delta_refresh``) and writes the
+    delta's PARTIAL aggregate into an AGGREGATE-model table whose
+    keys-model collapse merges partials at read time
+    (``rollup_delta_refresh``) — the refresh is just a write, no
+    read-modify-write, and the MV stays queryable throughout.
+
+    ``agg_exprs`` are the partial aggregates, aliased to the MV's
+    value columns; they must be associative (SUM/MIN/MAX — the
+    ``covers`` rule).  Exactness discipline: sum money as integer
+    micro-units (decimal-per-row, scaled, cast long) so merging
+    partials is exact integer math — no float-summation order between
+    partial and collapse can perturb the checked value.
+
+    At 100 TB the serving read scans |group keys| pre-aggregated rows
+    per publish (merged by collapse), never the fact; refresh cost is
+    one broadcast join + one combine aggregate over the delta."""
+    from pyspark.sql import functions as F
+
+    delta = fact.read(lo, hi)
+    joined = delta.join(F.broadcast(dim), on)
+    keys = mv.spec.key_names()
+    mv.write(joined.groupBy(*keys).agg(*agg_exprs))
+
+
 def rollup_delta_refresh(
     base: OlapTable, rollup: OlapTable, lo: int, hi: int
 ) -> None:

@@ -434,3 +434,58 @@ def test_join_mv_delta_refresh_equals_full_join(spark, warehouse):
             (r["k"], r["x"], r["d"]) for r in mv.read().collect()
         )
         assert got == expect, f"after publish {chunk}"
+
+
+def test_join_agg_mv_partials_merge_to_full_aggregate(spark, warehouse):
+    """The AGGREGATE-over-JOIN MV's collapse of per-publish partials
+    must equal a from-scratch aggregate of the full fact⋈dim join,
+    with exact integer value columns."""
+    from olap_storage_engine_spark.operators.rollup import (
+        join_agg_mv_delta_refresh,
+    )
+    import pyspark.sql.functions as SF
+
+    fact_spec = TableSpec(
+        name="jam_fact",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    mv_spec = TableSpec(
+        name="jam_mv",
+        columns=[
+            ColumnSpec.key("g", ColumnType.VARCHAR),
+            ColumnSpec.value("sx", ColumnType.INT64, AggregateType.SUM),
+            ColumnSpec.value("n", ColumnType.INT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+    )
+    fact = OlapTable.create(spark, fact_spec, warehouse)
+    mv = OlapTable.create(spark, mv_spec, warehouse)
+    dim = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(10)], "dk long, g string"
+    )
+    aggs = [
+        SF.sum("x").alias("sx"),
+        SF.count(SF.lit(1)).cast("long").alias("n"),
+    ]
+    expect = {}
+    for chunk in range(3):
+        rows = [(i % 10, i + chunk) for i in range(chunk * 7, chunk * 7 + 7)]
+        for k, x in rows:
+            g = f"g{k % 3}"
+            sx, n = expect.get(g, (0, 0))
+            expect[g] = (sx + x, n + 1)
+        rs = fact.write(spark.createDataFrame(rows, "k long, x long"))
+        join_agg_mv_delta_refresh(
+            fact, dim, mv, rs.start_version, rs.end_version,
+            SF.col("k") == SF.col("dk"), aggs,
+        )
+        got = {
+            r["g"]: (r["sx"], r["n"]) for r in mv.read().collect()
+        }
+        assert got == expect, f"after publish {chunk}"
+    # one rowset per publish: partials really are merged at read
+    assert mv.compaction_score() == 3
