@@ -288,132 +288,112 @@ def _build_orders_rollup(spark: SparkSession, sf_dir: str) -> OlapTable:
     return t
 
 
-def _build_lineorder_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
-    """JOIN materialized view (lineitem pre-joined to orders),
-    maintained INCREMENTALLY: the fact lands in three publishes and
-    the MV is delta-refreshed after each (operators/rollup.
-    join_mv_delta_refresh) — so reading it exercises the
-    publish-time-denormalization path, never a serving-path
-    fact⋈dim shuffle."""
-    from .operators.rollup import join_mv_delta_refresh
+def _lineorder_mvs(spark: SparkSession, sf_dir: str):
+    """Build-once pair of materialized views over ONE shared fact
+    table: the fact (lineitem keyed on l_orderkey) lands in three
+    publishes, and after each publish BOTH MVs delta-refresh from the
+    same rowset — the JOIN MV appends delta⋈dim pre-joined rows
+    (operators/rollup.join_mv_delta_refresh) and the AGGREGATE-over-
+    JOIN MV appends the delta's partial aggregate
+    (join_agg_mv_delta_refresh), merged by the keys-model collapse at
+    read.  One fact, one dim, two derived layouts — the production MV
+    topology (and no duplicate fact copies in the warehouse)."""
+    from .operators.rollup import (
+        join_agg_mv_delta_refresh,
+        join_mv_delta_refresh,
+    )
 
-    fact_spec = TableSpec(
-        name="lineorder_fact",
-        columns=[
-            ColumnSpec.key("l_orderkey", ColumnType.INT64),
-            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
-            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
-        ],
-        keys_type=KeysType.DUPLICATE,
-        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
-    )
-    fact = OlapTable.create(
-        spark, fact_spec, warehouse_for(sf_dir), overwrite=True
-    )
-    mv_spec = TableSpec(
-        name="lineorder_mv",
-        columns=[
-            ColumnSpec.key("l_orderkey", ColumnType.INT64),
-            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
-            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
-            ColumnSpec.value("o_orderdate", ColumnType.DATE),
-            ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
-        ],
-        keys_type=KeysType.DUPLICATE,
-        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
-    )
-    mv = OlapTable.create(
-        spark, mv_spec, warehouse_for(sf_dir), overwrite=True
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    dim = _orders_df(spark, sf_dir).select(
-        F.col("o_orderkey"), "o_orderdate", "o_orderstatus"
-    )
-    for i in range(3):
-        rs = fact.write(li.filter(F.col("l_orderkey") % 3 == i))
-        join_mv_delta_refresh(
-            fact,
-            dim,
-            mv,
-            rs.start_version,
-            rs.end_version,
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    def build():
+        fact_spec = TableSpec(
+            name="lineorder_fact",
+            columns=[
+                ColumnSpec.key("l_orderkey", ColumnType.INT64),
+                ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+                ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+            ],
+            keys_type=KeysType.DUPLICATE,
+            bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
         )
-    return mv
+        fact = OlapTable.create(
+            spark, fact_spec, warehouse_for(sf_dir), overwrite=True
+        )
+        mv_spec = TableSpec(
+            name="lineorder_mv",
+            columns=[
+                ColumnSpec.key("l_orderkey", ColumnType.INT64),
+                ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
+                ColumnSpec.value("l_discount", ColumnType.FLOAT64),
+                ColumnSpec.value("o_orderdate", ColumnType.DATE),
+                ColumnSpec.value("o_orderstatus", ColumnType.VARCHAR),
+            ],
+            keys_type=KeysType.DUPLICATE,
+            bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
+        )
+        mv = OlapTable.create(
+            spark, mv_spec, warehouse_for(sf_dir), overwrite=True
+        )
+        agg_mv_spec = TableSpec(
+            name="lineorder_agg_mv",
+            columns=[
+                ColumnSpec.key("o_year", ColumnType.INT32),
+                ColumnSpec.key("o_orderstatus", ColumnType.VARCHAR),
+                ColumnSpec.value(
+                    "revenue_micro", ColumnType.INT64, AggregateType.SUM
+                ),
+                ColumnSpec.value(
+                    "n_lines", ColumnType.INT64, AggregateType.SUM
+                ),
+            ],
+            keys_type=KeysType.AGGREGATE,
+        )
+        agg_mv = OlapTable.create(
+            spark, agg_mv_spec, warehouse_for(sf_dir), overwrite=True
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        dim = _orders_df(spark, sf_dir).select(
+            F.col("o_orderkey"), "o_orderdate", "o_orderstatus"
+        )
+        agg_dim = dim.withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        ).select("o_orderkey", "o_year", "o_orderstatus")
+        aggs = [
+            F.sum(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                    * 1000000
+                ).cast("long")
+            ).alias("revenue_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        ]
+        on = F.col("l_orderkey") == F.col("o_orderkey")
+        for i in range(3):
+            rs = fact.write(li.filter(F.col("l_orderkey") % 3 == i))
+            join_mv_delta_refresh(
+                fact, dim, mv, rs.start_version, rs.end_version, on
+            )
+            join_agg_mv_delta_refresh(
+                fact,
+                agg_dim,
+                agg_mv,
+                rs.start_version,
+                rs.end_version,
+                on,
+                aggs,
+            )
+        return (mv, agg_mv)
+
+    return _aux_cached("lineorder_mvs", sf_dir, build)
+
+
+def _build_lineorder_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
+    return _lineorder_mvs(spark, sf_dir)[0]
 
 
 def _build_lineorder_agg_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
-    """AGGREGATE-over-JOIN materialized view: revenue per (order year,
-    status), maintained incrementally — each of the three fact
-    publishes writes its delta⋈dim PARTIAL aggregate and the
-    AGGREGATE keys-model collapse merges partials at read time
-    (operators/rollup.join_agg_mv_delta_refresh).  Revenue is summed
-    as exact integer micro-units (decimal-per-row, scaled) so partial
-    merging is exact integer math."""
-    from .operators.rollup import join_agg_mv_delta_refresh
-
-    fact_spec = TableSpec(
-        name="lineorder_agg_fact",
-        columns=[
-            ColumnSpec.key("l_orderkey", ColumnType.INT64),
-            ColumnSpec.value("l_extendedprice", ColumnType.FLOAT64),
-            ColumnSpec.value("l_discount", ColumnType.FLOAT64),
-        ],
-        keys_type=KeysType.DUPLICATE,
-        bucket=BucketSpec(BucketType.HASH, "l_orderkey", 4),
-    )
-    fact = OlapTable.create(
-        spark, fact_spec, warehouse_for(sf_dir), overwrite=True
-    )
-    mv_spec = TableSpec(
-        name="lineorder_agg_mv",
-        columns=[
-            ColumnSpec.key("o_year", ColumnType.INT32),
-            ColumnSpec.key("o_orderstatus", ColumnType.VARCHAR),
-            ColumnSpec.value(
-                "revenue_micro", ColumnType.INT64, AggregateType.SUM
-            ),
-            ColumnSpec.value(
-                "n_lines", ColumnType.INT64, AggregateType.SUM
-            ),
-        ],
-        keys_type=KeysType.AGGREGATE,
-    )
-    mv = OlapTable.create(
-        spark, mv_spec, warehouse_for(sf_dir), overwrite=True
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    dim = _orders_df(spark, sf_dir).select(
-        "o_orderkey", "o_orderdate", "o_orderstatus"
-    )
-    aggs = [
-        F.sum(
-            (
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,6)")
-                * 1000000
-            ).cast("long")
-        ).alias("revenue_micro"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-    ]
-    for i in range(3):
-        rs = fact.write(li.filter(F.col("l_orderkey") % 3 == i))
-        join_agg_mv_delta_refresh(
-            fact,
-            dim.withColumn(
-                "o_year", F.year("o_orderdate").cast("int")
-            ).select("o_orderkey", "o_year", "o_orderstatus"),
-            mv,
-            rs.start_version,
-            rs.end_version,
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            aggs,
-        )
-    return mv
+    return _lineorder_mvs(spark, sf_dir)[1]
 
 
 def _build_customer_list(spark: SparkSession, sf_dir: str) -> OlapTable:
@@ -1399,7 +1379,7 @@ def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(warehouse_for(sf_dir), "shingle_index")
-        shingle_rows_from(docs, widths=(1, 2, 3, 5)).write.mode(
+        shingle_rows_from(docs).write.mode(
             "overwrite"
         ).partitionBy("n").parquet(path)
         return path

@@ -1300,6 +1300,7 @@ def semantic_decontaminate(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: str = "label",
 ) -> DataFrame:
     """EMBEDDING-space decontamination — the retrieval-based
     contamination check that n-gram matching misses: a training
@@ -1345,9 +1346,9 @@ def semantic_decontaminate(
     en = np.sqrt(np.einsum("ij,ij->i", E, E))
     pre_cut = threshold - 1e-6
     id_t = corpus.schema[id_col].dataType.simpleString()
-    lbl_t = corpus.schema["label"].dataType.simpleString()
+    lbl_t = corpus.schema[label_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} {id_t}, label {lbl_t}, __eid long, __raw double"
+        f"{id_col} {id_t}, {label_col} {lbl_t}, __eid long, __raw double"
     )
 
     def gen(batches):
@@ -1366,22 +1367,22 @@ def semantic_decontaminate(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[ii],
-                    "label": pdf["label"].to_numpy()[ii],
+                    label_col: pdf[label_col].to_numpy()[ii],
                     "__eid": eids[jj],
                     "__raw": C[ii, jj],
                 }
             )
 
-    hits = corpus.select(id_col, "label", vec_col).mapInPandas(
+    hits = corpus.select(id_col, label_col, vec_col).mapInPandas(
         gen, out_schema
     )
     scored = hits.select(
         id_col,
-        "label",
+        label_col,
         "__eid",
         F.round(F.col("__raw"), 6).alias("__cos"),
     )
-    best = scored.groupBy(id_col, "label").agg(
+    best = scored.groupBy(id_col, label_col).agg(
         F.max(F.struct(F.col("__cos"), (-F.col("__eid")).alias("__neg")))
         .alias("__best")
     )
@@ -1389,7 +1390,7 @@ def semantic_decontaminate(
         best.filter(F.col("__best.__cos") >= threshold)
         .select(
             id_col,
-            "label",
+            label_col,
             (-F.col("__best.__neg")).cast("long").alias("eval_id"),
             F.col("__best.__cos").alias("cosine"),
         )

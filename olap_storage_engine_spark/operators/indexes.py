@@ -155,18 +155,33 @@ def pq_codes_delta_refresh(
 
 
 def shingle_rows_from(
-    docs: DataFrame, widths: tuple[int, ...] = (3, 5)
+    docs: DataFrame,
+    widths: tuple[int, ...] = (1, 2, 3, 5),
+    mh_widths: tuple[int, ...] = (3, 5),
 ) -> DataFrame:
     """Derive shingle-index rows (doc_id, n, sz, sh, mh) from a
     documents frame — the one tokenize/shingle/hash pass shared by
-    full builds (fixtures.shingle_index_path) and delta refreshes."""
+    full builds (fixtures.shingle_index_path) and delta refreshes.
+    The default widths MUST match the fixture build's (a delta
+    refresh with narrower widths silently starves every consumer of
+    the missing widths — e.g. DSIR reads n<=2).
+
+    ``mh_widths``: widths that carry the minhash base hash; the
+    DSIR widths (1, 2) have no minhash consumer, so their mh is NULL
+    — skipping the md5 per distinct uni/bigram, the most numerous
+    rows in the index."""
     from .dedup import MINHASH_P, md5int, shingles
 
     parts = [
         shingles(docs, n=nn, with_size=True)
         .withColumn("n", F.lit(nn))
         .withColumn("sh", F.xxhash64("shingle"))
-        .withColumn("mh", md5int(F.col("shingle")) % F.lit(MINHASH_P))
+        .withColumn(
+            "mh",
+            (md5int(F.col("shingle")) % F.lit(MINHASH_P))
+            if nn in mh_widths
+            else F.lit(None).cast("long"),
+        )
         .select("doc_id", "n", "sz", "sh", "mh")
         for nn in widths
     ]
@@ -181,11 +196,14 @@ def shingle_index_delta_refresh(
     index_table: OlapTable,
     lo: int,
     hi: int,
-    widths: tuple[int, ...] = (3, 5),
+    widths: tuple[int, ...] = (1, 2, 3, 5),
 ) -> None:
     """Incremental shingle-index maintenance: shingle ONLY the base
     rowsets covering versions [lo, hi] and append their index rows —
     the same publish-time pattern as postings/IVF-cells/PQ-codes.
+    The width default matches the full build's (r10: 1, 2, 3, 5) — a
+    narrower refresh would silently starve the DSIR widths for every
+    delta document.
 
     APPEND-ONLY corpora only (like postings_delta_refresh): an updated
     document's STALE shingles are not retracted by an append — a

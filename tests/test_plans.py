@@ -195,8 +195,6 @@ def test_decontaminate_indexed_pushes_width_filter(spark, entrymod):
     both joins as broadcasts (bench side is tiny by contract)."""
     df = _df(spark, entrymod, "decontaminate_indexed")
     plan = formatted_plan(df)
-    import re
-
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("(n = 5)" in f or "n#" in f and "= 5" in f for f in pf), pf
     assert plan.count("BroadcastHashJoin") >= 2, plan
