@@ -1975,15 +1975,17 @@ def q_events_stream_mv(spark, sf_dir):
     )
     t = OlapTable.create(spark, spec, warehouse_for(sf_dir))
     ev = load_table(spark, sf_dir, "events")
-    # materialize the dim ONCE driver-side (broadcast-sized by the dim
-    # contract): a stream-static join re-evaluates the static plan per
-    # micro-batch, so deriving the dim from a distinct() over the full
-    # events table would re-scan + re-shuffle events for every batch
-    tier_rows = [
-        (r["user_id"], int(r["user_id"] % 3))
-        for r in ev.select("user_id").distinct().collect()
-    ]
-    tiers = spark.createDataFrame(tier_rows, "user_id long, tier int")
+    # materialize the dim ONCE (cache + eager count): a stream-static
+    # join re-evaluates the static plan per micro-batch, so an
+    # uncached distinct() over the full events table would re-scan +
+    # re-shuffle events for every batch; the cached dim is tiny
+    # (|users| rows) and each batch broadcasts it from cache
+    tiers = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    ).cache()
+    tiers.count()
     stream = _two_batch_stream(spark, sf_dir, "2024-01-16 00:00:00")
     enriched = stream.join(F.broadcast(tiers), "user_id").select(
         "event_id", "user_id", "tier", "event_type", "value"
