@@ -102,12 +102,49 @@ def join_mv_delta_refresh(
     At 100 TB this converts every serving-path fact⋈dim shuffle into
     a publish-time broadcast over the delta: queries against the MV
     scan pre-joined rows with zero exchanges before aggregation.
+
+    CRASH-SAFE and IDEMPOTENT: the refresh publishes with
+    ``txn=("mv:"+fact_name, hi)`` — the refreshed-through fact
+    version commits in the SAME manifest CAS as the MV rowset (the
+    stream_ingest epoch pattern), so a replayed refresh of an
+    already-applied interval is a no-op and ``mv_staleness`` can
+    always answer "how far behind the fact is this MV".
     """
     from pyspark.sql import functions as F
 
+    if _mv_already_refreshed(fact, mv, hi):
+        return
     delta = fact.read(lo, hi)
     joined = delta.join(F.broadcast(dim), on)
-    mv.write(joined.select(*[c.name for c in mv.spec.columns]))
+    mv.write(
+        joined.select(*[c.name for c in mv.spec.columns]),
+        txn=(_mv_source_id(fact), hi),
+    )
+
+
+def _mv_source_id(fact: OlapTable) -> str:
+    return f"mv:{fact.spec.name}"
+
+
+def _mv_already_refreshed(fact: OlapTable, mv: OlapTable, hi: int) -> bool:
+    done = mv.manifest.committed_epoch(_mv_source_id(fact))
+    return done is not None and hi <= done
+
+
+def mv_refreshed_through(mv: OlapTable, fact: OlapTable) -> int:
+    """Highest fact version whose refresh has committed into this MV
+    (-1 if never refreshed — versions are 0-based, an empty table's
+    max_version is -1) — read from the manifest's atomically
+    maintained epoch record, never inferred from data."""
+    done = mv.manifest.committed_epoch(_mv_source_id(fact))
+    return int(done) if done is not None else -1
+
+
+def mv_staleness(mv: OlapTable, fact: OlapTable) -> int:
+    """How many published fact versions this MV has not absorbed —
+    the ops signal behind "is my MV current?".  0 = fresh."""
+    cur = fact.manifest.max_version
+    return max(0, cur - mv_refreshed_through(mv, fact))
 
 
 def join_agg_mv_delta_refresh(
@@ -137,13 +174,22 @@ def join_agg_mv_delta_refresh(
 
     At 100 TB the serving read scans |group keys| pre-aggregated rows
     per publish (merged by collapse), never the fact; refresh cost is
-    one broadcast join + one combine aggregate over the delta."""
+    one broadcast join + one combine aggregate over the delta.
+    Crash-safe/idempotent via the same epoch txn as
+    ``join_mv_delta_refresh`` — an AGGREGATE-model MV double-applying
+    a replayed partial would silently DOUBLE-COUNT, so the epoch skip
+    is load-bearing here, not just an optimization."""
     from pyspark.sql import functions as F
 
+    if _mv_already_refreshed(fact, mv, hi):
+        return
     delta = fact.read(lo, hi)
     joined = delta.join(F.broadcast(dim), on)
     keys = mv.spec.key_names()
-    mv.write(joined.groupBy(*keys).agg(*agg_exprs))
+    mv.write(
+        joined.groupBy(*keys).agg(*agg_exprs),
+        txn=(_mv_source_id(fact), hi),
+    )
 
 
 def rollup_delta_refresh(

@@ -489,3 +489,60 @@ def test_join_agg_mv_partials_merge_to_full_aggregate(spark, warehouse):
         assert got == expect, f"after publish {chunk}"
     # one rowset per publish: partials really are merged at read
     assert mv.compaction_score() == 3
+
+
+def test_join_mv_refresh_is_idempotent_and_tracks_staleness(
+    spark, warehouse
+):
+    """A replayed refresh of an already-applied interval must be a
+    no-op (for the AGGREGATE MV a double-applied partial would
+    silently double-count), and mv_staleness must count unabsorbed
+    fact publishes."""
+    import pyspark.sql.functions as SF
+
+    from olap_storage_engine_spark.operators.rollup import (
+        join_agg_mv_delta_refresh,
+        mv_refreshed_through,
+        mv_staleness,
+    )
+
+    fact_spec = TableSpec(
+        name="idem_fact",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    mv_spec = TableSpec(
+        name="idem_mv",
+        columns=[
+            ColumnSpec.key("g", ColumnType.INT64),
+            ColumnSpec.value("sx", ColumnType.INT64, AggregateType.SUM),
+        ],
+        keys_type=KeysType.AGGREGATE,
+    )
+    fact = OlapTable.create(spark, fact_spec, warehouse)
+    mv = OlapTable.create(spark, mv_spec, warehouse)
+    dim = spark.createDataFrame([(i, i % 2) for i in range(5)], "dk long, g long")
+    aggs = [SF.sum("x").alias("sx")]
+    on = SF.col("k") == SF.col("dk")
+
+    rs1 = fact.write(spark.createDataFrame([(1, 10), (2, 20)], "k long, x long"))
+    assert mv_staleness(mv, fact) == 1
+    join_agg_mv_delta_refresh(fact, dim, mv, rs1.start_version, rs1.end_version, on, aggs)
+    assert mv_refreshed_through(mv, fact) == rs1.end_version
+    assert mv_staleness(mv, fact) == 0
+    before = sorted((r["g"], r["sx"]) for r in mv.read().collect())
+    # crash-replay: the same interval again — must not double-count
+    join_agg_mv_delta_refresh(fact, dim, mv, rs1.start_version, rs1.end_version, on, aggs)
+    after = sorted((r["g"], r["sx"]) for r in mv.read().collect())
+    assert after == before
+    assert mv.compaction_score() == 1  # no second rowset published
+    # a new publish raises staleness until refreshed
+    rs2 = fact.write(spark.createDataFrame([(3, 30)], "k long, x long"))
+    assert mv_staleness(mv, fact) == 1
+    join_agg_mv_delta_refresh(fact, dim, mv, rs2.start_version, rs2.end_version, on, aggs)
+    assert mv_staleness(mv, fact) == 0
+    got = sorted((r["g"], r["sx"]) for r in mv.read().collect())
+    assert got == [(0, 20), (1, 40)]
