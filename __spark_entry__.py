@@ -322,6 +322,34 @@ def q_snapshot_read_versions(spark, sf_dir):
     )
 
 
+def q_snapshot_clone_read(spark, sf_dir):
+    """ZERO-COPY shallow clone (table.clone_table — the Delta CLONE
+    shape): the three-rowset versioned table clones by manifest copy
+    with absolute-path rowset pointers (no data file copied at any
+    table size), then the CLONE is read through its own MVCC lineage —
+    full collapse + snapshot semantics over borrowed files.  Divergence
+    and GC safety (a clone's physical GC never deletes borrowed
+    source files) are pinned in tests/test_table.py."""
+    import uuid
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.table import clone_table
+
+    src = get_table(spark, sf_dir, "orders_versions")
+    cl = clone_table(
+        src, f"orders_clone_{uuid.uuid4().hex[:8]}", warehouse_for(sf_dir)
+    )
+    return (
+        cl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("n_rowsets", F.lit(int(cl.compaction_score())))
+    )
+
+
 def q_compaction_score(spark, sf_dir):
     # Metadata-only: both scores resolve from the in-memory manifests
     # in <1 ms; the measured time is Spark's ~0.3 s floor for ANY
@@ -3597,6 +3625,7 @@ _DRIVER_CHECK_HEAD = [
     "dpp_join_prune",
     "events_stream_mv",
     "agg_mv_revenue",
+    "snapshot_clone_read",
     # --- code/semantics changed in r10; green rows predate it ---
     "similarity_ann_ivf",
     "corpus_span_dedup",
@@ -3625,14 +3654,14 @@ _DRIVER_CHECK_HEAD = [
     "events_twap",
     "events_winsorize",
     "compaction_partition",
-    "merge_scoped",
     # --- 9 oldest r7 rows, most-touched-family-first ---
     "similarity_ann_ivf_cells",
-    # --- 8 r6-stale rows displaced to the fill top by this session's
+    # --- 9 r6-stale rows displaced to the fill top by this session's
     #     head additions (decontaminate_semantic, tokenizer_compression,
     #     join_mv_revenue, agg_mv_revenue, dpp_join_prune,
-    #     events_stream_mv + the two reworked queries); they lead the
-    #     r11 head if not reached ---
+    #     events_stream_mv, snapshot_clone_read + the two reworked
+    #     queries); they lead the r11 head if not reached ---
+    "merge_scoped",
     "rowset_skip_scan",
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -3734,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_equality_point": q_filter_equality_point,
         "shortkey_prefix_seek": q_shortkey_prefix_seek,
         "snapshot_read_versions": q_snapshot_read_versions,
+        "snapshot_clone_read": q_snapshot_clone_read,
         "compaction_score": q_compaction_score,
         "compaction_rewrite": q_compaction_rewrite,
         "gc_retention_read": q_gc_retention_read,
@@ -5283,6 +5313,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey >= (SELECT min(l_orderkey) FROM lineitem)
               AND l_orderkey < (SELECT min(l_orderkey) + 1000 FROM lineitem)
+        """,
+        "snapshot_clone_read": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_price,
+                   CAST(3 AS INT) AS n_rowsets
+            FROM orders GROUP BY 1
         """,
         "snapshot_read_versions": """
             SELECT o_orderstatus, count(*) AS n,

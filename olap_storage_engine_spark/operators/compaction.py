@@ -382,10 +382,15 @@ def garbage_collect(
             and not rs.reclaimed
             and rs.rowset_id not in needed
         ):
-            d = os.path.join(table.root, rs.path)
-            if os.path.exists(d):
-                shutil.rmtree(d)
-                removed.append(rs.path)
+            # BORROWED rowsets (absolute path — a shallow clone's
+            # pointers into its source, table.clone_table) are never
+            # physically deleted: the files belong to the source
+            # table; the clone only drops its manifest reference
+            if not os.path.isabs(rs.path):
+                d = os.path.join(table.root, rs.path)
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+                    removed.append(rs.path)
             reclaimed_ids.append(rs.rowset_id)
     if reclaimed_ids:
         # the files are already gone — the reclaimed flags MUST land

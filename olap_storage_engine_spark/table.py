@@ -620,8 +620,8 @@ class OlapTable:
                 df = df.withColumn(BK_COL, F.lit(None).cast("int"))
             return df
 
-        def _reader():
-            r = self.spark.read.option("basePath", self.root)
+        def _reader(base):
+            r = self.spark.read.option("basePath", base)
             if self.spec.schema_version > 1:
                 # evolved tables mix file schemas; merge footers so new
                 # columns survive (single-version tables skip the cost)
@@ -649,18 +649,24 @@ class OlapTable:
         for rs, mode, labels in plan:
             wv = getattr(rs, "schema_version", 1)
             gk = _gen_key(wv)
-            key = (mode, tuple(labels) if labels else (), gk)
-            groups.setdefault(key, []).append(
-                os.path.join(self.root, rs.path)
-            )
+            full = os.path.join(self.root, rs.path)
+            # a CLONED table's borrowed rowsets carry absolute paths
+            # into the source root (clone_table) — basePath must be an
+            # ancestor of every path in the reader, so borrowed and
+            # native rowsets split into separate readers by base
+            base = self.root if not os.path.isabs(rs.path) else os.path.dirname(full)
+            key = (mode, tuple(labels) if labels else (), gk, base)
+            groups.setdefault(key, []).append(full)
             # any write version with the same pending-replay set reads
             # identically; keep the smallest for the replay call
             gen_wv[key] = min(gen_wv.get(key, wv), wv)
         parts = []
-        for (mode, labels, gk), paths in groups.items():
-            part = _reader().parquet(*paths)
+        for (mode, labels, gk, base), paths in groups.items():
+            part = _reader(base).parquet(*paths)
             if gk:
-                part = self._replay_schema_ops(part, gen_wv[(mode, labels, gk)])
+                part = self._replay_schema_ops(
+                    part, gen_wv[(mode, labels, gk, base)]
+                )
             if mode == "include":
                 part = part.filter(F.col(PT_COL).isin(list(labels)))
             elif mode == "exclude":
@@ -1106,3 +1112,56 @@ class OlapTable:
                 if fn.endswith(".parquet")
             )
         return n
+
+
+def clone_table(
+    src: OlapTable,
+    new_name: str,
+    warehouse: str,
+    overwrite: bool = False,
+) -> OlapTable:
+    """ZERO-COPY snapshot clone at the source's current version — the
+    Delta-style shallow CLONE: the new table gets its own spec and
+    manifest (full MVCC lineage: versions, keys-model collapse, time
+    travel over the cloned history), but its rowset entries point at
+    the SOURCE's data files by absolute path, so no byte of data is
+    copied at any table size.  Every reader already resolves files via
+    ``os.path.join(root, rs.path)``, which passes absolute paths
+    through untouched — clones need no special read path.
+
+    Divergence is free in both directions: writes to the clone publish
+    NEW relative rowsets under the clone's root; the source never sees
+    them, and the clone never sees post-clone source publishes.
+
+    Shallow-clone contract (same as Delta/Iceberg): the clone borrows
+    the source's files, so a source-side physical GC or compaction
+    that DELETES files (gc_retention, compact with physical cleanup)
+    can invalidate clones taken earlier — snapshot the retention
+    policy accordingly, or re-clone.  PREPARED and stale rowsets are
+    not carried over (not readable, and their files are GC bait).
+    """
+    import copy as _copy
+    import json as _json
+
+    root = os.path.join(warehouse, new_name)
+    if os.path.exists(root):
+        if not overwrite:
+            raise FileExistsError(f"table dir exists: {root}")
+        shutil.rmtree(root)
+    os.makedirs(root)
+    spec_doc = _json.loads(src.spec.to_json())
+    spec_doc["name"] = new_name
+    spec2 = TableSpec.from_dict(spec_doc)
+    with open(os.path.join(root, SPEC_FILE), "w") as f:
+        f.write(spec2.to_json())
+    m = Manifest(root)
+    doc = _copy.deepcopy(src.manifest.doc)
+    doc["rowsets"] = [
+        {**d, "path": os.path.join(src.root, d["path"])}
+        for d in doc["rowsets"]
+        if RowsetMeta.from_dict(d).state == RowsetState.VISIBLE
+    ]
+    doc["generation"] = m.doc.get("generation", 0)
+    m.doc = doc
+    m.save()
+    return OlapTable.load(src.spark, warehouse, new_name)

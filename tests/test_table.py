@@ -258,3 +258,77 @@ def test_delete_where_null_predicate(spark, warehouse):
     assert n == 2
     kept = {r.k for r in t.read().select("k").collect()}
     assert kept == {0, 2, 3}
+
+
+def test_clone_table_zero_copy_and_divergence(spark, warehouse):
+    """Shallow clone: identical reads with ZERO data files under the
+    clone root; post-clone writes diverge in both directions; the
+    cloned MVCC lineage supports snapshot reads."""
+    import os
+
+    from olap_storage_engine_spark.table import clone_table
+
+    spec = TableSpec(
+        name="clone_src",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    src = OlapTable.create(spark, spec, warehouse)
+    src.write(spark.createDataFrame([(1, 10), (2, 20)], "k long, x long"))
+    src.write(spark.createDataFrame([(3, 30)], "k long, x long"))
+
+    cl = clone_table(src, "clone_dst", warehouse)
+    rows = lambda t: sorted((r["k"], r["x"]) for r in t.read().collect())
+    assert rows(cl) == rows(src) == [(1, 10), (2, 20), (3, 30)]
+    # zero-copy: not a single parquet file under the clone's root
+    n_files = sum(
+        1
+        for dp, _, fns in os.walk(cl.root)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    assert n_files == 0
+    # snapshot read over the CLONED lineage
+    assert sorted(
+        (r["k"], r["x"]) for r in cl.read(0, 0).collect()
+    ) == [(1, 10), (2, 20)]
+    # divergence: clone write invisible to source, and vice versa
+    cl.write(spark.createDataFrame([(4, 40)], "k long, x long"))
+    src.write(spark.createDataFrame([(5, 50)], "k long, x long"))
+    assert rows(cl) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    assert rows(src) == [(1, 10), (2, 20), (3, 30), (5, 50)]
+
+
+def test_clone_gc_never_deletes_borrowed_source_files(spark, warehouse):
+    """A clone compacts (retiring its borrowed rowsets) and then
+    physically GCs — the SOURCE's data files must survive and the
+    source must still read; the clone serves from its own compacted
+    rowset."""
+    from olap_storage_engine_spark.operators.compaction import (
+        compact,
+        garbage_collect,
+    )
+    from olap_storage_engine_spark.table import clone_table
+
+    spec = TableSpec(
+        name="gc_src",
+        columns=[
+            ColumnSpec.key("k", ColumnType.INT64),
+            ColumnSpec.value("x", ColumnType.INT64),
+        ],
+        keys_type=KeysType.DUPLICATE,
+    )
+    src = OlapTable.create(spark, spec, warehouse)
+    src.write(spark.createDataFrame([(1, 10)], "k long, x long"))
+    src.write(spark.createDataFrame([(2, 20)], "k long, x long"))
+    cl = clone_table(src, "gc_dst", warehouse)
+    compact(cl)  # rewrites borrowed rowsets into one native rowset
+    removed = garbage_collect(cl, prepared_ttl_sec=None)
+    # nothing physically removed: both retired rowsets were borrowed
+    assert removed == []
+    rows = lambda t: sorted((r["k"], r["x"]) for r in t.read().collect())
+    assert rows(src) == [(1, 10), (2, 20)]  # source files intact
+    assert rows(cl) == [(1, 10), (2, 20)]
