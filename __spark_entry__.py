@@ -2352,7 +2352,7 @@ def q_recursive_cte(spark, sf_dir):
           WHERE c.c_custkey >= 10
         )
         SELECT depth, CAST(count(*) AS INT) AS n,
-               sum(k) AS sum_keys
+               CAST(sum(k) AS BIGINT) AS sum_keys
         FROM tree GROUP BY depth
         """
     )
@@ -5834,23 +5834,23 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v
                     FROM wc),
             terms AS (
-              SELECT ta, tb,
-                     CAST(round((CAST(ca + 1 AS DOUBLE) / (ta + v))
-                                * ln((CAST(ca + 1 AS DOUBLE) / (ta + v))
-                                     / (CAST(cb + 1 AS DOUBLE) / (tb + v))),
-                                9) AS DECIMAL(18,9)) AS t_ab,
-                     CAST(round((CAST(cb + 1 AS DOUBLE) / (tb + v))
-                                * ln((CAST(cb + 1 AS DOUBLE) / (tb + v))
-                                     / (CAST(ca + 1 AS DOUBLE) / (ta + v))),
-                                9) AS DECIMAL(18,9)) AS t_ba
+              SELECT ta, tb, (ta + v) AS da, (tb + v) AS db,
+                     abs((ca + 1) * (tb + v) - (cb + 1) * (ta + v)) AS t
               FROM wc CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS INT) AS n_words,
+                     CAST(max(ta) AS BIGINT) AS tokens_a,
+                     CAST(max(tb) AS BIGINT) AS tokens_b,
+                     max(da) AS da, max(db) AS db, sum(t) AS num
+              FROM terms
             )
-            SELECT CAST(count(*) AS INT) AS n_words,
-                   max(ta) AS tokens_a, max(tb) AS tokens_b,
-                   CAST(round(sum(t_ab), 3) AS DOUBLE) AS kl_ab,
-                   CAST(round(sum(t_ba), 3) AS DOUBLE) AS kl_ba,
-                   CAST(round(sum(t_ab + t_ba), 3) AS DOUBLE) AS kl_sym
-            FROM terms
+            SELECT n_words, tokens_a, tokens_b,
+                   CAST((num * 1000000 + da * db) // (2 * da * db)
+                        AS BIGINT) AS tvd_micros,
+                   CAST(CAST((num * 1000000 + da * db) // (2 * da * db)
+                             AS BIGINT) AS DOUBLE) / 1000000.0 AS tvd
+            FROM agg
         """,
         # precision/recall of the banded-LSH candidate set against the
         # exact-Jaccard truth at the same n=3 shingles; truth derived
@@ -7081,7 +7081,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.c_custkey >= 10
             )
             SELECT depth, CAST(count(*) AS INT) AS n,
-                   sum(k) AS sum_keys
+                   CAST(sum(k) AS BIGINT) AS sum_keys
             FROM tree GROUP BY depth
         """,
         "sql_engine_views": """

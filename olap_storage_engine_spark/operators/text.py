@@ -1363,7 +1363,6 @@ def temperature_mixture_summary(
     )
 
 
-_DEC9 = "decimal(18,9)"
 _DEC6 = "decimal(18,6)"
 
 
@@ -1515,7 +1514,7 @@ def corpus_drift_report(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Dataset-shift monitoring: symmetric KL divergence between the
+    """Dataset-shift monitoring: total-variation distance between the
     unigram distributions of two deterministic halves of the corpus
     (md5 doc-id split — in production the two sides are adjacent
     publishes or train-vs-incoming batches; the statistic is the
@@ -1523,22 +1522,29 @@ def corpus_drift_report(
     reaches the trainer).
 
     Distributions are add-one smoothed over the union vocabulary,
-    p_s(w) = (c_{s,w}+1)/(T_s+V).  Plan: one token-count aggregate
-    keyed (word, side) with map-side combine, a scalar totals row
-    broadcast back, per-word KL terms rounded to 9dp and summed as
-    exact DECIMAL fixed-point (order-independent — the lm-score
-    discipline), one output row.  At 100 TB this is a word-keyed
-    count job plus vocabulary-sized arithmetic.
+    p_s(w) = (c_{s,w}+1)/(T_s+V) with D_s = T_s+V.  Then
+    TVD = Σ_w |p_a(w) − p_b(w)| / 2
+        = Σ_w |(c_a+1)·D_b − (c_b+1)·D_a| / (2·D_a·D_b),
+    whose numerator is a pure-INTEGER sum — computed here in
+    DECIMAL(38,0) (no float, no libm anywhere), then rounded
+    half-up to the 1e-6 grid by integer arithmetic:
+    tvd_micros = (num·10^6 + D_a·D_b) div (2·D_a·D_b).  Earlier
+    rounds shipped symmetric-KL here and were hash-red twice: the
+    per-word log() terms differ by ulps across libm builds, and a
+    vocabulary-sized sum of ulp wobbles can cross any rounding grid.
+    TVD carries the same drift signal (Pinsker: TVD ≤ sqrt(KL/2))
+    and is exactly rational, so every engine agrees bit-for-bit.
 
-    Cross-engine hash discipline: n_words / tokens_a / tokens_b are
-    exact integers; the KL outputs sit on a coarse 3dp grid.  A
-    per-word 9dp term landing on a 5e-10 boundary can flip one ulp of
-    the decimal sum between libm implementations (observed once on
-    the r9 driver host), but a ±few·1e-9 wobble cannot cross a 5e-4
-    final-grid boundary, so the checked projection is robust.
+    Plan: one token-count aggregate keyed (word, side) with map-side
+    combine, a scalar totals row broadcast back, vocabulary-sized
+    integer arithmetic, one output row.  At 100 TB this is a
+    word-keyed count job.  tvd_micros ∈ [0, 10^6] so BIGINT output
+    never overflows at any corpus size; intermediates stay within
+    DECIMAL(38,0) up to ~10^15 tokens per side.
 
-    Returns one row (n_words, tokens_a, tokens_b, kl_ab, kl_ba,
-    kl_sym), KL values in nats on the 3dp grid.
+    Returns one row (n_words, tokens_a, tokens_b, tvd_micros, tvd);
+    tvd = tvd_micros/1e6 (one exact IEEE division of small exact
+    operands — bit-identical on every engine).
     """
     from ..functions.hashes import md5int
 
@@ -1558,23 +1564,37 @@ def corpus_drift_report(
         F.sum("cb").alias("__tb"),
         F.count(F.lit(1)).alias("__v"),
     )
-    pa = (F.col("ca") + 1).cast("double") / (F.col("__ta") + F.col("__v"))
-    pb = (F.col("cb") + 1).cast("double") / (F.col("__tb") + F.col("__v"))
+    _d20 = "decimal(20,0)"
+    da = (F.col("__ta") + F.col("__v")).cast(_d20)
+    db = (F.col("__tb") + F.col("__v")).cast(_d20)
     terms = wc.crossJoin(F.broadcast(totals)).select(
         F.col("__ta"),
         F.col("__tb"),
-        F.round(pa * F.log(pa / pb), 9).cast(_DEC9).alias("t_ab"),
-        F.round(pb * F.log(pb / pa), 9).cast(_DEC9).alias("t_ba"),
+        da.alias("__da"),
+        db.alias("__db"),
+        F.abs(
+            (F.col("ca") + 1).cast(_d20) * db
+            - (F.col("cb") + 1).cast(_d20) * da
+        ).alias("t"),
     )
-    return terms.groupBy().agg(
+    agg = terms.groupBy().agg(
         F.count(F.lit(1)).cast("int").alias("n_words"),
         F.max("__ta").alias("tokens_a"),
         F.max("__tb").alias("tokens_b"),
-        F.round(F.sum("t_ab"), 3).cast("double").alias("kl_ab"),
-        F.round(F.sum("t_ba"), 3).cast("double").alias("kl_ba"),
-        F.round(F.sum(F.col("t_ab") + F.col("t_ba")), 3)
-        .cast("double")
-        .alias("kl_sym"),
+        F.max("__da").alias("__da"),
+        F.max("__db").alias("__db"),
+        F.sum("t").alias("__num"),
+    )
+    return agg.select(
+        "n_words",
+        "tokens_a",
+        "tokens_b",
+        F.expr(
+            "CAST((__num * 1000000 + __da * __db)"
+            " div (2 * __da * __db) AS BIGINT)"
+        ).alias("tvd_micros"),
+    ).withColumn(
+        "tvd", F.col("tvd_micros").cast("double") / F.lit(1000000.0)
     )
 
 

@@ -379,7 +379,7 @@ def test_corpus_drift_zero_for_identical_halves(spark):
     b_ids = [i for i in range(40) if side(i) == 1][:3]
     rows = [Row(doc_id=i, text="x y z") for i in a_ids + b_ids]
     out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
-    assert (out["kl_ab"], out["kl_ba"], out["kl_sym"]) == (0.0, 0.0, 0.0)
+    assert (out["tvd_micros"], out["tvd"]) == (0, 0.0)
     assert out["n_words"] == 3
     assert out["tokens_a"] == out["tokens_b"] == 9
 
@@ -394,10 +394,10 @@ def test_corpus_drift_positive_and_asymmetric_inputs(spark):
     b_id = next(i for i in range(40) if side(i) == 1)
     rows = [Row(doc_id=a_id, text="p p p q"), Row(doc_id=b_id, text="q q q p")]
     out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
-    assert out["kl_ab"] > 0 and out["kl_ba"] > 0
-    # outputs sit on the 3dp grid since r10 (driver-host parity);
-    # kl_sym is the sum rounded independently, so allow one grid step
-    assert out["kl_sym"] == pytest.approx(out["kl_ab"] + out["kl_ba"], abs=2e-3)
+    # hand-computed: V=2, D_a=D_b=6, p_a=(4/6,2/6), p_b=(2/6,4/6)
+    # TVD = (|4-2|+|2-4|)/(2*6) = 4/12 = 1/3 -> 333333 micros half-up
+    assert out["tvd_micros"] == 333333
+    assert out["tvd"] == pytest.approx(1 / 3, abs=1e-6)
 
 
 def _py_span_dedup(texts, width, min_occurrences):
