@@ -41,6 +41,10 @@ MAGIC = b"OSEG"
 END_MAGIC = b"GESO"
 VERSION = 1
 _REC = struct.Struct("<qi2s8s")
+# the same 22-byte record as an (unaligned) numpy dtype, for the
+# batch decode path — itemsize must equal _REC.size
+_NP_REC = [("doc_id", "<i8"), ("n_chars", "<i4"),
+           ("lang", "S2"), ("source", "S8")]
 _HEADER = struct.Struct("<4sIQI")
 _BLOCK = struct.Struct("<QIqq")
 
@@ -112,7 +116,9 @@ def open_segment(path: str):
 def read_block(path: str, start_row: int, n: int, lo=None, hi=None):
     """Yield records of one block, applying the pushed doc_id range
     exactly (block pruning is block-granular; pushed filters must be
-    row-exact, so the residual range re-applies here)."""
+    row-exact, so the residual range re-applies here).  Row-at-a-time
+    convenience API for tests/tools; the Spark scan path uses
+    `read_block_batch` (one Arrow batch per block) instead."""
     with open(path, "rb") as fh:
         fh.seek(_HEADER.size + start_row * _REC.size)
         buf = fh.read(n * _REC.size)
@@ -128,6 +134,45 @@ def read_block(path: str, start_row: int, n: int, lo=None, hi=None):
             lang.decode().strip(),
             source.decode().strip(),
         )
+
+
+def read_block_batch(path: str, start_row: int, n: int, lo=None, hi=None):
+    """Decode one block into a single `pyarrow.RecordBatch`: the
+    fixed-width body maps straight onto a numpy structured dtype via
+    `frombuffer` (zero parse loop), the residual doc_id range becomes
+    two binary searches on the sorted id column (row-exact pushdown),
+    and the padded 2s/8s byte fields become Arrow strings with one
+    vectorized trim.  Returns None when the range selects no rows.
+
+    This is the scale-safe scan path: a 100 TB segment set decodes at
+    memcpy speed per task instead of `struct.iter_unpack` per row —
+    the Python DataSource contract lets `read()` yield RecordBatches,
+    so rows cross into the JVM as Arrow buffers, not pickled tuples."""
+    import numpy as np
+    import pyarrow as pa
+
+    with open(path, "rb") as fh:
+        fh.seek(_HEADER.size + start_row * _REC.size)
+        buf = fh.read(n * _REC.size)
+    arr = np.frombuffer(buf, dtype=_NP_REC)
+    ids = arr["doc_id"]
+    s, e = 0, len(arr)
+    if lo is not None:
+        s = int(np.searchsorted(ids, lo, side="left"))
+    if hi is not None:
+        e = int(np.searchsorted(ids, hi, side="right"))
+    if e <= s:
+        return None
+    sl = arr[s:e]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(sl["doc_id"], type=pa.int64()),
+            pa.array(sl["n_chars"], type=pa.int64()),
+            pa.array(np.char.strip(np.char.decode(sl["lang"], "ascii"))),
+            pa.array(np.char.strip(np.char.decode(sl["source"], "ascii"))),
+        ],
+        names=["doc_id", "n_chars", "lang", "source"],
+    )
 
 
 def make_datasource():
@@ -200,9 +245,11 @@ def make_datasource():
             return parts or [_BlockPartition(self.path, 0, 0, 0, -1)]
 
         def read(self, part):
-            yield from read_block(
+            batch = read_block_batch(
                 part.path, part.start_row, part.n, part.lo, part.hi
             )
+            if batch is not None:
+                yield batch
 
     def max2(a, b):
         return b if a is None else max(a, b)

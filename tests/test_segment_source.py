@@ -83,8 +83,10 @@ def test_pushdown_prunes_blocks_at_planning(seg):
     parts = r.partitions()
     # rows 250..449 live in blocks 2,3,4 (100-row blocks)
     assert len(parts) == 3
-    rows = [row for p in parts for row in r.read(p)]
-    assert sorted(x[0] for x in rows) == list(range(250, 450))
+    # read() yields one Arrow batch per block (residual range applied)
+    batches = [b for p in parts for b in r.read(p)]
+    ids = sorted(i for b in batches for i in b.column("doc_id").to_pylist())
+    assert ids == list(range(250, 450))
 
 
 def test_pushdown_returns_unsupported_filters(seg):
@@ -99,8 +101,8 @@ def test_pushdown_returns_unsupported_filters(seg):
     assert len(leftover) == 1 and leftover[0].attribute == ("lang",)
     parts = r.partitions()
     assert len(parts) == 1
-    rows = list(r.read(parts[0]))
-    assert [x[0] for x in rows] == [123]
+    (batch,) = list(r.read(parts[0]))
+    assert batch.column("doc_id").to_pylist() == [123]
 
 
 def test_spark_filtered_scan_matches(spark, seg):
@@ -118,3 +120,17 @@ def test_spark_filtered_scan_matches(spark, seg):
     assert sorted(r["doc_id"] for r in df.collect()) == list(range(0, 5)) + list(
         range(990, 1000)
     )
+
+
+def test_batch_decode_matches_row_decode(seg):
+    """read_block_batch is byte-for-byte equivalent to the row path
+    (same residual range semantics, same string trim)."""
+    import numpy as np
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    assert np.dtype(sf._NP_REC).itemsize == sf._REC.size
+    rows = list(sf.read_block(seg, 200, 100, lo=233, hi=257))
+    batch = sf.read_block_batch(seg, 200, 100, lo=233, hi=257)
+    assert [tuple(r.values()) for r in batch.to_pylist()] == rows
+    assert sf.read_block_batch(seg, 200, 100, lo=500, hi=400) is None
