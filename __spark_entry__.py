@@ -109,6 +109,34 @@ def q_bucket_routing_hash(spark, sf_dir):
     )
 
 
+def q_bucket_random_spread(spark, sf_dir):
+    """RANDOM bucketing invariants (reference src/partition.rs:39-45):
+    the reference assigns a bucket from subsec-nanos, ours round-robins
+    on monotonically_increasing_id — both non-deterministic BY DESIGN,
+    so the checked projection is the invariants a user relies on, not
+    the assignment: every row lands in exactly one of the n buckets
+    (total row count preserved), all n buckets are used, ids stay in
+    [0, n), and the spread is near-uniform (max bucket within 2x of
+    min — round-robin guarantees per-input-split imbalance <= 1 row,
+    so this holds at every scale).  Closes the one Part-A row that had
+    no declared query (operators/routing.py bucket_id_col RANDOM arm)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = BucketSpec(BucketType.RANDOM, None, 8)
+    per = (
+        o.withColumn("bucket_id", bucket_id_col(b))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy().agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("int").alias("n_buckets_used"),
+        ((F.min("bucket_id") >= 0) & (F.max("bucket_id") < 8)).alias(
+            "ids_in_range"
+        ),
+        (F.max("n") <= 2 * F.min("n")).alias("spread_ok"),
+    )
+
+
 def q_duplicate_model_scan(spark, sf_dir):
     t = get_table(spark, sf_dir, "orders_dup")
     return (
@@ -3748,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_count": q_scan_count,
         "write_read_roundtrip": q_write_read_roundtrip,
         "bucket_routing_hash": q_bucket_routing_hash,
+        "bucket_random_spread": q_bucket_random_spread,
         "duplicate_model_scan": q_duplicate_model_scan,
         "unique_key_latest": q_unique_key_latest,
         "agg_model_sum": q_agg_model_sum,
@@ -5193,6 +5222,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_fnv_sql("o_custkey::VARCHAR")} % 8 AS INT) AS bucket_id,
                    count(*) AS n, count(DISTINCT o_custkey) AS n_keys
             FROM orders GROUP BY 1
+        """,
+        # RANDOM bucketing is non-deterministic by design (reference
+        # src/partition.rs:39-45), so the oracle checks the INVARIANTS
+        # the Spark side reports, not the assignment itself
+        "bucket_random_spread": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(8 AS INT) AS n_buckets_used,
+                   TRUE AS ids_in_range,
+                   TRUE AS spread_ok
+            FROM orders
         """,
         "duplicate_model_scan": """
             SELECT o_orderstatus, count(*) AS n,

@@ -1379,9 +1379,20 @@ def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(warehouse_for(sf_dir), "shingle_index")
-        shingle_rows_from(docs).write.mode(
-            "overwrite"
-        ).partitionBy("n").parquet(path)
+        # Size index files to a ROW TARGET (~100k docs ≈ 4M gram rows
+        # ≈ tens of MB per file), not to the writer's input
+        # parallelism: inheriting the scan's partitioning wrote 32
+        # ~100 KiB files per width at sf0.1, and every index consumer
+        # then scheduled 32 near-empty tasks per scan.  The (n,
+        # doc-bucket) repartition keeps each width's files at the
+        # target size at ANY corpus scale — more docs, more files,
+        # same bytes per task.
+        files_per_width = max(1, docs.count() // 100_000)
+        shingle_rows_from(docs).repartition(
+            files_per_width,
+            F.col("n"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_width)),
+        ).write.mode("overwrite").partitionBy("n").parquet(path)
         return path
 
     return _aux_cached("shingle_index", sf_dir, build)

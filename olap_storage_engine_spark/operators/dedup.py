@@ -518,17 +518,19 @@ def ngram_pairs_from_index(
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
         .select(F.sort_array("ds").alias("ds"))
     )
-    pair = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a: F.transform(
-                    F.col("ds"),
-                    lambda b: F.struct(a.alias("a"), b.alias("b")),
-                ),
-            )
-        ),
-        lambda p: p["a"][id_col] < p["b"][id_col],
+    # emit only the i<j upper triangle directly (indexed transform +
+    # slice over the doc-sorted list) instead of building all k² pair
+    # structs and filtering half away — the expansion is the plan's
+    # widest point, so halving it halves the shuffle feeding the pair
+    # aggregate
+    pair = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
     pairs = idx.select(F.explode(pair).alias("p")).select(
         F.col(f"p.a.{id_col}").alias("doc_a"),
@@ -536,8 +538,12 @@ def ngram_pairs_from_index(
         F.col("p.a.sz").alias("sz_a"),
         F.col("p.b.sz").alias("sz_b"),
     )
-    common = pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(
-        F.count(F.lit(1)).alias("common")
+    # group on the pair key alone; sz is functionally dependent on the
+    # doc id (max() just carries it through the combine)
+    common = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.max("sz_a").alias("sz_a"),
+        F.max("sz_b").alias("sz_b"),
     )
     return (
         common.withColumn(
@@ -1462,17 +1468,31 @@ def lsh_pr_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
     Note precision is measured against the df-capped truth set — a
     candidate pair whose overlap lives only in stop-shingles counts
     as a false positive, which is the conservative reading.
+
+    All three counts come from ONE full-outer join + one scalar
+    aggregate, so each input pipeline is evaluated exactly once — the
+    earlier three-aggregate formulation re-ran the (expensive) truth
+    derivation for its count and again for the hits join, doubling
+    the query's dominant cost.  Inputs are pair SETS (distinct
+    (doc_a, doc_b)) per their producers' contracts, so the join is
+    1:1 and the counts are exact.
     """
-    cand = candidates.select("doc_a", "doc_b")
-    tr = truth.select("doc_a", "doc_b")
-    hits = tr.join(cand, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    t = truth.select("doc_a", "doc_b").withColumn("__t", F.lit(1))
+    c = candidates.select("doc_a", "doc_b").withColumn("__c", F.lit(1))
+    both = t.join(c, ["doc_a", "doc_b"], "full_outer").agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("n_hits"),
     )
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nt = tr.agg(F.count(F.lit(1)).alias("n_truth"))
     return (
-        nc.crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(hits))
+        both
         .select(
             F.col("n_candidates").cast("int").alias("n_candidates"),
             F.col("n_truth").cast("int").alias("n_truth"),
