@@ -150,6 +150,63 @@ class ManifestConflictError(Exception):
     unsaved; reload the manifest and retry the operation."""
 
 
+class ConditionalPut:
+    """The storage seam behind ``Manifest.save()``: atomically publish
+    a manifest document IF the currently-published generation equals
+    the one the writer last observed, else raise
+    ``ManifestConflictError``.
+
+    This is the one primitive the MVCC layer needs from storage (the
+    same split as Delta Lake's LogStore).  Implementations:
+
+    * ``LocalFlockCas`` (default) — exclusive flock + atomic rename;
+      correct for any number of writers on ONE host / shared POSIX fs.
+    * A cluster deployment on object storage substitutes the store's
+      native conditional write: S3 ``If-None-Match``/``If-Match``
+      conditional PUT, GCS ``x-goog-if-generation-match``, or an
+      external lock row (DynamoDB attribute-conditional update) where
+      the store lacks one.  See SCALE.md "Multi-writer metadata".
+
+    Contract for implementers: the generation check and the write MUST
+    be one atomic unit against the authoritative store; on success the
+    published doc carries ``generation = expected_gen + 1``.
+    """
+
+    def put_if_generation(
+        self, path: str, doc: dict, expected_gen: int
+    ) -> None:
+        raise NotImplementedError
+
+
+class LocalFlockCas(ConditionalPut):
+    """Single-host conditional-put: re-read the on-disk generation
+    under an exclusive file lock, verify it matches, bump, write to a
+    temp file, atomic rename.  Readers never block (the rename is
+    atomic on POSIX); a losing writer raises instead of clobbering."""
+
+    def put_if_generation(
+        self, path: str, doc: dict, expected_gen: int
+    ) -> None:
+        import fcntl
+
+        with open(path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if os.path.exists(path):
+                with open(path) as f:
+                    disk_gen = json.load(f).get("generation", 0)
+                if disk_gen != expected_gen:
+                    raise ManifestConflictError(
+                        f"{path}: on-disk generation {disk_gen} != "
+                        f"loaded generation {expected_gen} — another "
+                        "writer published; reload and retry"
+                    )
+            doc["generation"] = expected_gen + 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, indent=1)
+            os.replace(tmp, path)  # atomic on POSIX
+
+
 class VersionGraph:
     """Version-interval cover resolution (reference: src/tablet.rs:14-69).
 
@@ -274,32 +331,23 @@ class Manifest:
                     raise
                 self.reload()
 
-    def save(self) -> None:
-        """Compare-and-swap persist: verify the on-disk generation is
-        the one this instance last observed (under an exclusive file
-        lock), bump it, write, atomic rename.  Raises
-        ``ManifestConflictError`` when another writer got there first —
-        the single-writer-per-table contract, enforced."""
-        import fcntl
+    #: process-wide default store seam; a deployment swaps this (or an
+    #: instance's ``cas`` attribute) for an object-store implementation
+    default_cas: "ConditionalPut" = LocalFlockCas()
 
+    def save(self) -> None:
+        """Compare-and-swap persist through the ``ConditionalPut``
+        seam: publish iff the authoritative generation is the one this
+        instance last observed, bump it atomically.  Raises
+        ``ManifestConflictError`` when another writer got there first —
+        the single-writer-per-table contract, enforced.  The storage
+        primitive (flock+rename locally, conditional PUT on an object
+        store) lives behind ``self.cas``."""
         os.makedirs(self.table_root, exist_ok=True)
-        with open(self.path + ".lock", "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            mine = self.doc.get("generation", 0)
-            if os.path.exists(self.path):
-                with open(self.path) as f:
-                    disk_gen = json.load(f).get("generation", 0)
-                if disk_gen != mine:
-                    raise ManifestConflictError(
-                        f"{self.path}: on-disk generation {disk_gen} != "
-                        f"loaded generation {mine} — another writer "
-                        "published; reload and retry"
-                    )
-            self.doc["generation"] = mine + 1
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self.doc, f, indent=1)
-            os.replace(tmp, self.path)  # atomic on POSIX
+        cas = getattr(self, "cas", None) or type(self).default_cas
+        cas.put_if_generation(
+            self.path, self.doc, self.doc.get("generation", 0)
+        )
 
     # -- rowset accounting ---------------------------------------------
     def rowsets(self) -> list[RowsetMeta]:

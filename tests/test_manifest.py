@@ -322,3 +322,41 @@ def test_append_racing_commit_of_prepared_rowset_raises(spark, tmp_path):
         (2, 2.0),
         (3, 3.0),
     ]
+
+
+def test_conditional_put_seam_is_swappable(tmp_path):
+    """Every manifest save funnels through the ConditionalPut seam
+    (the object-store portability contract, SCALE.md "Multi-writer
+    metadata"): a custom implementation observes every publish with
+    the expected generation, and its conflict raise surfaces exactly
+    like the local CAS's."""
+    from olap_storage_engine_spark.plans.manifest import (
+        ConditionalPut,
+        LocalFlockCas,
+    )
+
+    calls = []
+
+    class RecordingCas(ConditionalPut):
+        def __init__(self):
+            self.inner = LocalFlockCas()
+            self.fail_next = False
+
+        def put_if_generation(self, path, doc, expected_gen):
+            calls.append(expected_gen)
+            if self.fail_next:
+                raise ManifestConflictError("injected store conflict")
+            self.inner.put_if_generation(path, doc, expected_gen)
+
+    root = str(tmp_path / "t")
+    m = Manifest(root)
+    m.cas = RecordingCas()
+    m.save()
+    m.publish(rs(m.next_rowset_id(), 0, 0))
+    assert calls == [0, 1]  # create, then CAS on the observed gen
+
+    m.cas.fail_next = True
+    with pytest.raises(ManifestConflictError):
+        m.publish(rs(m.next_rowset_id(), 1, 1))
+    # store-level conflict left the on-disk manifest at the winner
+    assert Manifest.load(root).max_version == 0
