@@ -358,14 +358,16 @@ def q_snapshot_clone_read(spark, sf_dir):
     full collapse + snapshot semantics over borrowed files.  Divergence
     and GC safety (a clone's physical GC never deletes borrowed
     source files) are pinned in tests/test_table.py."""
-    import uuid
-
     from olap_storage_engine_spark.fixtures import warehouse_for
     from olap_storage_engine_spark.table import clone_table
 
     src = get_table(spark, sf_dir, "orders_versions")
+    # fixed clone name + overwrite: a uuid-per-run name accreted one
+    # abandoned clone dir per bench run within a session (manifest
+    # JSON only — zero-copy — but unbounded); re-runs now reuse the
+    # slot and the result is identical (clone is deterministic)
     cl = clone_table(
-        src, f"orders_clone_{uuid.uuid4().hex[:8]}", warehouse_for(sf_dir)
+        src, "orders_clone_bench", warehouse_for(sf_dir), overwrite=True
     )
     return (
         cl.read()
@@ -1997,7 +1999,7 @@ def q_events_stream_mv(spark, sf_dir):
     aggregate over the raw events (streaming maintenance must be
     invisible to readers)."""
     import os
-    import uuid
+    import shutil
 
     from olap_storage_engine_spark.fixtures import warehouse_for
     from olap_storage_engine_spark.spec import (
@@ -2016,9 +2018,13 @@ def q_events_stream_mv(spark, sf_dir):
     from olap_storage_engine_spark.streaming.ingest import stream_ingest
     from olap_storage_engine_spark.table import OlapTable
 
-    tag = uuid.uuid4().hex[:8]
+    # fixed table + checkpoint names, recreated per run: uuid-per-run
+    # names accreted a table dir and a checkpoint dir on every bench
+    # run within one session.  The checkpoint MUST be cleared together
+    # with the table — a stale checkpoint against a fresh table would
+    # mark both micro-batches already-committed and ingest nothing.
     spec = TableSpec(
-        name=f"events_mv_{tag}",
+        name="events_mv_bench_t",
         columns=[
             ColumnSpec.key("event_id", ColumnType.INT64),
             ColumnSpec.value("user_id", ColumnType.INT64),
@@ -2029,7 +2035,7 @@ def q_events_stream_mv(spark, sf_dir):
         keys_type=KeysType.DUPLICATE,
         bucket=BucketSpec(BucketType.HASH, "user_id", 4),
     )
-    t = OlapTable.create(spark, spec, warehouse_for(sf_dir))
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
     ev = load_table(spark, sf_dir, "events")
     # materialize the dim ONCE (cache + eager count): a stream-static
     # join re-evaluates the static plan per micro-batch, so an
@@ -2046,16 +2052,22 @@ def q_events_stream_mv(spark, sf_dir):
     enriched = stream.join(F.broadcast(tiers), "user_id").select(
         "event_id", "user_id", "tier", "event_type", "value"
     )
-    ckpt = os.path.join(warehouse_for(sf_dir), f"mv_ckpt_{tag}")
-    with _shuffle_partitions(spark, 4):
-        q = stream_ingest(
-            t,
-            enriched,
-            checkpoint_dir=ckpt,
-            exactly_once=True,
-            source_id="events_mv_bench",
-        )
-        _await_or_raise(q)
+    ckpt = os.path.join(warehouse_for(sf_dir), "events_mv_bench_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        with _shuffle_partitions(spark, 4):
+            q = stream_ingest(
+                t,
+                enriched,
+                checkpoint_dir=ckpt,
+                exactly_once=True,
+                source_id="events_mv_bench",
+            )
+            _await_or_raise(q)
+    finally:
+        # the returned DataFrame reads only the published table; the
+        # cached dim is dead weight in executor memory after the run
+        tiers.unpersist()
     return (
         t.read()
         .groupBy("tier", "event_type")

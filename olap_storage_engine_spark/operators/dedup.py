@@ -1326,11 +1326,14 @@ def semantic_decontaminate(
     corpus scale BY CONTRACT (callers bound it; it is collected to
     the driver like a probe set) and rides into an Arrow kernel as a
     gemm operand — ONE ``mapInPandas`` pass over the corpus computes
-    each batch's full cosine block ``V @ E.T`` and emits ONLY the
-    pairs at/above ``threshold - 1e-6`` (survivors-only, the
-    semantic-dedup kernel discipline: a non-surviving pair never
-    materializes as a row, and the margin covers HALF_UP at 6dp so
-    nothing the final rounded cut could keep is pre-cut).  The final
+    each batch's full cosine block ``V @ E.T`` and emits ONLY each
+    row's TOP CANDIDATE SET: pairs at/above ``threshold - 1e-6`` AND
+    within 1e-6 of the row's raw maximum.  (Rounding to 6dp is
+    monotone with error <= 0.5e-6 per value, so a pair more than one
+    grid step below the row max can never win the rounded argmax —
+    dropping it in-kernel is exact.  Without the per-row cut, a
+    clustered corpus against a low threshold emitted rows approaching
+    the full cross product into the argmax shuffle.)  The final
     round + per-vector argmax (``max(struct(cos, -eval_id))``,
     combine-enabled) stay Spark-side, so rounding semantics and ties
     are engine-identical — BLAS-vs-sequential summation ulps are
@@ -1367,7 +1370,12 @@ def semantic_decontaminate(
             )
             nv = np.sqrt(np.einsum("ij,ij->i", V, V))
             C = (V @ E.T) / (nv[:, None] * en[None, :])
-            ii, jj = np.nonzero(C >= pre_cut)
+            # per-row top-candidate cut: only pairs that could still
+            # win the Spark-side rounded argmax leave the kernel
+            rowmax = C.max(axis=1)
+            ii, jj = np.nonzero(
+                (C >= pre_cut) & (C >= rowmax[:, None] - 1e-6)
+            )
             if not len(ii):
                 continue
             yield pd.DataFrame(

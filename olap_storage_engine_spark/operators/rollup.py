@@ -114,6 +114,7 @@ def join_mv_delta_refresh(
 
     if _mv_already_refreshed(fact, mv, hi):
         return
+    _mv_check_contiguous(fact, mv, lo)
     delta = fact.read(lo, hi)
     joined = delta.join(F.broadcast(dim), on)
     mv.write(
@@ -129,6 +130,25 @@ def _mv_source_id(fact: OlapTable) -> str:
 def _mv_already_refreshed(fact: OlapTable, mv: OlapTable, hi: int) -> bool:
     done = mv.manifest.committed_epoch(_mv_source_id(fact))
     return done is not None and hi <= done
+
+
+def _mv_check_contiguous(fact: OlapTable, mv: OlapTable, lo: int) -> None:
+    """The epoch record is a single high watermark, so refresh
+    intervals MUST arrive contiguously: committing [5,5] before [3,4]
+    would record "refreshed through 5" and silently no-op the skipped
+    versions forever; re-running [2,5] when 3 is committed would
+    re-apply versions 2-3 (double-count on an AGGREGATE MV).  Both are
+    caller bugs the watermark cannot represent — fail loud instead."""
+    done = mv.manifest.committed_epoch(_mv_source_id(fact))
+    committed = int(done) if done is not None else -1
+    if lo != committed + 1:
+        raise ValueError(
+            f"non-contiguous MV refresh: committed through version "
+            f"{committed}, refresh starts at {lo} — intervals must be "
+            f"applied in publish order (expected lo={committed + 1}); "
+            "a gap would be recorded as refreshed, an overlap would "
+            "double-apply"
+        )
 
 
 def mv_refreshed_through(mv: OlapTable, fact: OlapTable) -> int:
@@ -183,6 +203,7 @@ def join_agg_mv_delta_refresh(
 
     if _mv_already_refreshed(fact, mv, hi):
         return
+    _mv_check_contiguous(fact, mv, lo)
     delta = fact.read(lo, hi)
     joined = delta.join(F.broadcast(dim), on)
     keys = mv.spec.key_names()

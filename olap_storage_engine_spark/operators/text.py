@@ -1002,8 +1002,12 @@ def dsir_select_from_grams(
     ``gram_cols`` is the gram identity — ``("n", "sh")`` for the
     hashed index (keeping ``n`` in the key makes cross-width hash
     collisions impossible), ``("gram",)`` for inline string grams.
-    Counts, λ, and scores are identical either way, so the DuckDB
-    oracle (which re-derives from raw text) is unchanged."""
+    Counts, λ, and scores are then identical to string grams UP TO
+    within-width xxhash64 collisions: two distinct same-width grams
+    colliding under the 64-bit hash would merge their counts (and
+    silently diverge from a string-gram oracle).  At ~2^-64 per pair
+    this is birthday-bounded at ~1e-8 even for a 10^9-gram vocabulary
+    — accepted, same as every hashed-shingle consumer of the index."""
     from pyspark.sql import Window
 
     gcols = list(gram_cols)

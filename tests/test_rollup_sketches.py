@@ -546,3 +546,62 @@ def test_join_mv_refresh_is_idempotent_and_tracks_staleness(
     assert mv_staleness(mv, fact) == 0
     got = sorted((r["g"], r["sx"]) for r in mv.read().collect())
     assert got == [(0, 20), (1, 40)]
+
+
+def test_mv_refresh_rejects_gapped_and_overlapping_intervals(
+    spark, warehouse
+):
+    """The refresh watermark is a single high-water epoch, so a gap
+    (skipped versions would be recorded as refreshed) or an overlap
+    (already-applied versions would double-count on an AGGREGATE MV)
+    must fail loud; an exact replay stays a silent no-op."""
+    import pyspark.sql.functions as SF
+    import pytest as _pt
+
+    from olap_storage_engine_spark.operators.rollup import (
+        join_agg_mv_delta_refresh,
+    )
+
+    fact = OlapTable.create(
+        spark,
+        TableSpec(
+            name="gap_fact",
+            columns=[
+                ColumnSpec.key("k", ColumnType.INT64),
+                ColumnSpec.value("x", ColumnType.INT64),
+            ],
+            keys_type=KeysType.DUPLICATE,
+        ),
+        warehouse,
+    )
+    mv = OlapTable.create(
+        spark,
+        TableSpec(
+            name="gap_mv",
+            columns=[
+                ColumnSpec.key("g", ColumnType.INT64),
+                ColumnSpec.value("sx", ColumnType.INT64, AggregateType.SUM),
+            ],
+            keys_type=KeysType.AGGREGATE,
+        ),
+        warehouse,
+    )
+    dim = spark.createDataFrame([(i, i % 2) for i in range(10)], "dk long, g long")
+    aggs = [SF.sum("x").alias("sx")]
+    on = SF.col("k") == SF.col("dk")
+    for _ in range(3):  # versions 0,1,2 published
+        fact.write(spark.createDataFrame([(1, 10), (2, 20)], "k long, x long"))
+
+    join_agg_mv_delta_refresh(fact, dim, mv, 0, 0, on, aggs)
+    # gap: skipping version 1
+    with _pt.raises(ValueError, match="non-contiguous"):
+        join_agg_mv_delta_refresh(fact, dim, mv, 2, 2, on, aggs)
+    # overlap past the watermark: would re-apply version 0
+    with _pt.raises(ValueError, match="non-contiguous"):
+        join_agg_mv_delta_refresh(fact, dim, mv, 0, 1, on, aggs)
+    # exact replay of the committed interval: silent no-op
+    join_agg_mv_delta_refresh(fact, dim, mv, 0, 0, on, aggs)
+    # the contiguous next interval goes through
+    join_agg_mv_delta_refresh(fact, dim, mv, 1, 2, on, aggs)
+    got = {r["g"]: r["sx"] for r in mv.read().collect()}
+    assert got == {0: 60, 1: 30}
