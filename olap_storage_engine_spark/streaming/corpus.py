@@ -86,6 +86,7 @@ def run_fixture_stream_decontaminate(
     from .events import (
         _await_or_raise,
         _ephemeral_checkpoint,
+        _excluded_rules,
         _shuffle_partitions,
     )
 
@@ -161,7 +162,22 @@ def run_fixture_stream_decontaminate(
         ~contaminated(gram_hashes(F.col("__toks")))
     ).select("doc_id", "lang", "source")
     name = f"dc_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 4):
+    # PushDownPredicates is excluded for THIS stream's planning:
+    # the rule substitutes the ``__toks`` alias into the filter
+    # condition verbatim, and gram_array references its tokens
+    # argument inside the per-gram slice lambda — the inlined
+    # tokens() then re-splits the text PER GRAM, O(tokens²) per
+    # document (measured 25.6 s vs 3.4 s on the 10x corpus).  No
+    # expression-level workaround survives: the substitution ignores
+    # the UDF's nondeterministic flag, and the lambda-variable
+    # binding trick (transform(array(tokens(..)), ..)) is a shape
+    # the streaming planner cannot extract a Python UDF from.  The
+    # topology is scan→filter→project, so the rule has nothing
+    # legitimate to do here; exclusion is scoped and restored.
+    with _shuffle_partitions(spark, 4), _excluded_rules(
+        spark,
+        "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates",
+    ):
         q = (
             kept.writeStream.format("memory")
             .queryName(name)

@@ -156,6 +156,27 @@ def _shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def _excluded_rules(spark: SparkSession, *rules: str):
+    """Temporarily add optimizer rules to
+    ``spark.sql.optimizer.excludedRules`` for a streaming query
+    started (and, with availableNow, fully drained) inside the scope.
+    Used where a specific rule rewrites a streaming plan into a
+    provably worse shape and no expression-level workaround survives
+    the rewrite — see run_fixture_stream_decontaminate."""
+    key = "spark.sql.optimizer.excludedRules"
+    old = spark.conf.get(key, None)
+    parts = [r for r in (old or "").split(",") if r]
+    spark.conf.set(key, ",".join(parts + list(rules)))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _ephemeral_checkpoint() -> str:
     """Checkpoint dir for the fixture/bench stream runners: tmpfs when
     the host has one, a normal tempdir otherwise.  Offset/commit WAL
