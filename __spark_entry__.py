@@ -3615,129 +3615,90 @@ def q_set_intersect(spark, sf_dir):
 # The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-10 rotation (executes the recipe the r9 head left in the
-    # fill).  Priority order within the 50-slot head proper:
-    #   1-5   the 5 queries with NO green driver row anywhere in
-    #         r1-r9: corpus_drift_report (the single r9 red — hash fix
-    #         shipped this round: KL on the 3dp grid) and the four
-    #         never-driver-checked thin compositions
-    #         (embedding_outliers, quality_classifier_serve,
-    #         quality_pareto_filter, similarity_hard_negatives),
-    #   6-16  the r10-NEW queries (non-additive schema evolution
-    #         rename/drop/widen across rowset generations; BPE
-    #         tokenizer training + corpus encoding + tokenize-on-
-    #         ingest streaming twin; partition/bucket layout
-    #         reorganization; recursive CTE; write-audit-publish;
-    #         per-document curation provenance; stream-static
-    #         enrichment),
-    #   17-20 queries whose CODE or semantics changed in r10:
-    #         similarity_ann_ivf (now served from the persisted cell
-    #         table), corpus_span_dedup (C4 total-occurrence rule),
-    #         ann_recall_eval (candidate dedup), and
-    #         multimodal_audio_resample (Arrow-pass projection fix),
-    #   21-49 ALL 29 queries whose newest green row is r6 — four
-    #         rounds stale, the oldest rows on the board (VERDICT r9
-    #         task 2: no row older than 4 rounds),
-    #   50    1 of the 47 r7-stale rows, most-touched-family-first
-    #         (the IVF/similarity serving family moved this round;
-    #         multimodal and events internals moved in r8-r9).
-    # --- no green driver row yet ---
+    # Round-11 rotation.  Priority order within the 50-slot head:
+    #   1-2   the two r10 REDS, re-checked after their root-cause
+    #         fixes (corpus_drift_report: exact-integer TVD, no
+    #         libm in the checked projection; recursive_cte:
+    #         sum_keys cast BIGINT in both engines),
+    #   3     the query added this round (bucket_random_spread,
+    #         never driver-checked),
+    #   4-12  queries whose CODE changed in r11: the Arrow-batched
+    #         segment reader; the single-pass PR eval + the three
+    #         ngram/minhash siblings sharing the rewritten pair
+    #         expansion; the de-quadratic'd streaming
+    #         decontamination; the fixed-name stream MV + clone;
+    #         the bounded semantic-decontamination kernel,
+    #   13-37 ALL 25 queries whose newest green row is r6 — five
+    #         rounds stale, the oldest rows on the board,
+    #   38-50 the 13 oldest r7 rows, most-touched-family-first
+    #         (similarity/dedup/streaming/multimodal moved this
+    #         round; the salted/bucketed join family is next).
+    # --- r10 reds, fixed this round ---
     "corpus_drift_report",
-    "embedding_outliers",
-    "quality_classifier_serve",
-    "quality_pareto_filter",
-    "similarity_hard_negatives",
-    # --- r10-new (never existed before this round) ---
-    "schema_evolution_rename",
-    "schema_evolution_drop",
-    "schema_evolution_widen",
-    "tokenizer_train",
-    "tokenizer_encode",
-    "docs_stream_tokenize",
-    "repartition_read",
     "recursive_cte",
-    "write_audit_publish",
-    "corpus_prep_provenance",
-    "events_stream_enrich",
-    "decontaminate_semantic",
-    "tokenizer_compression",
-    "join_mv_revenue",
-    "dpp_join_prune",
-    "events_stream_mv",
-    "agg_mv_revenue",
-    "snapshot_clone_read",
-    # --- code/semantics changed in r10; green rows predate it ---
-    "similarity_ann_ivf",
-    "corpus_span_dedup",
-    "ann_recall_eval",
-    "multimodal_audio_resample",
-    "dsir_sample",
-    "text_lm_score",
-    # --- all 29 r6-stale rows (oldest on the board) ---
-    "dedup_semantic",
-    "dedup_minhash_verified",
+    # --- new in r11, never driver-checked ---
+    "bucket_random_spread",
+    # --- code changed in r11 ---
+    "ingest_segment_pushdown",
+    "dedup_minhash_pr_eval",
+    "dedup_ngram_jaccard",
     "dedup_ngram_indexed",
-    "dedup_simhash_groups",
-    "embedding_corpus_prep",
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "docs_stream_quality_filter",
-    "quality_filter_pipeline",
-    "token_budget_select",
-    "stratified_sample",
-    "text_bm25",
-    "text_repetition",
-    "events_cohort",
-    "events_funnel",
-    "events_histogram",
-    "events_ohlc",
-    "events_twap",
-    "events_winsorize",
-    "compaction_partition",
-    # --- 9 oldest r7 rows, most-touched-family-first ---
-    "similarity_ann_ivf_cells",
-    # --- 9 r6-stale rows displaced to the fill top by this session's
-    #     head additions (decontaminate_semantic, tokenizer_compression,
-    #     join_mv_revenue, agg_mv_revenue, dpp_join_prune,
-    #     events_stream_mv, snapshot_clone_read + the two reworked
-    #     queries); they lead the r11 head if not reached ---
-    "merge_scoped",
-    "rowset_skip_scan",
+    "dedup_minhash_verified",
+    "docs_stream_decontaminate",
+    "events_stream_mv",
+    "snapshot_clone_read",
+    "decontaminate_semantic",
+    # --- all 25 r6-stale rows (oldest on the board) ---
     "dedup_exact_substring",
     "fk_orphan_audit",
     "join_string_similarity",
+    "merge_scoped",
+    "rowset_skip_scan",
     "sketch_theta_retention",
     "snapshot_rollback",
     "table_partitions",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "zorder_scan",
-    # --- fill (positions 51+; first to fall off under a ~50-row
-    #     cap): the displaced r7 picks (agg_salted_skew, tpch_q1,
-    #     sketch_profile, events_window_agg, multimodal_features,
-    #     multimodal_join, similarity_ann_lsh, similarity_topk) then
-    #     the remaining r7-stale rows in name order — every
-    #     r8/r9 row is fresher than these, so they lead the r11 head
-    #     if not reached ---
-    "agg_salted_skew",
-    "tpch_q1",
-    "sketch_profile",
+    # --- 13 oldest r7 rows, most-touched-family-first ---
+    "similarity_ann_lsh",
+    "similarity_topk",
+    "embedding_neardup",
+    "doc_fingerprint",
+    "events_stream_window",
+    "events_stream_replay_dedup",
     "events_window_agg",
     "multimodal_features",
     "multimodal_join",
-    "similarity_ann_lsh",
-    "similarity_topk",
+    "multimodal_meta",
+    "agg_salted_skew",
+    "bucketed_join",
+    "bucketed_fact_join",
+    # --- fill (positions 51+; first to fall off under the
+    #     ~50-row cap): the remaining r7-stale rows in name
+    #     order — every r8-r10 row is fresher, so these lead
+    #     the r12 head if not reached ---
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
-    "bucketed_fact_join",
-    "bucketed_join",
     "cdc_changes",
-    "doc_fingerprint",
-    "embedding_neardup",
     "events_gap_fill",
     "events_json_extract",
     "events_sessionize",
-    "events_stream_replay_dedup",
-    "events_stream_window",
     "events_variant_extract",
     "grouping_rollup",
     "grouping_sets_id",
@@ -3746,9 +3707,9 @@ _DRIVER_CHECK_HEAD = [
     "join_semi",
     "join_star_revenue",
     "merge_upsert",
-    "multimodal_meta",
     "rollup_routed_read",
     "schema_evolution_read",
+    "sketch_profile",
     "sketch_rollup_distinct",
     "sketch_rollup_quantiles",
     "sql_engine_views",
@@ -3758,7 +3719,11 @@ _DRIVER_CHECK_HEAD = [
     "text_stats",
     "text_tokens",
     "text_vocab",
+    "tpch_q1",
+    "tpch_q12",
     "tpch_q18",
+    "tpch_q21_bucketed",
+    "tpch_q22",
     "tpch_q5",
     "unpivot_metrics",
     "window_range_frame",
@@ -3768,16 +3733,15 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("similarity_ann_ivf_cells") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("bucketed_fact_join") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('similarity_ann_ivf_cells') + 1}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('bucketed_fact_join') + 1}"
 )
-# ROUND-11 ROTATION RECIPE: after CORRECTNESS_r10 lands, lead with any
-# query still lacking a green row (likely the 7 displaced r6-stale
-# rows above plus any r10 head entries past the ~50-row cap), then the
-# r7-stale fill entries above in order, then the oldest r8 rows
-# (CORRECTNESS_r08 minus newer rows) as budget allows.  Keep the head
-# proper at exactly 50 and update the assertion's anchor query.
+# ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
+# query still lacking a green row, then queries whose code changes in
+# r12, then the 35 fill entries above in order, then the oldest r8
+# rows (CORRECTNESS_r08 minus newer rows) as budget allows.  Keep the
+# head proper at exactly 50 and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
