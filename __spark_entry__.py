@@ -3025,6 +3025,50 @@ def q_ingest_segment_pushdown(spark, sf_dir):
     )
 
 
+def q_segment_write_roundtrip(spark, sf_dir):
+    """DISTRIBUTED write of the bespoke SEGMENT format (r11 — closes
+    the one 'driver-side fixture code' note the segment story had):
+    every task writes one complete zone-mapped segment under a temp
+    name, the driver's two-phase commit renames + publishes
+    _SEG_MANIFEST.json with per-file (rows, min_id, max_id), and the
+    read back resolves files ONLY through the manifest — so the WHERE
+    range prunes whole files at planning time (manifest zone maps)
+    and whole blocks at task time (footer zone maps), the engine's
+    rowset-stats/page-stats split applied to a foreign format.
+    repartitionByRange keys each file to a contiguous doc_id range,
+    which is what makes the file-level pruning selective
+    (sources/segment_format.py OlapSegWriter)."""
+    import os as _os
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.sources import segment_format
+
+    segment_format.register(spark)
+    path = _os.path.join(warehouse_for(sf_dir), "segtbl_write")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang", "source")
+        .repartitionByRange(8, "doc_id")
+        .write.format("olapseg")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    df = (
+        spark.read.format("olapseg")
+        .option("path", path)
+        .load()
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 3000))
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -3630,7 +3674,9 @@ _DRIVER_CHECK_HEAD = [
     #         the bounded semantic-decontamination kernel,
     #   13-37 ALL 25 queries whose newest green row is r6 — five
     #         rounds stale, the oldest rows on the board,
-    #   38-50 the 13 oldest r7 rows, most-touched-family-first
+    #   13    segment_write_roundtrip (added in r11 session 2,
+    #         never driver-checked),
+    #   38-50 the oldest r7 rows, most-touched-family-first
     #         (similarity/dedup/streaming/multimodal moved this
     #         round; the salted/bucketed join family is next).
     # --- r10 reds, fixed this round ---
@@ -3648,6 +3694,7 @@ _DRIVER_CHECK_HEAD = [
     "events_stream_mv",
     "snapshot_clone_read",
     "decontaminate_semantic",
+    "segment_write_roundtrip",
     # --- all 25 r6-stale rows (oldest on the board) ---
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -3687,11 +3734,12 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_meta",
     "agg_salted_skew",
     "bucketed_join",
-    "bucketed_fact_join",
     # --- fill (positions 51+; first to fall off under the
-    #     ~50-row cap): the remaining r7-stale rows in name
-    #     order — every r8-r10 row is fresher, so these lead
-    #     the r12 head if not reached ---
+    #     ~50-row cap): bucketed_fact_join (displaced from the head
+    #     proper by the r11 session-2 segment-writer addition), then
+    #     the remaining r7-stale rows in name order — every r8-r10
+    #     row is fresher, so these lead the r12 head if not reached ---
+    "bucketed_fact_join",
     "agg_model_min_max",
     "array_funcs",
     "bucket_point_lookup",
@@ -3733,9 +3781,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("bucketed_fact_join") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("bucketed_join") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('bucketed_fact_join') + 1}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('bucketed_join') + 1}"
 )
 # ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -3949,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_csv": q_ingest_csv,
         "ingest_binaryfile": q_ingest_binaryfile,
         "ingest_segment_pushdown": q_ingest_segment_pushdown,
+        "segment_write_roundtrip": q_segment_write_roundtrip,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7009,6 +7058,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
             WHERE doc_id >= 100 AND doc_id < 300
+            GROUP BY 1
+        """,
+        # distributed segment WRITE then manifest-resolved read-back:
+        # the roundtrip must reproduce the source table exactly, so
+        # the oracle is the same aggregate over documents
+        "segment_write_roundtrip": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+            WHERE doc_id >= 100 AND doc_id < 3000
             GROUP BY 1
         """,
         "pandas_udaf_weighted_avg": """

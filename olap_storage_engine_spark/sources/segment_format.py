@@ -30,16 +30,29 @@ bespoke on-disk format the reference (or a migration from it) leaves
 behind can be mounted as a Spark table with pushdown, without JVM
 code.  Scale shape: one block = one InputPartition = one task;
 `block_rows` plays `maxPartitionBytes`.
+
+Since r11 the format also has a DISTRIBUTED WRITE path
+(``OlapSegWriter``): each task writes one complete segment under a
+temp name, the driver's two-phase commit renames them and publishes
+``_SEG_MANIFEST.json`` with per-file (rows, min_id, max_id) zone
+maps, and directory reads resolve files only through the manifest —
+file-level pruning at planning time, block-level pruning in the task.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import struct
 import zlib
 
 MAGIC = b"OSEG"
 END_MAGIC = b"GESO"
 VERSION = 1
+# committed-files manifest of a multi-segment DIRECTORY table (the
+# distributed write path); carries per-file row counts and doc_id
+# zone maps so the reader prunes whole FILES at planning time
+MANIFEST_NAME = "_SEG_MANIFEST.json"
 _REC = struct.Struct("<qi2s8s")
 # the same 22-byte record as an (unaligned) numpy dtype, for the
 # batch decode path — itemsize must equal _REC.size
@@ -52,11 +65,12 @@ SEGMENT_SCHEMA = "doc_id bigint, n_chars bigint, lang string, source string"
 
 
 def write_segment(rows, path: str, block_rows: int = 256) -> int:
-    """Write (doc_id, n_chars, lang, source) tuples as one segment.
-    Rows are sorted by doc_id (the short-key order that makes the
-    zone maps selective).  Returns the number of rows written.
-    Fixture/driver-side by design — the distributed path is the
-    READER; real segments come from the system being migrated."""
+    """Write (doc_id, n_chars, lang, source) tuples as ONE segment
+    file.  Rows are sorted by doc_id (the short-key order that makes
+    the zone maps selective).  Returns the number of rows written.
+    This is the per-task building block: the distributed write path
+    (``OlapSegWriter``) calls it once per input partition and commits
+    the resulting files through the directory manifest."""
     recs = sorted(rows, key=lambda r: r[0])
     body = bytearray()
     blocks = []
@@ -197,6 +211,20 @@ def make_datasource():
             self.lo = lo
             self.hi = hi
 
+    class _FilePartition(InputPartition):
+        """One committed segment FILE of a directory table; the task
+        opens it (validation), prunes blocks from its footer, and
+        yields one Arrow batch per surviving block."""
+
+        def __init__(self, path, lo, hi):
+            self.path = path
+            self.lo = lo
+            self.hi = hi
+
+    class _EmptyPartition(InputPartition):
+        """An all-pruned scan still needs one partition; it yields
+        nothing (never touches the path — which may be a directory)."""
+
     class OlapSegReader(DataSourceReader):
         def __init__(self, options):
             self.path = options.get("path")
@@ -231,6 +259,8 @@ def make_datasource():
                 yield f
 
         def partitions(self):
+            if os.path.isdir(self.path):
+                return self._dir_partitions()
             _, _, blocks = open_segment(self.path)
             parts = []
             for start_row, n, min_id, max_id in blocks:
@@ -242,9 +272,60 @@ def make_datasource():
                     _BlockPartition(self.path, start_row, n, self.lo, self.hi)
                 )
             # an all-pruned scan still needs one (empty) partition
-            return parts or [_BlockPartition(self.path, 0, 0, 0, -1)]
+            return parts or [_EmptyPartition()]
+
+        def _dir_partitions(self):
+            """Multi-segment directory (the distributed write layout):
+            one InputPartition per committed file that SURVIVES the
+            manifest's file-level zone maps — planning cost is
+            O(#files) manifest metadata on the driver, never file
+            bytes; the surviving tasks validate their own segment at
+            open and prune blocks from its footer (two-level skipping,
+            the engine's rowset-stats + parquet-stats split)."""
+            man = os.path.join(self.path, MANIFEST_NAME)
+            if not os.path.exists(man):
+                raise ValueError(
+                    f"olapseg: {self.path} has no {MANIFEST_NAME} — "
+                    "directory was never committed (or is not a "
+                    "segment table); refusing to guess at files"
+                )
+            with open(man) as f:
+                entries = json.load(f)["files"]
+            parts = []
+            for ent in entries:
+                if self.lo is not None and ent["max_id"] < self.lo:
+                    continue
+                if self.hi is not None and ent["min_id"] > self.hi:
+                    continue
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.path, ent["file"]),
+                        self.lo,
+                        self.hi,
+                    )
+                )
+            return parts or [_EmptyPartition()]
 
         def read(self, part):
+            if isinstance(part, _EmptyPartition):
+                return
+            if isinstance(part, _FilePartition):
+                # task-side: validate the segment (footer + CRC — the
+                # same fail-loud open contract as single files, paid
+                # where the data is, not on the driver), then stream
+                # the footer-surviving blocks as Arrow batches
+                _, _, blocks = open_segment(part.path)
+                for start_row, n, min_id, max_id in blocks:
+                    if part.lo is not None and max_id < part.lo:
+                        continue
+                    if part.hi is not None and min_id > part.hi:
+                        continue
+                    batch = read_block_batch(
+                        part.path, start_row, n, part.lo, part.hi
+                    )
+                    if batch is not None:
+                        yield batch
+                return
             batch = read_block_batch(
                 part.path, part.start_row, part.n, part.lo, part.hi
             )
@@ -257,6 +338,119 @@ def make_datasource():
     def min2(a, b):
         return b if a is None else min(a, b)
 
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _SegCommit(WriterCommitMessage):
+        tmp_name: str | None  # None = empty input partition, no file
+        n_rows: int
+        min_id: int | None
+        max_id: int | None
+
+    class OlapSegWriter(DataSourceWriter):
+        """DISTRIBUTED segment write with a two-phase commit — the
+        write-path twin of the reader (reference parity: segment
+        finalize A4 + the engine's PREPARED→VISIBLE rowset publish,
+        expressed through Spark's DataSourceWriter protocol):
+
+        * each task sorts ITS rows by doc_id and writes ONE complete
+          segment (header/body/zone-map footer/CRC) under a
+          ``_tmp-*.oseg`` name — invisible to every reader,
+        * the driver's ``commit()`` renames the temp files to
+          ``part-*.oseg`` and publishes ``_SEG_MANIFEST.json`` listing
+          the committed files WITH per-file (rows, min_id, max_id) —
+          readers resolve files only through the manifest, so a
+          crashed job's temp files (``abort()`` also unlinks them) or
+          an interrupted overwrite can never serve partial data,
+        * ``overwrite`` replaces the manifest atomically and unlinks
+          the files it orphaned; append unions the file lists.
+
+        At scale: file count = write parallelism (size input
+        partitions to the segment size you want), commit cost is
+        O(#files) driver metadata, and the per-file zone maps feed
+        planning-time FILE pruning on the read side.  Single writer
+        per table by contract (same as the engine manifest; an object
+        store would guard the manifest swap with a conditional put).
+        """
+
+        def __init__(self, options, overwrite):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("olapseg: 'path' option is required")
+            self.block_rows = int(options.get("block_rows", "256"))
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import uuid
+
+            rows = [
+                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
+                for r in iterator
+            ]
+            if not rows:
+                return _SegCommit(None, 0, None, None)
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"_tmp-{uuid.uuid4().hex}.oseg"
+            n = write_segment(
+                rows, os.path.join(self.path, tmp), self.block_rows
+            )
+            ids = [r[0] for r in rows]
+            return _SegCommit(tmp, n, int(min(ids)), int(max(ids)))
+
+        def commit(self, messages):
+            man_path = os.path.join(self.path, MANIFEST_NAME)
+            old_files = []
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    old_files = json.load(f)["files"]
+            entries = [] if self.overwrite else list(old_files)
+            for i, m in enumerate(messages):
+                if m is None or m.tmp_name is None:
+                    continue
+                final = f"part-{i:05d}-{m.tmp_name[len('_tmp-'):]}"
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, final),
+                )
+                entries.append(
+                    {
+                        "file": final,
+                        "rows": m.n_rows,
+                        "min_id": m.min_id,
+                        "max_id": m.max_id,
+                    }
+                )
+            tmp_man = man_path + ".tmp"
+            with open(tmp_man, "w") as f:
+                json.dump(
+                    {
+                        "files": entries,
+                        "total_rows": sum(e["rows"] for e in entries),
+                    },
+                    f,
+                    indent=1,
+                )
+            os.replace(tmp_man, man_path)  # readers flip atomically
+            if self.overwrite:
+                keep = {e["file"] for e in entries}
+                for e in old_files:
+                    if e["file"] not in keep:
+                        try:
+                            os.remove(os.path.join(self.path, e["file"]))
+                        except OSError:
+                            pass
+
+        def abort(self, messages):
+            for m in messages:
+                if m is None or m.tmp_name is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
     class OlapSegDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -267,6 +461,15 @@ def make_datasource():
 
         def reader(self, schema):
             return OlapSegReader(self.options)
+
+        def writer(self, schema, overwrite):
+            want = [s.strip().split(" ")[0] for s in SEGMENT_SCHEMA.split(",")]
+            got = [f.name for f in schema.fields]
+            if got != want:
+                raise ValueError(
+                    f"olapseg: writer schema must be {want}, got {got}"
+                )
+            return OlapSegWriter(self.options, overwrite)
 
     return OlapSegDataSource
 

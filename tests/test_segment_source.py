@@ -134,3 +134,139 @@ def test_batch_decode_matches_row_decode(seg):
     batch = sf.read_block_batch(seg, 200, 100, lo=233, hi=257)
     assert [tuple(r.values()) for r in batch.to_pylist()] == rows
     assert sf.read_block_batch(seg, 200, 100, lo=500, hi=400) is None
+
+
+def _seg_df(spark, rows):
+    from olap_storage_engine_spark.sources.segment_format import (
+        SEGMENT_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, SEGMENT_SCHEMA)
+
+
+def test_distributed_write_roundtrip_and_manifest(spark, tmp_path):
+    """Each task writes one complete segment; commit publishes the
+    manifest with per-file zone maps; the reader resolves files only
+    through the manifest."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, 100 + i, "en" if i % 3 else "de", f"s{i % 5}") for i in range(2000)]
+    _seg_df(spark, rows).repartition(4, "doc_id").write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man["total_rows"] == 2000 and len(man["files"]) == 4
+    for e in man["files"]:
+        assert e["min_id"] <= e["max_id"] and e["rows"] > 0
+    back = spark.read.format("olapseg").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_write_overwrite_unlinks_orphans_append_unions(spark, tmp_path):
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", "s") for i in range(300)]
+    _seg_df(spark, rows).repartition(3).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()
+    _seg_df(spark, rows[:50]).repartition(1).write.format(
+        "olapseg"
+    ).option("path", d).mode("overwrite").save()
+    segs = [f for f in os.listdir(d) if f.endswith(".oseg")]
+    assert len(segs) == 1  # overwrite removed the three orphans
+    assert (
+        spark.read.format("olapseg").option("path", d).load().count() == 50
+    )
+    _seg_df(spark, rows[50:100]).repartition(1).write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    assert (
+        spark.read.format("olapseg").option("path", d).load().count() == 100
+    )
+
+
+def test_dir_reader_prunes_files_at_planning(spark, tmp_path):
+    """Manifest zone maps prune whole files before any task runs."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        make_datasource,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    # range-partitioned write -> contiguous per-file id ranges
+    rows = [(i, i, "en", "s") for i in range(1000)]
+    _seg_df(spark, rows).repartitionByRange(4, "doc_id").write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    r = make_datasource()(options={"path": d}).reader(None)
+    unsupported = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("doc_id",), 10), LessThan(("doc_id",), 20)]
+        )
+    )
+    assert unsupported == []
+    parts = r.partitions()
+    assert len(parts) == 1  # 3 of 4 files never scheduled
+    ids = sorted(
+        i for p in parts for b in r.read(p)
+        for i in b.column("doc_id").to_pylist()
+    )
+    assert ids == list(range(10, 20))
+
+
+def test_dir_without_manifest_refuses(spark, tmp_path):
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        make_datasource,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    r = make_datasource()(options={"path": d}).reader(None)
+    with pytest.raises(ValueError, match="no _SEG_MANIFEST"):
+        r.partitions()
+
+
+def test_writer_abort_unlinks_temps_and_schema_is_validated(
+    spark, tmp_path
+):
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        SEGMENT_SCHEMA,
+        make_datasource,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    cls = make_datasource()
+    ds = cls(options={"path": str(tmp_path / "t")})
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    w = ds.writer(schema, overwrite=False)
+    from pyspark.sql import Row
+
+    msg = w.write(iter([Row(doc_id=1, n_chars=2, lang="en", source="s")]))
+    assert msg.n_rows == 1 and msg.min_id == msg.max_id == 1
+    assert os.path.exists(str(tmp_path / "t" / msg.tmp_name))
+    w.abort([msg, None])
+    assert not os.path.exists(str(tmp_path / "t" / msg.tmp_name))
+    bad = _parse_datatype_string("a bigint, b bigint, c string, d string")
+    with pytest.raises(ValueError, match="writer schema"):
+        ds.writer(bad, overwrite=False)
