@@ -631,3 +631,54 @@ def test_centroid_outliers_flags_corrupt_vector(spark):
     out = sim.centroid_outliers(cells, cents, threshold=0.5).collect()
     assert {r["vec_id"] for r in out} == {2}
     assert all(r["cosine"] < 0.5 for r in out)
+
+
+def test_corpus_drift_tvd_matches_exact_rational_reference(spark):
+    """The r11 drift statistic is EXACTLY rational: tvd_micros must
+    equal the half-up 1e-6 rounding of Σ|p_a-p_b|/2 computed in pure
+    python Fractions — no float anywhere in either derivation, so any
+    engine that implements the spec agrees bit-for-bit."""
+    import hashlib
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "ee", "f"]
+
+    def side_a(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2 == 0
+
+    for trial in range(4):
+        rows = [
+            Row(
+                doc_id=i,
+                text=" ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(trial * 20, trial * 20 + 20)
+        ]
+        ca, cb = {}, {}
+        for r in rows:
+            tgt = ca if side_a(r.doc_id) else cb
+            for w in r.text.split(" "):
+                tgt[w] = tgt.get(w, 0) + 1
+        words = set(ca) | set(cb)
+        v, ta, tb = len(words), sum(ca.values()), sum(cb.values())
+        da, db = ta + v, tb + v
+        num = sum(
+            abs((ca.get(w, 0) + 1) * db - (cb.get(w, 0) + 1) * da)
+            for w in words
+        )
+        micros = (num * 10**6 + da * db) // (2 * da * db)
+        out = tx.corpus_drift_report(spark.createDataFrame(rows)).collect()[0]
+        assert out["n_words"] == v
+        assert out["tokens_a"] == ta and out["tokens_b"] == tb
+        assert out["tvd_micros"] == micros, f"trial {trial}"
+        # the integer rounding really is within half a grid step of
+        # the exact rational TVD
+        exact = Fraction(num, 2 * da * db)
+        assert abs(Fraction(out["tvd_micros"], 10**6) - exact) <= Fraction(
+            1, 2 * 10**6
+        )
+        assert 0 <= out["tvd_micros"] <= 10**6
