@@ -3069,6 +3069,61 @@ def q_segment_write_roundtrip(spark, sf_dir):
     )
 
 
+def q_segment_stream_ingest(spark, sf_dir):
+    """STREAMING ingest INTO the bespoke segment format with
+    exactly-once micro-batch commits (r11, DataSourceStreamWriter):
+    documents arrive as a file stream and land as zone-mapped
+    segments; each micro-batch's files and its batch id commit in ONE
+    atomic _SEG_MANIFEST.json swap, so a replayed batch (restart
+    between sink commit and checkpoint advance) is a structural no-op
+    — the stream_ingest epoch discipline applied at the
+    foreign-format boundary.  The read back resolves files only
+    through the manifest; the batch oracle over the source table
+    checks the landed data exactly
+    (sources/segment_format.py OlapSegStreamWriter)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.sources import segment_format
+
+    segment_format.register(spark)
+    src_path = _os.path.join(sf_dir, "documents.parquet")
+    src_dir = _tempfile.mkdtemp(prefix="seg_stream_src_")
+    _os.symlink(src_path, _os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(src_path).schema
+    path = _os.path.join(warehouse_for(sf_dir), "segtbl_stream")
+    ckpt = _os.path.join(warehouse_for(sf_dir), "segtbl_stream_ckpt")
+    # fixed names, recreated per run — checkpoint and table must be
+    # cleared TOGETHER (a stale checkpoint against a fresh manifest
+    # would mark the batch committed and land nothing)
+    _shutil.rmtree(path, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("doc_id", "n_chars", "lang", "source")
+    )
+    q = (
+        stream.writeStream.format("olapseg")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.format("olapseg").option("path", path).load()
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -3674,8 +3729,9 @@ _DRIVER_CHECK_HEAD = [
     #         the bounded semantic-decontamination kernel,
     #   13-37 ALL 25 queries whose newest green row is r6 — five
     #         rounds stale, the oldest rows on the board,
-    #   13    segment_write_roundtrip (added in r11 session 2,
-    #         never driver-checked),
+    #   13-14 the r11 session-2 segment-format additions
+    #         (segment_write_roundtrip, segment_stream_ingest — never
+    #         driver-checked),
     #   38-50 the oldest r7 rows, most-touched-family-first
     #         (similarity/dedup/streaming/multimodal moved this
     #         round; the salted/bucketed join family is next).
@@ -3695,6 +3751,7 @@ _DRIVER_CHECK_HEAD = [
     "snapshot_clone_read",
     "decontaminate_semantic",
     "segment_write_roundtrip",
+    "segment_stream_ingest",
     # --- all 25 r6-stale rows (oldest on the board) ---
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -3733,12 +3790,13 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_join",
     "multimodal_meta",
     "agg_salted_skew",
-    "bucketed_join",
     # --- fill (positions 51+; first to fall off under the
-    #     ~50-row cap): bucketed_fact_join (displaced from the head
-    #     proper by the r11 session-2 segment-writer addition), then
-    #     the remaining r7-stale rows in name order — every r8-r10
-    #     row is fresher, so these lead the r12 head if not reached ---
+    #     ~50-row cap): bucketed_join / bucketed_fact_join (displaced
+    #     from the head proper by the two r11 session-2 segment-format
+    #     additions), then the remaining r7-stale rows in name order —
+    #     every r8-r10 row is fresher, so these lead the r12 head if
+    #     not reached ---
+    "bucketed_join",
     "bucketed_fact_join",
     "agg_model_min_max",
     "array_funcs",
@@ -3781,9 +3839,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("bucketed_join") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("agg_salted_skew") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('bucketed_join') + 1}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_salted_skew') + 1}"
 )
 # ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -3998,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_binaryfile": q_ingest_binaryfile,
         "ingest_segment_pushdown": q_ingest_segment_pushdown,
         "segment_write_roundtrip": q_segment_write_roundtrip,
+        "segment_stream_ingest": q_segment_stream_ingest,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7059,6 +7118,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id >= 100 AND doc_id < 300
             GROUP BY 1
+        """,
+        # streaming ingest into the segment format (exactly-once
+        # micro-batch commits): the landed table must equal the
+        # source, so the oracle is the batch aggregate over documents
+        "segment_stream_ingest": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY 1
         """,
         # distributed segment WRITE then manifest-resolved read-back:
         # the roundtrip must reproduce the source table exactly, so

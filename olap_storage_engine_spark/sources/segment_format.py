@@ -451,6 +451,100 @@ def make_datasource():
                 except OSError:
                     pass
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class OlapSegStreamWriter(DataSourceStreamWriter):
+        """STREAMING sink for the segment format with EXACTLY-ONCE
+        micro-batch commits — the same contract as the engine's
+        ``stream_ingest`` epoch pattern, applied at the foreign-format
+        boundary: tasks write temp segments, and the driver's
+        per-batch ``commit`` appends them to ``_SEG_MANIFEST.json``
+        together with ``last_batch_id`` in ONE atomic manifest swap.
+        A replayed micro-batch (restart between sink commit and
+        checkpoint advance) finds ``batchId <= last_batch_id``,
+        unlinks its temp files, and changes nothing — duplicates are
+        structurally impossible, not just unlikely."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("olapseg: 'path' option is required")
+            self.block_rows = int(options.get("block_rows", "256"))
+
+        def write(self, iterator):
+            import uuid
+
+            rows = [
+                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
+                for r in iterator
+            ]
+            if not rows:
+                return _SegCommit(None, 0, None, None)
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"_tmp-{uuid.uuid4().hex}.oseg"
+            n = write_segment(
+                rows, os.path.join(self.path, tmp), self.block_rows
+            )
+            ids = [r[0] for r in rows]
+            return _SegCommit(tmp, n, int(min(ids)), int(max(ids)))
+
+        def _drop_temps(self, messages):
+            for m in messages:
+                if m is None or m.tmp_name is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+        def commit(self, messages, batchId):
+            os.makedirs(self.path, exist_ok=True)
+            man_path = os.path.join(self.path, MANIFEST_NAME)
+            doc = {"files": [], "total_rows": 0}
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    doc = json.load(f)
+            last = doc.get("last_batch_id", -1)
+            if batchId <= last:
+                # replayed micro-batch: already committed — idempotent
+                self._drop_temps(messages)
+                return
+            entries = list(doc["files"])
+            for i, m in enumerate(messages):
+                if m is None or m.tmp_name is None:
+                    continue
+                final = (
+                    f"part-b{batchId:06d}-{i:05d}-"
+                    f"{m.tmp_name[len('_tmp-'):]}"
+                )
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, final),
+                )
+                entries.append(
+                    {
+                        "file": final,
+                        "rows": m.n_rows,
+                        "min_id": m.min_id,
+                        "max_id": m.max_id,
+                    }
+                )
+            tmp_man = man_path + ".tmp"
+            with open(tmp_man, "w") as f:
+                json.dump(
+                    {
+                        "files": entries,
+                        "total_rows": sum(e["rows"] for e in entries),
+                        "last_batch_id": batchId,
+                    },
+                    f,
+                    indent=1,
+                )
+            os.replace(tmp_man, man_path)
+
+        def abort(self, messages, batchId):
+            self._drop_temps(messages)
+
     class OlapSegDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -462,14 +556,21 @@ def make_datasource():
         def reader(self, schema):
             return OlapSegReader(self.options)
 
-        def writer(self, schema, overwrite):
+        def _check_write_schema(self, schema):
             want = [s.strip().split(" ")[0] for s in SEGMENT_SCHEMA.split(",")]
             got = [f.name for f in schema.fields]
             if got != want:
                 raise ValueError(
                     f"olapseg: writer schema must be {want}, got {got}"
                 )
+
+        def writer(self, schema, overwrite):
+            self._check_write_schema(schema)
             return OlapSegWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite):
+            self._check_write_schema(schema)
+            return OlapSegStreamWriter(self.options)
 
     return OlapSegDataSource
 

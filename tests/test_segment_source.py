@@ -270,3 +270,68 @@ def test_writer_abort_unlinks_temps_and_schema_is_validated(
     bad = _parse_datatype_string("a bigint, b bigint, c string, d string")
     with pytest.raises(ValueError, match="writer schema"):
         ds.writer(bad, overwrite=False)
+
+
+def test_stream_writer_exactly_once_replay(spark, tmp_path):
+    """A replayed micro-batch (same batchId) must be a structural
+    no-op: temp files unlinked, manifest untouched; the next batchId
+    commits normally."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import _parse_datatype_string
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        SEGMENT_SCHEMA,
+        make_datasource,
+    )
+
+    d = str(tmp_path / "t")
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    w = make_datasource()(options={"path": d}).streamWriter(schema, False)
+    m0 = w.write(iter([Row(doc_id=1, n_chars=5, lang="en", source="s")]))
+    w.commit([m0], 0)
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man["total_rows"] == 1 and man["last_batch_id"] == 0
+    # replay of batch 0
+    m1 = w.write(iter([Row(doc_id=1, n_chars=5, lang="en", source="s")]))
+    w.commit([m1], 0)
+    man2 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man2 == man  # byte-identical manifest
+    assert not os.path.exists(os.path.join(d, m1.tmp_name))
+    # next batch commits
+    m2 = w.write(iter([Row(doc_id=2, n_chars=6, lang="de", source="s")]))
+    w.commit([m2], 1)
+    man3 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man3["total_rows"] == 2 and man3["last_batch_id"] == 1
+
+
+def test_stream_writer_end_to_end(spark, tmp_path):
+    import os
+    import tempfile
+
+    from olap_storage_engine_spark.sources.segment_format import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(i, 10 + i, "en", f"s{i % 3}") for i in range(400)]
+    _seg_df(spark, rows).coalesce(1).write.parquet(os.path.join(src, "p"))
+    d = str(tmp_path / "t")
+    stream = (
+        spark.readStream.schema(_seg_df(spark, rows[:1]).schema)
+        .parquet(os.path.join(src, "p"))
+    )
+    q = (
+        stream.writeStream.format("olapseg")
+        .option("path", d)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("olapseg").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
