@@ -58,12 +58,26 @@ def test_oracle_sql_is_parseable_by_duckdb():
     }.items():
         con.execute(f"CREATE TABLE {t} ({cols})")
     bad = []
+    hug = []
     for name, sql in e.oracle_sql().items():
         try:
-            con.execute(sql).fetchall()
+            res = con.execute(sql)
+            # DuckDB types result columns even on empty tables: any
+            # HUGEINT output (sum() over integers promotes!) breaks
+            # the driver's value canonicalization against Spark's
+            # BIGINT — the recursive_cte r10 red.  Every aggregate
+            # must be CAST in the oracle SQL.
+            for col, ty in zip(
+                [d[0] for d in res.description],
+                [str(d[1]).upper() for d in res.description],
+            ):
+                if "HUGEINT" in ty or "INT128" in ty:
+                    hug.append((name, col, ty))
+            res.fetchall()
         except Exception as ex:  # noqa: BLE001
             bad.append((name, str(ex).splitlines()[0]))
     assert not bad, bad
+    assert not hug, f"uncast HUGEINT oracle columns: {hug}"
 
 
 def test_bench_regression_emitter(tmp_path):
