@@ -3124,6 +3124,51 @@ def q_segment_stream_ingest(spark, sf_dir):
     )
 
 
+def q_segment_compact(spark, sf_dir):
+    """Small-file COMPACTION of a segment directory table (r11): a
+    deliberately fragmented table (16 tiny segments — the shape a
+    micro-batching sink produces) is rewritten to
+    ceil(rows/target) doc_id-range-partitioned segments in one
+    distributed job; the two-phase overwrite swaps the manifest
+    atomically so readers never see a mix, the stream's exactly-once
+    watermark survives the rewrite, and the new contiguous zone maps
+    restore planning-time file pruning.  The checked projection
+    carries the file counts before/after next to the data aggregate,
+    so the oracle verifies BOTH that no row was lost and that the
+    layout actually collapsed (sources/segment_format.compact_segments)."""
+    import os as _os
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.sources import segment_format
+
+    segment_format.register(spark)
+    path = _os.path.join(warehouse_for(sf_dir), "segtbl_compact")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang", "source")
+        .repartition(16)
+        .write.format("olapseg")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    before, after = segment_format.compact_segments(
+        spark, path, target_rows=2500
+    )
+    df = spark.read.format("olapseg").option("path", path).load()
+    return (
+        df.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("files_before", F.lit(int(before)).cast("int"))
+        .withColumn("files_after", F.lit(int(after)).cast("int"))
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -3729,9 +3774,9 @@ _DRIVER_CHECK_HEAD = [
     #         the bounded semantic-decontamination kernel,
     #   13-37 ALL 25 queries whose newest green row is r6 — five
     #         rounds stale, the oldest rows on the board,
-    #   13-14 the r11 session-2 segment-format additions
-    #         (segment_write_roundtrip, segment_stream_ingest — never
-    #         driver-checked),
+    #   13-15 the r11 session-2 segment-format additions
+    #         (segment_write_roundtrip, segment_stream_ingest,
+    #         segment_compact — never driver-checked),
     #   38-50 the oldest r7 rows, most-touched-family-first
     #         (similarity/dedup/streaming/multimodal moved this
     #         round; the salted/bucketed join family is next).
@@ -3752,6 +3797,7 @@ _DRIVER_CHECK_HEAD = [
     "decontaminate_semantic",
     "segment_write_roundtrip",
     "segment_stream_ingest",
+    "segment_compact",
     # --- all 25 r6-stale rows (oldest on the board) ---
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -3789,13 +3835,13 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_features",
     "multimodal_join",
     "multimodal_meta",
-    "agg_salted_skew",
     # --- fill (positions 51+; first to fall off under the
-    #     ~50-row cap): bucketed_join / bucketed_fact_join (displaced
-    #     from the head proper by the two r11 session-2 segment-format
-    #     additions), then the remaining r7-stale rows in name order —
-    #     every r8-r10 row is fresher, so these lead the r12 head if
-    #     not reached ---
+    #     ~50-row cap): agg_salted_skew / bucketed_join /
+    #     bucketed_fact_join (displaced from the head proper by the
+    #     three r11 session-2 segment-format additions), then the
+    #     remaining r7-stale rows in name order — every r8-r10 row is
+    #     fresher, so these lead the r12 head if not reached ---
+    "agg_salted_skew",
     "bucketed_join",
     "bucketed_fact_join",
     "agg_model_min_max",
@@ -3839,9 +3885,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("agg_salted_skew") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("multimodal_meta") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('agg_salted_skew') + 1}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_meta') + 1}"
 )
 # ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -4057,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_segment_pushdown": q_ingest_segment_pushdown,
         "segment_write_roundtrip": q_segment_write_roundtrip,
         "segment_stream_ingest": q_segment_stream_ingest,
+        "segment_compact": q_segment_compact,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7118,6 +7165,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id >= 100 AND doc_id < 300
             GROUP BY 1
+        """,
+        # small-file compaction: data aggregate proves no row lost;
+        # the file counts prove the layout collapsed (before = the 16
+        # fragments the query writes; after = ceil(rows/2500) capped
+        # by the no-op rule when already at/below target)
+        "segment_compact": """
+            WITH c AS (SELECT count(*) AS n,
+                              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                              min(doc_id) AS mi, max(doc_id) AS ma
+                       FROM documents),
+            g AS (SELECT *, CASE WHEN (n + 2499) // 2500 < 1 THEN 1
+                                 ELSE (n + 2499) // 2500 END AS n_out
+                  FROM c)
+            SELECT CAST(n AS BIGINT) AS n_docs, total_chars,
+                   mi AS min_id, ma AS max_id,
+                   CAST(16 AS INT) AS files_before,
+                   CAST(CASE WHEN n_out >= 16 THEN 16 ELSE n_out END
+                        AS INT) AS files_after
+            FROM g
         """,
         # streaming ingest into the segment format (exactly-once
         # micro-batch commits): the landed table must equal the

@@ -402,9 +402,11 @@ def make_datasource():
         def commit(self, messages):
             man_path = os.path.join(self.path, MANIFEST_NAME)
             old_files = []
+            old_doc = {}
             if os.path.exists(man_path):
                 with open(man_path) as f:
-                    old_files = json.load(f)["files"]
+                    old_doc = json.load(f)
+                old_files = old_doc["files"]
             entries = [] if self.overwrite else list(old_files)
             for i, m in enumerate(messages):
                 if m is None or m.tmp_name is None:
@@ -422,16 +424,18 @@ def make_datasource():
                         "max_id": m.max_id,
                     }
                 )
+            doc = {
+                "files": entries,
+                "total_rows": sum(e["rows"] for e in entries),
+            }
+            if "last_batch_id" in old_doc:
+                # a batch rewrite (compaction) of a STREAM-written
+                # table must not reopen the exactly-once window — the
+                # stream's replay watermark survives the overwrite
+                doc["last_batch_id"] = old_doc["last_batch_id"]
             tmp_man = man_path + ".tmp"
             with open(tmp_man, "w") as f:
-                json.dump(
-                    {
-                        "files": entries,
-                        "total_rows": sum(e["rows"] for e in entries),
-                    },
-                    f,
-                    indent=1,
-                )
+                json.dump(doc, f, indent=1)
             os.replace(tmp_man, man_path)  # readers flip atomically
             if self.overwrite:
                 keep = {e["file"] for e in entries}
@@ -573,6 +577,50 @@ def make_datasource():
             return OlapSegStreamWriter(self.options)
 
     return OlapSegDataSource
+
+
+def compact_segments(
+    spark, path: str, target_rows: int = 2500, block_rows: int = 256
+):
+    """Small-file MAINTENANCE for a segment directory table — the
+    operational answer to what a streaming sink inevitably produces
+    (one file per micro-batch per task): read the manifest-resolved
+    table, rewrite it as ceil(total_rows/target_rows) doc_id-range-
+    partitioned segments in one distributed job, and let the batch
+    writer's two-phase overwrite swap the manifest atomically and
+    unlink the replaced files — a concurrent reader resolves the old
+    file set or the new one, never a mix.  Range partitioning keeps
+    each output file a contiguous doc_id interval, so the rewritten
+    zone maps are maximally selective (the same reason the engine's
+    own compaction sorts on the short key).
+
+    No-op (returns unchanged counts) when the table is already at or
+    under the target file count — safe to run on a schedule.
+    Returns (files_before, files_after).
+    """
+    import math
+
+    from pyspark.sql import functions as _F
+
+    register(spark)
+    man_path = os.path.join(path, MANIFEST_NAME)
+    with open(man_path) as f:
+        man = json.load(f)
+    n_out = max(1, math.ceil(man["total_rows"] / target_rows))
+    if len(man["files"]) <= n_out:
+        return len(man["files"]), len(man["files"])
+    df = spark.read.format("olapseg").option("path", path).load()
+    (
+        df.repartitionByRange(n_out, _F.col("doc_id"))
+        .write.format("olapseg")
+        .option("path", path)
+        .option("block_rows", str(block_rows))
+        .mode("overwrite")
+        .save()
+    )
+    with open(man_path) as f:
+        man2 = json.load(f)
+    return len(man["files"]), len(man2["files"])
 
 
 _REGISTERED = set()

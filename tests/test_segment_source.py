@@ -335,3 +335,75 @@ def test_stream_writer_end_to_end(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.format("olapseg").option("path", d).load()
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_compact_segments_collapses_files_and_preserves_rows(
+    spark, tmp_path
+):
+    import json
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        compact_segments,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", f"s{i % 3}") for i in range(1000)]
+    _seg_df(spark, rows).repartition(10).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()
+    before, after = compact_segments(spark, d, target_rows=500)
+    assert (before, after) == (10, 2)
+    back = spark.read.format("olapseg").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # contiguous zone maps after the range-partitioned rewrite
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    spans = sorted((e["min_id"], e["max_id"]) for e in man["files"])
+    assert spans[0][1] < spans[1][0]  # non-overlapping files
+    # already-at-target is a no-op
+    assert compact_segments(spark, d, target_rows=500) == (2, 2)
+    # orphaned fragments physically removed
+    assert len([f for f in os.listdir(d) if f.endswith(".oseg")]) == 2
+
+
+def test_compact_preserves_stream_replay_watermark(spark, tmp_path):
+    """Compacting a stream-written table must not reopen the
+    exactly-once window: last_batch_id survives the batch overwrite."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import _parse_datatype_string
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        SEGMENT_SCHEMA,
+        compact_segments,
+        make_datasource,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    w = make_datasource()(options={"path": d}).streamWriter(schema, False)
+    for b in range(4):
+        msgs = [
+            w.write(iter([Row(doc_id=b * 10 + j, n_chars=1, lang="en",
+                              source="s")]))
+            for j in range(3)
+        ]
+        w.commit(msgs, b)
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert len(man["files"]) == 12 and man["last_batch_id"] == 3
+    before, after = compact_segments(spark, d, target_rows=6)
+    assert (before, after) == (12, 2)
+    man2 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man2["last_batch_id"] == 3  # watermark survived
+    # a replay of batch 3 after compaction is still a no-op
+    m = w.write(iter([Row(doc_id=999, n_chars=1, lang="en", source="s")]))
+    w.commit([m], 3)
+    assert json.load(open(os.path.join(d, MANIFEST_NAME)))["total_rows"] == 12
