@@ -198,6 +198,7 @@ def make_datasource():
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
+        In,
         InputPartition,
         LessThan,
         LessThanOrEqual,
@@ -236,7 +237,14 @@ def make_datasource():
         def pushFilters(self, filters):
             """Accept doc_id range/equality predicates (served by the
             footer zone maps); everything else is returned unsupported
-            and Spark re-applies it above the scan."""
+            and Spark re-applies it above the scan.
+
+            IN-lists get the zone-map treatment too, but are ALSO
+            yielded back: the reader prunes files/blocks from the
+            list's [min, max] envelope (planning-time skipping), while
+            Spark keeps the exact membership test above the scan — a
+            filter may be used for pruning without being claimed as
+            row-exact, the parquet stats+residual split."""
             for f in filters:
                 att = getattr(f, "attribute", None)
                 if att == ("doc_id",):
@@ -256,6 +264,13 @@ def make_datasource():
                     if isinstance(f, LessThanOrEqual):
                         self.hi = min2(self.hi, f.value)
                         continue
+                    if isinstance(f, In) and f.value:
+                        vals = [v for v in f.value if v is not None]
+                        if vals:
+                            self.lo = max2(self.lo, min(vals))
+                            self.hi = min2(self.hi, max(vals))
+                        # fall through: yield — Spark re-applies the
+                        # exact membership; we only harvested bounds
                 yield f
 
         def partitions(self):

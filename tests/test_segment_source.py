@@ -407,3 +407,35 @@ def test_compact_preserves_stream_replay_watermark(spark, tmp_path):
     m = w.write(iter([Row(doc_id=999, n_chars=1, lang="en", source="s")]))
     w.commit([m], 3)
     assert json.load(open(os.path.join(d, MANIFEST_NAME)))["total_rows"] == 12
+
+
+def test_in_list_prunes_by_envelope_but_stays_unsupported(spark, seg):
+    """An IN-list narrows the zone-map envelope (planning-time block
+    pruning) while remaining in the unsupported set so Spark
+    re-applies the exact membership above the scan."""
+    from pyspark.sql.datasource import In
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        make_datasource,
+    )
+
+    r = make_datasource()(options={"path": seg}).reader(None)
+    leftover = list(r.pushFilters([In(("doc_id",), (250, 260, 255))]))
+    assert len(leftover) == 1 and isinstance(leftover[0], In)
+    parts = r.partitions()
+    assert len(parts) == 1  # rows 250..260 live in one 100-row block
+    ids = {i for p in parts for b in r.read(p)
+           for i in b.column("doc_id").to_pylist()}
+    # envelope read returns the whole [250, 260] span; Spark's
+    # re-applied IN keeps only the members — end-to-end check:
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.sources.segment_format import register
+
+    register(spark)
+    df = (
+        spark.read.format("olapseg").option("path", seg).load()
+        .filter(F.col("doc_id").isin(250, 260, 255))
+    )
+    assert sorted(x["doc_id"] for x in df.collect()) == [250, 255, 260]
+    assert ids >= {250, 255, 260}
