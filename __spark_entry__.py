@@ -3169,6 +3169,50 @@ def q_segment_compact(spark, sf_dir):
     )
 
 
+def q_segment_delete_scoped(spark, sf_dir):
+    """Zone-map-SCOPED range DELETE on a segment directory table
+    (r11): only files whose manifest [min_id, max_id] intersects the
+    deleted range are rewritten (executor-side, one task per touched
+    file); everything else is untouched bytes under the same name,
+    and one atomic manifest swap publishes the result — the engine's
+    partition-scoped DML discipline (compaction.py scoped rewrite) at
+    the foreign-format boundary, where a one-day delete from a
+    year-sized table costs one day of I/O.  The checked projection
+    carries the deleted-row count next to the surviving aggregate, so
+    the oracle verifies both the cut and the remainder
+    (sources/segment_format.delete_range_from_segments)."""
+    import os as _os
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.sources import segment_format
+
+    segment_format.register(spark)
+    path = _os.path.join(warehouse_for(sf_dir), "segtbl_delete")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang", "source")
+        .repartitionByRange(8, "doc_id")
+        .write.format("olapseg")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    _, _, n_deleted = segment_format.delete_range_from_segments(
+        spark, path, 100, 299
+    )
+    df = spark.read.format("olapseg").option("path", path).load()
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("rows_deleted", F.lit(int(n_deleted)).cast("bigint"))
+    )
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -3774,9 +3818,10 @@ _DRIVER_CHECK_HEAD = [
     #         the bounded semantic-decontamination kernel,
     #   13-37 ALL 25 queries whose newest green row is r6 — five
     #         rounds stale, the oldest rows on the board,
-    #   13-15 the r11 session-2 segment-format additions
+    #   13-16 the r11 session-2 segment-format additions
     #         (segment_write_roundtrip, segment_stream_ingest,
-    #         segment_compact — never driver-checked),
+    #         segment_compact, segment_delete_scoped — never
+    #         driver-checked),
     #   38-50 the oldest r7 rows, most-touched-family-first
     #         (similarity/dedup/streaming/multimodal moved this
     #         round; the salted/bucketed join family is next).
@@ -3798,6 +3843,7 @@ _DRIVER_CHECK_HEAD = [
     "segment_write_roundtrip",
     "segment_stream_ingest",
     "segment_compact",
+    "segment_delete_scoped",
     # --- all 25 r6-stale rows (oldest on the board) ---
     "dedup_exact_substring",
     "fk_orphan_audit",
@@ -3834,13 +3880,14 @@ _DRIVER_CHECK_HEAD = [
     "events_window_agg",
     "multimodal_features",
     "multimodal_join",
-    "multimodal_meta",
     # --- fill (positions 51+; first to fall off under the
-    #     ~50-row cap): agg_salted_skew / bucketed_join /
-    #     bucketed_fact_join (displaced from the head proper by the
-    #     three r11 session-2 segment-format additions), then the
-    #     remaining r7-stale rows in name order — every r8-r10 row is
-    #     fresher, so these lead the r12 head if not reached ---
+    #     ~50-row cap): multimodal_meta / agg_salted_skew /
+    #     bucketed_join / bucketed_fact_join (displaced from the head
+    #     proper by the four r11 session-2 segment-format additions),
+    #     then the remaining r7-stale rows in name order — every
+    #     r8-r10 row is fresher, so these lead the r12 head if not
+    #     reached ---
+    "multimodal_meta",
     "agg_salted_skew",
     "bucketed_join",
     "bucketed_fact_join",
@@ -3885,9 +3932,9 @@ _DRIVER_CHECK_HEAD = [
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("multimodal_meta") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("multimodal_join") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_meta') + 1}"
+    f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_join') + 1}"
 )
 # ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -4104,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_write_roundtrip": q_segment_write_roundtrip,
         "segment_stream_ingest": q_segment_stream_ingest,
         "segment_compact": q_segment_compact,
+        "segment_delete_scoped": q_segment_delete_scoped,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7164,6 +7212,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
             WHERE doc_id >= 100 AND doc_id < 300
+            GROUP BY 1
+        """,
+        # zone-map-scoped range delete: the aggregate checks the
+        # remainder, rows_deleted checks the cut (both from documents)
+        "segment_delete_scoped": """
+            WITH del AS (SELECT count(*) AS nd FROM documents
+                         WHERE doc_id BETWEEN 100 AND 299)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST((SELECT nd FROM del) AS BIGINT) AS rows_deleted
+            FROM documents
+            WHERE doc_id NOT BETWEEN 100 AND 299
             GROUP BY 1
         """,
         # small-file compaction: data aggregate proves no row lost;

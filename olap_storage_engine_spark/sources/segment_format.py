@@ -638,6 +638,126 @@ def compact_segments(
     return len(man["files"]), len(man2["files"])
 
 
+def delete_range_from_segments(
+    spark, path: str, lo: int, hi: int, block_rows: int = 256
+):
+    """Surgical range DELETE on a segment directory table — the
+    engine's scoped-DML discipline (operators/compaction.py
+    partition-scoped rewrite) applied at the foreign-format boundary:
+    the manifest's per-file zone maps pick ONLY the files whose
+    [min_id, max_id] intersects [lo, hi]; those files rewrite
+    executor-side (one task per touched file, through the same
+    fail-loud ``open_segment`` + ``write_segment`` pair every path
+    uses), and one atomic manifest swap publishes untouched entries +
+    rewritten entries while unlinking the replaced files.  I/O is
+    proportional to TOUCHED bytes at any table size — a delete of one
+    day's ids from a year-sized table reads one day's files.  A file
+    whose every row falls in the range simply disappears; the
+    stream-replay watermark survives the swap (same rule as
+    compaction).
+
+    Bounds are INCLUSIVE on both ends (zone-map convention).
+    Returns (files_rewritten, files_untouched, rows_deleted).
+    """
+    register(spark)
+    man_path = os.path.join(path, MANIFEST_NAME)
+    with open(man_path) as f:
+        man = json.load(f)
+    touched = [
+        e
+        for e in man["files"]
+        if not (e["max_id"] < lo or e["min_id"] > hi)
+    ]
+    untouched = [
+        e for e in man["files"] if e["max_id"] < lo or e["min_id"] > hi
+    ]
+    if not touched:
+        return 0, len(untouched), 0
+    paths_df = spark.createDataFrame(
+        [(os.path.join(path, e["file"]),) for e in touched],
+        "old_path string",
+    ).repartition(len(touched))
+
+    def rewrite(batches):
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for fp in pdf["old_path"]:
+                _, _, blocks = open_segment(fp)  # fail-loud validate
+                rows = [
+                    r
+                    for b in blocks
+                    for r in read_block(fp, b[0], b[1])
+                ]
+                kept = [r for r in rows if not (lo <= r[0] <= hi)]
+                deleted = len(rows) - len(kept)
+                new_name = None
+                n = mn = mx = None
+                if kept:
+                    new_name = f"_tmp-{_uuid.uuid4().hex}.oseg"
+                    write_segment(
+                        kept,
+                        os.path.join(os.path.dirname(fp), new_name),
+                        block_rows,
+                    )
+                    ids = [r[0] for r in kept]
+                    n, mn, mx = len(kept), min(ids), max(ids)
+                out.append(
+                    (os.path.basename(fp), new_name, n, mn, mx, deleted)
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "old_file", "tmp_file", "rows",
+                    "min_id", "max_id", "deleted",
+                ],
+            )
+
+    res = paths_df.mapInPandas(
+        rewrite,
+        "old_file string, tmp_file string, rows bigint, "
+        "min_id bigint, max_id bigint, deleted bigint",
+    ).collect()  # bounded: one row per TOUCHED file (driver metadata)
+    entries = list(untouched)
+    rows_deleted = 0
+    for r in res:
+        rows_deleted += int(r["deleted"])
+        if r["tmp_file"] is None:
+            continue  # fully-deleted file: no successor
+        final = f"part-del-{r['tmp_file'][len('_tmp-'):]}"
+        os.replace(
+            os.path.join(path, r["tmp_file"]),
+            os.path.join(path, final),
+        )
+        entries.append(
+            {
+                "file": final,
+                "rows": int(r["rows"]),
+                "min_id": int(r["min_id"]),
+                "max_id": int(r["max_id"]),
+            }
+        )
+    doc = {
+        "files": entries,
+        "total_rows": sum(e["rows"] for e in entries),
+    }
+    if "last_batch_id" in man:
+        doc["last_batch_id"] = man["last_batch_id"]
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp_man, man_path)
+    for r in res:
+        try:
+            os.remove(os.path.join(path, r["old_file"]))
+        except OSError:
+            pass
+    return len(touched), len(untouched), rows_deleted
+
+
 _REGISTERED = set()
 
 

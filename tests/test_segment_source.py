@@ -439,3 +439,58 @@ def test_in_list_prunes_by_envelope_but_stays_unsupported(spark, seg):
     )
     assert sorted(x["doc_id"] for x in df.collect()) == [250, 255, 260]
     assert ids >= {250, 255, 260}
+
+
+def test_range_delete_rewrites_only_touched_files(spark, tmp_path):
+    """Zone-map-scoped DELETE: untouched files stay byte-identical on
+    disk, touched files rewrite without the range, a fully-covered
+    file disappears, and the manifest stays consistent."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        delete_range_from_segments,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", f"s{i % 3}") for i in range(1000)]
+    # range-partitioned write -> 4 contiguous files of ~250 ids
+    _seg_df(spark, rows).repartitionByRange(4, "doc_id").write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    man0 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    spans = sorted(
+        (e["min_id"], e["max_id"], e["file"]) for e in man0["files"]
+    )
+    # delete the SECOND file's whole span plus a sliver of the third
+    lo, hi = spans[1][0], spans[1][1] + 10
+    before_bytes = {
+        e["file"]: open(os.path.join(d, e["file"]), "rb").read()
+        for e in man0["files"]
+    }
+    fr, fu, nd = delete_range_from_segments(spark, d, lo, hi)
+    assert fr == 2 and fu == 2
+    assert nd == hi - lo + 1
+    man1 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man1["total_rows"] == 1000 - nd
+    # untouched files preserved byte-identically under the same name
+    kept_names = {e["file"] for e in man1["files"]}
+    for name in (spans[0][2], spans[3][2]):
+        assert name in kept_names
+        assert (
+            open(os.path.join(d, name), "rb").read() == before_bytes[name]
+        )
+    # the fully-covered file left no successor; the partial one did
+    assert spans[1][2] not in kept_names
+    back = spark.read.format("olapseg").option("path", d).load()
+    expect = sorted(t for t in rows if not (lo <= t[0] <= hi))
+    assert sorted(map(tuple, back.collect())) == expect
+    # no-op outside every zone map
+    assert delete_range_from_segments(spark, d, 10_000, 20_000) == (
+        0,
+        len(man1["files"]),
+        0,
+    )
