@@ -794,6 +794,33 @@ def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
     )
 
 
+def segment_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once directory segment table (the distributed olapseg
+    write layout): documents range-partitioned 8 ways on doc_id, so
+    the manifest carries 8 contiguous per-file zone maps PLUS per-file
+    doc_id bloom filters — the serving layout for point lookups
+    (A17/A18 at the foreign-format boundary).  Point-probe queries
+    read this; the write job never runs inside a query plan."""
+
+    def build():
+        from .sources.segment_format import register
+
+        register(spark)
+        path = os.path.join(warehouse_for(sf_dir), "segtbl_dir")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars", "lang", "source")
+            .repartitionByRange(8, "doc_id")
+            .write.format("olapseg")
+            .option("path", path)
+            .mode("overwrite")
+            .save()
+        )
+        return path
+
+    return _aux_cached("segment_table_dir", sf_dir, build)
+
+
 def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """One-time per (sf_dir, fmt) export of a source table to a text/
     columnar interchange format (jsonl/csv/orc) — build-time setup for

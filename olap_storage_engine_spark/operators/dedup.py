@@ -1482,11 +1482,23 @@ def lsh_pr_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
     earlier three-aggregate formulation re-ran the (expensive) truth
     derivation for its count and again for the hits join, doubling
     the query's dominant cost.  Inputs are pair SETS (distinct
-    (doc_a, doc_b)) per their producers' contracts, so the join is
-    1:1 and the counts are exact.
+    (doc_a, doc_b)) per their producers' contracts — but the
+    single-join form is count-exact ONLY under that distinctness, so
+    each projection is dropDuplicates()'d defensively: the inputs are
+    already shuffled on the join key, so the dedup rides the same
+    exchange (AQE folds it into the join's shuffle) and a producer
+    that ever emits a duplicate pair skews nothing.
     """
-    t = truth.select("doc_a", "doc_b").withColumn("__t", F.lit(1))
-    c = candidates.select("doc_a", "doc_b").withColumn("__c", F.lit(1))
+    t = (
+        truth.select("doc_a", "doc_b")
+        .dropDuplicates()
+        .withColumn("__t", F.lit(1))
+    )
+    c = (
+        candidates.select("doc_a", "doc_b")
+        .dropDuplicates()
+        .withColumn("__c", F.lit(1))
+    )
     both = t.join(c, ["doc_a", "doc_b"], "full_outer").agg(
         F.coalesce(F.sum("__c"), F.lit(0)).alias("n_candidates"),
         F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),

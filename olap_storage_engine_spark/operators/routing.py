@@ -88,7 +88,17 @@ def bucket_id_col(bucket: BucketSpec) -> Column:
     """
     n = bucket.num_buckets
     if bucket.btype == BucketType.RANDOM or bucket.column is None:
-        return F.pmod(F.monotonically_increasing_id(), F.lit(n)).cast("int")
+        # mix the partition id into the round-robin start offset:
+        # monotonically_increasing_id restarts each partition at
+        # pid << 33, and 2^33 % n == 0 for any n dividing 2^33, so a
+        # bare pmod would restart EVERY partition at bucket 0 — with
+        # many small input splits the low buckets systematically
+        # over-fill.  Adding pid staggers the starting bucket.
+        return F.pmod(
+            F.spark_partition_id().cast("long")
+            + F.monotonically_increasing_id(),
+            F.lit(n),
+        ).cast("int")
     h = fnv_hash_col(bucket.column)
     # interpret the signed long as unsigned 64-bit before the modulo:
     # pmod(h, n) on the signed value differs from u64 % n when h < 0

@@ -207,6 +207,56 @@ class LocalFlockCas(ConditionalPut):
             os.replace(tmp, path)  # atomic on POSIX
 
 
+class GenerationClaimCas(ConditionalPut):
+    """Object-store-semantics conditional put, testable locally: each
+    generation is claimed by atomically CREATING a per-generation
+    claim object (``O_CREAT|O_EXCL`` — the filesystem analogue of S3
+    ``If-None-Match: *`` on a generation-keyed key, or GCS
+    ``x-goog-if-generation-match``).  Two writers racing from the same
+    observed generation both try to create claim ``g+1``; the store
+    lets exactly one create succeed, so exactly one publish wins and
+    the loser raises ``ManifestConflictError`` — no lock is ever HELD,
+    matching stores that have conditional writes but no locks.
+
+    This is the seam-honesty twin of ``LocalFlockCas``: same contract,
+    entirely different primitive (atomic create vs exclusive lock), so
+    an interface assumption that only holds for one of them fails the
+    shared test matrix.  Claim objects are tiny, one per generation,
+    and are deliberately NEVER deleted: the claim history IS the
+    monotonic generation counter (a real object store maintains it
+    natively); deleting an old claim would let a maximally stale
+    writer re-win a past generation."""
+
+    def put_if_generation(
+        self, path: str, doc: dict, expected_gen: int
+    ) -> None:
+        # fast-path staleness check (optimization only — the claim
+        # create below is the atomic arbiter)
+        if os.path.exists(path):
+            with open(path) as f:
+                disk_gen = json.load(f).get("generation", 0)
+            if disk_gen != expected_gen:
+                raise ManifestConflictError(
+                    f"{path}: on-disk generation {disk_gen} != "
+                    f"loaded generation {expected_gen} — another "
+                    "writer published; reload and retry"
+                )
+        claim = f"{path}.g{expected_gen + 1:012d}.claim"
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ManifestConflictError(
+                f"{path}: generation {expected_gen + 1} already "
+                "claimed by another writer; reload and retry"
+            ) from None
+        os.close(fd)
+        doc["generation"] = expected_gen + 1
+        tmp = f"{path}.tmp.g{expected_gen + 1:012d}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, path)  # atomic on POSIX
+
+
 class VersionGraph:
     """Version-interval cover resolution (reference: src/tablet.rs:14-69).
 

@@ -5,8 +5,10 @@ pruning, and key-range filter pushdown.
 This is the Spark-4-idiomatic re-expression of the reference engine's
 own read stack (reference parity: segment open/footer validation is
 src/segment.rs A2; per-block min/max zone maps pruning key predicates
-is the A16 zone-map idea; short-key block seek is A18) — instead of a
-bespoke scan executor, the format plugs into Spark as a
+is the A16 zone-map idea; short-key block seek is A18; the per-file
+bloom filter over doc_id is the A17 bloom-point-lookup idea,
+reference src/index/mod.rs:153-197) — instead of a bespoke scan
+executor, the format plugs into Spark as a
 `pyspark.sql.datasource.DataSource`, so Catalyst plans it, predicates
 arrive through `pushFilters`, and block pruning happens at PARTITION
 PLANNING time: pruned blocks are never scheduled, let alone read.
@@ -31,12 +33,27 @@ behind can be mounted as a Spark table with pushdown, without JVM
 code.  Scale shape: one block = one InputPartition = one task;
 `block_rows` plays `maxPartitionBytes`.
 
-Since r11 the format also has a DISTRIBUTED WRITE path
-(``OlapSegWriter``): each task writes one complete segment under a
-temp name, the driver's two-phase commit renames them and publishes
-``_SEG_MANIFEST.json`` with per-file (rows, min_id, max_id) zone
-maps, and directory reads resolve files only through the manifest —
-file-level pruning at planning time, block-level pruning in the task.
+The DISTRIBUTED WRITE path (``OlapSegWriter``) is Arrow-batched since
+r12 (``DataSourceArrowWriter``): each task receives
+`pyarrow.RecordBatch`es, builds the fixed-width body with ONE numpy
+structured-array conversion (the exact inverse of
+``read_block_batch``) and streams block bytes to disk — no
+row-at-a-time Python, no whole-partition Python-object buffering.
+The driver's two-phase commit renames the temp segments and publishes
+``_SEG_MANIFEST.json`` with per-file (rows, min_id, max_id) zone maps
+PLUS a per-file doc_id bloom filter; directory reads resolve files
+only through the manifest — range envelopes prune files at planning
+time, blooms additionally reject files for point/IN probes the range
+envelope admits, and block zone maps prune inside the surviving
+tasks.
+
+Manifest swaps (batch commit, stream commit, scoped delete — and
+compaction/overwrite, which go through the batch commit) are routed
+through the engine's own ``ConditionalPut`` compare-and-swap seam
+(plans/manifest.py) since r12: every publish carries a generation
+check, so two concurrent writers cannot silently lose each other's
+files — the loser raises ``ManifestConflictError``, same discipline
+as the primary table manifest.
 """
 
 from __future__ import annotations
@@ -50,12 +67,13 @@ MAGIC = b"OSEG"
 END_MAGIC = b"GESO"
 VERSION = 1
 # committed-files manifest of a multi-segment DIRECTORY table (the
-# distributed write path); carries per-file row counts and doc_id
-# zone maps so the reader prunes whole FILES at planning time
+# distributed write path); carries per-file row counts, doc_id zone
+# maps, and doc_id bloom filters so the reader prunes whole FILES at
+# planning time
 MANIFEST_NAME = "_SEG_MANIFEST.json"
 _REC = struct.Struct("<qi2s8s")
 # the same 22-byte record as an (unaligned) numpy dtype, for the
-# batch decode path — itemsize must equal _REC.size
+# batch encode/decode paths — itemsize must equal _REC.size
 _NP_REC = [("doc_id", "<i8"), ("n_chars", "<i4"),
            ("lang", "S2"), ("source", "S8")]
 _HEADER = struct.Struct("<4sIQI")
@@ -63,14 +81,92 @@ _BLOCK = struct.Struct("<QIqq")
 
 SEGMENT_SCHEMA = "doc_id bigint, n_chars bigint, lang string, source string"
 
+# ---------------------------------------------------------------
+# Per-file bloom filter over doc_id (A17 parity at the foreign-format
+# boundary, reference src/index/mod.rs:153-197): k=7 double-hashed
+# probes over ~10 bits/key (~1% fpp), built vectorized from the
+# already-materialized id column at write time and stored base64 in
+# the manifest entry, so point lookups skip files whose [min, max]
+# envelope admits the probe but whose id SET does not contain it —
+# planning-time, zero file bytes touched.
+# ---------------------------------------------------------------
+
+_BLOOM_K = 7
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_SALT = 0x9E6C63D0676A9A99
+
+
+def _mix64(x):
+    """splitmix64 finalizer (public-domain constant mix), vectorized
+    over numpy uint64 — deterministic across hosts, unlike hash()."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def build_bloom(ids) -> dict:
+    """Build the per-file bloom document from an int64 id array.
+    Sized to the file's DISTINCT id count; JSON-serializable so it
+    rides in the manifest entry next to the zone map."""
+    import base64
+
+    import numpy as np
+
+    u = np.unique(np.asarray(ids, dtype=np.int64)).astype(np.uint64)
+    m = max(64, (_BLOOM_BITS_PER_KEY * len(u) + 63) // 64 * 64)
+    bits = np.zeros(m, dtype=bool)
+    with np.errstate(over="ignore"):
+        h1 = _mix64(u)
+        h2 = _mix64(u ^ np.uint64(_BLOOM_SALT)) | np.uint64(1)
+        for i in range(_BLOOM_K):
+            bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    return {
+        "m": int(m),
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(np.packbits(bits).tobytes()).decode("ascii"),
+    }
+
+
+def bloom_may_contain_any(bloom: dict, values) -> bool:
+    """True iff ANY of `values` may be present (bloom semantics: no
+    false negatives).  Decodes the bitset once, probes all values
+    vectorized — the planning-time file test for point/IN lookups."""
+    import base64
+
+    import numpy as np
+
+    vals = sorted(values)
+    if not vals:
+        return False
+    m = int(bloom["m"])
+    k = int(bloom["k"])
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    )
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    ok = np.ones(len(v), dtype=bool)
+    with np.errstate(over="ignore"):
+        h1 = _mix64(v)
+        h2 = _mix64(v ^ np.uint64(_BLOOM_SALT)) | np.uint64(1)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            ok &= bits[idx].astype(bool)
+    return bool(ok.any())
+
 
 def write_segment(rows, path: str, block_rows: int = 256) -> int:
     """Write (doc_id, n_chars, lang, source) tuples as ONE segment
     file.  Rows are sorted by doc_id (the short-key order that makes
     the zone maps selective).  Returns the number of rows written.
-    This is the per-task building block: the distributed write path
-    (``OlapSegWriter``) calls it once per input partition and commits
-    the resulting files through the directory manifest."""
+    Row-at-a-time convenience API for tests/tools and tiny fixture
+    exports; the distributed write path uses `write_segment_batches`
+    (Arrow/numpy, no per-row Python) instead."""
     recs = sorted(rows, key=lambda r: r[0])
     body = bytearray()
     blocks = []
@@ -95,6 +191,66 @@ def write_segment(rows, path: str, block_rows: int = 256) -> int:
         fh.write(struct.pack("<I", zlib.crc32(bytes(body))))
         fh.write(END_MAGIC)
     return len(recs)
+
+
+def write_segment_batches(batches, path: str, block_rows: int = 256):
+    """Write an iterable of `pyarrow.RecordBatch`es (columns doc_id,
+    n_chars, lang, source) as ONE doc_id-sorted segment — the exact
+    inverse of `read_block_batch`, and the scale-safe write path: the
+    body is built by ONE numpy structured-array fill (vectorized
+    int casts + fixed-width space-padded string encode), sorted by
+    one argsort, and streamed to disk block-by-block with an
+    incremental CRC — no per-row Python, no Python-object buffering
+    of the partition.  Peak memory is the partition's ~22 bytes/row
+    as numpy (the same order as a Parquet writer's row-group buffer);
+    size input partitions to the segment size you want.
+
+    Returns (n_rows, min_id, max_id, bloom) — (0, None, None, None)
+    for empty input.  Strings longer than the field truncate, same as
+    the row API; nulls are not supported (the format has no validity
+    bitmap — fail-loud upstream)."""
+    import numpy as np
+
+    ids_p, nch_p, lang_p, src_p = [], [], [], []
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ids_p.append(b.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
+        nch_p.append(b.column(1).to_numpy(zero_copy_only=False).astype(np.int32))
+        lang_p.append(
+            np.asarray(b.column(2).to_numpy(zero_copy_only=False), dtype="S2")
+        )
+        src_p.append(
+            np.asarray(b.column(3).to_numpy(zero_copy_only=False), dtype="S8")
+        )
+    if not ids_p:
+        return 0, None, None, None
+    ids = np.concatenate(ids_p)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    n = len(ids)
+    rec = np.empty(n, dtype=_NP_REC)
+    rec["doc_id"] = ids
+    rec["n_chars"] = np.concatenate(nch_p)[order]
+    # ljust pads with SPACES (byte-compatible with the row API's
+    # .encode()[:w].ljust(w)); numpy's own padding would be NULs
+    rec["lang"] = np.char.ljust(np.concatenate(lang_p)[order], 2)
+    rec["source"] = np.char.ljust(np.concatenate(src_p)[order], 8)
+    starts = list(range(0, n, block_rows))
+    with open(path, "wb") as fh:
+        fh.write(_HEADER.pack(MAGIC, VERSION, n, block_rows))
+        crc = 0
+        for s in starts:
+            chunk = rec[s : s + block_rows].tobytes()
+            crc = zlib.crc32(chunk, crc)
+            fh.write(chunk)
+        fh.write(struct.pack("<I", len(starts)))
+        for s in starts:
+            e = min(s + block_rows, n)
+            fh.write(_BLOCK.pack(s, e - s, int(ids[s]), int(ids[e - 1])))
+        fh.write(struct.pack("<I", crc))
+        fh.write(END_MAGIC)
+    return n, int(ids[0]), int(ids[-1]), build_bloom(ids)
 
 
 def open_segment(path: str):
@@ -189,6 +345,67 @@ def read_block_batch(path: str, start_row: int, n: int, lo=None, hi=None):
     )
 
 
+# ---------------------------------------------------------------
+# Manifest load / CAS publish / temp hygiene — shared by every write
+# path.  The swap itself is delegated to the engine's ConditionalPut
+# seam (plans/manifest.py), so the foreign format inherits the same
+# multi-writer safety story as the primary table manifest instead of
+# re-deriving a weaker single-writer convention.
+# ---------------------------------------------------------------
+
+
+def _load_manifest(dir_path: str):
+    """Return (doc, generation, man_path); ({}, 0, path) when the
+    directory was never committed.  Pre-r12 manifests carry no
+    generation field and read as generation 0 — the same convention
+    LocalFlockCas itself applies."""
+    man_path = os.path.join(dir_path, MANIFEST_NAME)
+    if not os.path.exists(man_path):
+        return {}, 0, man_path
+    with open(man_path) as f:
+        doc = json.load(f)
+    return doc, doc.get("generation", 0), man_path
+
+
+def _cas_publish(man_path: str, doc: dict, expected_gen: int, cas=None):
+    """Publish the manifest through the generation-checked CAS; a
+    concurrent publish since `expected_gen` was observed raises
+    ManifestConflictError (the caller's renamed part files stay
+    orphaned but INVISIBLE — readers resolve files only through the
+    manifest — and the next successful commit's temp sweep does not
+    touch them; they are reclaimable garbage, never wrong data)."""
+    from ..plans.manifest import LocalFlockCas
+
+    (cas or LocalFlockCas()).put_if_generation(man_path, doc, expected_gen)
+
+
+def _sweep_temps(dir_path: str, min_age_sec: float = 3600.0) -> None:
+    """Unlink stray ``_tmp-*.oseg`` left by failed/retried/speculative
+    task attempts (the Python DataSource protocol only delivers commit
+    messages for successful attempts, so abort() never sees them).
+    Called AFTER a successful manifest swap — and AGE-GATED: a temp
+    younger than `min_age_sec` may belong to a live CONCURRENT
+    writer's in-flight tasks (the CAS makes concurrent commits safe,
+    so concurrent writes must be too); only temps old enough to be
+    provably abandoned are reclaimed.  Garbage is therefore bounded by
+    one sweep interval instead of unbounded, without racing anyone."""
+    import time
+
+    cutoff = time.time() - min_age_sec
+    try:
+        names = os.listdir(dir_path)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith("_tmp-") and name.endswith(".oseg"):
+            fp = os.path.join(dir_path, name)
+            try:
+                if os.path.getmtime(fp) < cutoff:
+                    os.remove(fp)
+            except OSError:
+                pass
+
+
 def make_datasource():
     """Build the DataSource class (deferred import so the module can
     be imported where pyspark.sql.datasource is unavailable)."""
@@ -226,6 +443,9 @@ def make_datasource():
         """An all-pruned scan still needs one partition; it yields
         nothing (never touches the path — which may be a directory)."""
 
+        def __init__(self):
+            super().__init__(None)
+
     class OlapSegReader(DataSourceReader):
         def __init__(self, options):
             self.path = options.get("path")
@@ -233,6 +453,9 @@ def make_datasource():
                 raise ValueError("olapseg: 'path' option is required")
             self.lo = None  # inclusive doc_id lower bound
             self.hi = None  # inclusive doc_id upper bound
+            # finite candidate id set (point/IN probes) for bloom
+            # file pruning; None = not a finite probe
+            self.points = None
 
         def pushFilters(self, filters):
             """Accept doc_id range/equality predicates (served by the
@@ -244,13 +467,18 @@ def make_datasource():
             list's [min, max] envelope (planning-time skipping), while
             Spark keeps the exact membership test above the scan — a
             filter may be used for pruning without being claimed as
-            row-exact, the parquet stats+residual split."""
+            row-exact, the parquet stats+residual split.  Point and
+            IN probes additionally record the candidate id SET, which
+            the directory planner tests against each file's manifest
+            bloom — files the range envelope admits but the bloom
+            rejects are never scheduled (A17)."""
             for f in filters:
                 att = getattr(f, "attribute", None)
                 if att == ("doc_id",):
                     if isinstance(f, EqualTo):
                         self.lo = max2(self.lo, f.value)
                         self.hi = min2(self.hi, f.value)
+                        self._meet_points({f.value})
                         continue
                     if isinstance(f, GreaterThan):
                         self.lo = max2(self.lo, f.value + 1)
@@ -269,11 +497,23 @@ def make_datasource():
                         if vals:
                             self.lo = max2(self.lo, min(vals))
                             self.hi = min2(self.hi, max(vals))
+                            self._meet_points(set(vals))
                         # fall through: yield — Spark re-applies the
                         # exact membership; we only harvested bounds
                 yield f
 
+        def _meet_points(self, vals: set) -> None:
+            """Intersect the finite candidate set (conjunction of
+            pushed predicates — an id must satisfy ALL of them)."""
+            if self.points is None:
+                self.points = set(vals)
+            else:
+                self.points &= vals
+
         def partitions(self):
+            if self.points is not None and not self.points:
+                # contradictory point predicates: provably empty
+                return [_EmptyPartition()]
             if os.path.isdir(self.path):
                 return self._dir_partitions()
             _, _, blocks = open_segment(self.path)
@@ -292,11 +532,12 @@ def make_datasource():
         def _dir_partitions(self):
             """Multi-segment directory (the distributed write layout):
             one InputPartition per committed file that SURVIVES the
-            manifest's file-level zone maps — planning cost is
-            O(#files) manifest metadata on the driver, never file
-            bytes; the surviving tasks validate their own segment at
-            open and prune blocks from its footer (two-level skipping,
-            the engine's rowset-stats + parquet-stats split)."""
+            manifest's file-level zone maps AND (for finite point/IN
+            probes) its bloom filter — planning cost is O(#files)
+            manifest metadata on the driver, never file bytes; the
+            surviving tasks validate their own segment at open and
+            prune blocks from its footer (two-level skipping, the
+            engine's rowset-stats + parquet-stats split)."""
             man = os.path.join(self.path, MANIFEST_NAME)
             if not os.path.exists(man):
                 raise ValueError(
@@ -312,6 +553,14 @@ def make_datasource():
                     continue
                 if self.hi is not None and ent["min_id"] > self.hi:
                     continue
+                if self.points is not None and ent.get("bloom"):
+                    cand = [
+                        v
+                        for v in self.points
+                        if ent["min_id"] <= v <= ent["max_id"]
+                    ]
+                    if not bloom_may_contain_any(ent["bloom"], cand):
+                        continue
                 parts.append(
                     _FilePartition(
                         os.path.join(self.path, ent["file"]),
@@ -353,9 +602,13 @@ def make_datasource():
     def min2(a, b):
         return b if a is None else min(a, b)
 
-    from dataclasses import dataclass
+    from dataclasses import dataclass, field
 
-    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (
+        DataSourceArrowWriter,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
 
     @dataclass
     class _SegCommit(WriterCommitMessage):
@@ -363,31 +616,66 @@ def make_datasource():
         n_rows: int
         min_id: int | None
         max_id: int | None
+        bloom: dict | None = field(default=None)
 
-    class OlapSegWriter(DataSourceWriter):
+    def _write_task(batches, path, block_rows):
+        """Shared task body of the batch and stream writers: stream
+        the incoming Arrow batches into ONE temp segment (vectorized
+        encode, incremental CRC) and return its commit message."""
+        import uuid
+
+        os.makedirs(path, exist_ok=True)
+        tmp = f"_tmp-{uuid.uuid4().hex}.oseg"
+        n, mn, mx, bloom = write_segment_batches(
+            batches, os.path.join(path, tmp), block_rows
+        )
+        if n == 0:
+            try:
+                os.remove(os.path.join(path, tmp))
+            except OSError:
+                pass
+            return _SegCommit(None, 0, None, None)
+        return _SegCommit(tmp, n, mn, mx, bloom)
+
+    def _entry_for(final_name, m):
+        return {
+            "file": final_name,
+            "rows": m.n_rows,
+            "min_id": m.min_id,
+            "max_id": m.max_id,
+            "bloom": m.bloom,
+        }
+
+    class OlapSegWriter(DataSourceArrowWriter):
         """DISTRIBUTED segment write with a two-phase commit — the
         write-path twin of the reader (reference parity: segment
         finalize A4 + the engine's PREPARED→VISIBLE rowset publish,
-        expressed through Spark's DataSourceWriter protocol):
+        expressed through Spark's DataSourceArrowWriter protocol):
 
-        * each task sorts ITS rows by doc_id and writes ONE complete
-          segment (header/body/zone-map footer/CRC) under a
-          ``_tmp-*.oseg`` name — invisible to every reader,
+        * each task receives Arrow RecordBatches and writes ONE
+          complete segment (header/body/zone-map footer/CRC) under a
+          ``_tmp-*.oseg`` name via `write_segment_batches` —
+          vectorized encode, invisible to every reader,
         * the driver's ``commit()`` renames the temp files to
           ``part-*.oseg`` and publishes ``_SEG_MANIFEST.json`` listing
-          the committed files WITH per-file (rows, min_id, max_id) —
-          readers resolve files only through the manifest, so a
-          crashed job's temp files (``abort()`` also unlinks them) or
-          an interrupted overwrite can never serve partial data,
+          the committed files WITH per-file (rows, min_id, max_id)
+          zone maps and doc_id blooms — readers resolve files only
+          through the manifest, so a crashed job's temp files
+          (``abort()`` also unlinks them) or an interrupted overwrite
+          can never serve partial data,
+        * the manifest swap goes through the engine's
+          ``ConditionalPut`` CAS: a concurrent publish raises
+          ``ManifestConflictError`` instead of silently dropping the
+          other writer's files,
         * ``overwrite`` replaces the manifest atomically and unlinks
-          the files it orphaned; append unions the file lists.
+          the files it orphaned; append unions the file lists; either
+          way the commit ends with a sweep of stray ``_tmp-*.oseg``
+          from failed/speculative attempts.
 
         At scale: file count = write parallelism (size input
         partitions to the segment size you want), commit cost is
-        O(#files) driver metadata, and the per-file zone maps feed
-        planning-time FILE pruning on the read side.  Single writer
-        per table by contract (same as the engine manifest; an object
-        store would guard the manifest swap with a conditional put).
+        O(#files) driver metadata, and the per-file zone maps + blooms
+        feed planning-time FILE pruning on the read side.
         """
 
         def __init__(self, options, overwrite):
@@ -398,30 +686,11 @@ def make_datasource():
             self.overwrite = overwrite
 
         def write(self, iterator):
-            import uuid
-
-            rows = [
-                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
-                for r in iterator
-            ]
-            if not rows:
-                return _SegCommit(None, 0, None, None)
-            os.makedirs(self.path, exist_ok=True)
-            tmp = f"_tmp-{uuid.uuid4().hex}.oseg"
-            n = write_segment(
-                rows, os.path.join(self.path, tmp), self.block_rows
-            )
-            ids = [r[0] for r in rows]
-            return _SegCommit(tmp, n, int(min(ids)), int(max(ids)))
+            return _write_task(iterator, self.path, self.block_rows)
 
         def commit(self, messages):
-            man_path = os.path.join(self.path, MANIFEST_NAME)
-            old_files = []
-            old_doc = {}
-            if os.path.exists(man_path):
-                with open(man_path) as f:
-                    old_doc = json.load(f)
-                old_files = old_doc["files"]
+            old_doc, gen, man_path = _load_manifest(self.path)
+            old_files = old_doc.get("files", [])
             entries = [] if self.overwrite else list(old_files)
             for i, m in enumerate(messages):
                 if m is None or m.tmp_name is None:
@@ -431,14 +700,7 @@ def make_datasource():
                     os.path.join(self.path, m.tmp_name),
                     os.path.join(self.path, final),
                 )
-                entries.append(
-                    {
-                        "file": final,
-                        "rows": m.n_rows,
-                        "min_id": m.min_id,
-                        "max_id": m.max_id,
-                    }
-                )
+                entries.append(_entry_for(final, m))
             doc = {
                 "files": entries,
                 "total_rows": sum(e["rows"] for e in entries),
@@ -448,10 +710,7 @@ def make_datasource():
                 # table must not reopen the exactly-once window — the
                 # stream's replay watermark survives the overwrite
                 doc["last_batch_id"] = old_doc["last_batch_id"]
-            tmp_man = man_path + ".tmp"
-            with open(tmp_man, "w") as f:
-                json.dump(doc, f, indent=1)
-            os.replace(tmp_man, man_path)  # readers flip atomically
+            _cas_publish(man_path, doc, gen)
             if self.overwrite:
                 keep = {e["file"] for e in entries}
                 for e in old_files:
@@ -460,6 +719,7 @@ def make_datasource():
                             os.remove(os.path.join(self.path, e["file"]))
                         except OSError:
                             pass
+            _sweep_temps(self.path)
 
         def abort(self, messages):
             for m in messages:
@@ -470,19 +730,18 @@ def make_datasource():
                 except OSError:
                     pass
 
-    from pyspark.sql.datasource import DataSourceStreamWriter
-
-    class OlapSegStreamWriter(DataSourceStreamWriter):
+    class OlapSegStreamWriter(DataSourceStreamArrowWriter):
         """STREAMING sink for the segment format with EXACTLY-ONCE
         micro-batch commits — the same contract as the engine's
         ``stream_ingest`` epoch pattern, applied at the foreign-format
-        boundary: tasks write temp segments, and the driver's
+        boundary: tasks write temp segments (Arrow-batched, same
+        vectorized path as the batch writer), and the driver's
         per-batch ``commit`` appends them to ``_SEG_MANIFEST.json``
-        together with ``last_batch_id`` in ONE atomic manifest swap.
-        A replayed micro-batch (restart between sink commit and
-        checkpoint advance) finds ``batchId <= last_batch_id``,
-        unlinks its temp files, and changes nothing — duplicates are
-        structurally impossible, not just unlikely."""
+        together with ``last_batch_id`` in ONE atomic CAS-guarded
+        manifest swap.  A replayed micro-batch (restart between sink
+        commit and checkpoint advance) finds ``batchId <=
+        last_batch_id``, unlinks its temp files, and changes nothing —
+        duplicates are structurally impossible, not just unlikely."""
 
         def __init__(self, options):
             self.path = options.get("path")
@@ -491,21 +750,7 @@ def make_datasource():
             self.block_rows = int(options.get("block_rows", "256"))
 
         def write(self, iterator):
-            import uuid
-
-            rows = [
-                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
-                for r in iterator
-            ]
-            if not rows:
-                return _SegCommit(None, 0, None, None)
-            os.makedirs(self.path, exist_ok=True)
-            tmp = f"_tmp-{uuid.uuid4().hex}.oseg"
-            n = write_segment(
-                rows, os.path.join(self.path, tmp), self.block_rows
-            )
-            ids = [r[0] for r in rows]
-            return _SegCommit(tmp, n, int(min(ids)), int(max(ids)))
+            return _write_task(iterator, self.path, self.block_rows)
 
         def _drop_temps(self, messages):
             for m in messages:
@@ -518,17 +763,13 @@ def make_datasource():
 
         def commit(self, messages, batchId):
             os.makedirs(self.path, exist_ok=True)
-            man_path = os.path.join(self.path, MANIFEST_NAME)
-            doc = {"files": [], "total_rows": 0}
-            if os.path.exists(man_path):
-                with open(man_path) as f:
-                    doc = json.load(f)
+            doc, gen, man_path = _load_manifest(self.path)
             last = doc.get("last_batch_id", -1)
             if batchId <= last:
                 # replayed micro-batch: already committed — idempotent
                 self._drop_temps(messages)
                 return
-            entries = list(doc["files"])
+            entries = list(doc.get("files", []))
             for i, m in enumerate(messages):
                 if m is None or m.tmp_name is None:
                     continue
@@ -540,26 +781,17 @@ def make_datasource():
                     os.path.join(self.path, m.tmp_name),
                     os.path.join(self.path, final),
                 )
-                entries.append(
-                    {
-                        "file": final,
-                        "rows": m.n_rows,
-                        "min_id": m.min_id,
-                        "max_id": m.max_id,
-                    }
-                )
-            tmp_man = man_path + ".tmp"
-            with open(tmp_man, "w") as f:
-                json.dump(
-                    {
-                        "files": entries,
-                        "total_rows": sum(e["rows"] for e in entries),
-                        "last_batch_id": batchId,
-                    },
-                    f,
-                    indent=1,
-                )
-            os.replace(tmp_man, man_path)
+                entries.append(_entry_for(final, m))
+            _cas_publish(
+                man_path,
+                {
+                    "files": entries,
+                    "total_rows": sum(e["rows"] for e in entries),
+                    "last_batch_id": batchId,
+                },
+                gen,
+            )
+            _sweep_temps(self.path)
 
         def abort(self, messages, batchId):
             self._drop_temps(messages)
@@ -602,12 +834,15 @@ def compact_segments(
     (one file per micro-batch per task): read the manifest-resolved
     table, rewrite it as ceil(total_rows/target_rows) doc_id-range-
     partitioned segments in one distributed job, and let the batch
-    writer's two-phase overwrite swap the manifest atomically and
+    writer's two-phase overwrite CAS-swap the manifest atomically and
     unlink the replaced files — a concurrent reader resolves the old
     file set or the new one, never a mix.  Range partitioning keeps
     each output file a contiguous doc_id interval, so the rewritten
     zone maps are maximally selective (the same reason the engine's
-    own compaction sorts on the short key).
+    own compaction sorts on the short key).  `repartitionByRange` may
+    emit FEWER non-empty partitions than requested on skewed/sparse
+    ids (empty range partitions write no file), so files_after is
+    bounded by — not equal to — the theoretical count.
 
     No-op (returns unchanged counts) when the table is already at or
     under the target file count — safe to run on a schedule.
@@ -618,9 +853,7 @@ def compact_segments(
     from pyspark.sql import functions as _F
 
     register(spark)
-    man_path = os.path.join(path, MANIFEST_NAME)
-    with open(man_path) as f:
-        man = json.load(f)
+    man, _, man_path = _load_manifest(path)
     n_out = max(1, math.ceil(man["total_rows"] / target_rows))
     if len(man["files"]) <= n_out:
         return len(man["files"]), len(man["files"])
@@ -633,8 +866,7 @@ def compact_segments(
         .mode("overwrite")
         .save()
     )
-    with open(man_path) as f:
-        man2 = json.load(f)
+    man2, _, _ = _load_manifest(path)
     return len(man["files"]), len(man2["files"])
 
 
@@ -646,23 +878,22 @@ def delete_range_from_segments(
     partition-scoped rewrite) applied at the foreign-format boundary:
     the manifest's per-file zone maps pick ONLY the files whose
     [min_id, max_id] intersects [lo, hi]; those files rewrite
-    executor-side (one task per touched file, through the same
-    fail-loud ``open_segment`` + ``write_segment`` pair every path
-    uses), and one atomic manifest swap publishes untouched entries +
-    rewritten entries while unlinking the replaced files.  I/O is
-    proportional to TOUCHED bytes at any table size — a delete of one
-    day's ids from a year-sized table reads one day's files.  A file
-    whose every row falls in the range simply disappears; the
-    stream-replay watermark survives the swap (same rule as
-    compaction).
+    executor-side (one task per touched file, Arrow-batched: blocks
+    decode via ``read_block_batch``, the doomed range drops by ONE
+    vectorized mask, survivors re-encode via
+    ``write_segment_batches`` — no per-row Python), and one atomic
+    CAS-guarded manifest swap publishes untouched entries + rewritten
+    entries while unlinking the replaced files.  I/O is proportional
+    to TOUCHED bytes at any table size — a delete of one day's ids
+    from a year-sized table reads one day's files.  A file whose
+    every row falls in the range simply disappears; the stream-replay
+    watermark survives the swap (same rule as compaction).
 
     Bounds are INCLUSIVE on both ends (zone-map convention).
     Returns (files_rewritten, files_untouched, rows_deleted).
     """
     register(spark)
-    man_path = os.path.join(path, MANIFEST_NAME)
-    with open(man_path) as f:
-        man = json.load(f)
+    man, gen, man_path = _load_manifest(path)
     touched = [
         e
         for e in man["files"]
@@ -682,44 +913,62 @@ def delete_range_from_segments(
         import uuid as _uuid
 
         import pandas as _pd
+        import pyarrow.compute as _pc
 
         for pdf in batches:
             out = []
             for fp in pdf["old_path"]:
                 _, _, blocks = open_segment(fp)  # fail-loud validate
-                rows = [
-                    r
-                    for b in blocks
-                    for r in read_block(fp, b[0], b[1])
-                ]
-                kept = [r for r in rows if not (lo <= r[0] <= hi)]
-                deleted = len(rows) - len(kept)
-                new_name = None
-                n = mn = mx = None
-                if kept:
-                    new_name = f"_tmp-{_uuid.uuid4().hex}.oseg"
-                    write_segment(
-                        kept,
-                        os.path.join(os.path.dirname(fp), new_name),
-                        block_rows,
+                kept_batches = []
+                n_before = 0
+                for b in blocks:
+                    n_before += b[1]
+                    batch = read_block_batch(fp, b[0], b[1])
+                    if batch is None:
+                        continue
+                    ids = batch.column(0)
+                    mask = _pc.or_(
+                        _pc.less(ids, lo), _pc.greater(ids, hi)
                     )
-                    ids = [r[0] for r in kept]
-                    n, mn, mx = len(kept), min(ids), max(ids)
+                    kept_batches.append(batch.filter(mask))
+                new_name = f"_tmp-{_uuid.uuid4().hex}.oseg"
+                n, mn, mx, bloom = write_segment_batches(
+                    kept_batches,
+                    os.path.join(os.path.dirname(fp), new_name),
+                    block_rows,
+                )
+                if n == 0:
+                    try:
+                        os.remove(
+                            os.path.join(os.path.dirname(fp), new_name)
+                        )
+                    except OSError:
+                        pass
+                    new_name = None
                 out.append(
-                    (os.path.basename(fp), new_name, n, mn, mx, deleted)
+                    (
+                        os.path.basename(fp),
+                        new_name,
+                        n,
+                        mn,
+                        mx,
+                        json.dumps(bloom) if bloom else None,
+                        n_before - n,
+                    )
                 )
             yield _pd.DataFrame(
                 out,
                 columns=[
                     "old_file", "tmp_file", "rows",
-                    "min_id", "max_id", "deleted",
+                    "min_id", "max_id", "bloom_json", "deleted",
                 ],
             )
 
     res = paths_df.mapInPandas(
         rewrite,
         "old_file string, tmp_file string, rows bigint, "
-        "min_id bigint, max_id bigint, deleted bigint",
+        "min_id bigint, max_id bigint, bloom_json string, "
+        "deleted bigint",
     ).collect()  # bounded: one row per TOUCHED file (driver metadata)
     entries = list(untouched)
     rows_deleted = 0
@@ -738,6 +987,9 @@ def delete_range_from_segments(
                 "rows": int(r["rows"]),
                 "min_id": int(r["min_id"]),
                 "max_id": int(r["max_id"]),
+                "bloom": json.loads(r["bloom_json"])
+                if r["bloom_json"]
+                else None,
             }
         )
     doc = {
@@ -746,10 +998,7 @@ def delete_range_from_segments(
     }
     if "last_batch_id" in man:
         doc["last_batch_id"] = man["last_batch_id"]
-    tmp_man = man_path + ".tmp"
-    with open(tmp_man, "w") as f:
-        json.dump(doc, f, indent=1)
-    os.replace(tmp_man, man_path)
+    _cas_publish(man_path, doc, gen)
     for r in res:
         try:
             os.remove(os.path.join(path, r["old_file"]))

@@ -360,3 +360,89 @@ def test_conditional_put_seam_is_swappable(tmp_path):
         m.publish(rs(m.next_rowset_id(), 1, 1))
     # store-level conflict left the on-disk manifest at the winner
     assert Manifest.load(root).max_version == 0
+
+
+# ------------------------------------------------------------------
+# r12: the ConditionalPut contract matrix — LocalFlockCas (exclusive
+# lock primitive) and GenerationClaimCas (atomic-create primitive,
+# object-store semantics) must carry the identical contract, so an
+# interface assumption that only holds for one fails here.
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cas_name", ["LocalFlockCas", "GenerationClaimCas"]
+)
+def test_conditional_put_contract_matrix(tmp_path, cas_name):
+    """Shared contract: publish succeeds iff expected_gen matches the
+    authoritative generation; the published doc carries gen+1; a stale
+    writer raises and the winner's doc is untouched."""
+    import json
+
+    from olap_storage_engine_spark.plans import manifest as M
+
+    cas = getattr(M, cas_name)()
+    path = str(tmp_path / "doc.json")
+    cas.put_if_generation(path, {"v": "a"}, 0)
+    d = json.load(open(path))
+    assert d["v"] == "a" and d["generation"] == 1
+    with pytest.raises(ManifestConflictError):
+        cas.put_if_generation(path, {"v": "stale"}, 0)
+    assert json.load(open(path))["v"] == "a"  # winner intact
+    cas.put_if_generation(path, {"v": "b"}, 1)
+    d = json.load(open(path))
+    assert d["v"] == "b" and d["generation"] == 2
+    # far-stale writer also loses
+    with pytest.raises(ManifestConflictError):
+        cas.put_if_generation(path, {"v": "older"}, 0)
+
+
+@pytest.mark.parametrize(
+    "cas_name", ["LocalFlockCas", "GenerationClaimCas"]
+)
+def test_concurrent_publish_matrix(tmp_path, cas_name):
+    """The manifest-level lost-update race, run against BOTH store
+    seams: two instances loaded at the same generation race a publish;
+    one wins, one raises, nothing is silently dropped."""
+    from olap_storage_engine_spark.plans import manifest as M
+
+    cas = getattr(M, cas_name)()
+    root = str(tmp_path / "t")
+    m = Manifest(root)
+    m.cas = cas
+    m.save()
+    a = Manifest.load(root)
+    a.cas = cas
+    b = Manifest.load(root)
+    b.cas = cas
+    a.publish(rs(a.next_rowset_id(), 0, 0))
+    with pytest.raises(ManifestConflictError):
+        b.publish(rs(b.next_rowset_id(), 0, 0))
+    on_disk = Manifest.load(root)
+    assert [r.rowset_id for r in on_disk.visible_rowsets()] == [1]
+    # loser recovers by reload + retry
+    b2 = Manifest.load(root)
+    b2.cas = cas
+    b2.publish(rs(b2.next_rowset_id(), 1, 1))
+    assert Manifest.load(root).max_version == 1
+
+
+def test_generation_claim_is_the_atomic_arbiter(tmp_path):
+    """GenerationClaimCas's fast-path staleness check is an
+    optimization only: when another writer has CLAIMED g+1 but its
+    manifest swap has not landed yet (the check-then-claim race
+    window), the claim create itself forces the conflict."""
+    import json
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+    )
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    cas.put_if_generation(path, {"v": "a"}, 0)
+    # another writer holds the g2 claim; disk still shows gen 1
+    open(f"{path}.g{2:012d}.claim", "w").close()
+    with pytest.raises(ManifestConflictError):
+        cas.put_if_generation(path, {"v": "b"}, 1)
+    assert json.load(open(path))["v"] == "a"

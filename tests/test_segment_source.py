@@ -144,6 +144,23 @@ def _seg_df(spark, rows):
     return spark.createDataFrame(rows, SEGMENT_SCHEMA)
 
 
+def _rb(*tuples):
+    """One pyarrow RecordBatch in the writer's schema — the writers
+    are Arrow-batched (DataSourceArrowWriter, r12), so direct protocol
+    tests feed batches, never Rows."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([t[0] for t in tuples], pa.int64()),
+            pa.array([t[1] for t in tuples], pa.int64()),
+            pa.array([t[2] for t in tuples]),
+            pa.array([t[3] for t in tuples]),
+        ],
+        names=["doc_id", "n_chars", "lang", "source"],
+    )
+
+
 def test_distributed_write_roundtrip_and_manifest(spark, tmp_path):
     """Each task writes one complete segment; commit publishes the
     manifest with per-file zone maps; the reader resolves files only
@@ -260,9 +277,8 @@ def test_writer_abort_unlinks_temps_and_schema_is_validated(
     ds = cls(options={"path": str(tmp_path / "t")})
     schema = _parse_datatype_string(SEGMENT_SCHEMA)
     w = ds.writer(schema, overwrite=False)
-    from pyspark.sql import Row
 
-    msg = w.write(iter([Row(doc_id=1, n_chars=2, lang="en", source="s")]))
+    msg = w.write(iter([_rb((1, 2, "en", "s"))]))
     assert msg.n_rows == 1 and msg.min_id == msg.max_id == 1
     assert os.path.exists(str(tmp_path / "t" / msg.tmp_name))
     w.abort([msg, None])
@@ -279,7 +295,6 @@ def test_stream_writer_exactly_once_replay(spark, tmp_path):
     import json
     import os
 
-    from pyspark.sql import Row
     from pyspark.sql.types import _parse_datatype_string
 
     from olap_storage_engine_spark.sources.segment_format import (
@@ -291,18 +306,18 @@ def test_stream_writer_exactly_once_replay(spark, tmp_path):
     d = str(tmp_path / "t")
     schema = _parse_datatype_string(SEGMENT_SCHEMA)
     w = make_datasource()(options={"path": d}).streamWriter(schema, False)
-    m0 = w.write(iter([Row(doc_id=1, n_chars=5, lang="en", source="s")]))
+    m0 = w.write(iter([_rb((1, 5, "en", "s"))]))
     w.commit([m0], 0)
     man = json.load(open(os.path.join(d, MANIFEST_NAME)))
     assert man["total_rows"] == 1 and man["last_batch_id"] == 0
     # replay of batch 0
-    m1 = w.write(iter([Row(doc_id=1, n_chars=5, lang="en", source="s")]))
+    m1 = w.write(iter([_rb((1, 5, "en", "s"))]))
     w.commit([m1], 0)
     man2 = json.load(open(os.path.join(d, MANIFEST_NAME)))
     assert man2 == man  # byte-identical manifest
     assert not os.path.exists(os.path.join(d, m1.tmp_name))
     # next batch commits
-    m2 = w.write(iter([Row(doc_id=2, n_chars=6, lang="de", source="s")]))
+    m2 = w.write(iter([_rb((2, 6, "de", "s"))]))
     w.commit([m2], 1)
     man3 = json.load(open(os.path.join(d, MANIFEST_NAME)))
     assert man3["total_rows"] == 2 and man3["last_batch_id"] == 1
@@ -375,7 +390,6 @@ def test_compact_preserves_stream_replay_watermark(spark, tmp_path):
     import json
     import os
 
-    from pyspark.sql import Row
     from pyspark.sql.types import _parse_datatype_string
 
     from olap_storage_engine_spark.sources.segment_format import (
@@ -392,8 +406,7 @@ def test_compact_preserves_stream_replay_watermark(spark, tmp_path):
     w = make_datasource()(options={"path": d}).streamWriter(schema, False)
     for b in range(4):
         msgs = [
-            w.write(iter([Row(doc_id=b * 10 + j, n_chars=1, lang="en",
-                              source="s")]))
+            w.write(iter([_rb((b * 10 + j, 1, "en", "s"))]))
             for j in range(3)
         ]
         w.commit(msgs, b)
@@ -404,7 +417,7 @@ def test_compact_preserves_stream_replay_watermark(spark, tmp_path):
     man2 = json.load(open(os.path.join(d, MANIFEST_NAME)))
     assert man2["last_batch_id"] == 3  # watermark survived
     # a replay of batch 3 after compaction is still a no-op
-    m = w.write(iter([Row(doc_id=999, n_chars=1, lang="en", source="s")]))
+    m = w.write(iter([_rb((999, 1, "en", "s"))]))
     w.commit([m], 3)
     assert json.load(open(os.path.join(d, MANIFEST_NAME)))["total_rows"] == 12
 
@@ -494,3 +507,209 @@ def test_range_delete_rewrites_only_touched_files(spark, tmp_path):
         len(man1["files"]),
         0,
     )
+
+
+# ------------------------------------------------------------------
+# r12: Arrow-batched write path, per-file blooms, CAS-guarded manifest
+# swaps, stray-temp hygiene
+# ------------------------------------------------------------------
+
+
+def test_writers_are_arrow_batched(spark):
+    """Pin the batch-wise write protocol: both writers subclass the
+    Arrow writer bases, so tasks receive RecordBatches — there is no
+    row-at-a-time Python anywhere on the segment write path."""
+    from pyspark.sql.datasource import (
+        DataSourceArrowWriter,
+        DataSourceStreamArrowWriter,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    ds = make_datasource()(options={"path": "/tmp/x"})
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    assert isinstance(ds.writer(schema, False), DataSourceArrowWriter)
+    assert isinstance(
+        ds.streamWriter(schema, False), DataSourceStreamArrowWriter
+    )
+
+
+def test_batch_write_matches_row_write_bytes(tmp_path):
+    """write_segment_batches is byte-for-byte the row API: same sort,
+    same space padding, same footer, same CRC."""
+    import pyarrow as pa
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        build_bloom,
+        write_segment_batches,
+    )
+
+    rows = [(i * 7 % 100, 10 + i, "en" if i % 2 else "x", f"s{i % 4}")
+            for i in range(100)]
+    p_row = str(tmp_path / "row.oseg")
+    p_bat = str(tmp_path / "bat.oseg")
+    write_segment(rows, p_row, block_rows=16)
+    # feed as two out-of-order batches: the writer must globally sort
+    n, mn, mx, bloom = write_segment_batches(
+        [_rb(*rows[50:]), _rb(*rows[:50])], p_bat, block_rows=16
+    )
+    assert (n, mn, mx) == (100, 0, 99)
+    assert open(p_row, "rb").read() == open(p_bat, "rb").read()
+    import numpy as np
+
+    assert bloom == build_bloom(np.array(sorted(r[0] for r in rows)))
+    # empty input writes nothing
+    assert write_segment_batches(
+        [], str(tmp_path / "e.oseg"), 16
+    ) == (0, None, None, None)
+
+
+def test_bloom_no_false_negatives_and_low_fpp():
+    import numpy as np
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        bloom_may_contain_any,
+        build_bloom,
+    )
+
+    ids = np.arange(0, 5000, 2, dtype=np.int64)  # evens
+    b = build_bloom(ids)
+    # every present id answers True (probe one-by-one: no false negs)
+    for v in [0, 2, 1234, 4998]:
+        assert bloom_may_contain_any(b, [v])
+    # absent ids (odds) answer False almost always (~1% fpp)
+    fp = sum(bloom_may_contain_any(b, [v]) for v in range(1, 5000, 2))
+    assert fp < 2500 * 0.05
+    # any-semantics: one present among absents -> True
+    assert bloom_may_contain_any(b, [1, 3, 2, 5])
+    assert not bloom_may_contain_any(b, [])
+
+
+def test_dir_point_lookup_prunes_by_bloom(spark, tmp_path):
+    """A point probe inside a file's [min,max] envelope but absent
+    from its id set is rejected by the manifest bloom: the file is
+    never scheduled (planning-time, zero file bytes)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        make_datasource,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    # file A holds evens 0..198, file B holds evens 200..398 -> probe
+    # id 101 is inside A's envelope [0,198] but absent from its set
+    rows = [(i, i, "en", "s") for i in range(0, 400, 2)]
+    _seg_df(spark, rows).repartitionByRange(2, "doc_id").write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    r = make_datasource()(options={"path": d}).reader(None)
+    list(r.pushFilters([EqualTo(("doc_id",), 101)]))
+    parts = r.partitions()
+    # envelope admits file A; bloom rejects it -> empty partition only
+    assert len(parts) == 1 and type(parts[0]).__name__ == "_EmptyPartition"
+    # a PRESENT id is served by exactly the one owning file
+    r2 = make_datasource()(options={"path": d}).reader(None)
+    list(r2.pushFilters([EqualTo(("doc_id",), 202)]))
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and type(parts2[0]).__name__ == "_FilePartition"
+    (batch,) = list(r2.read(parts2[0]))
+    assert batch.column("doc_id").to_pylist() == [202]
+    # end-to-end through Spark: exact answer either way
+    df = spark.read.format("olapseg").option("path", d).load()
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("doc_id") == 101).count() == 0
+    assert df.filter(F.col("doc_id") == 202).count() == 1
+
+
+def test_manifest_commit_is_cas_guarded(spark, tmp_path, monkeypatch):
+    """The read-modify-write race the CAS closes: writer B loads the
+    manifest, writer A publishes, then B tries to publish its merge —
+    B must raise ManifestConflictError instead of silently dropping
+    A's files.  Simulated by making B's commit observe the
+    pre-publish (stale) manifest load."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    import olap_storage_engine_spark.sources.segment_format as sf
+    from olap_storage_engine_spark.plans.manifest import (
+        ManifestConflictError,
+    )
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    d = str(tmp_path / "t")
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    ds = make_datasource()(options={"path": d})
+    w1 = ds.writer(schema, overwrite=False)
+    w2 = ds.writer(schema, overwrite=False)
+    m1 = w1.write(iter([_rb((1, 1, "en", "s"))]))
+    m2 = w2.write(iter([_rb((2, 2, "de", "s"))]))
+    w1.commit([m1])  # wins; manifest at generation 1
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man["generation"] == 1 and man["total_rows"] == 1
+    # w2 observed the table BEFORE w1 published (the race window)
+    real_load = sf._load_manifest
+    monkeypatch.setattr(
+        sf,
+        "_load_manifest",
+        lambda p: ({}, 0, real_load(p)[2]),
+    )
+    with _pytest.raises(ManifestConflictError):
+        w2.commit([m2])  # stale generation 0 vs disk 1 -> conflict
+    monkeypatch.undo()
+    # the winner's manifest is untouched
+    man2 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man2 == man
+    # a fresh commit (observing generation 1) appends fine
+    w3 = ds.writer(schema, overwrite=False)
+    m3 = w3.write(iter([_rb((3, 3, "fr", "s"))]))
+    w3.commit([m3])
+    man3 = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man3["generation"] == 2 and man3["total_rows"] == 2
+
+
+def test_commit_sweeps_stray_temps(spark, tmp_path):
+    """An ABANDONED attempt's _tmp-*.oseg (never surfaced in commit
+    messages) is unlinked by the next successful commit — but only
+    once older than the sweep age gate: a FRESH temp may belong to a
+    live concurrent writer and must survive."""
+    import os
+    import time
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    def make_stray(age_sec):
+        stray = os.path.join(d, "_tmp-deadbeef.oseg")
+        open(stray, "wb").write(b"garbage")
+        old = time.time() - age_sec
+        os.utime(stray, (old, old))
+        return stray
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    schema = _parse_datatype_string(SEGMENT_SCHEMA)
+    ds = make_datasource()(options={"path": d})
+    # fresh stray (a concurrent writer's in-flight temp): survives
+    stray = make_stray(0)
+    w = ds.writer(schema, overwrite=False)
+    m = w.write(iter([_rb((1, 1, "en", "s"))]))
+    w.commit([m])
+    assert os.path.exists(stray)
+    # abandoned stray (older than the gate): reclaimed
+    stray = make_stray(2 * 3600)
+    w2 = ds.writer(schema, overwrite=False)
+    m2 = w2.write(iter([_rb((2, 2, "en", "s"))]))
+    w2.commit([m2])
+    assert not os.path.exists(stray)
+    # stream commit sweeps abandoned temps too
+    stray = make_stray(2 * 3600)
+    sw = ds.streamWriter(schema, False)
+    sm = sw.write(iter([_rb((3, 3, "en", "s"))]))
+    sw.commit([sm], 0)
+    assert not os.path.exists(stray)
