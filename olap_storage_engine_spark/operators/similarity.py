@@ -936,18 +936,25 @@ def embedding_diversity(
     Returns (group_col, n, mean_pair_cos) for groups with n >= 2,
     mean_pair_cos in [-1/(n-1), 1].
     """
-    nrm = l2norm(F.col(vec_col))
-    unit = corpus.select(
+    from .dedup import _spread
+
+    # The norm is computed ONCE per row in the pre-explode projection
+    # and replicated by Generate; the division happens per exploded
+    # element.  Do NOT move the division into a transform() lambda
+    # that captures the norm expression: higher-order lambdas are
+    # interpreted with no common-subexpression elimination, so the
+    # O(dim) norm fold would re-run per ELEMENT — O(dim^2) per row
+    # (measured 7.6 s -> sub-second at sf1 for dim=64).  _spread
+    # restores parallelism when a small fixture file arrives as one
+    # scan split (no-op at real scale).
+    dims = _spread(corpus).select(
         F.col(group_col),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / nrm
-        ).alias("__u"),
-    )
-    dims = unit.select(
-        group_col, F.posexplode(F.col("__u")).alias("pos", "val")
+        l2norm(F.col(vec_col)).alias("__nrm"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
     )
     comps = dims.groupBy(group_col, "pos").agg(
-        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("val").cast("double") / F.col("__nrm")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
     per_group = comps.groupBy(group_col).agg(
         F.sum(F.col("s") * F.col("s")).alias("ss"),

@@ -169,7 +169,13 @@ def repetition_stats(
     Returns (doc_id, n_tokens, distinct_ratio, top_token_frac,
     dup_2gram_frac), ratios rounded to 4dp.
     """
-    toked = docs.select(
+    from .dedup import _spread
+
+    # per-row interpreted array folds are CPU-bound at ~MB/s per core:
+    # a small fixture file arriving as 1-2 scan splits would serialize
+    # the whole corpus on 2 of 32 cores (_spread is a no-op at real
+    # scale, where inputs already have many splits)
+    toked = _spread(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
