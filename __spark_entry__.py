@@ -3843,97 +3843,39 @@ def q_set_intersect(spark, sf_dir):
 # The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-11 rotation.  Priority order within the 50-slot head:
-    #   1-2   the two r10 REDS, re-checked after their root-cause
-    #         fixes (corpus_drift_report: exact-integer TVD, no
-    #         libm in the checked projection; recursive_cte:
-    #         sum_keys cast BIGINT in both engines),
-    #   3     the query added this round (bucket_random_spread,
-    #         never driver-checked),
-    #   4-12  queries whose CODE changed in r11: the Arrow-batched
-    #         segment reader; the single-pass PR eval + the three
-    #         ngram/minhash siblings sharing the rewritten pair
-    #         expansion; the de-quadratic'd streaming
-    #         decontamination; the fixed-name stream MV + clone;
-    #         the bounded semantic-decontamination kernel,
-    #   13-37 ALL 25 queries whose newest green row is r6 — five
+    # Round-12 rotation.  Priority order within the 50-slot head:
+    #   1     segment_point_lookup — NEW this round (bloom-assisted
+    #         point probe), never driver-checked,
+    #   2-10  queries whose CODE changed in r12: the Arrow-batched
+    #         segment write family + CAS-guarded manifests + the
+    #         compact query's bounded files_after projection
+    #         (segment_write_roundtrip/stream_ingest/compact/
+    #         delete_scoped, ingest_segment_pushdown); the LSH eval
+    #         reading its persisted truth pair set
+    #         (dedup_minhash_pr_eval); the de-O(dim^2)'d
+    #         embedding_diversity and the _spread-parallelized
+    #         text_repetition; RANDOM bucketing's partition-id mix
+    #         (bucket_random_spread),
+    #   11-49 ALL 39 queries whose newest green row is r7 — five
     #         rounds stale, the oldest rows on the board,
-    #   13-16 the r11 session-2 segment-format additions
-    #         (segment_write_roundtrip, segment_stream_ingest,
-    #         segment_compact, segment_delete_scoped — never
-    #         driver-checked),
-    #   38-50 the oldest r7 rows, most-touched-family-first
-    #         (similarity/dedup/streaming/multimodal moved this
-    #         round; the salted/bucketed join family is next).
-    # --- r10 reds, fixed this round ---
-    "corpus_drift_report",
-    "recursive_cte",
-    # --- new in r11, never driver-checked ---
-    "bucket_random_spread",
-    # --- code changed in r11 ---
-    "ingest_segment_pushdown",
-    "dedup_minhash_pr_eval",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_indexed",
-    "dedup_minhash_verified",
-    "docs_stream_decontaminate",
-    "events_stream_mv",
-    "snapshot_clone_read",
-    "decontaminate_semantic",
+    #   50    the first r8-stale row (agg_percentiles) — the r13
+    #         rotation continues down the r8 cohort.
+    "segment_point_lookup",
     "segment_write_roundtrip",
     "segment_stream_ingest",
     "segment_compact",
     "segment_delete_scoped",
-    # --- all 25 r6-stale rows (oldest on the board) ---
-    "dedup_exact_substring",
-    "fk_orphan_audit",
-    "join_string_similarity",
-    "merge_scoped",
-    "rowset_skip_scan",
-    "sketch_theta_retention",
-    "snapshot_rollback",
-    "table_partitions",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "zorder_scan",
-    # --- 13 oldest r7 rows, most-touched-family-first ---
-    "similarity_ann_lsh",
-    "similarity_topk",
-    "embedding_neardup",
-    "doc_fingerprint",
-    "events_stream_window",
-    "events_stream_replay_dedup",
-    "events_window_agg",
-    "multimodal_features",
-    "multimodal_join",
-    # --- fill (positions 51+; first to fall off under the
-    #     ~50-row cap): multimodal_meta / agg_salted_skew /
-    #     bucketed_join / bucketed_fact_join (displaced from the head
-    #     proper by the four r11 session-2 segment-format additions),
-    #     then the remaining r7-stale rows in name order — every
-    #     r8-r10 row is fresher, so these lead the r12 head if not
-    #     reached ---
-    "multimodal_meta",
-    "agg_salted_skew",
-    "bucketed_join",
-    "bucketed_fact_join",
+    "ingest_segment_pushdown",
+    "dedup_minhash_pr_eval",
+    "text_repetition",
+    "embedding_diversity",
+    "bucket_random_spread",
     "agg_model_min_max",
+    "agg_salted_skew",
     "array_funcs",
     "bucket_point_lookup",
+    "bucketed_fact_join",
+    "bucketed_join",
     "cdc_changes",
     "events_gap_fill",
     "events_json_extract",
@@ -3946,6 +3888,7 @@ _DRIVER_CHECK_HEAD = [
     "join_semi",
     "join_star_revenue",
     "merge_upsert",
+    "multimodal_meta",
     "rollup_routed_read",
     "schema_evolution_read",
     "sketch_profile",
@@ -3966,21 +3909,23 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q5",
     "unpivot_metrics",
     "window_range_frame",
+    "agg_percentiles",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("multimodal_join") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("agg_percentiles") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
     f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_join') + 1}"
 )
-# ROUND-12 ROTATION RECIPE: after CORRECTNESS_r11 lands, lead with any
+# ROUND-13 ROTATION RECIPE: after CORRECTNESS_r12 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r12, then the 35 fill entries above in order, then the oldest r8
-# rows (CORRECTNESS_r08 minus newer rows) as budget allows.  Keep the
-# head proper at exactly 50 and update the assertion's anchor query.
+# r13, then the remaining r8-stale rows (CORRECTNESS_r08 cohort minus
+# rows re-checked since — agg_percentiles was taken in r12), then the
+# r9 cohort as budget allows.  Keep the head proper at exactly 50 and
+# update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
