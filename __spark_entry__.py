@@ -3253,6 +3253,56 @@ def q_segment_point_lookup(spark, sf_dir):
     )
 
 
+def q_segment_stream_read(spark, sf_dir):
+    """INCREMENTAL streaming READ of a segment directory table (r12,
+    DataSourceStreamReader — completes the foreign format's streaming
+    story: r11 gave it an exactly-once SINK, this is the source side):
+    the committed-files manifest is an append-only log for ingest
+    tables, so a stream offset is simply how many manifest entries
+    have been consumed — offset resolution is O(1) driver metadata
+    per poll, each micro-batch plans one task per NEWLY committed
+    file, and blocks decode through the same fail-loud open + Arrow
+    batch path as the batch scan.  History rewrites (compaction/
+    delete) fail loudly instead of re-serving rewritten files — the
+    engine's CDC-read contract at the foreign-format boundary.  The
+    complete-mode aggregate lands in a memory sink; the batch oracle
+    over documents checks the consumed state exactly
+    (sources/segment_format.py OlapSegStreamReader; incremental
+    pickup pinned by tests/test_segment_source.py)."""
+    import uuid as _uuid
+
+    from olap_storage_engine_spark.fixtures import segment_table_path
+    from olap_storage_engine_spark.sources import segment_format
+    from olap_storage_engine_spark.streaming.events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
+
+    segment_format.register(spark)
+    path = segment_table_path(spark, sf_dir)
+    stream = spark.readStream.format("olapseg").option("path", path).load()
+    name = f"segread_{_uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            stream.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    return spark.table(name)
+
+
 def q_join_salted(spark, sf_dir):
     """Skew-mitigated equi-join: the join key salted 4 ways (hot keys
     spread over 4 reducers, dim side replicated 4x) — result identical
@@ -3844,8 +3894,9 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-12 rotation.  Priority order within the 50-slot head:
-    #   1     segment_point_lookup — NEW this round (bloom-assisted
-    #         point probe), never driver-checked,
+    #   1-2   segment_point_lookup (bloom-assisted point probe) and
+    #         segment_stream_read (incremental manifest-offset
+    #         stream) — NEW this round, never driver-checked,
     #   2-10  queries whose CODE changed in r12: the Arrow-batched
     #         segment write family + CAS-guarded manifests + the
     #         compact query's bounded files_after projection
@@ -3856,11 +3907,11 @@ _DRIVER_CHECK_HEAD = [
     #         embedding_diversity and the _spread-parallelized
     #         text_repetition; RANDOM bucketing's partition-id mix
     #         (bucket_random_spread),
-    #   11-49 ALL 39 queries whose newest green row is r7 — five
-    #         rounds stale, the oldest rows on the board,
-    #   50    the first r8-stale row (agg_percentiles) — the r13
+    #   12-50 ALL 39 queries whose newest green row is r7 — five
+    #         rounds stale, the oldest rows on the board; the r13
     #         rotation continues down the r8 cohort.
     "segment_point_lookup",
+    "segment_stream_read",
     "segment_write_roundtrip",
     "segment_stream_ingest",
     "segment_compact",
@@ -3909,14 +3960,13 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q5",
     "unpivot_metrics",
     "window_range_frame",
-    "agg_percentiles",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("agg_percentiles") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("window_range_frame") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
     f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_join') + 1}"
 )
@@ -3924,8 +3974,9 @@ assert _DRIVER_CHECK_HEAD.index("agg_percentiles") == _HEAD_PROPER_LEN - 1, (
 # query still lacking a green row, then queries whose code changes in
 # r13, then the remaining r8-stale rows (CORRECTNESS_r08 cohort minus
 # rows re-checked since — agg_percentiles was taken in r12), then the
-# r9 cohort as budget allows.  Keep the head proper at exactly 50 and
-# update the assertion's anchor query.
+# rows re-checked since), then the r9 cohort as budget allows.  Keep
+# the head proper at exactly 50 and update the assertion's anchor
+# query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 
@@ -4138,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_compact": q_segment_compact,
         "segment_delete_scoped": q_segment_delete_scoped,
         "segment_point_lookup": q_segment_point_lookup,
+        "segment_stream_read": q_segment_stream_read,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7190,6 +7242,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 64
+        """,
+        # incremental streaming read of the segment directory table:
+        # the consumed state equals the committed table equals
+        # documents, so the oracle is the batch aggregate
+        "segment_stream_read": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents
+            GROUP BY 1
         """,
         # bloom-assisted point lookup on the segment directory table:
         # the landed fixture equals documents, so the probe's oracle

@@ -882,18 +882,23 @@ def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         elif fmt == "olapseg":
             # one custom binary segment (sources/segment_format.py):
             # the documents table in the bespoke block format the
-            # olapseg DataSource mounts with zone-map pushdown
-            from .sources.segment_format import write_segment
+            # olapseg DataSource mounts with zone-map pushdown —
+            # encoded through the same Arrow/numpy batch path the
+            # distributed writer uses (r12: was a collect loop)
+            import pyarrow as pa
+
+            from .sources.segment_format import write_segment_batches
 
             os.makedirs(path, exist_ok=True)
-            rows = [
-                (r["doc_id"], r["n_chars"], r["lang"], r["source"])
-                for r in load_table(spark, sf_dir, "documents")
+            pdf = (
+                load_table(spark, sf_dir, "documents")
                 .select("doc_id", "n_chars", "lang", "source")
-                .collect()
-            ]
+                .toPandas()
+            )
             path = os.path.join(path, "documents.oseg")
-            write_segment(rows, path, block_rows=256)
+            write_segment_batches(
+                [pa.RecordBatch.from_pandas(pdf)], path, block_rows=256
+            )
         elif fmt == "binary":
             # loose-file corpus for the binaryFile source: the first 64
             # documents' UTF-8 bytes, one file each, named by doc_id.

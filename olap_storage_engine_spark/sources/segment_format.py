@@ -796,6 +796,71 @@ def make_datasource():
         def abort(self, messages, batchId):
             self._drop_temps(messages)
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class OlapSegStreamReader(DataSourceStreamReader):
+        """INCREMENTAL (streaming) READ of a segment directory table —
+        the foreign-format twin of the engine's incremental-ingest
+        reads: the committed-files manifest is an append-only log for
+        ingest tables (files only ever appear, atomically, at commit),
+        so a stream offset is simply HOW MANY manifest entries have
+        been consumed.  Each micro-batch plans one InputPartition per
+        newly committed file and reads it through the same fail-loud
+        ``open_segment`` + Arrow block decode as the batch scan — rows
+        cross to the JVM as Arrow buffers.
+
+        At scale: offset resolution is O(1) driver metadata (one
+        manifest read per poll), batch size = newly committed files,
+        and read parallelism = files per batch.  Contract: defined for
+        APPEND-committed tables (the ingest pattern); compaction and
+        scoped delete REWRITE history, so a manifest that shrank below
+        a consumed offset fails loudly instead of re-serving rewritten
+        files as new data — the same rule as the engine's CDC reads.
+        """
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("olapseg: 'path' option is required")
+
+        def initialOffset(self):
+            return {"n_files": 0}
+
+        def latestOffset(self):
+            doc, _, _ = _load_manifest(self.path)
+            return {"n_files": len(doc.get("files", []))}
+
+        def partitions(self, start, end):
+            doc, _, _ = _load_manifest(self.path)
+            files = doc.get("files", [])
+            lo, hi = start["n_files"], end["n_files"]
+            if len(files) < hi or lo > hi:
+                raise ValueError(
+                    f"olapseg: manifest of {self.path} has {len(files)} "
+                    f"files but the stream consumed offset range "
+                    f"[{lo}, {hi}] — history was rewritten (compaction/"
+                    "delete); incremental reads are defined for "
+                    "append-committed ingest tables"
+                )
+            return [
+                _FilePartition(os.path.join(self.path, e["file"]), None, None)
+                for e in files[lo:hi]
+            ] or [_EmptyPartition()]
+
+        def read(self, part):
+            if isinstance(part, _EmptyPartition):
+                return
+            _, _, blocks = open_segment(part.path)
+            for start_row, n, _min_id, _max_id in blocks:
+                batch = read_block_batch(part.path, start_row, n)
+                if batch is not None:
+                    yield batch
+
+        def commit(self, end):
+            # offsets are derived from the durable manifest; nothing
+            # source-side to clean up per epoch
+            pass
+
     class OlapSegDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -806,6 +871,9 @@ def make_datasource():
 
         def reader(self, schema):
             return OlapSegReader(self.options)
+
+        def streamReader(self, schema):
+            return OlapSegStreamReader(self.options)
 
         def _check_write_schema(self, schema):
             want = [s.strip().split(" ")[0] for s in SEGMENT_SCHEMA.split(",")]

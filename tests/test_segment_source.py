@@ -713,3 +713,88 @@ def test_commit_sweeps_stray_temps(spark, tmp_path):
     sm = sw.write(iter([_rb((3, 3, "en", "s"))]))
     sw.commit([sm], 0)
     assert not os.path.exists(stray)
+
+
+def test_stream_reader_incremental_pickup(spark, tmp_path):
+    """The streaming READ side (r12): the first poll consumes every
+    committed file; files committed AFTER the stream starts arrive in
+    the next micro-batch — offsets are consumed-manifest-entry counts,
+    so the source never re-reads old files."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.sources.segment_format import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows1 = [(i, 10 + i, "en", "s") for i in range(400)]
+    _seg_df(spark, rows1).repartitionByRange(2, "doc_id").write.format(
+        "olapseg"
+    ).option("path", d).mode("overwrite").save()
+    stream = spark.readStream.format("olapseg").option("path", d).load()
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("tc")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("seg_incr_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["lang"], r["n"]) for r in spark.sql(
+            "select * from seg_incr_test").collect()}
+        assert got == {("en", 400)}
+        # append-commit two more files while the stream is live
+        rows2 = [(i, 10 + i, "de", "s") for i in range(400, 600)]
+        _seg_df(spark, rows2).repartition(2).write.format(
+            "olapseg"
+        ).option("path", d).mode("append").save()
+        q.processAllAvailable()
+        got = {(r["lang"], r["n"]) for r in spark.sql(
+            "select * from seg_incr_test").collect()}
+        assert got == {("en", 400), ("de", 200)}
+    finally:
+        q.stop()
+
+
+def test_stream_reader_rejects_rewritten_history(spark, tmp_path):
+    """A manifest that shrank below a consumed offset (compaction or
+    delete rewrote history) must fail loudly, never re-serve rewritten
+    files as new rows — the CDC-read contract."""
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        make_datasource,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", "s") for i in range(500)]
+    _seg_df(spark, rows).repartition(5).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()
+    r = make_datasource()(options={"path": d}).streamReader(None)
+    assert r.initialOffset() == {"n_files": 0}
+    assert r.latestOffset() == {"n_files": 5}
+    parts = r.partitions({"n_files": 0}, {"n_files": 5})
+    assert len(parts) == 5
+    ids = sorted(
+        i
+        for p in parts
+        for b in r.read(p)
+        for i in b.column("doc_id").to_pylist()
+    )
+    assert ids == list(range(500))
+    # compaction rewrites history: consumed offset now exceeds files
+    from olap_storage_engine_spark.sources.segment_format import (
+        compact_segments,
+    )
+
+    before, after = compact_segments(spark, d, target_rows=500)
+    assert after < before
+    with _pytest.raises(ValueError, match="history was rewritten"):
+        r.partitions({"n_files": 5}, {"n_files": 5 + 1})
+    # latestOffset on the rewritten table reflects the new file count
+    assert r.latestOffset() == {"n_files": after}
