@@ -93,6 +93,13 @@ SEGMENT_SCHEMA = "doc_id bigint, n_chars bigint, lang string, source string"
 
 _BLOOM_K = 7
 _BLOOM_BITS_PER_KEY = 10
+# cap per-file bloom size (bits): the bloom rides in the JSON manifest
+# the driver reads at planning, so it must stay metadata-sized — a
+# file with more distinct ids than the cap supports at ~10 bits/key
+# gets NO bloom (zone maps still prune) rather than a manifest-bloating
+# or uselessly-saturated one.  2^23 bits = 1 MiB per ~800k-distinct-id
+# file; real tables size segments far below that (block_rows * blocks).
+_BLOOM_MAX_BITS = 1 << 23
 _BLOOM_SALT = 0x9E6C63D0676A9A99
 
 
@@ -110,16 +117,21 @@ def _mix64(x):
     return x
 
 
-def build_bloom(ids) -> dict:
+def build_bloom(ids):
     """Build the per-file bloom document from an int64 id array.
     Sized to the file's DISTINCT id count; JSON-serializable so it
-    rides in the manifest entry next to the zone map."""
+    rides in the manifest entry next to the zone map.  Returns None
+    when the file's distinct-id count exceeds the metadata budget
+    (`_BLOOM_MAX_BITS`) — readers treat a bloom-less entry as
+    may-contain and fall back to zone maps."""
     import base64
 
     import numpy as np
 
     u = np.unique(np.asarray(ids, dtype=np.int64)).astype(np.uint64)
     m = max(64, (_BLOOM_BITS_PER_KEY * len(u) + 63) // 64 * 64)
+    if m > _BLOOM_MAX_BITS:
+        return None
     bits = np.zeros(m, dtype=bool)
     with np.errstate(over="ignore"):
         h1 = _mix64(u)

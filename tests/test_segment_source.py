@@ -798,3 +798,19 @@ def test_stream_reader_rejects_rewritten_history(spark, tmp_path):
         r.partitions({"n_files": 5}, {"n_files": 5 + 1})
     # latestOffset on the rewritten table reflects the new file count
     assert r.latestOffset() == {"n_files": after}
+
+
+def test_bloom_is_capped_to_metadata_budget():
+    """A file with more distinct ids than the bloom budget supports
+    gets NO bloom (None) — the manifest stays metadata-sized and the
+    reader falls back to zone maps — rather than a bloated or
+    saturated one."""
+    import numpy as np
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    small = sf.build_bloom(np.arange(1000, dtype=np.int64))
+    assert small is not None and small["m"] <= sf._BLOOM_MAX_BITS
+    over = (sf._BLOOM_MAX_BITS // sf._BLOOM_BITS_PER_KEY) + 100
+    big = sf.build_bloom(np.arange(over, dtype=np.int64))
+    assert big is None
