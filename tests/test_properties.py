@@ -191,3 +191,76 @@ def test_avi_mjpeg_container_roundtrip(frame_colors, w, h):
         assert len(frames) == len(expect)
         for got, exp in zip(frames, expect):
             assert (got == exp).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.text(alphabet="abcdefgh", min_size=0, max_size=2),
+            st.text(alphabet="stuvwxyz", min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_segment_batch_write_roundtrip_property(rows, block_rows, n_batches):
+    """Arbitrary rows through the Arrow batch writer, split across
+    arbitrary batch boundaries, read back EXACTLY the doc_id-sorted
+    input through both the row decoder and the Arrow block decoder —
+    and the built bloom has no false negatives."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    def rb(chunk):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([t[0] for t in chunk], pa.int64()),
+                pa.array([t[1] for t in chunk], pa.int64()),
+                pa.array([t[2] for t in chunk]),
+                pa.array([t[3] for t in chunk]),
+            ],
+            names=["doc_id", "n_chars", "lang", "source"],
+        )
+
+    # split rows into n_batches contiguous chunks (some may be empty)
+    k = max(1, len(rows) // n_batches)
+    batches = [rb(rows[i : i + k]) for i in range(0, len(rows), k)]
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t.oseg"
+        n, mn, mx, bloom = sf.write_segment_batches(
+            batches, path, block_rows
+        )
+        assert n == len(rows)
+        ids = sorted(t[0] for t in rows)
+        assert (mn, mx) == (ids[0], ids[-1])
+        n_rows, br, blocks = sf.open_segment(path)  # fail-loud validate
+        assert n_rows == n and br == block_rows
+        got = [
+            r for b in blocks for r in sf.read_block(path, b[0], b[1])
+        ]
+        want = sorted(
+            ((t[0], t[1], t[2], t[3]) for t in rows),
+            key=lambda t: t[0],
+        )
+        # stored strings are space-padded/truncated; decode strips
+        want = [(a, b, c[:2].strip(), s[:8].strip()) for a, b, c, s in want]
+        got = [(a, b, c.strip(), s.strip()) for a, b, c, s in got]
+        assert sorted(got) == sorted(want)
+        # Arrow decode agrees with the row decode block-by-block
+        for b in blocks:
+            batch = sf.read_block_batch(path, b[0], b[1])
+            assert batch.num_rows == b[1]
+        # bloom: no false negatives over every present id
+        assert bloom is not None
+        assert sf.bloom_may_contain_any(bloom, list(set(ids)))
+        for v in set(ids):
+            assert sf.bloom_may_contain_any(bloom, [v])
