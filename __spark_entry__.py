@@ -3253,6 +3253,84 @@ def q_segment_point_lookup(spark, sf_dir):
     )
 
 
+def q_encoding_selection(spark, sf_dir):
+    """Encoding AUTO-selection parity (A25, reference
+    src/field_type.rs:77-92: bytes/varchar -> dictionary, numerics ->
+    plain, explicit hints override) — the one §2 row that was
+    test-covered but had no declared query.  The spec's per-column
+    hint drives `parquet.enable.dictionary#col` at write
+    (table.py:257; Parquet owns the actual codecs, exactly as the
+    reference's encoding module owns its).  The query writes a
+    4-column table covering the hint matrix (AUTO varchar, AUTO
+    bigint, PLAIN-hinted varchar, DICTIONARY-hinted bigint), then
+    reads the LANDED parquet footers back (metadata-only) and emits
+    each column's (wanted, landed) dictionary flags; the oracle pins
+    the expected selection.  Footer inspection is driver-side file
+    METADATA — O(#files), zero data bytes, the same planning-cost
+    class as manifest reads."""
+    import pyarrow.parquet as _pq
+
+    from olap_storage_engine_spark.fixtures import warehouse_for
+    from olap_storage_engine_spark.spec import (
+        BucketSpec,
+        BucketType,
+        ColumnSpec,
+        ColumnType,
+        EncodingHint,
+        KeysType,
+        TableSpec,
+    )
+    from olap_storage_engine_spark.table import OlapTable
+
+    spec = TableSpec(
+        name="enc_select",
+        columns=[
+            ColumnSpec.key("o_orderkey", ColumnType.INT64),  # AUTO int
+            ColumnSpec.value("prio_auto", ColumnType.VARCHAR),
+            ColumnSpec.value(
+                "prio_plain", ColumnType.VARCHAR,
+                encoding=EncodingHint.PLAIN,
+            ),
+            ColumnSpec.value(
+                "cust_dict", ColumnType.INT64,
+                encoding=EncodingHint.DICTIONARY,
+            ),
+        ],
+        keys_type=KeysType.DUPLICATE,
+        bucket=BucketSpec(BucketType.HASH, "o_orderkey", 2),
+    )
+    t = OlapTable.create(spark, spec, warehouse_for(sf_dir), overwrite=True)
+    o = load_table(spark, sf_dir, "orders")
+    t.write(
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio_auto"),
+            F.col("o_orderpriority").alias("prio_plain"),
+            (F.col("o_custkey") % 100).alias("cust_dict"),
+        )
+    )
+    cols = {c.name: c.wants_dictionary() for c in spec.columns}
+    landed = {name: False for name in cols}
+    for f in sorted(t.read().inputFiles()):
+        md = _pq.ParquetFile(f.replace("file:", "")).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                name = col.path_in_schema
+                if name in landed and any(
+                    "DICTIONARY" in e for e in col.encodings
+                ):
+                    landed[name] = True
+    rows = [
+        (name, bool(cols[name]), bool(landed[name]))
+        for name in ["o_orderkey", "prio_auto", "prio_plain", "cust_dict"]
+    ]
+    return spark.createDataFrame(
+        rows, "col string, want_dict boolean, got_dict boolean"
+    )
+
+
 def q_segment_stream_read(spark, sf_dir):
     """INCREMENTAL streaming READ of a segment directory table (r12,
     DataSourceStreamReader — completes the foreign format's streaming
@@ -3894,9 +3972,11 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-12 rotation.  Priority order within the 50-slot head:
-    #   1-2   segment_point_lookup (bloom-assisted point probe) and
+    #   1-3   segment_point_lookup (bloom-assisted point probe),
     #         segment_stream_read (incremental manifest-offset
-    #         stream) — NEW this round, never driver-checked,
+    #         stream), and encoding_selection (A25 dictionary
+    #         auto-selection vs landed footers) — NEW this round,
+    #         never driver-checked,
     #   2-10  queries whose CODE changed in r12: the Arrow-batched
     #         segment write family + CAS-guarded manifests + the
     #         compact query's bounded files_after projection
@@ -3907,11 +3987,11 @@ _DRIVER_CHECK_HEAD = [
     #         embedding_diversity and the _spread-parallelized
     #         text_repetition; RANDOM bucketing's partition-id mix
     #         (bucket_random_spread),
-    #   12-50 ALL 39 queries whose newest green row is r7 — five
-    #         rounds stale, the oldest rows on the board; the r13
-    #         rotation continues down the r8 cohort.
+    #   13-50 the 38 oldest r7-stale rows (window_range_frame, the
+    #         39th, moves to the r13 rotation with the r8 cohort).
     "segment_point_lookup",
     "segment_stream_read",
+    "encoding_selection",
     "segment_write_roundtrip",
     "segment_stream_ingest",
     "segment_compact",
@@ -3959,14 +4039,13 @@ _DRIVER_CHECK_HEAD = [
     "tpch_q22",
     "tpch_q5",
     "unpivot_metrics",
-    "window_range_frame",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("window_range_frame") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("unpivot_metrics") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
     f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_join') + 1}"
 )
@@ -4190,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_delete_scoped": q_segment_delete_scoped,
         "segment_point_lookup": q_segment_point_lookup,
         "segment_stream_read": q_segment_stream_read,
+        "encoding_selection": q_encoding_selection,
     }
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
@@ -7242,6 +7322,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 64
+        """,
+        # encoding auto-selection (A25): the engine emits each
+        # column's (wanted, landed-in-footer) dictionary flags; the
+        # oracle pins the reference heuristic — varchar AUTO and
+        # explicit DICTIONARY land dictionary-encoded, numeric AUTO
+        # and explicit PLAIN do not
+        "encoding_selection": """
+            SELECT * FROM (VALUES
+                ('o_orderkey', FALSE, FALSE),
+                ('prio_auto',  TRUE,  TRUE),
+                ('prio_plain', FALSE, FALSE),
+                ('cust_dict',  TRUE,  TRUE))
+            AS t(col, want_dict, got_dict)
         """,
         # incremental streaming read of the segment directory table:
         # the consumed state equals the committed table equals
