@@ -208,53 +208,94 @@ class LocalFlockCas(ConditionalPut):
 
 
 class GenerationClaimCas(ConditionalPut):
-    """Object-store-semantics conditional put, testable locally: each
-    generation is claimed by atomically CREATING a per-generation
-    claim object (``O_CREAT|O_EXCL`` — the filesystem analogue of S3
-    ``If-None-Match: *`` on a generation-keyed key, or GCS
-    ``x-goog-if-generation-match``).  Two writers racing from the same
-    observed generation both try to create claim ``g+1``; the store
-    lets exactly one create succeed, so exactly one publish wins and
-    the loser raises ``ManifestConflictError`` — no lock is ever HELD,
-    matching stores that have conditional writes but no locks.
+    """Object-store-semantics conditional put, testable locally, with
+    CRASH RECOVERY: the commit record for generation ``g+1`` is a
+    generation-keyed LOG OBJECT ``<path>.g<g+1>.json`` holding the
+    FULL manifest doc, created atomically-if-absent (``os.link`` of a
+    written temp — EEXIST = lost the race; the filesystem analogue of
+    S3 ``If-None-Match: *`` on a generation-keyed key, or the
+    DynamoDB-arbitrated Delta-on-S3 LogStore recipe).  ``<path>``
+    itself is only a convenience POINTER for readers, refreshed by
+    ``os.replace`` after the log object lands.
+
+    Because the log object carries the whole doc, a writer that
+    crashes between landing the log object and moving the pointer has
+    COMMITTED — its content is durable and complete — and the next
+    writer's recovery step rolls the pointer forward before judging
+    its own expected generation.  (A claim-marker design without
+    content would WEDGE the table on that crash: the generation is
+    claimed forever but never published.)  No lock is ever held; two
+    writers racing from the same observed generation both try to
+    create log object ``g+1`` and the store admits exactly one.
 
     This is the seam-honesty twin of ``LocalFlockCas``: same contract,
-    entirely different primitive (atomic create vs exclusive lock), so
-    an interface assumption that only holds for one of them fails the
-    shared test matrix.  Claim objects are tiny, one per generation,
-    and are deliberately NEVER deleted: the claim history IS the
-    monotonic generation counter (a real object store maintains it
-    natively); deleting an old claim would let a maximally stale
-    writer re-win a past generation."""
+    entirely different primitive (atomic create + pointer roll-forward
+    vs exclusive lock), so an interface assumption that only holds for
+    one of them fails the shared test matrix.  Log objects are
+    metadata-sized, one per generation, and are deliberately kept:
+    they ARE the commit history (a manifest time-travel log); deleting
+    one would let a maximally stale writer re-win a past generation.
+    """
+
+    @staticmethod
+    def _gen_path(path: str, gen: int) -> str:
+        return f"{path}.g{gen:012d}.json"
+
+    def _recover(self, path: str) -> int:
+        """Roll the reader pointer forward to the highest committed
+        log object (a crashed winner's unpublished pointer move) and
+        return the authoritative generation."""
+        import glob as _glob
+
+        committed = sorted(_glob.glob(f"{path}.g*.json"))
+        highest = 0
+        if committed:
+            highest = int(committed[-1].rsplit(".g", 1)[1][:-5])
+        pointer_gen = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                pointer_gen = json.load(f).get("generation", 0)
+        if highest > pointer_gen:
+            # the log object IS the commit; republish the pointer
+            os.replace(
+                self._copy_to_tmp(path, committed[-1]), path
+            )
+            return highest
+        return pointer_gen
+
+    @staticmethod
+    def _copy_to_tmp(path: str, src: str) -> str:
+        tmp = path + ".ptr.tmp"
+        with open(src, "rb") as fsrc, open(tmp, "wb") as fdst:
+            fdst.write(fsrc.read())
+        return tmp
 
     def put_if_generation(
         self, path: str, doc: dict, expected_gen: int
     ) -> None:
-        # fast-path staleness check (optimization only — the claim
-        # create below is the atomic arbiter)
-        if os.path.exists(path):
-            with open(path) as f:
-                disk_gen = json.load(f).get("generation", 0)
-            if disk_gen != expected_gen:
-                raise ManifestConflictError(
-                    f"{path}: on-disk generation {disk_gen} != "
-                    f"loaded generation {expected_gen} — another "
-                    "writer published; reload and retry"
-                )
-        claim = f"{path}.g{expected_gen + 1:012d}.claim"
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        disk_gen = self._recover(path)
+        if disk_gen != expected_gen:
             raise ManifestConflictError(
-                f"{path}: generation {expected_gen + 1} already "
-                "claimed by another writer; reload and retry"
-            ) from None
-        os.close(fd)
-        doc["generation"] = expected_gen + 1
-        tmp = f"{path}.tmp.g{expected_gen + 1:012d}"
+                f"{path}: authoritative generation {disk_gen} != "
+                f"loaded generation {expected_gen} — another writer "
+                "published; reload and retry"
+            )
+        new_gen = expected_gen + 1
+        doc["generation"] = new_gen
+        tmp = f"{path}.tmp.g{new_gen:012d}"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
-        os.replace(tmp, path)  # atomic on POSIX
+        try:
+            # atomic create-WITH-CONTENT: link fails with EEXIST if
+            # another writer landed this generation first
+            os.link(tmp, self._gen_path(path, new_gen))
+        except FileExistsError:
+            os.remove(tmp)
+            raise ManifestConflictError(
+                f"{path}: generation {new_gen} already committed by "
+                "another writer; reload and retry"
+            ) from None
+        os.replace(tmp, path)  # pointer move; log object is durable
 
 
 class VersionGraph:

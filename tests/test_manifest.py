@@ -427,12 +427,13 @@ def test_concurrent_publish_matrix(tmp_path, cas_name):
     assert Manifest.load(root).max_version == 1
 
 
-def test_generation_claim_is_the_atomic_arbiter(tmp_path):
-    """GenerationClaimCas's fast-path staleness check is an
-    optimization only: when another writer has CLAIMED g+1 but its
-    manifest swap has not landed yet (the check-then-claim race
-    window), the claim create itself forces the conflict."""
+def test_generation_claim_log_object_is_the_atomic_arbiter(tmp_path):
+    """The generation log object is the commit: when another writer
+    landed g2's log object but its pointer move has not happened yet,
+    a writer at expected_gen=1 must lose (its generation was taken) —
+    and recovery rolls the pointer forward to the committed state."""
     import json
+    import os
 
     from olap_storage_engine_spark.plans.manifest import (
         GenerationClaimCas,
@@ -441,8 +442,20 @@ def test_generation_claim_is_the_atomic_arbiter(tmp_path):
     cas = GenerationClaimCas()
     path = str(tmp_path / "doc.json")
     cas.put_if_generation(path, {"v": "a"}, 0)
-    # another writer holds the g2 claim; disk still shows gen 1
-    open(f"{path}.g{2:012d}.claim", "w").close()
+    # simulate a CRASHED winner: g2's log object landed (full doc)
+    # but the pointer still shows generation 1
+    with open(cas._gen_path(path, 2), "w") as f:
+        json.dump({"v": "crashed-winner", "generation": 2}, f)
     with pytest.raises(ManifestConflictError):
         cas.put_if_generation(path, {"v": "b"}, 1)
-    assert json.load(open(path))["v"] == "a"
+    # recovery republished the crashed winner's commit to the pointer
+    d = json.load(open(path))
+    assert d == {"v": "crashed-winner", "generation": 2}
+    # a writer that reloads (observing gen 2) now publishes g3 fine
+    cas.put_if_generation(path, {"v": "c"}, 2)
+    d = json.load(open(path))
+    assert d["v"] == "c" and d["generation"] == 3
+    # the full commit history is retained as log objects
+    assert all(
+        os.path.exists(cas._gen_path(path, g)) for g in (2, 3)
+    )
