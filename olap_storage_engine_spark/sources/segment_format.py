@@ -1087,6 +1087,42 @@ def delete_range_from_segments(
     return len(touched), len(untouched), rows_deleted
 
 
+def vacuum_segments(path: str, min_age_sec: float = 3600.0) -> int:
+    """Reclaim UNREFERENCED ``*.oseg`` files from a segment directory
+    table — the orphan classes the normal paths cannot clean:
+
+    * a commit that renamed its temps to ``part-*`` names and then
+      LOST the manifest CAS race (the files are invisible — readers
+      resolve only through the manifest — but nothing unlinks them),
+    * ``_tmp-*`` attempts abandoned before any commit ran again,
+    * files orphaned by an interrupted overwrite on a crashed driver.
+
+    Age-gated like the commit-time temp sweep: a file younger than
+    `min_age_sec` may belong to a LIVE concurrent writer between its
+    task rename and its manifest publish, so only provably abandoned
+    files are removed.  Safe to run any time (readers never list the
+    directory); idempotent; the engine-table analogue is
+    ``compaction.garbage_collect``.  Returns the number of files
+    removed."""
+    import time
+
+    man, _, _ = _load_manifest(path)
+    live = {e["file"] for e in man.get("files", [])}
+    cutoff = time.time() - min_age_sec
+    removed = 0
+    for name in os.listdir(path):
+        if not name.endswith(".oseg") or name in live:
+            continue
+        fp = os.path.join(path, name)
+        try:
+            if os.path.getmtime(fp) < cutoff:
+                os.remove(fp)
+                removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 _REGISTERED = set()
 
 

@@ -814,3 +814,46 @@ def test_bloom_is_capped_to_metadata_budget():
     over = (sf._BLOOM_MAX_BITS // sf._BLOOM_BITS_PER_KEY) + 100
     big = sf.build_bloom(np.arange(over, dtype=np.int64))
     assert big is None
+
+
+def test_vacuum_reclaims_orphans_only(spark, tmp_path):
+    """vacuum_segments removes aged UNREFERENCED .oseg files (a
+    CAS-losing commit's renamed parts, abandoned temps) and nothing
+    else: manifest-referenced files and FRESH unreferenced files (a
+    live concurrent writer's window) survive."""
+    import os
+    import time
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        register,
+        vacuum_segments,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", "s") for i in range(100)]
+    _seg_df(spark, rows).repartition(2).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()
+
+    def orphan(name, age_sec):
+        fp = os.path.join(d, name)
+        open(fp, "wb").write(b"orphan")
+        old = time.time() - age_sec
+        os.utime(fp, (old, old))
+        return fp
+
+    aged_part = orphan("part-99999-deadbeef.oseg", 2 * 3600)
+    aged_tmp = orphan("_tmp-deadbeef.oseg", 2 * 3600)
+    fresh_part = orphan("part-88888-cafebabe.oseg", 0)
+    assert vacuum_segments(d) == 2
+    assert not os.path.exists(aged_part)
+    assert not os.path.exists(aged_tmp)
+    assert os.path.exists(fresh_part)  # live-writer window: untouched
+    # referenced files intact; table still reads exactly
+    back = spark.read.format("olapseg").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # idempotent; the fresh orphan goes once aged
+    os.utime(fresh_part, (time.time() - 2 * 3600,) * 2)
+    assert vacuum_segments(d) == 1
+    assert vacuum_segments(d) == 0
