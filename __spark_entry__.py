@@ -4047,7 +4047,7 @@ _DRIVER_CHECK_HEAD = [
 _HEAD_PROPER_LEN = 50
 assert _DRIVER_CHECK_HEAD.index("unpivot_metrics") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"fill starts at {_DRIVER_CHECK_HEAD.index('multimodal_join') + 1}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('unpivot_metrics')}"
 )
 # ROUND-13 ROTATION RECIPE: after CORRECTNESS_r12 lands, lead with any
 # query still lacking a green row, then queries whose code changes in

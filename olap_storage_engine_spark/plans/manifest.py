@@ -265,7 +265,13 @@ class GenerationClaimCas(ConditionalPut):
 
     @staticmethod
     def _copy_to_tmp(path: str, src: str) -> str:
-        tmp = path + ".ptr.tmp"
+        # UNIQUE temp per caller: two concurrent recoveries must not
+        # share a temp name, or one writer's os.replace can consume
+        # the other's half-written file (torn pointer for readers)
+        # and strand the second replace on FileNotFoundError
+        import uuid
+
+        tmp = f"{path}.ptr.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(src, "rb") as fsrc, open(tmp, "wb") as fdst:
             fdst.write(fsrc.read())
         return tmp
@@ -282,7 +288,12 @@ class GenerationClaimCas(ConditionalPut):
             )
         new_gen = expected_gen + 1
         doc["generation"] = new_gen
-        tmp = f"{path}.tmp.g{new_gen:012d}"
+        # unique temp: two writers racing the same generation would
+        # otherwise share a generation-keyed temp name, and the loser's
+        # rewrite could be what the winner links into the log object
+        import uuid
+
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
         try:

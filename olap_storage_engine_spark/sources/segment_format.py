@@ -227,8 +227,16 @@ def write_segment_batches(batches, path: str, block_rows: int = 256):
     for b in batches:
         if b.num_rows == 0:
             continue
+        for ci in range(4):
+            if b.column(ci).null_count:
+                raise ValueError(
+                    "olapseg: null values are not supported (the "
+                    "format has no validity bitmap); column "
+                    f"'{b.schema.names[ci]}' carries nulls — filter "
+                    "or fill upstream"
+                )
         ids_p.append(b.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
-        nch_p.append(b.column(1).to_numpy(zero_copy_only=False).astype(np.int32))
+        nch_p.append(b.column(1).to_numpy(zero_copy_only=False).astype(np.int64))
         lang_p.append(
             np.asarray(b.column(2).to_numpy(zero_copy_only=False), dtype="S2")
         )
@@ -241,9 +249,17 @@ def write_segment_batches(batches, path: str, block_rows: int = 256):
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     n = len(ids)
+    nch = np.concatenate(nch_p)
+    if int(nch.max()) > 2**31 - 1 or int(nch.min()) < -(2**31):
+        # the record stores n_chars as i32; silent astype would WRAP
+        raise ValueError(
+            "olapseg: n_chars out of int32 range "
+            f"[{int(nch.min())}, {int(nch.max())}] — the fixed-width "
+            "record stores i32; reject upstream"
+        )
     rec = np.empty(n, dtype=_NP_REC)
     rec["doc_id"] = ids
-    rec["n_chars"] = np.concatenate(nch_p)[order]
+    rec["n_chars"] = nch.astype(np.int32)[order]
     # ljust pads with SPACES (byte-compatible with the row API's
     # .encode()[:w].ljust(w)); numpy's own padding would be NULs
     rec["lang"] = np.char.ljust(np.concatenate(lang_p)[order], 2)
@@ -391,16 +407,19 @@ def _cas_publish(man_path: str, doc: dict, expected_gen: int, cas=None):
     (cas or LocalFlockCas()).put_if_generation(man_path, doc, expected_gen)
 
 
-def _sweep_temps(dir_path: str, min_age_sec: float = 3600.0) -> None:
+def _sweep_temps(dir_path: str, min_age_sec: float = 86400.0) -> None:
     """Unlink stray ``_tmp-*.oseg`` left by failed/retried/speculative
     task attempts (the Python DataSource protocol only delivers commit
     messages for successful attempts, so abort() never sees them).
     Called AFTER a successful manifest swap — and AGE-GATED: a temp
     younger than `min_age_sec` may belong to a live CONCURRENT
-    writer's in-flight tasks (the CAS makes concurrent commits safe,
-    so concurrent writes must be too); only temps old enough to be
-    provably abandoned are reclaimed.  Garbage is therefore bounded by
-    one sweep interval instead of unbounded, without racing anyone."""
+    writer's in-flight tasks (an early task's temp waits for that
+    job's LAST task before its commit renames it, so age approximates
+    abandonment only beyond the longest write job's duration — hence
+    the conservative 24 h default, an upper bound on sane single-job
+    runtime; lower it via vacuum_segments when you know no writers
+    are running).  Garbage is therefore bounded by one sweep interval
+    instead of unbounded, without racing anyone."""
     import time
 
     cutoff = time.time() - min_age_sec
@@ -550,15 +569,14 @@ def make_datasource():
             surviving tasks validate their own segment at open and
             prune blocks from its footer (two-level skipping, the
             engine's rowset-stats + parquet-stats split)."""
-            man = os.path.join(self.path, MANIFEST_NAME)
-            if not os.path.exists(man):
+            if not os.path.exists(os.path.join(self.path, MANIFEST_NAME)):
                 raise ValueError(
                     f"olapseg: {self.path} has no {MANIFEST_NAME} — "
                     "directory was never committed (or is not a "
                     "segment table); refusing to guess at files"
                 )
-            with open(man) as f:
-                entries = json.load(f)["files"]
+            doc, _, _ = _load_manifest(self.path)
+            entries = doc.get("files", [])
             parts = []
             for ent in entries:
                 if self.lo is not None and ent["max_id"] < self.lo:
@@ -696,12 +714,32 @@ def make_datasource():
                 raise ValueError("olapseg: 'path' option is required")
             self.block_rows = int(options.get("block_rows", "256"))
             self.overwrite = overwrite
+            # a REWRITE job (compaction) pins the generation it
+            # PLANNED its scan at: if anything committed while the
+            # rewrite ran, publishing would silently drop those files
+            # — the pinned CAS makes the rewrite lose instead
+            eg = options.get("expected_gen")
+            self.expected_gen = None if eg is None else int(eg)
 
         def write(self, iterator):
             return _write_task(iterator, self.path, self.block_rows)
 
         def commit(self, messages):
+            from ..plans.manifest import ManifestConflictError
+
             old_doc, gen, man_path = _load_manifest(self.path)
+            if self.expected_gen is not None:
+                if gen != self.expected_gen:
+                    # fail BEFORE renaming temps — nothing to orphan;
+                    # the CAS below (on the pinned generation) remains
+                    # the atomic arbiter for races after this check
+                    raise ManifestConflictError(
+                        f"{man_path}: generation moved "
+                        f"{self.expected_gen} -> {gen} while the "
+                        "rewrite job ran — another writer committed; "
+                        "re-plan the rewrite against the new manifest"
+                    )
+                gen = self.expected_gen
             old_files = old_doc.get("files", [])
             entries = [] if self.overwrite else list(old_files)
             for i, m in enumerate(messages):
@@ -713,9 +751,15 @@ def make_datasource():
                     os.path.join(self.path, final),
                 )
                 entries.append(_entry_for(final, m))
+            epoch = old_doc.get("rewrite_epoch", 0)
             doc = {
                 "files": entries,
                 "total_rows": sum(e["rows"] for e in entries),
+                # appends extend history; an OVERWRITE (compaction,
+                # replace) REWRITES it — bump the epoch so incremental
+                # readers detect the rewrite even when the file count
+                # stays at or above their consumed offset
+                "rewrite_epoch": epoch + 1 if self.overwrite else epoch,
             }
             if "last_batch_id" in old_doc:
                 # a batch rewrite (compaction) of a STREAM-written
@@ -799,6 +843,7 @@ def make_datasource():
                 {
                     "files": entries,
                     "total_rows": sum(e["rows"] for e in entries),
+                    "rewrite_epoch": doc.get("rewrite_epoch", 0),
                     "last_batch_id": batchId,
                 },
                 gen,
@@ -836,23 +881,41 @@ def make_datasource():
                 raise ValueError("olapseg: 'path' option is required")
 
         def initialOffset(self):
-            return {"n_files": 0}
+            doc, _, _ = _load_manifest(self.path)
+            return {"n_files": 0, "epoch": doc.get("rewrite_epoch", 0)}
 
         def latestOffset(self):
             doc, _, _ = _load_manifest(self.path)
-            return {"n_files": len(doc.get("files", []))}
+            return {
+                "n_files": len(doc.get("files", [])),
+                "epoch": doc.get("rewrite_epoch", 0),
+            }
 
         def partitions(self, start, end):
             doc, _, _ = _load_manifest(self.path)
             files = doc.get("files", [])
+            cur_epoch = doc.get("rewrite_epoch", 0)
             lo, hi = start["n_files"], end["n_files"]
-            if len(files) < hi or lo > hi:
+            # two independent rewrite detectors: the EPOCH (bumped by
+            # every overwrite/compact/delete — catches rewrites that
+            # leave the file count at or above the consumed offset,
+            # where a bare count check would silently re-serve
+            # rewritten files) and the count guard (belt for offsets
+            # minted before epochs existed)
+            if (
+                start.get("epoch", cur_epoch) != cur_epoch
+                or end.get("epoch", cur_epoch) != cur_epoch
+                or len(files) < hi
+                or lo > hi
+            ):
                 raise ValueError(
-                    f"olapseg: manifest of {self.path} has {len(files)} "
-                    f"files but the stream consumed offset range "
-                    f"[{lo}, {hi}] — history was rewritten (compaction/"
-                    "delete); incremental reads are defined for "
-                    "append-committed ingest tables"
+                    f"olapseg: manifest of {self.path} (epoch "
+                    f"{cur_epoch}, {len(files)} files) does not "
+                    f"extend the stream's consumed offsets "
+                    f"[{lo}, {hi}] at epoch "
+                    f"{start.get('epoch', cur_epoch)} — history was "
+                    "rewritten (compaction/delete); incremental reads "
+                    "are defined for append-committed ingest tables"
                 )
             return [
                 _FilePartition(os.path.join(self.path, e["file"]), None, None)
@@ -933,7 +996,7 @@ def compact_segments(
     from pyspark.sql import functions as _F
 
     register(spark)
-    man, _, man_path = _load_manifest(path)
+    man, gen, man_path = _load_manifest(path)
     n_out = max(1, math.ceil(man["total_rows"] / target_rows))
     if len(man["files"]) <= n_out:
         return len(man["files"]), len(man["files"])
@@ -943,6 +1006,10 @@ def compact_segments(
         .write.format("olapseg")
         .option("path", path)
         .option("block_rows", str(block_rows))
+        # pin the generation the rewrite PLANNED at: a commit that
+        # lands while this job runs makes the overwrite CONFLICT
+        # instead of silently unlinking the newcomer's files
+        .option("expected_gen", str(gen))
         .mode("overwrite")
         .save()
     )
@@ -1075,6 +1142,8 @@ def delete_range_from_segments(
     doc = {
         "files": entries,
         "total_rows": sum(e["rows"] for e in entries),
+        # a scoped delete REWRITES history for incremental readers
+        "rewrite_epoch": man.get("rewrite_epoch", 0) + 1,
     }
     if "last_batch_id" in man:
         doc["last_batch_id"] = man["last_batch_id"]
@@ -1087,7 +1156,7 @@ def delete_range_from_segments(
     return len(touched), len(untouched), rows_deleted
 
 
-def vacuum_segments(path: str, min_age_sec: float = 3600.0) -> int:
+def vacuum_segments(path: str, min_age_sec: float = 86400.0) -> int:
     """Reclaim UNREFERENCED ``*.oseg`` files from a segment directory
     table — the orphan classes the normal paths cannot clean:
 
@@ -1099,8 +1168,10 @@ def vacuum_segments(path: str, min_age_sec: float = 3600.0) -> int:
 
     Age-gated like the commit-time temp sweep: a file younger than
     `min_age_sec` may belong to a LIVE concurrent writer between its
-    task rename and its manifest publish, so only provably abandoned
-    files are removed.  Safe to run any time (readers never list the
+    task rename and its manifest publish, so the gate must exceed the
+    longest write job you run against the table (default 24 h; lower
+    it when you know no writers are running — age APPROXIMATES
+    abandonment, it does not prove it).  Safe to run any time (readers never list the
     directory); idempotent; the engine-table analogue is
     ``compaction.garbage_collect``.  Returns the number of files
     removed."""

@@ -684,31 +684,39 @@ def test_commit_sweeps_stray_temps(spark, tmp_path):
 
     from pyspark.sql.types import _parse_datatype_string
 
-    def make_stray(age_sec):
-        stray = os.path.join(d, "_tmp-deadbeef.oseg")
+    def make_stray_named(name, age_sec):
+        stray = os.path.join(d, name)
         open(stray, "wb").write(b"garbage")
         old = time.time() - age_sec
         os.utime(stray, (old, old))
         return stray
 
+    def make_stray(age_sec):
+        return make_stray_named("_tmp-deadbeef.oseg", age_sec)
+
     d = str(tmp_path / "t")
     os.makedirs(d)
     schema = _parse_datatype_string(SEGMENT_SCHEMA)
     ds = make_datasource()(options={"path": d})
-    # fresh stray (a concurrent writer's in-flight temp): survives
+    # fresh stray (a concurrent writer's in-flight temp): survives —
+    # as does a MIDDLE-AGED one (2 h: an early task of a long job
+    # still waiting for its driver's commit; the gate is 24 h, an
+    # upper bound on sane single-job runtime)
     stray = make_stray(0)
+    mid = make_stray_named("_tmp-midaged.oseg", 2 * 3600)
     w = ds.writer(schema, overwrite=False)
     m = w.write(iter([_rb((1, 1, "en", "s"))]))
     w.commit([m])
-    assert os.path.exists(stray)
-    # abandoned stray (older than the gate): reclaimed
-    stray = make_stray(2 * 3600)
+    assert os.path.exists(stray) and os.path.exists(mid)
+    os.remove(mid)
+    # abandoned stray (older than the 24 h gate): reclaimed
+    stray = make_stray(2 * 86400)
     w2 = ds.writer(schema, overwrite=False)
     m2 = w2.write(iter([_rb((2, 2, "en", "s"))]))
     w2.commit([m2])
     assert not os.path.exists(stray)
     # stream commit sweeps abandoned temps too
-    stray = make_stray(2 * 3600)
+    stray = make_stray(2 * 86400)
     sw = ds.streamWriter(schema, False)
     sm = sw.write(iter([_rb((3, 3, "en", "s"))]))
     sw.commit([sm], 0)
@@ -776,9 +784,11 @@ def test_stream_reader_rejects_rewritten_history(spark, tmp_path):
         "path", d
     ).mode("append").save()
     r = make_datasource()(options={"path": d}).streamReader(None)
-    assert r.initialOffset() == {"n_files": 0}
-    assert r.latestOffset() == {"n_files": 5}
-    parts = r.partitions({"n_files": 0}, {"n_files": 5})
+    assert r.initialOffset() == {"n_files": 0, "epoch": 0}
+    assert r.latestOffset() == {"n_files": 5, "epoch": 0}
+    parts = r.partitions(
+        {"n_files": 0, "epoch": 0}, {"n_files": 5, "epoch": 0}
+    )
     assert len(parts) == 5
     ids = sorted(
         i
@@ -795,9 +805,18 @@ def test_stream_reader_rejects_rewritten_history(spark, tmp_path):
     before, after = compact_segments(spark, d, target_rows=500)
     assert after < before
     with _pytest.raises(ValueError, match="history was rewritten"):
-        r.partitions({"n_files": 5}, {"n_files": 5 + 1})
-    # latestOffset on the rewritten table reflects the new file count
-    assert r.latestOffset() == {"n_files": after}
+        r.partitions(
+            {"n_files": 5, "epoch": 0}, {"n_files": 5 + 1, "epoch": 0}
+        )
+    # the EPOCH catches rewrites even when the file count still
+    # covers the consumed offsets (a bare count check would silently
+    # re-serve rewritten files)
+    with _pytest.raises(ValueError, match="history was rewritten"):
+        r.partitions(
+            {"n_files": 0, "epoch": 0}, {"n_files": after, "epoch": 0}
+        )
+    # latestOffset reflects the rewrite: new count, bumped epoch
+    assert r.latestOffset() == {"n_files": after, "epoch": 1}
 
 
 def test_bloom_is_capped_to_metadata_budget():
@@ -843,8 +862,8 @@ def test_vacuum_reclaims_orphans_only(spark, tmp_path):
         os.utime(fp, (old, old))
         return fp
 
-    aged_part = orphan("part-99999-deadbeef.oseg", 2 * 3600)
-    aged_tmp = orphan("_tmp-deadbeef.oseg", 2 * 3600)
+    aged_part = orphan("part-99999-deadbeef.oseg", 2 * 86400)
+    aged_tmp = orphan("_tmp-deadbeef.oseg", 2 * 86400)
     fresh_part = orphan("part-88888-cafebabe.oseg", 0)
     assert vacuum_segments(d) == 2
     assert not os.path.exists(aged_part)
@@ -854,6 +873,128 @@ def test_vacuum_reclaims_orphans_only(spark, tmp_path):
     back = spark.read.format("olapseg").option("path", d).load()
     assert sorted(map(tuple, back.collect())) == sorted(rows)
     # idempotent; the fresh orphan goes once aged
-    os.utime(fresh_part, (time.time() - 2 * 3600,) * 2)
+    os.utime(fresh_part, (time.time() - 2 * 86400,) * 2)
     assert vacuum_segments(d) == 1
     assert vacuum_segments(d) == 0
+
+
+def test_compaction_loses_to_concurrent_commit(spark, tmp_path):
+    """A rewrite job pins the generation it planned at: a commit that
+    lands while the rewrite runs makes the overwrite CONFLICT (before
+    renaming any temp — nothing orphaned) instead of silently
+    unlinking the newcomer's files."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.plans.manifest import (
+        ManifestConflictError,
+    )
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        make_datasource,
+        register,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    register(spark)
+    d = str(tmp_path / "t")
+    rows = [(i, i, "en", "s") for i in range(100)]
+    _seg_df(spark, rows).repartition(2).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()  # generation 1, 2 files
+    schema = _parse_datatype_string(
+        "doc_id bigint, n_chars bigint, lang string, source string"
+    )
+    ds = make_datasource()(options={"path": d, "expected_gen": "1"})
+    w = ds.writer(schema, overwrite=True)  # the "compaction" rewrite
+    m = w.write(iter([_rb((500, 1, "en", "s"))]))
+    # a concurrent stream batch commits while the rewrite job runs
+    _seg_df(spark, [(1000, 1, "de", "s")]).repartition(1).write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()  # generation 2
+    with _pytest.raises(ManifestConflictError, match="generation moved"):
+        w.commit([m])
+    # nothing orphaned: the rewrite's temp is still a temp (abortable)
+    assert os.path.exists(os.path.join(d, m.tmp_name))
+    # the newcomer's file and rows survive in the manifest
+    man = json.load(open(os.path.join(d, MANIFEST_NAME)))
+    assert man["total_rows"] == 101 and man["generation"] == 2
+    back = spark.read.format("olapseg").option("path", d).load()
+    assert back.count() == 101
+
+
+def test_batch_writer_rejects_nulls_and_overflow(tmp_path):
+    """The Arrow write path fails LOUDLY where silent numpy casts
+    would corrupt: nulls (the format has no validity bitmap) and
+    n_chars outside int32 (the record stores i32)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        write_segment_batches,
+    )
+
+    def rb(ids, nchars, langs, srcs):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(nchars, pa.int64()),
+                pa.array(langs),
+                pa.array(srcs),
+            ],
+            names=["doc_id", "n_chars", "lang", "source"],
+        )
+
+    p = str(tmp_path / "t.oseg")
+    with _pytest.raises(ValueError, match="null values"):
+        write_segment_batches(
+            [rb([1, 2], [5, None], ["en", "de"], ["s", "s"])], p
+        )
+    with _pytest.raises(ValueError, match="null values"):
+        write_segment_batches(
+            [rb([1, 2], [5, 6], ["en", None], ["s", "s"])], p
+        )
+    with _pytest.raises(ValueError, match="int32 range"):
+        write_segment_batches(
+            [rb([1, 2], [5, 2**40], ["en", "de"], ["s", "s"])], p
+        )
+
+
+def test_rewrite_epoch_continuity(spark, tmp_path):
+    """Appends (batch append, stream batch) preserve the rewrite
+    epoch; overwrite and scoped delete bump it — the incremental
+    reader's rewrite detector."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        delete_range_from_segments,
+        register,
+    )
+
+    register(spark)
+    d = str(tmp_path / "t")
+
+    def epoch():
+        return json.load(open(os.path.join(d, MANIFEST_NAME))).get(
+            "rewrite_epoch", 0
+        )
+
+    rows = [(i, i, "en", "s") for i in range(100)]
+    _seg_df(spark, rows).repartition(2).write.format("olapseg").option(
+        "path", d
+    ).mode("append").save()
+    assert epoch() == 0
+    _seg_df(spark, [(200, 1, "de", "s")]).repartition(1).write.format(
+        "olapseg"
+    ).option("path", d).mode("append").save()
+    assert epoch() == 0  # append extends history
+    delete_range_from_segments(spark, d, 0, 10)
+    assert epoch() == 1  # delete rewrites it
+    _seg_df(spark, rows).repartition(1).write.format("olapseg").option(
+        "path", d
+    ).mode("overwrite").save()
+    assert epoch() == 2  # overwrite rewrites it
