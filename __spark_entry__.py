@@ -3346,7 +3346,13 @@ def q_segment_stream_read(spark, sf_dir):
     complete-mode aggregate lands in a memory sink; the batch oracle
     over documents checks the consumed state exactly
     (sources/segment_format.py OlapSegStreamReader; incremental
-    pickup pinned by tests/test_segment_source.py)."""
+    pickup pinned by tests/test_segment_source.py).
+
+    Note: Python micro-batch sources don't implement
+    Trigger.AvailableNow's offset pre-planning in this Spark, so the
+    engine logs a fallback to single-batch execution — equivalent
+    here (the fixture table is fully committed before the stream
+    starts, and the aggregate is complete-mode)."""
     import uuid as _uuid
 
     from olap_storage_engine_spark.fixtures import segment_table_path
