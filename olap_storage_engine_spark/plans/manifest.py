@@ -244,9 +244,21 @@ class GenerationClaimCas(ConditionalPut):
     def _recover(self, path: str) -> int:
         """Roll the reader pointer forward to the highest committed
         log object (a crashed winner's unpublished pointer move) and
-        return the authoritative generation."""
+        return the authoritative generation.  Also reclaims aged
+        ``<path>.*.tmp`` left by writers that crashed between writing
+        a temp and linking/replacing it — unique temp names close the
+        torn-pointer race but would otherwise leak one file per crash
+        forever (no other sweeper matches them)."""
         import glob as _glob
+        import time as _time
 
+        cutoff = _time.time() - 86400.0
+        for stale in _glob.glob(f"{path}.*.tmp"):
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    os.remove(stale)
+            except OSError:
+                pass
         committed = sorted(_glob.glob(f"{path}.g*.json"))
         highest = 0
         if committed:

@@ -576,7 +576,13 @@ def make_datasource():
                     "segment table); refusing to guess at files"
                 )
             doc, _, _ = _load_manifest(self.path)
-            entries = doc.get("files", [])
+            if "files" not in doc:
+                raise ValueError(
+                    f"olapseg: malformed {MANIFEST_NAME} in "
+                    f"{self.path} — no 'files' key; refusing to "
+                    "serve an empty scan from a corrupt manifest"
+                )
+            entries = doc["files"]
             parts = []
             for ent in entries:
                 if self.lo is not None and ent["max_id"] < self.lo:
@@ -739,7 +745,6 @@ def make_datasource():
                         "rewrite job ran — another writer committed; "
                         "re-plan the rewrite against the new manifest"
                     )
-                gen = self.expected_gen
             old_files = old_doc.get("files", [])
             entries = [] if self.overwrite else list(old_files)
             for i, m in enumerate(messages):
@@ -755,11 +760,15 @@ def make_datasource():
             doc = {
                 "files": entries,
                 "total_rows": sum(e["rows"] for e in entries),
-                # appends extend history; an OVERWRITE (compaction,
-                # replace) REWRITES it — bump the epoch so incremental
+                # appends extend history; an OVERWRITE of EXISTING
+                # files REWRITES it — bump the epoch so incremental
                 # readers detect the rewrite even when the file count
-                # stays at or above their consumed offset
-                "rewrite_epoch": epoch + 1 if self.overwrite else epoch,
+                # stays at or above their consumed offset.  Creating
+                # a fresh table (or replacing an empty one) rewrites
+                # nothing: a pre-creation stream offset stays valid.
+                "rewrite_epoch": epoch + 1
+                if (self.overwrite and old_files)
+                else epoch,
             }
             if "last_batch_id" in old_doc:
                 # a batch rewrite (compaction) of a STREAM-written

@@ -984,9 +984,11 @@ def test_rewrite_epoch_continuity(spark, tmp_path):
         )
 
     rows = [(i, i, "en", "s") for i in range(100)]
+    # CREATION via overwrite is not a rewrite (nothing existed): a
+    # stream offset minted before the table was created stays valid
     _seg_df(spark, rows).repartition(2).write.format("olapseg").option(
         "path", d
-    ).mode("append").save()
+    ).mode("overwrite").save()
     assert epoch() == 0
     _seg_df(spark, [(200, 1, "de", "s")]).repartition(1).write.format(
         "olapseg"
@@ -997,4 +999,53 @@ def test_rewrite_epoch_continuity(spark, tmp_path):
     _seg_df(spark, rows).repartition(1).write.format("olapseg").option(
         "path", d
     ).mode("overwrite").save()
-    assert epoch() == 2  # overwrite rewrites it
+    assert epoch() == 2  # overwrite of existing files rewrites it
+
+
+def test_malformed_manifest_fails_loudly(spark, tmp_path):
+    """A manifest that exists but lacks the 'files' key must raise,
+    never serve an empty scan as if the table were empty."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        make_datasource,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, MANIFEST_NAME), "w") as f:
+        json.dump({"totally": "unrelated"}, f)
+    r = make_datasource()(options={"path": d}).reader(None)
+    with _pytest.raises(ValueError, match="malformed"):
+        r.partitions()
+
+
+def test_generation_claim_cas_sweeps_crashed_temps(tmp_path):
+    """A writer that crashed between writing its unique temp and the
+    link/replace leaks one '<manifest>.*.tmp' per crash; the next
+    put's recovery reclaims aged ones (fresh ones survive — they may
+    be a live writer's in-flight temp)."""
+    import json
+    import os
+    import time
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+    )
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    cas.put_if_generation(path, {"v": "a"}, 0)
+    aged = f"{path}.12345.deadbeef.tmp"
+    open(aged, "w").write("{}")
+    os.utime(aged, (time.time() - 2 * 86400,) * 2)
+    fresh = f"{path}.12345.cafebabe.tmp"
+    open(fresh, "w").write("{}")
+    cas.put_if_generation(path, {"v": "b"}, 1)
+    assert not os.path.exists(aged)
+    assert os.path.exists(fresh)
+    assert json.load(open(path))["v"] == "b"
