@@ -4059,9 +4059,8 @@ assert _DRIVER_CHECK_HEAD.index("unpivot_metrics") == _HEAD_PROPER_LEN - 1, (
 # query still lacking a green row, then queries whose code changes in
 # r13, then the remaining r8-stale rows (CORRECTNESS_r08 cohort minus
 # rows re-checked since — agg_percentiles was taken in r12), then the
-# rows re-checked since), then the r9 cohort as budget allows.  Keep
-# the head proper at exactly 50 and update the assertion's anchor
-# query.
+# r9 cohort as budget allows.  Keep the head proper at exactly 50 and
+# update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

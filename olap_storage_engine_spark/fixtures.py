@@ -97,6 +97,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: simhash_fps_path(spark, sf_dir),
         lambda: nb_model_path(spark, sf_dir),
         lambda: truth_pairs_path(spark, sf_dir),
+        lambda: bpe_merges_path(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=parallelism) as ex:
         tables = ex.map(lambda n: get_table(spark, sf_dir, n), _BUILDERS)

@@ -250,6 +250,7 @@ class GenerationClaimCas(ConditionalPut):
         torn-pointer race but would otherwise leak one file per crash
         forever (no other sweeper matches them)."""
         import glob as _glob
+        import re as _re
         import time as _time
 
         cutoff = _time.time() - 86400.0
@@ -259,20 +260,64 @@ class GenerationClaimCas(ConditionalPut):
                     os.remove(stale)
             except OSError:
                 pass
-        committed = sorted(_glob.glob(f"{path}.g*.json"))
-        highest = 0
-        if committed:
-            highest = int(committed[-1].rsplit(".g", 1)[1][:-5])
-        pointer_gen = 0
-        if os.path.exists(path):
-            with open(path) as f:
-                pointer_gen = json.load(f).get("generation", 0)
-        if highest > pointer_gen:
-            # the log object IS the commit; republish the pointer
-            os.replace(
-                self._copy_to_tmp(path, committed[-1]), path
-            )
-            return highest
+
+        base = os.path.basename(path)
+        gen_pat = _re.compile(_re.escape(base) + r"\.g(\d{12})\.json$")
+
+        def _highest_committed():
+            # STRICT match on the 12-digit gen suffix and max by the
+            # PARSED integer: a stray file that happens to glob-match
+            # (manifest.json.garbage.json) must be skipped, not crash
+            # int(); and lexicographic sorted() would misorder any
+            # non-zero-padded name.
+            best_gen, best_file = 0, None
+            for cand in _glob.glob(f"{path}.g*.json"):
+                m = gen_pat.match(os.path.basename(cand))
+                if not m:
+                    continue
+                g = int(m.group(1))
+                if g > best_gen:
+                    best_gen, best_file = g, cand
+            return best_gen, best_file
+
+        def _pointer_gen():
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f).get("generation", 0)
+            return 0
+
+        highest, committed = _highest_committed()
+        pointer_gen = _pointer_gen()
+        while highest > pointer_gen:
+            # the log object IS the commit; republish the pointer.
+            # Re-check after the replace: a racing recover can land
+            # an OLDER committed doc after a newer commit's pointer
+            # move — looping until pointer >= highest-committed
+            # guarantees we never RETURN while the pointer regresses
+            # past what we observed.
+            tmp = self._copy_to_tmp(path, committed)
+            with open(tmp) as f:
+                placed = json.load(f).get("generation", 0)
+            if placed != highest:
+                # history corruption: the log object's NAME claims a
+                # generation its DOC doesn't carry (e.g. something
+                # wrote through the pointer's hard link to the latest
+                # log object).  Rolling the pointer to it would wedge
+                # recovery in a loop — fail loudly instead.
+                os.remove(tmp)
+                raise ValueError(
+                    f"{path}: commit-history corruption — log object "
+                    f"{os.path.basename(committed)} names generation "
+                    f"{highest} but its doc says {placed}; refusing "
+                    "to roll the reader pointer"
+                )
+            os.replace(tmp, path)
+            # terminates: each placed doc is VALIDATED to carry the
+            # gen its name claims, gens only grow, and racing
+            # recoveries are finite — every pass either exits or
+            # re-places a strictly newer committed doc.
+            pointer_gen = _pointer_gen()
+            highest, committed = _highest_committed()
         return pointer_gen
 
     @staticmethod

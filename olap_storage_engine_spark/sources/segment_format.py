@@ -237,11 +237,28 @@ def write_segment_batches(batches, path: str, block_rows: int = 256):
                 )
         ids_p.append(b.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
         nch_p.append(b.column(1).to_numpy(zero_copy_only=False).astype(np.int64))
+        # UTF-8-encode BEFORE the fixed-width cast (np.char.encode is
+        # vectorized): a bare np.asarray(dtype='S2') uses the ascii
+        # codec and raises an opaque UnicodeEncodeError on any
+        # non-ASCII value.  Encoding first then truncating at the
+        # field width is byte-identical to the row API's
+        # .encode()[:w] (truncation may split a multibyte char —
+        # same contract there).
         lang_p.append(
-            np.asarray(b.column(2).to_numpy(zero_copy_only=False), dtype="S2")
+            np.char.encode(
+                np.asarray(
+                    b.column(2).to_numpy(zero_copy_only=False), dtype="U"
+                ),
+                "utf-8",
+            )
         )
         src_p.append(
-            np.asarray(b.column(3).to_numpy(zero_copy_only=False), dtype="S8")
+            np.char.encode(
+                np.asarray(
+                    b.column(3).to_numpy(zero_copy_only=False), dtype="U"
+                ),
+                "utf-8",
+            )
         )
     if not ids_p:
         return 0, None, None, None
@@ -1186,7 +1203,24 @@ def vacuum_segments(path: str, min_age_sec: float = 86400.0) -> int:
     removed."""
     import time
 
+    if not os.path.exists(os.path.join(path, MANIFEST_NAME)):
+        # Mirror _dir_partitions' fail-loud stance: a missing manifest
+        # means "never committed / not a segment table / manifest
+        # lost" — defaulting to an empty live set would let vacuum
+        # delete EVERY aged *.oseg (including single-file-layout
+        # exports that never have a manifest).  Refuse to guess.
+        raise ValueError(
+            f"olapseg: {path} has no {MANIFEST_NAME} — not a "
+            "committed segment-directory table; refusing to vacuum "
+            "(an empty live set here would delete every data file)"
+        )
     man, _, _ = _load_manifest(path)
+    if "files" not in man:
+        raise ValueError(
+            f"olapseg: malformed {MANIFEST_NAME} in {path} — no "
+            "'files' key; refusing to vacuum against a corrupt "
+            "manifest"
+        )
     live = {e["file"] for e in man.get("files", [])}
     cutoff = time.time() - min_age_sec
     removed = 0

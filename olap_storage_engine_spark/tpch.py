@@ -13,9 +13,16 @@ distribution counts, windowed argmax) over the same storage operators
 the reference scans with (src/lib.rs scan/filter/agg pipeline).
 
 Scale notes (100 TB):
-- Every dim-side join (part, supplier, customer, nation) broadcasts;
-  the only shuffle joins are fact-fact (lineitem x orders) on their
-  natural keys — the same exchange the co-bucketed layout removes.
+- Bounded dims (nation: 25 rows, region: 5 — constants of the schema
+  at ANY scale factor) take a hard broadcast hint.  GROWING dims
+  (customer, supplier — ~1/10 the fact size at a real 100 TB SF) go
+  through `_broadcast_if_fits`: the hint is applied only when
+  Catalyst's own sizeInBytes estimate fits the session's
+  autoBroadcastJoinThreshold, else the join is left unhinted and the
+  static planner + AQE choose from actual sizes (degrading to SMJ
+  instead of OOMing the build side on a hard hint).  The only shuffle
+  joins are fact-fact (lineitem x orders) on their natural keys — the
+  same exchange the co-bucketed layout removes.
 - Correlated EXISTS / NOT IN become semi / anti joins: one shuffle on
   the correlation key, no per-row subquery execution.
 - Scalar subqueries (global avg, global max) aggregate down to one
@@ -29,6 +36,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from olap_storage_engine_spark.sources.testdata import load_table
+
+
+def _broadcast_if_fits(df: DataFrame) -> DataFrame:
+    """Size-GATED broadcast hint for dims that grow with the scale
+    factor (customer, supplier).  A hard `F.broadcast` is a promise
+    the planner keeps even when it shouldn't: at a 100 TB SF these
+    dims are ~1/10 the fact size and the hint would OOM the build
+    side rather than degrade.  Gate on Catalyst's own sizeInBytes
+    estimate (file-size-derived for parquet scans — the same stat the
+    planner itself consults) vs the session's
+    autoBroadcastJoinThreshold: under it, hint (fixture-scale plans
+    stay byte-identical); over it — or with broadcasting disabled —
+    return the frame UNHINTED and let the static planner + AQE decide
+    from actual sizes.  Driver-side metadata only; never runs a job."""
+    spark = df.sparkSession
+    thr_str = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10MB"
+    )
+    try:
+        thr = int(thr_str)
+    except ValueError:
+        thr = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(thr_str)
+        )
+    if thr <= 0:
+        return df
+    est = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    return F.broadcast(df) if est <= thr else df
 
 
 def _dsum(col, scale: int = 2):
@@ -195,8 +233,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(_broadcast_if_fits(c), o["o_custkey"] == c["c_custkey"])
+        .join(_broadcast_if_fits(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), s["s_nationkey"] == F.col("s_nkey"))
         .join(F.broadcast(nc), c["c_nationkey"] == F.col("c_nkey"))
         .filter(
@@ -235,10 +273,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,6)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(_broadcast_if_fits(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), c["c_nationkey"] == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(_broadcast_if_fits(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), s["s_nationkey"] == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -268,7 +306,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(_broadcast_if_fits(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -293,7 +331,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(_broadcast_if_fits(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             "c_custkey",
@@ -402,7 +440,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
-        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+        top.join(_broadcast_if_fits(s), top["l_suppkey"] == s["s_suppkey"])
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),
@@ -588,7 +626,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waited.join(F.broadcast(s), waited["l_suppkey"] == s["s_suppkey"])
+        waited.join(_broadcast_if_fits(s), waited["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -644,7 +682,7 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waited.join(F.broadcast(s), waited["l_suppkey"] == s["s_suppkey"])
+        waited.join(_broadcast_if_fits(s), waited["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -459,3 +459,93 @@ def test_generation_claim_log_object_is_the_atomic_arbiter(tmp_path):
     assert all(
         os.path.exists(cas._gen_path(path, g)) for g in (2, 3)
     )
+
+
+def test_generation_claim_cas_ignores_stray_log_names(tmp_path):
+    """_recover must parse ONLY strict 12-digit '.g<gen>.json' log
+    objects: a stray file that happens to glob-match (e.g.
+    'doc.json.garbage.json' matches 'doc.json.g*.json') used to crash
+    int() during recovery; a non-zero-padded name would lexicographic-
+    misorder.  Both are skipped now."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+    )
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    cas.put_if_generation(path, {"v": "a"}, 0)
+    # stray glob-matching junk next to the log objects
+    open(f"{path}.garbage.json", "w").write("not json")
+    open(f"{path}.g5.json", "w").write("{}")  # non-padded: skipped
+    cas.put_if_generation(path, {"v": "b"}, 1)  # must not crash
+    assert json.load(open(path))["v"] == "b"
+    assert json.load(open(path))["generation"] == 2
+    # the strays are untouched, never deleted or trusted
+    assert os.path.exists(f"{path}.garbage.json")
+    assert os.path.exists(f"{path}.g5.json")
+
+
+def test_generation_claim_cas_recover_rolls_to_max_gen(tmp_path):
+    """A crashed winner (log object landed, pointer move never ran)
+    leaves the pointer stale: the next put's recovery republishes the
+    max-by-integer committed generation, the stale writer conflicts,
+    and a correctly-reloaded put proceeds."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+        ManifestConflictError,
+    )
+    import pytest as _pytest
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    for g in range(3):
+        cas.put_if_generation(path, {"v": f"v{g + 1}"}, g)
+    # simulate the crash exactly as it happens: generation-4 log
+    # object created (the commit IS durable), process died before
+    # os.replace moved the pointer
+    tmp = path + ".crashed-writer.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"v": "v4", "generation": 4}, f)
+    os.link(tmp, cas._gen_path(path, 4))
+    os.remove(tmp)
+    assert json.load(open(path))["generation"] == 3  # pointer stale
+    # a writer that loaded the stale pointer must conflict AND the
+    # recovery inside the failed put rolls the pointer forward
+    with _pytest.raises(ManifestConflictError):
+        cas.put_if_generation(path, {"v": "stale"}, 3)
+    assert json.load(open(path))["generation"] == 4
+    assert json.load(open(path))["v"] == "v4"
+    # and the next correctly-loaded put proceeds
+    cas.put_if_generation(path, {"v": "v5"}, 4)
+    assert json.load(open(path))["generation"] == 5
+
+
+def test_generation_claim_cas_detects_history_corruption(tmp_path):
+    """The pointer is a HARD LINK of the latest log object (link +
+    replace), so writing through the pointer in place corrupts the
+    commit history: the log object's name claims a generation its doc
+    no longer carries.  Recovery must detect that and fail loudly —
+    pre-r13 it either looped forever or silently trusted the name."""
+    import json
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+    )
+    import pytest as _pytest
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    for g in range(3):
+        cas.put_if_generation(path, {"v": f"v{g + 1}"}, g)
+    # corrupt: write THROUGH the pointer (shared inode with the g3
+    # log object), then regress the pointer itself via rename
+    with open(path, "w") as f:  # rewrites g3's content too
+        json.dump({"v": "v1", "generation": 1}, f)
+    with _pytest.raises(ValueError, match="commit-history corruption"):
+        cas.put_if_generation(path, {"v": "x"}, 1)

@@ -1049,3 +1049,70 @@ def test_generation_claim_cas_sweeps_crashed_temps(tmp_path):
     assert not os.path.exists(aged)
     assert os.path.exists(fresh)
     assert json.load(open(path))["v"] == "b"
+
+
+def test_vacuum_refuses_missing_or_corrupt_manifest(tmp_path):
+    """vacuum_segments mirrors the reader's fail-loud stance: a
+    missing or 'files'-less manifest raises instead of treating the
+    live set as empty — which would delete EVERY aged data file in a
+    single-file-layout export or a table whose manifest was lost."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources.segment_format import (
+        MANIFEST_NAME,
+        vacuum_segments,
+        write_segment,
+    )
+
+    d = str(tmp_path / "export")
+    os.makedirs(d)
+    # a single-file-layout export: data, no manifest (by design)
+    seg = os.path.join(d, "documents.oseg")
+    write_segment([(1, 5, "en", "s")], seg)
+    os.utime(seg, (time.time() - 2 * 86400,) * 2)
+    with _pytest.raises(ValueError, match="refusing to vacuum"):
+        vacuum_segments(d)
+    assert os.path.exists(seg)  # nothing was deleted
+    # manifest present but corrupt (no 'files'): same stance
+    with open(os.path.join(d, MANIFEST_NAME), "w") as f:
+        json.dump({"generation": 3}, f)
+    with _pytest.raises(ValueError, match="corrupt manifest"):
+        vacuum_segments(d)
+    assert os.path.exists(seg)
+
+
+def test_batch_write_utf8_matches_row_write(tmp_path):
+    """Non-ASCII lang/source: the Arrow write path UTF-8-encodes then
+    truncates at the field's BYTE width, byte-identical to the row
+    API's .encode()[:w].ljust(w) — pre-r13 it raised an opaque
+    ascii-codec UnicodeEncodeError from numpy instead."""
+    from olap_storage_engine_spark.sources.segment_format import (
+        open_segment,
+        read_block,
+        write_segment,
+        write_segment_batches,
+    )
+
+    rows = [
+        (1, 5, "é", "süß"),        # 2-byte char exactly fills lang
+        (2, 6, "日本", "データ源"),  # truncation splits a multibyte char
+        (3, 7, "", "s"),           # empty pads with spaces
+        (4, 8, "en", "plain"),
+    ]
+    p_row = str(tmp_path / "row.oseg")
+    p_bat = str(tmp_path / "bat.oseg")
+    write_segment(rows, p_row, block_rows=2)
+    n, mn, mx, _ = write_segment_batches([_rb(*rows)], p_bat, block_rows=2)
+    assert (n, mn, mx) == (4, 1, 4)
+    assert open(p_row, "rb").read() == open(p_bat, "rb").read()
+    # the 2-byte 'é' survives the roundtrip intact (hi=1 stops before
+    # doc 2, whose truncated lang is deliberately not valid UTF-8 —
+    # the same contract as the row API's byte-width cut)
+    nrows, block_rows, blocks = open_segment(p_bat)
+    assert (nrows, block_rows) == (4, 2)
+    (row1,) = read_block(p_bat, 0, 2, hi=1)
+    assert row1 == (1, 5, "é", "süß")
