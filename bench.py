@@ -257,6 +257,38 @@ def main() -> None:
         floor_samples.append(time.time() - t0)
     floor_sec = round(sorted(floor_samples)[2], 4)
 
+    # Streaming-floor calibration (VERDICT r12 task 4): every one of
+    # the 14 `*stream*` queries pays a fixed micro-batch-engine
+    # lifecycle (start / plan / poll / commit / stop of one
+    # availableNow run, ~1.5-3 s) that dwarfs the noop floor and
+    # dominates their round-over-round drift.  Sample that lifecycle
+    # with a TRIVIAL availableNow stream (10-row parquet -> noop,
+    # fresh checkpoint per sample, same shape as the queries' own
+    # first runs) and report the median; the regression gate
+    # subtracts it from streaming rows so their flags measure query
+    # work, not engine bring-up.
+    stream_warm = tempfile.mkdtemp(prefix="bench_warm_")
+    stream_src = os.path.join(stream_warm, "src")
+    spark.range(10).write.parquet(stream_src)
+    s_schema = spark.read.parquet(stream_src).schema
+    stream_samples: list[float] = []
+    for i in range(3):
+        t0 = time.time()
+        sq = (
+            spark.readStream.schema(s_schema)
+            .parquet(stream_src)
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation",
+                os.path.join(stream_warm, f"ck{i}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        stream_samples.append(time.time() - t0)
+    stream_floor_sec = round(sorted(stream_samples)[1], 4)
+
     timings: dict[str, float] = {}
     # ingest_orc ran FIRST in the r6 bench and still took ~1 s — the
     # r5 session-state theory is dead.  Component profile (see the
@@ -341,6 +373,8 @@ def main() -> None:
         "n_queries": len(main_timings),
         "floor_sec": floor_sec,
         "floor_samples": [round(s, 4) for s in floor_samples],
+        "stream_floor_sec": stream_floor_sec,
+        "stream_floor_samples": [round(s, 4) for s in stream_samples],
     }
     if oracle_timings:
         ok = [v for v in oracle_timings.values() if v >= 0]
@@ -410,16 +444,24 @@ def _emit_regressions(
         old = json.load(f)
     old_floor = float(old.get("floor_sec", 0.0))
     new_floor = float(new.get("floor_sec", 0.0))
-    old_q = {
-        n: max(t - old_floor, 0.0)
-        for n, t in old.get("queries", {}).items()
-        if "#" not in n
-    }
-    new_q = {
-        n: max(t - new_floor, 0.0)
-        for n, t in new.get("queries", {}).items()
-        if "#" not in n
-    }
+    # streaming rows subtract the micro-batch-lifecycle floor instead
+    # of the noop-job floor — their fixed cost is ~100x larger and
+    # would otherwise dominate every `*stream*` delta (VERDICT r12
+    # task 4).  A previous detail file from before this field existed
+    # falls back to its noop floor (first diff after the change is
+    # conservative, not wrong).
+    old_sfloor = float(old.get("stream_floor_sec", old_floor))
+    new_sfloor = float(new.get("stream_floor_sec", new_floor))
+
+    def _floored(times: dict, noop: float, stream: float) -> dict:
+        return {
+            n: max(t - (stream if "stream" in n else noop), 0.0)
+            for n, t in times.items()
+            if "#" not in n
+        }
+
+    old_q = _floored(old.get("queries", {}), old_floor, old_sfloor)
+    new_q = _floored(new.get("queries", {}), new_floor, new_sfloor)
     shared = sorted(set(old_q) & set(new_q))
     o_tot = sum(old_q[n] for n in shared)
     n_tot = sum(new_q[n] for n in shared)
@@ -467,6 +509,8 @@ def _emit_regressions(
         f"Thresholds: >{ratio_thr}x slower AND >{abs_thr}s slower than "
         "the DRIFT-NORMALIZED previous run, above-floor seconds.",
         f"Floors: prev={old_floor:.4f}s this={new_floor:.4f}s; "
+        f"stream floors (for `*stream*` rows): prev={old_sfloor:.4f}s "
+        f"this={new_sfloor:.4f}s; "
         f"shared queries: {len(shared)}; shared above-floor total "
         f"{o_tot:.1f}s -> {n_tot:.1f}s ({n_tot - o_tot:+.1f}s); "
         f"drift factor {drift:.3f} (prev times scaled by this before "

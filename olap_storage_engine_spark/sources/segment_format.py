@@ -412,6 +412,64 @@ def _load_manifest(dir_path: str):
     return doc, doc.get("generation", 0), man_path
 
 
+# ------------------------------------------------- planning-side caches
+#
+# The Python-DataSource PLANNING worker is a reused process
+# (spark.python.worker.reuse), so repeated in-process scans of the
+# same table re-parse the same manifest JSON (up to ~1 MiB of
+# per-file blooms) and re-validate the same single-file segment
+# (a full read + CRC) on every query plan.  Cache both keyed on
+# (mtime_ns, size) — the same discipline as the streaming-
+# decontamination hash cache: any commit/compact/vacuum rewrites the
+# file (new mtime/size) and invalidates naturally.  READ-ONLY scope:
+# writer/CAS paths always load fresh via _load_manifest, and cached
+# docs must never be mutated.
+
+_MANIFEST_CACHE: dict = {}
+_FOOTER_CACHE: dict = {}
+_PLAN_CACHE_MAX = 64  # tables/files a process plans against; tiny docs
+
+
+def _load_manifest_read_cached(dir_path: str):
+    """_load_manifest for READER PLANNING: same contract, parsed doc
+    cached per (path, mtime_ns, size).  Callers must treat the doc as
+    immutable."""
+    man_path = os.path.join(dir_path, MANIFEST_NAME)
+    try:
+        st = os.stat(man_path)
+    except OSError:
+        return {}, 0, man_path
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _MANIFEST_CACHE.get(man_path)
+    if hit is not None and hit[0] == key:
+        doc = hit[1]
+    else:
+        with open(man_path) as f:
+            doc = json.load(f)
+        if len(_MANIFEST_CACHE) >= _PLAN_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[man_path] = (key, doc)
+    return doc, doc.get("generation", 0), man_path
+
+
+def open_segment_cached(path: str):
+    """open_segment with the validated footer cached per
+    (path, mtime_ns, size): planning a point lookup against an
+    unchanged segment skips the full-file CRC re-read.  The CRC ran
+    once against these exact bytes (the stat key pins them); any
+    rewrite invalidates.  Raises exactly like open_segment."""
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _FOOTER_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    res = open_segment(path)
+    if len(_FOOTER_CACHE) >= _PLAN_CACHE_MAX:
+        _FOOTER_CACHE.clear()
+    _FOOTER_CACHE[path] = (key, res)
+    return res
+
+
 def _cas_publish(man_path: str, doc: dict, expected_gen: int, cas=None):
     """Publish the manifest through the generation-checked CAS; a
     concurrent publish since `expected_gen` was observed raises
@@ -564,7 +622,7 @@ def make_datasource():
                 return [_EmptyPartition()]
             if os.path.isdir(self.path):
                 return self._dir_partitions()
-            _, _, blocks = open_segment(self.path)
+            _, _, blocks = open_segment_cached(self.path)
             parts = []
             for start_row, n, min_id, max_id in blocks:
                 if self.lo is not None and max_id < self.lo:
@@ -592,7 +650,7 @@ def make_datasource():
                     "directory was never committed (or is not a "
                     "segment table); refusing to guess at files"
                 )
-            doc, _, _ = _load_manifest(self.path)
+            doc, _, _ = _load_manifest_read_cached(self.path)
             if "files" not in doc:
                 raise ValueError(
                     f"olapseg: malformed {MANIFEST_NAME} in "
@@ -907,18 +965,22 @@ def make_datasource():
                 raise ValueError("olapseg: 'path' option is required")
 
         def initialOffset(self):
-            doc, _, _ = _load_manifest(self.path)
+            # the read-cached loader is correct for the stream poll
+            # loop too: a commit rewrites the manifest (new
+            # mtime/size) and refreshes the cache, while the idle
+            # polls between commits skip the re-parse
+            doc, _, _ = _load_manifest_read_cached(self.path)
             return {"n_files": 0, "epoch": doc.get("rewrite_epoch", 0)}
 
         def latestOffset(self):
-            doc, _, _ = _load_manifest(self.path)
+            doc, _, _ = _load_manifest_read_cached(self.path)
             return {
                 "n_files": len(doc.get("files", [])),
                 "epoch": doc.get("rewrite_epoch", 0),
             }
 
         def partitions(self, start, end):
-            doc, _, _ = _load_manifest(self.path)
+            doc, _, _ = _load_manifest_read_cached(self.path)
             files = doc.get("files", [])
             cur_epoch = doc.get("rewrite_epoch", 0)
             lo, hi = start["n_files"], end["n_files"]

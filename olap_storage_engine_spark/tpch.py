@@ -249,6 +249,52 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 over the CO-BUCKETED fact pair: tpch_q7's one real exchange
+    — lineitem x orders on the orderkey — disappears when both facts
+    read through their bucketBy(16, orderkey) replicas (merge join
+    over pre-sorted bucket files, zero fact-side Exchange/Sort; the
+    only shuffle left is the 4-row year/nation aggregate).  Same
+    result and oracle as tpch_q7 — the inline twin keeps the
+    reference's plan shape, this one is the 100 TB serving layout
+    (the r12 verdict's lever for the q7 driver flag);
+    tests/test_bucketed.py pins the exchange count."""
+    from .fixtures import bucketed_fact_pair
+
+    n1, n2 = "NATION_1", "NATION_2"
+    o_name, li_name = bucketed_fact_pair(spark, sf_dir)
+    li = spark.table(li_name).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = spark.table(o_name)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .join(_broadcast_if_fits(c), o["o_custkey"] == c["c_custkey"])
+        .join(_broadcast_if_fits(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(_disc_price(), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: one nation's share of a region's
     order revenue by year — the conditional-sum-over-join-tree shape.
@@ -730,6 +776,7 @@ TPCH_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
+    "tpch_q7_bucketed": q_tpch_q7_bucketed,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
@@ -797,6 +844,26 @@ TPCH_ORACLES = {
           AND l_quantity < 24
     """,
     "tpch_q7": """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    # same semantics as tpch_q7 — the bucketed twin only changes the
+    # physical layout, never the answer
+    "tpch_q7_bucketed": """
         SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -180,3 +180,29 @@ def test_q21_bucketed_fact_legs_exchange_free(spark):
     # pre-sorted bucket files
     n_sort = plan.count("Sort ")
     assert n_sort == 0, f"{n_sort} sorts\n{plan}"
+
+
+def test_q7_bucketed_fact_join_exchange_free(spark):
+    """tpch_q7_bucketed: the lineitem x orders join reads both facts
+    through the co-bucketed replicas — merge join over pre-sorted
+    bucket files, zero Exchange on the orderkey and zero Sort; the
+    only shuffle left is the 4-row nation/year aggregate."""
+    from olap_storage_engine_spark.tpch import q_tpch_q7_bucketed
+
+    plan = formatted_plan(q_tpch_q7_bucketed(spark, SF))
+    assert "SortMergeJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    # the SMJ itself is sort-free (pre-sorted bucket files); the only
+    # Sort allowed is the query's own final ORDER BY over 4 rows
+    for ln in plan.splitlines():
+        if "Sort " in ln:
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    assert plan.count("Sort ") <= 1, plan
+    # shuffle exchanges: ONE hash (the 4-row aggregate) + ONE range
+    # (the final ORDER BY); broadcast exchanges (the dim chain) are
+    # the design.  Formatted explain prints each node twice (tree +
+    # detail), hence the x2.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Exchange rangepartitioning") <= 2, plan
