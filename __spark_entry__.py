@@ -3977,90 +3977,86 @@ def q_set_intersect(spark, sf_dir):
 # The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-12 rotation.  Priority order within the 50-slot head:
-    #   1-3   segment_point_lookup (bloom-assisted point probe),
-    #         segment_stream_read (incremental manifest-offset
-    #         stream), and encoding_selection (A25 dictionary
-    #         auto-selection vs landed footers) — NEW this round,
-    #         never driver-checked,
-    #   2-10  queries whose CODE changed in r12: the Arrow-batched
-    #         segment write family + CAS-guarded manifests + the
-    #         compact query's bounded files_after projection
-    #         (segment_write_roundtrip/stream_ingest/compact/
-    #         delete_scoped, ingest_segment_pushdown); the LSH eval
-    #         reading its persisted truth pair set
-    #         (dedup_minhash_pr_eval); the de-O(dim^2)'d
-    #         embedding_diversity and the _spread-parallelized
-    #         text_repetition; RANDOM bucketing's partition-id mix
-    #         (bucket_random_spread),
-    #   13-50 the 38 oldest r7-stale rows (window_range_frame, the
-    #         39th, moves to the r13 rotation with the r8 cohort).
+    # Round-13 rotation.  Priority order within the 50-slot head:
+    #   1     tpch_q7_bucketed — NEW this round (the co-bucketed twin
+    #         that removes q7's one fact-fact exchange), never
+    #         driver-checked,
+    #   2-15  queries whose CODE changed in r13: the seven TPC-H
+    #         queries whose customer/supplier broadcasts went through
+    #         the size-gated _broadcast_if_fits helper (q7, q8, q9,
+    #         q10, q15, q21, q21_bucketed), and the seven segment-
+    #         format queries whose reader planning now serves from the
+    #         (mtime, size)-keyed manifest/footer caches,
+    #   16-50 the oldest stale rows: window_range_frame (last checked
+    #         r7) and the first 34 of the r8 cohort alphabetically.
+    "tpch_q7_bucketed",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q15",
+    "tpch_q21",
+    "tpch_q21_bucketed",
     "segment_point_lookup",
+    "ingest_segment_pushdown",
     "segment_stream_read",
-    "encoding_selection",
-    "segment_write_roundtrip",
     "segment_stream_ingest",
     "segment_compact",
     "segment_delete_scoped",
-    "ingest_segment_pushdown",
-    "dedup_minhash_pr_eval",
-    "text_repetition",
-    "embedding_diversity",
-    "bucket_random_spread",
-    "agg_model_min_max",
-    "agg_salted_skew",
-    "array_funcs",
-    "bucket_point_lookup",
-    "bucketed_fact_join",
-    "bucketed_join",
-    "cdc_changes",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_sessionize",
-    "events_variant_extract",
-    "grouping_rollup",
-    "grouping_sets_id",
-    "inverted_index_fresh",
-    "join_anti",
-    "join_semi",
-    "join_star_revenue",
-    "merge_upsert",
-    "multimodal_meta",
-    "rollup_routed_read",
-    "schema_evolution_read",
-    "sketch_profile",
-    "sketch_rollup_distinct",
-    "sketch_rollup_quantiles",
-    "sql_engine_views",
-    "table_stats",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tokens",
-    "text_vocab",
-    "tpch_q1",
-    "tpch_q12",
-    "tpch_q18",
-    "tpch_q21_bucketed",
-    "tpch_q22",
-    "tpch_q5",
-    "unpivot_metrics",
+    "segment_write_roundtrip",
+    "window_range_frame",
+    "agg_percentiles",
+    "bucket_routing_hash",
+    "compaction_rewrite",
+    "compaction_score",
+    "corpus_prep",
+    "decontaminate_bench",
+    "decontaminate_indexed",
+    "decontamination_report",
+    "dedup_exact",
+    "dedup_keepset",
+    "dedup_minhash",
+    "dedup_simhash",
+    "delete_rows",
+    "duplicate_model_scan",
+    "events_stream_join",
+    "filter_range_zonemap",
+    "gc_retention_read",
+    "gram_novelty",
+    "ingest_orc",
+    "inverted_index_search",
+    "join_asof",
+    "join_range",
+    "join_salted",
+    "mixture_sample",
+    "multimodal_audio_decode",
+    "multimodal_frame_sample",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "pandas_udaf_weighted_avg",
+    "partition_prune_range",
+    "pii_scrub",
+    "rollup_coarser_agg",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("unpivot_metrics") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("rollup_coarser_agg") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('unpivot_metrics')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('rollup_coarser_agg')}"
 )
-# ROUND-13 ROTATION RECIPE: after CORRECTNESS_r12 lands, lead with any
+# ROUND-14 ROTATION RECIPE: after CORRECTNESS_r13 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r13, then the remaining r8-stale rows (CORRECTNESS_r08 cohort minus
-# rows re-checked since — agg_percentiles was taken in r12), then the
-# r9 cohort as budget allows.  Keep the head proper at exactly 50 and
-# update the assertion's anchor query.
+# r14, then the 12 remaining r8-stale rows (scan_projection, set_union,
+# shortkey_prefix_seek, snapshot_read_versions, text_chunking,
+# time_travel_read, tpch_q3, train_val_split, udtf_parse_props,
+# unique_key_latest, window_rank_family, write_read_roundtrip), then
+# the r9 cohort as budget allows.  Keep the head proper at exactly 50
+# and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
 

@@ -1,0 +1,116 @@
+"""Scale-regime evidence for the index-serving ANN/dedup family
+(VERDICT r12 task 6): BENCH_SF1's r12 section re-measured only queries
+whose code changed that round, so the serving-path scale claims for
+the LSH/IVF/PQ/int8 and minhash families carried design arguments but
+no measured growth.  Run each at sf0.1 and the 10x perf-only scale-up
+(/tmp/sf1, tools/make_scale_data.py), Spark AND oracle, and merge a
+"queries_r13" section into BENCH_SF1.json.
+
+Timing uses a noop-sink write (count() prunes projections and would
+time a narrower plan than the query declares).
+
+Usage: python tools/bench_sf1_r13.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+
+QUERIES = [
+    # the index-serving ANN family (persisted cells/codes/planes)
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_cells",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_int8_topk",
+    # the banded-LSH dedup servers (persisted signature index)
+    "dedup_minhash",
+    "dedup_minhash_verified",
+    # changed this round: the co-bucketed q7 twin
+    "tpch_q7_bucketed",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# the int8 oracle re-derives quantization + integer scoring in SQL and
+# its DuckDB spill exceeds free disk at sf1 (BENCH_SF1 r10 note) —
+# recorded as null, the Spark side still runs
+ORACLE_SKIP_SF1 = {"similarity_int8_topk"}
+
+
+def time_spark(spark, qs, name, sf_dir):
+    t = time.time()
+    qs[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.time() - t, 3)
+
+
+def time_oracle(oracles, name, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    t0 = time.time()
+    try:
+        con.execute(oracles[name]).fetchall()
+    except Exception as ex:
+        print(f"oracle {name} failed: {str(ex)[:120]}", flush=True)
+        return None
+    return round(time.time() - t0, 3)
+
+
+def main():
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    import __spark_entry__ as e
+    from olap_storage_engine_spark import get_spark
+    from olap_storage_engine_spark.fixtures import build_all
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = e.queries(), e.oracle_sql()
+    out = {}
+    for sf_key, sf_dir in (("sf0_1", SF01), ("sf1", sf1)):
+        build_all(spark, sf_dir)  # fixture/index builds untimed
+        for name in QUERIES:
+            time_spark(spark, qs, name, sf_dir)  # warm
+            sec = min(time_spark(spark, qs, name, sf_dir) for _ in range(2))
+            out.setdefault(name, {})[f"spark_{sf_key}"] = sec
+            if sf_key == "sf1" and name in ORACLE_SKIP_SF1:
+                out[name]["oracle_sf1"] = None
+            else:
+                out[name][f"oracle_{sf_key}"] = time_oracle(
+                    oracles, name, sf_dir
+                )
+            print(name, sf_key, out[name], flush=True)
+    for name, row in out.items():
+        row["spark_growth"] = round(row["spark_sf1"] / row["spark_sf0_1"], 2)
+        if row.get("oracle_sf1") and row.get("oracle_sf0_1"):
+            row["oracle_growth"] = round(
+                row["oracle_sf1"] / row["oracle_sf0_1"], 2
+            )
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_SF1.json")
+    with open(path) as f:
+        doc = json.load(f)
+    doc["queries_r13"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print("merged queries_r13 into BENCH_SF1.json")
+
+
+if __name__ == "__main__":
+    main()
