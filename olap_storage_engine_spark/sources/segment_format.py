@@ -419,11 +419,17 @@ def _load_manifest(dir_path: str):
 # same table re-parse the same manifest JSON (up to ~1 MiB of
 # per-file blooms) and re-validate the same single-file segment
 # (a full read + CRC) on every query plan.  Cache both keyed on
-# (mtime_ns, size) — the same discipline as the streaming-
-# decontamination hash cache: any commit/compact/vacuum rewrites the
-# file (new mtime/size) and invalidates naturally.  READ-ONLY scope:
-# writer/CAS paths always load fresh via _load_manifest, and cached
-# docs must never be mutated.
+# (ino, mtime_ns, size) — the same discipline as the streaming-
+# decontamination hash cache.  Every manifest publish goes through
+# os.replace (a NEW inode), so manifest invalidation is exact even on
+# coarse-mtime filesystems where a same-size rewrite can land inside
+# one timestamp tick; committed segment files are likewise written
+# fresh and renamed.  What the key cannot cover: bytes changing IN
+# PLACE with inode+mtime+size all unchanged (silent bit rot) — the
+# assumption every stat-keyed cache makes; the EXECUTOR-side read
+# path still validates per worker per file version (see read()).
+# READ-ONLY scope: writer/CAS paths always load fresh via
+# _load_manifest, and cached docs must never be mutated.
 
 _MANIFEST_CACHE: dict = {}
 _FOOTER_CACHE: dict = {}
@@ -432,14 +438,14 @@ _PLAN_CACHE_MAX = 64  # tables/files a process plans against; tiny docs
 
 def _load_manifest_read_cached(dir_path: str):
     """_load_manifest for READER PLANNING: same contract, parsed doc
-    cached per (path, mtime_ns, size).  Callers must treat the doc as
-    immutable."""
+    cached per (path, ino, mtime_ns, size).  Callers must treat the
+    doc as immutable."""
     man_path = os.path.join(dir_path, MANIFEST_NAME)
     try:
         st = os.stat(man_path)
     except OSError:
         return {}, 0, man_path
-    key = (st.st_mtime_ns, st.st_size)
+    key = (st.st_ino, st.st_mtime_ns, st.st_size)
     hit = _MANIFEST_CACHE.get(man_path)
     if hit is not None and hit[0] == key:
         doc = hit[1]
@@ -454,12 +460,12 @@ def _load_manifest_read_cached(dir_path: str):
 
 def open_segment_cached(path: str):
     """open_segment with the validated footer cached per
-    (path, mtime_ns, size): planning a point lookup against an
+    (path, ino, mtime_ns, size): planning a point lookup against an
     unchanged segment skips the full-file CRC re-read.  The CRC ran
     once against these exact bytes (the stat key pins them); any
     rewrite invalidates.  Raises exactly like open_segment."""
     st = os.stat(path)
-    key = (st.st_mtime_ns, st.st_size)
+    key = (st.st_ino, st.st_mtime_ns, st.st_size)
     hit = _FOOTER_CACHE.get(path)
     if hit is not None and hit[0] == key:
         return hit[1]
@@ -701,6 +707,15 @@ def make_datasource():
                     if batch is not None:
                         yield batch
                 return
+            # single-file block task: validate TASK-SIDE before
+            # serving (footer + CRC via the executor worker's stat-
+            # keyed cache — one validation per worker per file
+            # version, the same contract as the _FilePartition
+            # branch).  Without this, the r13 planning-side footer
+            # cache would have made a cached driver validation the
+            # ONLY one for the worker's lifetime, silently serving a
+            # segment that no longer passes CRC.
+            open_segment_cached(part.path)
             batch = read_block_batch(
                 part.path, part.start_row, part.n, part.lo, part.hi
             )

@@ -1313,3 +1313,27 @@ def test_three_way_writer_compactor_vacuum_interleavings(spark, tmp_path):
     # no stray part files: overwrite unlinked everything it replaced
     on_disk = {f for f in os.listdir(d) if f.endswith(".oseg")}
     assert on_disk == {man_final["files"][0]["file"]}
+
+
+def test_single_file_task_read_validates(tmp_path):
+    """The single-file block task validates the segment in the
+    EXECUTOR worker before serving (r13: the planning-side footer
+    cache must never become the only validation for a worker's
+    lifetime).  A fresh worker (cold cache) reading a corrupted
+    segment raises instead of decoding garbage."""
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    p = str(tmp_path / "t.oseg")
+    sf.write_segment([(i, i, "en", "s") for i in range(100)], p, 25)
+    r = sf.make_datasource()(options={"path": p}).reader(None)
+    parts = r.partitions()  # driver-side validation, cache warm
+    assert len(parts) == 4
+    # bytes rot after planning; a new executor worker has a cold cache
+    with open(p, "r+b") as f:
+        f.seek(40)
+        f.write(b"\xde\xad")
+    sf._FOOTER_CACHE.clear()
+    with _pytest.raises(ValueError):
+        list(r.read(parts[0]))

@@ -38,11 +38,6 @@ QUERIES = [
     "tpch_q7_bucketed",
 ]
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
 # the int8 oracle re-derives quantization + integer scoring in SQL and
 # its DuckDB spill exceeds free disk at sf1 (BENCH_SF1 r10 note) —
 # recorded as null, the Spark side still runs
@@ -58,13 +53,9 @@ def time_spark(spark, qs, name, sf_dir):
 
 
 def time_oracle(oracles, name, sf_dir):
-    import duckdb
+    from oracle_common import connect_with_views
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = connect_with_views(sf_dir)
     t0 = time.time()
     try:
         con.execute(oracles[name]).fetchall()

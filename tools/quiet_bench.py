@@ -76,16 +76,9 @@ def main() -> None:
         out[name] = {"runs": runs, "best": min(runs)}
 
     oracle = entrymod.oracle_sql()
-    import duckdb
+    from oracle_common import connect_with_views
 
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    con = connect_with_views(SF_DIR)
     for name in names:
         sql = oracle.get(name)
         if not sql:
