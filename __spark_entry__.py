@@ -1219,6 +1219,21 @@ def q_docs_stream_decontaminate(spark, sf_dir):
     return run_fixture_stream_decontaminate(spark, sf_dir)
 
 
+def q_docs_stream_neardup_filter(spark, sf_dir):
+    """Streaming NEAR-DUP filter (r13): in-row banded-MinHash
+    signatures probed with stateless per-band stream-static joins
+    against bucket minima from the persisted signature index; emits
+    the doc_ids that near-dup a lower id — exactly the doc_b side of
+    the batch candidate pairs, so the batch mh_pairs oracle checks the
+    stream's dropped set (streaming/corpus.py
+    run_fixture_stream_neardup_filter)."""
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_neardup_filter,
+    )
+
+    return run_fixture_stream_neardup_filter(spark, sf_dir)
+
+
 def q_fk_orphan_audit(spark, sf_dir):
     """Referential-integrity audit across the star schema's FK edges:
     per relation, how many child rows reference a missing parent.
@@ -3988,7 +4003,10 @@ _DRIVER_CHECK_HEAD = [
     #         format queries whose reader planning now serves from the
     #         (mtime, size)-keyed manifest/footer caches,
     #   16-50 the oldest stale rows: window_range_frame (last checked
-    #         r7) and the first 34 of the r8 cohort alphabetically.
+    #         r7) and the first 33 of the r8 cohort alphabetically
+    #         (rollup_coarser_agg moved to the r14 cohort when the
+    #         never-checked docs_stream_neardup_filter took slot 1).
+    "docs_stream_neardup_filter",
     "tpch_q7_bucketed",
     "tpch_q7",
     "tpch_q8",
@@ -4038,20 +4056,20 @@ _DRIVER_CHECK_HEAD = [
     "pandas_udaf_weighted_avg",
     "partition_prune_range",
     "pii_scrub",
-    "rollup_coarser_agg",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("rollup_coarser_agg") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("pii_scrub") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('rollup_coarser_agg')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('pii_scrub')}"
 )
 # ROUND-14 ROTATION RECIPE: after CORRECTNESS_r13 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r14, then the 12 remaining r8-stale rows (scan_projection, set_union,
+# r14, then the 13 remaining r8-stale rows (rollup_coarser_agg,
+# scan_projection, set_union,
 # shortkey_prefix_seek, snapshot_read_versions, text_chunking,
 # time_travel_read, tpch_q3, train_val_split, udtf_parse_props,
 # unique_key_latest, window_rank_family, write_read_roundtrip), then
@@ -4127,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_indexed": q_decontaminate_indexed,
         "decontaminate_semantic": q_decontaminate_semantic,
         "docs_stream_decontaminate": q_docs_stream_decontaminate,
+        "docs_stream_neardup_filter": q_docs_stream_neardup_filter,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "corpus_prep": q_corpus_prep,
@@ -5869,6 +5888,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk = 1 AND cos >= 0.3
         """,
         "docs_stream_decontaminate": _decontaminate_oracle(),
+        # the stream's dropped set == the doc_b side of the batch
+        # banded-LSH candidate pairs (same corpus, same index params)
+        "docs_stream_neardup_filter": (
+            f"WITH {_minhash_ctes(8, 2, 3)}\n"
+            "SELECT DISTINCT doc_b AS doc_id FROM mh_pairs"
+        ),
         "pii_scrub": _pii_scrub_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "corpus_prep": _corpus_prep_oracle(),

@@ -279,3 +279,146 @@ def run_fixture_stream_tokenize(
         )
         _await_or_raise(q)
     return spark.table(name)
+
+
+def run_fixture_stream_neardup_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-DUP filter: documents arrive as a file stream;
+    each row's banded-MinHash signature is computed IN THE ROW (no
+    shuffle, no state) and probed against per-band bucket MINIMA
+    derived from the PERSISTED signature index
+    (fixtures.minhash_sigs_path) — a doc is reported as a near-dup iff
+    some band's bucket holds a LOWER doc_id, which is exactly "appears
+    as doc_b in the batch banded-LSH candidate pairs", so the batch
+    mh_pairs oracle checks the stream's dropped set EXACTLY.
+
+    Topology (stateless, append-mode): scan → three projection
+    boundaries (tokens → distinct grams → base hashes, each
+    materialized ONCE per row — referencing the producer 8x keeps
+    CollapseProject from inlining the md5 chain) → the K affine mins
+    as array_min over the hash array → one LEFT stream-static equi
+    join PER BAND against the cached bucket-min table (each key hits
+    at most one bucket row, so no row multiplication and no
+    post-join distinct/state) → row-local verdict filter.  At 100 TB
+    the same shape holds: the bucket table is index-derived and
+    partitionable, each micro-batch pays num_bands hash joins, and
+    there is no watermark, no state store, and no driver-resident
+    corpus structure.  Docs with no shingles have NULL band keys,
+    match no bucket (the index has no row for them — exactly the
+    batch semantics, where they have no signature), and are never
+    reported."""
+    from ..fixtures import minhash_sigs_path
+    from ..functions.hashes import md5int
+    from ..functions.textfns import tokens
+    from ..operators.dedup import MINHASH_P, gram_array, minhash_params
+    from .events import (
+        _await_or_raise,
+        _ephemeral_checkpoint,
+        _shuffle_partitions,
+    )
+
+    num_bands = num_hashes // band_rows
+    params = minhash_params(num_hashes)
+
+    def band_key(prefix: str, b: int) -> F.Column:
+        return F.concat_ws(
+            ",",
+            *[
+                F.col(f"{prefix}{b * band_rows + r}").cast("string")
+                for r in range(band_rows)
+            ],
+        )
+
+    # static side: per-(band, key) minimum doc_id from the persisted
+    # signature index — the serving artifact every dedup query reads;
+    # cached so the stream's micro-batches don't re-aggregate it
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
+    buckets = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_key("mh", b).alias("sig"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "bs.band", "bs.sig")
+        .groupBy("band", "sig")
+        .agg(F.min("doc_id").alias("bmin"))
+        .cache()
+    )
+    buckets.count()  # materialize before the stream starts
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="docs_neardup_stream_")
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    toked = stream.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    grammed = toked.select(
+        "doc_id", gram_array(F.col("__toks"), n).alias("__grams")
+    )
+    hashed = grammed.select(
+        "doc_id",
+        F.transform(
+            F.col("__grams"), lambda s: md5int(s) % F.lit(MINHASH_P)
+        ).alias("__h"),
+    )
+    signed = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            ).alias(f"__mh{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    keyed = signed.select(
+        "doc_id",
+        *[band_key("__mh", b).alias(f"__k{b}") for b in range(num_bands)],
+    )
+    joined = keyed
+    for b in range(num_bands):
+        side = buckets.filter(F.col("band") == b).select(
+            F.col("sig").alias(f"__bk{b}"),
+            F.col("bmin").alias(f"__bmin{b}"),
+        )
+        joined = joined.join(
+            side, joined[f"__k{b}"] == side[f"__bk{b}"], "left"
+        )
+    verdict = None
+    for b in range(num_bands):
+        hit = F.col(f"__bmin{b}") < F.col("doc_id")
+        verdict = hit if verdict is None else (verdict | hit)
+    dropped = joined.filter(verdict).select("doc_id")
+
+    name = f"nd_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 4):
+        q = (
+            dropped.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    buckets.unpersist()
+    return spark.table(name)

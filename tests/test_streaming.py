@@ -283,3 +283,35 @@ def test_run_metrics_recorded_for_fixture_streams(spark):
     assert m["input_rows"] > 0
     assert m["batches"] >= 1
     assert m["state_rows_peak"] > 0  # complete-mode windowed agg
+
+
+def test_stream_neardup_filter_matches_batch(spark):
+    """The streaming near-dup dropped set must equal the doc_b side of
+    the batch banded-LSH candidate pairs served from the persisted
+    signature index — same signatures, same banding, two execution
+    modes.  Sanity: nothing below the corpus minimum id is ever
+    dropped, and at least one dup exists in the fixture."""
+    from olap_storage_engine_spark.fixtures import minhash_sigs_path
+    from olap_storage_engine_spark.operators.dedup import (
+        minhash_candidates_from_sigs,
+    )
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_neardup_filter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        r["doc_id"]
+        for r in run_fixture_stream_neardup_filter(spark, sf_dir).collect()
+    )
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
+    want = sorted(
+        r["doc_b"]
+        for r in minhash_candidates_from_sigs(sigs, 8, 2)
+        .select("doc_b")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    min_id = sigs.agg(F.min("doc_id")).first()[0]
+    assert min_id not in got  # the lowest id can never be a dup
