@@ -3993,16 +3993,18 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-13 rotation.  Priority order within the 50-slot head:
-    #   1     tpch_q7_bucketed — NEW this round (the co-bucketed twin
-    #         that removes q7's one fact-fact exchange), never
-    #         driver-checked,
-    #   2-15  queries whose CODE changed in r13: the seven TPC-H
+    #   1-2   NEW this round, never driver-checked:
+    #         docs_stream_neardup_filter (streaming near-dup filter
+    #         over the persisted signature index) and
+    #         tpch_q7_bucketed (the co-bucketed twin that removes
+    #         q7's one fact-fact exchange),
+    #   3-16  queries whose CODE changed in r13: the seven TPC-H
     #         queries whose customer/supplier broadcasts went through
     #         the size-gated _broadcast_if_fits helper (q7, q8, q9,
     #         q10, q15, q21, q21_bucketed), and the seven segment-
-    #         format queries whose reader planning now serves from the
-    #         (mtime, size)-keyed manifest/footer caches,
-    #   16-50 the oldest stale rows: window_range_frame (last checked
+    #         format queries whose reader planning now serves from
+    #         the (ino, mtime, size)-keyed manifest/footer caches,
+    #   17-50 the oldest stale rows: window_range_frame (last checked
     #         r7) and the first 33 of the r8 cohort alphabetically
     #         (rollup_coarser_agg moved to the r14 cohort when the
     #         never-checked docs_stream_neardup_filter took slot 1).

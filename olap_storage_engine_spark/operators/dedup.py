@@ -248,6 +248,22 @@ def minhash_candidates(
     return _banded_pairs(sigs, num_hashes, band_rows, id_col)
 
 
+def band_signature(prefix: str, b: int, band_rows: int) -> F.Column:
+    """The band-b signature key over mh columns named
+    ``{prefix}{i}`` — ONE definition shared by the batch bucket
+    self-join and the streaming near-dup probe
+    (streaming/corpus.py), so the two can never diverge on
+    separator/cast/ordering (the gram_array discipline applied to
+    band keys)."""
+    return F.concat_ws(
+        ",",
+        *[
+            F.col(f"{prefix}{b * band_rows + r}").cast("string")
+            for r in range(band_rows)
+        ],
+    )
+
+
 def _banded_pairs(
     sigs: DataFrame, num_hashes: int, band_rows: int, id_col: str
 ) -> DataFrame:
@@ -259,13 +275,7 @@ def _banded_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh{b * band_rows + r}").cast("string")
-                                for r in range(band_rows)
-                            ],
-                        ).alias("sig"),
+                        band_signature("mh", b, band_rows).alias("sig"),
                     )
                     for b in range(num_bands)
                 ]

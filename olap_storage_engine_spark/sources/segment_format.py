@@ -715,7 +715,22 @@ def make_datasource():
             # cache would have made a cached driver validation the
             # ONLY one for the worker's lifetime, silently serving a
             # segment that no longer passes CRC.
-            open_segment_cached(part.path)
+            _, _, task_blocks = open_segment_cached(part.path)
+            if not any(
+                s == part.start_row and bn == part.n
+                for s, bn, _mn, _mx in task_blocks
+            ):
+                # the footer the task validated must still DESCRIBE
+                # the planned block: a valid DIFFERENT file swapped in
+                # between planning and execution would otherwise pass
+                # CRC while the stale (start_row, n) offsets decode
+                # the wrong bytes
+                raise ValueError(
+                    f"olapseg: {part.path} changed between planning "
+                    f"and execution — planned block "
+                    f"(start={part.start_row}, n={part.n}) is not in "
+                    "the file's footer; re-run the query"
+                )
             batch = read_block_batch(
                 part.path, part.start_row, part.n, part.lo, part.hi
             )

@@ -110,7 +110,10 @@ def run_fixture_stream_decontaminate(
     # stream must re-derive the bench hash set instead of silently
     # filtering against the old corpus's grams (ADVICE r7)
     st = os.stat(path)
-    key = (sf_dir, n, mod, st.st_mtime_ns, st.st_size)
+    # st_ino included (r13): a same-size regeneration landing within
+    # one mtime tick on a coarse-timestamp filesystem still lands on
+    # a NEW inode (parquet writes replace the file)
+    key = (sf_dir, n, mod, st.st_ino, st.st_mtime_ns, st.st_size)
     if key not in _BENCH_HASHES:
         # one batch job per (corpus file state, width, bench) per
         # process: the bench set is static for a given corpus file
@@ -315,7 +318,12 @@ def run_fixture_stream_neardup_filter(
     from ..fixtures import minhash_sigs_path
     from ..functions.hashes import md5int
     from ..functions.textfns import tokens
-    from ..operators.dedup import MINHASH_P, gram_array, minhash_params
+    from ..operators.dedup import (
+        MINHASH_P,
+        band_signature,
+        gram_array,
+        minhash_params,
+    )
     from .events import (
         _await_or_raise,
         _ephemeral_checkpoint,
@@ -326,13 +334,10 @@ def run_fixture_stream_neardup_filter(
     params = minhash_params(num_hashes)
 
     def band_key(prefix: str, b: int) -> F.Column:
-        return F.concat_ws(
-            ",",
-            *[
-                F.col(f"{prefix}{b * band_rows + r}").cast("string")
-                for r in range(band_rows)
-            ],
-        )
+        # the ONE band-signature definition (dedup.band_signature) —
+        # the stream's probe keys must stay byte-identical to the
+        # batch bucket keys
+        return band_signature(prefix, b, band_rows)
 
     # static side: per-(band, key) minimum doc_id from the persisted
     # signature index — the serving artifact every dedup query reads;
@@ -410,15 +415,19 @@ def run_fixture_stream_neardup_filter(
     dropped = joined.filter(verdict).select("doc_id")
 
     name = f"nd_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 4):
-        q = (
-            dropped.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", _ephemeral_checkpoint())
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-    buckets.unpersist()
+    try:
+        with _shuffle_partitions(spark, 4):
+            q = (
+                dropped.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", _ephemeral_checkpoint())
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
+    finally:
+        # a failed/timed-out stream must not pin the cached bucket
+        # aggregate in executor storage for the session's lifetime
+        buckets.unpersist()
     return spark.table(name)

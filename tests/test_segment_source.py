@@ -1337,3 +1337,27 @@ def test_single_file_task_read_validates(tmp_path):
     sf._FOOTER_CACHE.clear()
     with _pytest.raises(ValueError):
         list(r.read(parts[0]))
+
+
+def test_single_file_task_detects_swapped_file(tmp_path):
+    """A VALID but DIFFERENT segment swapped in between planning and
+    task execution passes CRC — the task must still refuse, because
+    the planned (start_row, n) offsets describe the OLD layout."""
+    import os
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    p = str(tmp_path / "t.oseg")
+    sf.write_segment([(i, i, "en", "s") for i in range(100)], p, 25)
+    r = sf.make_datasource()(options={"path": p}).reader(None)
+    parts = r.partitions()
+    assert len(parts) == 4
+    # writer replaces the file with a valid segment of another layout
+    p2 = str(tmp_path / "new.oseg")
+    sf.write_segment([(i, i, "de", "s") for i in range(10)], p2, 4)
+    os.replace(p2, p)
+    sf._FOOTER_CACHE.clear()  # fresh executor worker
+    with _pytest.raises(ValueError, match="changed between planning"):
+        list(r.read(parts[0]))

@@ -53,6 +53,7 @@ def time_spark(spark, qs, name, sf_dir):
 
 
 def time_oracle(oracles, name, sf_dir):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from oracle_common import connect_with_views
 
     con = connect_with_views(sf_dir)

@@ -76,6 +76,7 @@ def main() -> None:
         out[name] = {"runs": runs, "best": min(runs)}
 
     oracle = entrymod.oracle_sql()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from oracle_common import connect_with_views
 
     con = connect_with_views(SF_DIR)
