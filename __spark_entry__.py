@@ -574,6 +574,31 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.neardup_clusters(docs, _minhash_pairs_indexed(spark, sf_dir))
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-SIZE distribution — the audit a curation team
+    reads before committing a dedup policy: per cluster size, how many
+    clusters and how many documents sit at that size (giant cliques =
+    boilerplate/template mass; a long size-2 tail = true near-dups).
+    Derived from the same index-served pair graph as dedup_clusters:
+    components -> per-cluster count -> size histogram; both
+    aggregates are combine-enabled, output is O(#distinct sizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.neardup_clusters(
+        docs, _minhash_pairs_indexed(spark, sf_dir)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def q_dedup_keepset(spark, sf_dir):
     """The dedup last mile: the corpus after dropping non-canonical
     near-dup cluster members (anti-join against the drop-set); pairs
@@ -3993,22 +4018,24 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-13 rotation.  Priority order within the 50-slot head:
-    #   1-2   NEW this round, never driver-checked:
+    #   1-3   NEW this round, never driver-checked:
     #         docs_stream_neardup_filter (streaming near-dup filter
-    #         over the persisted signature index) and
+    #         over the persisted signature index),
+    #         dedup_cluster_stats (cluster-size histogram audit), and
     #         tpch_q7_bucketed (the co-bucketed twin that removes
     #         q7's one fact-fact exchange),
-    #   3-16  queries whose CODE changed in r13: the seven TPC-H
+    #   4-17  queries whose CODE changed in r13: the seven TPC-H
     #         queries whose customer/supplier broadcasts went through
     #         the size-gated _broadcast_if_fits helper (q7, q8, q9,
     #         q10, q15, q21, q21_bucketed), and the seven segment-
     #         format queries whose reader planning now serves from
     #         the (ino, mtime, size)-keyed manifest/footer caches,
-    #   17-50 the oldest stale rows: window_range_frame (last checked
-    #         r7) and the first 33 of the r8 cohort alphabetically
-    #         (rollup_coarser_agg moved to the r14 cohort when the
-    #         never-checked docs_stream_neardup_filter took slot 1).
+    #   18-50 the oldest stale rows: window_range_frame (last checked
+    #         r7) and the first 32 of the r8 cohort alphabetically
+    #         (rollup_coarser_agg and pii_scrub moved to the r14
+    #         cohort when the never-checked queries took slots 1-3).
     "docs_stream_neardup_filter",
+    "dedup_cluster_stats",
     "tpch_q7_bucketed",
     "tpch_q7",
     "tpch_q8",
@@ -4057,21 +4084,20 @@ _DRIVER_CHECK_HEAD = [
     "multimodal_resize",
     "pandas_udaf_weighted_avg",
     "partition_prune_range",
-    "pii_scrub",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("pii_scrub") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("partition_prune_range") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('pii_scrub')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('partition_prune_range')}"
 )
 # ROUND-14 ROTATION RECIPE: after CORRECTNESS_r13 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r14, then the 13 remaining r8-stale rows (rollup_coarser_agg,
-# scan_projection, set_union,
+# r14, then the 14 remaining r8-stale rows (pii_scrub,
+# rollup_coarser_agg, scan_projection, set_union,
 # shortkey_prefix_seek, snapshot_read_versions, text_chunking,
 # time_travel_read, tpch_q3, train_val_split, udtf_parse_props,
 # unique_key_latest, window_rank_family, write_read_roundtrip), then
@@ -4116,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_indexed": q_dedup_ngram_indexed,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_keepset": q_dedup_keepset,
         "corpus_span_dedup": q_corpus_span_dedup,
         "text_lm_score": q_text_lm_score,
@@ -5704,6 +5731,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        # size histogram over the same cc components; CASTs per the
+        # DuckDB HUGEINT-sum discipline
+        "dedup_cluster_stats": f"""WITH RECURSIVE {_cc_ctes(8, 2, 3)},
+sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY comp
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
         "dedup_keepset": _dedup_keepset_oracle(),
         "decontaminate_bench": _decontaminate_oracle(),
         "dsir_sample": """

@@ -549,3 +549,63 @@ def test_generation_claim_cas_detects_history_corruption(tmp_path):
         json.dump({"v": "v1", "generation": 1}, f)
     with _pytest.raises(ValueError, match="commit-history corruption"):
         cas.put_if_generation(path, {"v": "x"}, 1)
+
+
+def test_generation_claim_cas_recover_rereads_after_replace(tmp_path):
+    """The ADVICE r12 race, encoded: recover A snapshots the highest
+    committed gen, a faster writer B commits a NEWER generation and
+    moves the pointer, then A's os.replace lands the OLDER doc over
+    B's pointer.  The r13 recovery loop must detect the regression it
+    just caused (re-read after replace) and roll the pointer forward
+    again before returning."""
+    import json
+    import os
+
+    from olap_storage_engine_spark.plans.manifest import (
+        GenerationClaimCas,
+    )
+
+    cas = GenerationClaimCas()
+    path = str(tmp_path / "doc.json")
+    for g in range(3):
+        cas.put_if_generation(path, {"v": f"v{g + 1}"}, g)
+    # crashed winner: g3 committed, pointer stuck at g2
+    tmp = path + ".crash.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"v": "v4", "generation": 4}, f)
+    os.link(tmp, cas._gen_path(path, 4))
+    os.remove(tmp)
+    # pointer regressed to the g2 doc (rename, like a real racer)
+    t2 = path + ".regress.tmp"
+    with open(cas._gen_path(path, 2)) as f:
+        doc2 = f.read()
+    with open(t2, "w") as f:
+        f.write(doc2)
+    os.replace(t2, path)
+    assert json.load(open(path))["generation"] == 2
+
+    orig_copy = GenerationClaimCas._copy_to_tmp
+    injected = {"done": False}
+
+    def racing_copy(p, src):
+        # between A's copy and A's replace, writer B commits g5 AND
+        # moves the pointer to it — A's replace will then regress it
+        out = orig_copy(p, src)
+        if not injected["done"]:
+            injected["done"] = True
+            t5 = p + ".b.tmp"
+            with open(t5, "w") as f:
+                json.dump({"v": "v5", "generation": 5}, f)
+            os.link(t5, cas._gen_path(p, 5))
+            os.replace(t5, p)  # B's pointer move
+        return out
+
+    GenerationClaimCas._copy_to_tmp = staticmethod(racing_copy)
+    try:
+        got = cas._recover(path)
+    finally:
+        GenerationClaimCas._copy_to_tmp = staticmethod(orig_copy)
+    # the loop must have re-read after its own replace and re-rolled
+    assert got == 5
+    assert json.load(open(path))["generation"] == 5
+    assert json.load(open(path))["v"] == "v5"
