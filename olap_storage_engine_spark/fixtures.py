@@ -394,7 +394,7 @@ def _lineorder_mvs(spark: SparkSession, sf_dir: str):
             )
         return (mv, agg_mv)
 
-    return _aux_cached("lineorder_mvs", sf_dir, build)
+    return _aux_cached("lineorder_mvs", sf_dir, build, ("lineitem", "orders"))
 
 
 def _build_lineorder_mv(spark: SparkSession, sf_dir: str) -> OlapTable:
@@ -701,19 +701,41 @@ def _build_doc_postings(spark: SparkSession, sf_dir: str) -> OlapTable:
 # managed bucketed tables), cached per (kind, sf_dir) with the same
 # one-builder-per-artifact locking as the fixture tables.
 
-_AUX: dict[tuple[str, str], object] = {}
+# one live entry per (kind, sf_dir); value = (source-table state,
+# built value).  The state tuple — (ino, mtime_ns, size) per declared
+# source parquet — VALIDATES the entry: a fixture table regenerated
+# mid-process (parquet writes replace files, so the inode always
+# moves) forces a rebuild instead of silently serving an index
+# derived from the previous corpus (r13 review; the generalization of
+# the streaming-decontamination hash-cache fix to every persisted
+# artifact).  Builders that declare no sources keep the old
+# build-once-per-process behavior (state=None).
+_AUX: dict[tuple[str, str], tuple] = {}
 
 
-def _aux_cached(kind: str, sf_dir: str, build):
+def _src_state(sf_dir: str, names: tuple) -> tuple | None:
+    if not names:
+        return None
+    out = []
+    for nm in names:
+        st = os.stat(os.path.join(sf_dir, f"{nm}.parquet"))
+        out.append((nm, st.st_ino, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
+def _aux_cached(kind: str, sf_dir: str, build, src_tables: tuple = ()):
     key = (kind, sf_dir)
+    state = _src_state(sf_dir, src_tables)
     with _META_LOCK:
-        if key in _AUX:
-            return _AUX[key]
+        hit = _AUX.get(key)
+        if hit is not None and hit[0] == state:
+            return hit[1]
         lock = _LOCKS.setdefault(key, threading.Lock())
     with lock:
-        if key not in _AUX:
-            _AUX[key] = build()
-        return _AUX[key]
+        hit = _AUX.get(key)
+        if hit is None or hit[0] != state:
+            _AUX[key] = (state, build())
+        return _AUX[key][1]
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,7 +764,7 @@ def _ivf_centroids_path(spark: SparkSession, sf_dir: str) -> str:
         train_ivf_centroids(emb).write.mode("overwrite").parquet(path)
         return path
 
-    return _aux_cached("ivf_centroids", sf_dir, build)
+    return _aux_cached("ivf_centroids", sf_dir, build, ("embeddings",))
 
 
 def bpe_merges_path(spark: SparkSession, sf_dir: str) -> str:
@@ -762,7 +784,7 @@ def bpe_merges_path(spark: SparkSession, sf_dir: str) -> str:
         bpe_train(docs, k=6).write.mode("overwrite").parquet(path)
         return path
 
-    return _aux_cached("bpe_merges", sf_dir, build)
+    return _aux_cached("bpe_merges", sf_dir, build, ("documents",))
 
 
 def bpe_merges_rows(spark: SparkSession, sf_dir: str) -> list:
@@ -830,7 +852,7 @@ def truth_pairs_path(spark: SparkSession, sf_dir: str) -> str:
         )
         return path
 
-    return _aux_cached("truth_pairs_n3", sf_dir, build)
+    return _aux_cached("truth_pairs_n3", sf_dir, build, ("documents",))
 
 
 def segment_table_path(spark: SparkSession, sf_dir: str) -> str:
@@ -857,7 +879,7 @@ def segment_table_path(spark: SparkSession, sf_dir: str) -> str:
         )
         return path
 
-    return _aux_cached("segment_table_dir", sf_dir, build)
+    return _aux_cached("segment_table_dir", sf_dir, build, ("documents",))
 
 
 def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
@@ -920,7 +942,7 @@ def ingest_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             raise ValueError(f"unknown ingest format: {fmt}")
         return path
 
-    return _aux_cached(f"ingest_{fmt}", sf_dir, build)
+    return _aux_cached(f"ingest_{fmt}", sf_dir, build, ("documents",))
 
 
 def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -975,7 +997,7 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not all(spark.catalog.tableExists(n) for n in names):
         with _META_LOCK:
             _AUX.pop(("bucketed_pair", sf_dir), None)
-    return _aux_cached("bucketed_pair", sf_dir, build)
+    return _aux_cached("bucketed_pair", sf_dir, build, ("orders", "customer"))
 
 
 def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1017,7 +1039,7 @@ def bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not all(spark.catalog.tableExists(n) for n in names):
         with _META_LOCK:
             _AUX.pop(("bucketed_fact_pair", sf_dir), None)
-    return _aux_cached("bucketed_fact_pair", sf_dir, build)
+    return _aux_cached("bucketed_fact_pair", sf_dir, build, ("orders", "lineitem"))
 
 
 def _build_orders_merge(spark: SparkSession, sf_dir: str) -> OlapTable:
@@ -1382,7 +1404,7 @@ def pq_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         pq_encode(emb, cb).write.mode("overwrite").parquet(codes_path)
         return (cb_path, codes_path)
 
-    return _aux_cached("pq_index", sf_dir, build)
+    return _aux_cached("pq_index", sf_dir, build, ("embeddings",))
 
 
 def int8_codes_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1403,7 +1425,7 @@ def int8_codes_path(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(path)
         return path
 
-    return _aux_cached("int8_codes", sf_dir, build)
+    return _aux_cached("int8_codes", sf_dir, build, ("embeddings",))
 
 
 def lineitem_year_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1422,7 +1444,7 @@ def lineitem_year_path(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").partitionBy("l_year").parquet(path)
         return path
 
-    return _aux_cached("lineitem_year", sf_dir, build)
+    return _aux_cached("lineitem_year", sf_dir, build, ("lineitem",))
 
 
 def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1466,7 +1488,20 @@ def shingle_index_path(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").partitionBy("n").parquet(path)
         return path
 
-    return _aux_cached("shingle_index", sf_dir, build)
+    return _aux_cached("shingle_index", sf_dir, build, ("documents",))
+
+
+# the FIXED parameter set the persisted signature index is built with
+# — consumers that probe its buckets (the streaming near-dup filter)
+# validate against this instead of silently mismatching keys
+_MINHASH_SIGS_NUM_HASHES = 8
+_MINHASH_SIGS_N = 3
+
+
+def minhash_sigs_build_params() -> tuple[int, int]:
+    """(num_hashes, shingle width n) the persisted signature index is
+    built with — the contract a probe-side consumer must match."""
+    return (_MINHASH_SIGS_NUM_HASHES, _MINHASH_SIGS_N)
 
 
 def minhash_sigs_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1483,16 +1518,16 @@ def minhash_sigs_path(spark: SparkSession, sf_dir: str) -> str:
 
         idx = (
             spark.read.parquet(shingle_index_path(spark, sf_dir))
-            .filter(F.col("n") == 3)
+            .filter(F.col("n") == _MINHASH_SIGS_N)
             .select("doc_id", "mh")
         )
         path = os.path.join(warehouse_for(sf_dir), "minhash_sigs")
-        minhash_signatures_from_index(idx, num_hashes=8).write.mode(
-            "overwrite"
-        ).parquet(path)
+        minhash_signatures_from_index(
+            idx, num_hashes=_MINHASH_SIGS_NUM_HASHES
+        ).write.mode("overwrite").parquet(path)
         return path
 
-    return _aux_cached("minhash_sigs", sf_dir, build)
+    return _aux_cached("minhash_sigs", sf_dir, build, ("documents",))
 
 
 def simhash_fps_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1510,7 +1545,7 @@ def simhash_fps_path(spark: SparkSession, sf_dir: str) -> str:
         simhash(docs, bits=32).write.mode("overwrite").parquet(path)
         return path
 
-    return _aux_cached("simhash_fps", sf_dir, build)
+    return _aux_cached("simhash_fps", sf_dir, build, ("documents",))
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1530,7 +1565,7 @@ def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         )
         return path
 
-    return _aux_cached("zorder_lineitem", sf_dir, build)
+    return _aux_cached("zorder_lineitem", sf_dir, build, ("lineitem",))
 
 
 def _build_events_qsketch(spark: SparkSession, sf_dir: str) -> OlapTable:
@@ -1883,4 +1918,4 @@ def nb_model_path(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").parquet(path)
         return path
 
-    return _aux_cached("nb_model", sf_dir, build)
+    return _aux_cached("nb_model", sf_dir, build, ("documents",))

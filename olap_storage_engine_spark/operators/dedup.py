@@ -264,11 +264,19 @@ def band_signature(prefix: str, b: int, band_rows: int) -> F.Column:
     )
 
 
-def _banded_pairs(
-    sigs: DataFrame, num_hashes: int, band_rows: int, id_col: str
+def banded_rows(
+    sigs: DataFrame,
+    num_hashes: int,
+    band_rows: int,
+    id_col: str = "doc_id",
 ) -> DataFrame:
+    """(id, band, sig) rows — the ONE banding topology (band numbering,
+    explode shape, key construction) shared by the batch bucket
+    self-join and the streaming near-dup bucket builder
+    (streaming/corpus.py), so the stream/batch equality contract has a
+    single definition end-to-end, not just at the key expression."""
     num_bands = num_hashes // band_rows
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -282,6 +290,12 @@ def _banded_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+
+
+def _banded_pairs(
+    sigs: DataFrame, num_hashes: int, band_rows: int, id_col: str
+) -> DataFrame:
+    bands = banded_rows(sigs, num_hashes, band_rows, id_col)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (

@@ -23,9 +23,26 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# per-process cache of benchmark shingle-hash sets, keyed by
-# (sf_dir, n, mod) — the bench set is static fixture data
-_BENCH_HASHES: dict[tuple, list[int]] = {}
+# per-process cache of benchmark shingle-hash sets: one live entry
+# per (sf_dir, n, mod), value = (source-file state, hash list).  The
+# state tuple ((ino, mtime_ns, size) of documents.parquet) VALIDATES
+# the entry instead of keying it — superseded corpus states are
+# REPLACED, not accumulated, so a long session that rebuilds fixtures
+# N times holds one bench set, not N (r13 review).
+_BENCH_HASHES: dict[tuple, tuple] = {}
+
+
+def _stream_docs_source(spark: SparkSession, sf_dir: str, prefix: str):
+    """The documents file-stream source every fixture stream runner
+    shares: a tempdir with one symlink to the corpus parquet, read as
+    a schema-applied file stream.  ONE definition for the five
+    runners (r13 review — the preamble was copy-pasted five times).
+    Returns (path, stream)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    return path, spark.readStream.schema(schema).parquet(src_dir)
 
 
 def run_fixture_stream_corpus_filter(
@@ -43,11 +60,7 @@ def run_fixture_stream_corpus_filter(
         _shuffle_partitions,
     )
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    src_dir = tempfile.mkdtemp(prefix="docs_stream_")
-    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    _, stream = _stream_docs_source(spark, sf_dir, "docs_stream_")
     verdicts = quality_filter(stream)
     name = f"cf_{uuid.uuid4().hex[:8]}"
     with _shuffle_partitions(spark, 4):
@@ -90,9 +103,9 @@ def run_fixture_stream_decontaminate(
         _shuffle_partitions,
     )
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    src_dir = tempfile.mkdtemp(prefix="docs_decon_stream_")
-    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    path, stream = _stream_docs_source(
+        spark, sf_dir, "docs_decon_stream_"
+    )
     docs = spark.read.parquet(path)
 
     from ..operators.dedup import gram_array
@@ -112,18 +125,25 @@ def run_fixture_stream_decontaminate(
     st = os.stat(path)
     # st_ino included (r13): a same-size regeneration landing within
     # one mtime tick on a coarse-timestamp filesystem still lands on
-    # a NEW inode (parquet writes replace the file)
-    key = (sf_dir, n, mod, st.st_ino, st.st_mtime_ns, st.st_size)
-    if key not in _BENCH_HASHES:
+    # a NEW inode (parquet writes replace the file).  The file state
+    # VALIDATES the entry rather than keying it, so a rebuilt corpus
+    # REPLACES the old bench set instead of accumulating dead ones.
+    key = (sf_dir, n, mod)
+    state = (st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _BENCH_HASHES.get(key)
+    if hit is None or hit[0] != state:
         # one batch job per (corpus file state, width, bench) per
         # process: the bench set is static for a given corpus file
-        _BENCH_HASHES[key] = [
-            r["sh"]
-            for r in benchmark_shingle_hashes(
-                docs.filter(F.col("doc_id") % mod == 0), n=n
-            ).collect()
-        ]
-    bench_vals = _BENCH_HASHES[key]
+        _BENCH_HASHES[key] = (
+            state,
+            [
+                r["sh"]
+                for r in benchmark_shingle_hashes(
+                    docs.filter(F.col("doc_id") % mod == 0), n=n
+                ).collect()
+            ],
+        )
+    bench_vals = _BENCH_HASHES[key][1]
     # membership verdict as an Arrow-batched kernel over the broadcast
     # SORTED bench set: per batch, flatten every doc's hash array and
     # run ONE vectorized sorted np.isin + segment-any — the in-plan
@@ -156,8 +176,6 @@ def run_fixture_stream_decontaminate(
             out[nz] = np.add.reduceat(hit, offs) > 0
         return pd.Series(out)
 
-    schema = docs.schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
     toked = stream.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("__toks")
     )
@@ -218,11 +236,7 @@ def run_fixture_stream_classifier_filter(
         _shuffle_partitions,
     )
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    src_dir = tempfile.mkdtemp(prefix="docs_cls_stream_")
-    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    _, stream = _stream_docs_source(spark, sf_dir, "docs_cls_stream_")
     kept = (
         hashed_classifier_scores(stream)
         .filter(F.col("keep"))
@@ -264,11 +278,7 @@ def run_fixture_stream_tokenize(
         _shuffle_partitions,
     )
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    src_dir = tempfile.mkdtemp(prefix="docs_tok_stream_")
-    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    _, stream = _stream_docs_source(spark, sf_dir, "docs_tok_stream_")
     toks = bpe_encode_corpus(stream, merges)
     name = f"tok_{uuid.uuid4().hex[:8]}"
     with _shuffle_partitions(spark, 4):
@@ -311,16 +321,19 @@ def run_fixture_stream_neardup_filter(
     the same shape holds: the bucket table is index-derived and
     partitionable, each micro-batch pays num_bands hash joins, and
     there is no watermark, no state store, and no driver-resident
-    corpus structure.  Docs with no shingles have NULL band keys,
-    match no bucket (the index has no row for them — exactly the
-    batch semantics, where they have no signature), and are never
-    reported."""
-    from ..fixtures import minhash_sigs_path
+    corpus structure.  Docs with no shingles get EMPTY-STRING band
+    keys (array_min of an empty array is NULL and concat_ws SKIPS
+    nulls); "" can never equal a bucket key because bucket keys are
+    built from non-null bigints — so such docs match no bucket and
+    are never reported, matching the batch semantics where a
+    signature-less doc has no index row at all."""
+    from ..fixtures import minhash_sigs_path, minhash_sigs_build_params
     from ..functions.hashes import md5int
     from ..functions.textfns import tokens
     from ..operators.dedup import (
         MINHASH_P,
         band_signature,
+        banded_rows,
         gram_array,
         minhash_params,
     )
@@ -329,6 +342,18 @@ def run_fixture_stream_neardup_filter(
         _ephemeral_checkpoint,
         _shuffle_partitions,
     )
+
+    # the persisted signature index is built with FIXED parameters; a
+    # caller probing its buckets with different widths/hash counts
+    # would get a silently wrong answer — refuse instead (r13 review)
+    built = minhash_sigs_build_params()
+    if (num_hashes, n) != built:
+        raise ValueError(
+            "stream_neardup_filter: the persisted signature index is "
+            f"built with (num_hashes, n)={built}; probing it with "
+            f"({num_hashes}, {n}) would silently mismatch every "
+            "bucket key — rebuild the index or use the built params"
+        )
 
     num_bands = num_hashes // band_rows
     params = minhash_params(num_hashes)
@@ -340,82 +365,70 @@ def run_fixture_stream_neardup_filter(
         return band_signature(prefix, b, band_rows)
 
     # static side: per-(band, key) minimum doc_id from the persisted
-    # signature index — the serving artifact every dedup query reads;
-    # cached so the stream's micro-batches don't re-aggregate it
+    # signature index, through the SAME banding topology the batch
+    # self-join uses (dedup.banded_rows); cached so the stream's
+    # micro-batches don't re-aggregate it
     sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
     buckets = (
-        sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            band_key("mh", b).alias("sig"),
-                        )
-                        for b in range(num_bands)
-                    ]
-                )
-            ).alias("bs"),
-        )
-        .select("doc_id", "bs.band", "bs.sig")
+        banded_rows(sigs, num_hashes, band_rows)
         .groupBy("band", "sig")
         .agg(F.min("doc_id").alias("bmin"))
         .cache()
     )
     buckets.count()  # materialize before the stream starts
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    src_dir = tempfile.mkdtemp(prefix="docs_neardup_stream_")
-    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
-    schema = spark.read.parquet(path).schema
-
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    toked = stream.select(
-        "doc_id", tokens(F.col("text")).alias("__toks")
-    )
-    grammed = toked.select(
-        "doc_id", gram_array(F.col("__toks"), n).alias("__grams")
-    )
-    hashed = grammed.select(
-        "doc_id",
-        F.transform(
-            F.col("__grams"), lambda s: md5int(s) % F.lit(MINHASH_P)
-        ).alias("__h"),
-    )
-    signed = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__h"),
-                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            ).alias(f"__mh{i}")
-            for i, (a, b) in enumerate(params)
-        ],
-    )
-    keyed = signed.select(
-        "doc_id",
-        *[band_key("__mh", b).alias(f"__k{b}") for b in range(num_bands)],
-    )
-    joined = keyed
-    for b in range(num_bands):
-        side = buckets.filter(F.col("band") == b).select(
-            F.col("sig").alias(f"__bk{b}"),
-            F.col("bmin").alias(f"__bmin{b}"),
-        )
-        joined = joined.join(
-            side, joined[f"__k{b}"] == side[f"__bk{b}"], "left"
-        )
-    verdict = None
-    for b in range(num_bands):
-        hit = F.col(f"__bmin{b}") < F.col("doc_id")
-        verdict = hit if verdict is None else (verdict | hit)
-    dropped = joined.filter(verdict).select("doc_id")
-
-    name = f"nd_{uuid.uuid4().hex[:8]}"
+    # everything past the cache materialization sits inside the
+    # try: a failure anywhere (schema drift, source setup, plan
+    # analysis, the stream itself) must not leak the cached
+    # bucket aggregate for the session lifetime (r13 review)
     try:
+
+        _, stream = _stream_docs_source(
+            spark, sf_dir, "docs_neardup_stream_"
+        )
+        toked = stream.select(
+            "doc_id", tokens(F.col("text")).alias("__toks")
+        )
+        grammed = toked.select(
+            "doc_id", gram_array(F.col("__toks"), n).alias("__grams")
+        )
+        hashed = grammed.select(
+            "doc_id",
+            F.transform(
+                F.col("__grams"), lambda s: md5int(s) % F.lit(MINHASH_P)
+            ).alias("__h"),
+        )
+        signed = hashed.select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("__h"),
+                        lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+                    )
+                ).alias(f"__mh{i}")
+                for i, (a, b) in enumerate(params)
+            ],
+        )
+        keyed = signed.select(
+            "doc_id",
+            *[band_key("__mh", b).alias(f"__k{b}") for b in range(num_bands)],
+        )
+        joined = keyed
+        for b in range(num_bands):
+            side = buckets.filter(F.col("band") == b).select(
+                F.col("sig").alias(f"__bk{b}"),
+                F.col("bmin").alias(f"__bmin{b}"),
+            )
+            joined = joined.join(
+                side, joined[f"__k{b}"] == side[f"__bk{b}"], "left"
+            )
+        verdict = None
+        for b in range(num_bands):
+            hit = F.col(f"__bmin{b}") < F.col("doc_id")
+            verdict = hit if verdict is None else (verdict | hit)
+        dropped = joined.filter(verdict).select("doc_id")
+
+        name = f"nd_{uuid.uuid4().hex[:8]}"
         with _shuffle_partitions(spark, 4):
             q = (
                 dropped.writeStream.format("memory")

@@ -63,3 +63,38 @@ def test_binaryfile_roundtrip_and_glob(spark, tmp_path):
     for name, data in payloads.items():
         assert bytes(rows[name]["content"]) == data
         assert rows[name]["length"] == len(data)
+
+
+def test_aux_cache_rebuilds_on_source_regeneration(tmp_path):
+    """Persisted-artifact cache (fixtures._aux_cached): an entry whose
+    declared source table is REGENERATED (parquet replace = new inode)
+    must rebuild instead of serving an index derived from the previous
+    corpus; unchanged sources and undeclared-source artifacts keep
+    build-once-per-process behavior."""
+    import os
+
+    from olap_storage_engine_spark import fixtures as fx
+
+    sf = str(tmp_path)
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"corpus-one")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return calls["n"]
+
+    key = "t_rebuild_probe"
+    assert fx._aux_cached(key, sf, build, ("documents",)) == 1
+    assert fx._aux_cached(key, sf, build, ("documents",)) == 1
+    # touch without replacing: mtime moves -> state moves -> rebuild
+    new = tmp_path / "documents.parquet.new"
+    new.write_bytes(b"corpus-two")
+    os.replace(new, doc)
+    assert fx._aux_cached(key, sf, build, ("documents",)) == 2
+    assert fx._aux_cached(key, sf, build, ("documents",)) == 2
+    # sourceless artifacts: build once, never revalidate
+    key2 = "t_rebuild_probe_nosrc"
+    assert fx._aux_cached(key2, sf, build) == 3
+    os.replace(tmp_path / "documents.parquet", tmp_path / "gone.parquet")
+    assert fx._aux_cached(key2, sf, build) == 3
