@@ -4105,6 +4105,32 @@ assert _DRIVER_CHECK_HEAD.index("partition_prune_range") == _HEAD_PROPER_LEN - 1
 # and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
+# The declared queries that run a Structured Streaming micro-batch
+# lifecycle (engine bring-up ~0.2-3 s regardless of data size).
+# bench.py subtracts its measured stream floor from EXACTLY this set
+# when flagging regressions — an explicit marker, not a name
+# substring, so a future batch query named `*stream*` (or a streaming
+# query without it) cannot silently get the wrong floor (r13 ADVICE).
+STREAMING_QUERIES: frozenset[str] = frozenset(
+    {
+        "docs_stream_classifier_filter",
+        "docs_stream_decontaminate",
+        "docs_stream_neardup_filter",
+        "docs_stream_quality_filter",
+        "docs_stream_tokenize",
+        "events_stream_append",
+        "events_stream_enrich",
+        "events_stream_ingest_table",
+        "events_stream_join",
+        "events_stream_mv",
+        "events_stream_replay_dedup",
+        "events_stream_session_window",
+        "events_stream_window",
+        "segment_stream_ingest",
+        "segment_stream_read",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qmap = {
@@ -4323,6 +4349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from olap_storage_engine_spark.tpch import TPCH_QUERIES
 
     qmap.update(TPCH_QUERIES)
+    missing_stream = STREAMING_QUERIES - set(qmap)
+    assert not missing_stream, (
+        "STREAMING_QUERIES names queries that are not declared: "
+        f"{sorted(missing_stream)} — keep the marker set in sync"
+    )
     ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD if name in qmap}
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)

@@ -453,9 +453,15 @@ def _emit_regressions(
     old_sfloor = float(old.get("stream_floor_sec", old_floor))
     new_sfloor = float(new.get("stream_floor_sec", new_floor))
 
+    # which rows are streaming comes from the entry module's explicit
+    # marker set, not a name substring (r13 ADVICE: '"stream" in n'
+    # was an unenforced naming convention — a batch query with
+    # 'stream' in its name would silently get the 100x-larger floor)
+    from __spark_entry__ import STREAMING_QUERIES
+
     def _floored(times: dict, noop: float, stream: float) -> dict:
         return {
-            n: max(t - (stream if "stream" in n else noop), 0.0)
+            n: max(t - (stream if n in STREAMING_QUERIES else noop), 0.0)
             for n, t in times.items()
             if "#" not in n
         }
@@ -509,7 +515,7 @@ def _emit_regressions(
         f"Thresholds: >{ratio_thr}x slower AND >{abs_thr}s slower than "
         "the DRIFT-NORMALIZED previous run, above-floor seconds.",
         f"Floors: prev={old_floor:.4f}s this={new_floor:.4f}s; "
-        f"stream floors (for `*stream*` rows): prev={old_sfloor:.4f}s "
+        f"stream floors (for STREAMING_QUERIES rows): prev={old_sfloor:.4f}s "
         f"this={new_sfloor:.4f}s; "
         f"shared queries: {len(shared)}; shared above-floor total "
         f"{o_tot:.1f}s -> {n_tot:.1f}s ({n_tot - o_tot:+.1f}s); "

@@ -718,7 +718,19 @@ def _src_state(sf_dir: str, names: tuple) -> tuple | None:
         return None
     out = []
     for nm in names:
-        st = os.stat(os.path.join(sf_dir, f"{nm}.parquet"))
+        p = os.path.join(sf_dir, f"{nm}.parquet")
+        try:
+            st = os.stat(p)
+        except OSError:
+            # a declared source missing at call time (e.g. an aux
+            # builder invoked before fixture generation) must fail
+            # with a message naming the fixture, not an opaque
+            # FileNotFoundError from a cache-key helper (r13 ADVICE)
+            raise FileNotFoundError(
+                f"aux builder source table '{nm}' is missing at {p} — "
+                "run fixtures.build_all (or the table's builder) for "
+                f"{sf_dir} before building this artifact"
+            ) from None
         out.append((nm, st.st_ino, st.st_mtime_ns, st.st_size))
     return tuple(out)
 

@@ -151,6 +151,12 @@ def shingles(
 # longs never wrap) and DuckDB (which errors on BIGINT overflow).
 MINHASH_P = 2147483647
 
+# The banding width the batch mh_pairs contract (and every declared
+# query) uses; the streaming near-dup probe fail-louds on any other
+# width because its "dropped set == mh_pairs doc_b set" equivalence
+# is defined against THIS banding (r13 ADVICE).
+MH_BAND_ROWS = 2
+
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs derived from the md5 of the index

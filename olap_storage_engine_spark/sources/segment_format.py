@@ -452,10 +452,25 @@ def _load_manifest_read_cached(dir_path: str):
     else:
         with open(man_path) as f:
             doc = json.load(f)
-        if len(_MANIFEST_CACHE) >= _PLAN_CACHE_MAX:
-            _MANIFEST_CACHE.clear()
-        _MANIFEST_CACHE[man_path] = (key, doc)
+        # stat-read-STAT: a publish (os.replace) landing between the
+        # first stat and the read would cache the NEW bytes under the
+        # OLD key, serving a doc attributed to the wrong file version
+        # to later planners.  Only cache when the key is unchanged
+        # after the read; the returned doc is correct either way (it
+        # is whatever version the read observed, self-consistent).
+        if _stat_key(man_path) == key:
+            if len(_MANIFEST_CACHE) >= _PLAN_CACHE_MAX:
+                _MANIFEST_CACHE.clear()
+            _MANIFEST_CACHE[man_path] = (key, doc)
     return doc, doc.get("generation", 0), man_path
+
+
+def _stat_key(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
 
 
 def open_segment_cached(path: str):
@@ -470,9 +485,14 @@ def open_segment_cached(path: str):
     if hit is not None and hit[0] == key:
         return hit[1]
     res = open_segment(path)
-    if len(_FOOTER_CACHE) >= _PLAN_CACHE_MAX:
-        _FOOTER_CACHE.clear()
-    _FOOTER_CACHE[path] = (key, res)
+    # stat-read-STAT (same race as _load_manifest_read_cached): a
+    # rewrite landing between stat and read must not cache the new
+    # footer under the old key — cache only when the key held across
+    # the read; the validated result itself is correct either way.
+    if _stat_key(path) == key:
+        if len(_FOOTER_CACHE) >= _PLAN_CACHE_MAX:
+            _FOOTER_CACHE.clear()
+        _FOOTER_CACHE[path] = (key, res)
     return res
 
 
@@ -534,10 +554,16 @@ def make_datasource():
     )
 
     class _BlockPartition(InputPartition):
-        def __init__(self, path, start_row, n, lo, hi):
+        def __init__(self, path, start_row, n, min_id, max_id, lo, hi):
             self.path = path
             self.start_row = start_row
             self.n = n
+            # the planned block's id envelope: the task-side swap
+            # check matches ALL FOUR footer fields, so a different
+            # valid segment with an identical (start_row, n) layout
+            # (e.g. an equal-cardinality overwrite) is still refused
+            self.min_id = min_id
+            self.max_id = max_id
             self.lo = lo
             self.hi = hi
 
@@ -636,7 +662,15 @@ def make_datasource():
                 if self.hi is not None and min_id > self.hi:
                     continue
                 parts.append(
-                    _BlockPartition(self.path, start_row, n, self.lo, self.hi)
+                    _BlockPartition(
+                        self.path,
+                        start_row,
+                        n,
+                        min_id,
+                        max_id,
+                        self.lo,
+                        self.hi,
+                    )
                 )
             # an all-pruned scan still needs one (empty) partition
             return parts or [_EmptyPartition()]
@@ -717,18 +751,23 @@ def make_datasource():
             # segment that no longer passes CRC.
             _, _, task_blocks = open_segment_cached(part.path)
             if not any(
-                s == part.start_row and bn == part.n
-                for s, bn, _mn, _mx in task_blocks
+                s == part.start_row
+                and bn == part.n
+                and mn == part.min_id
+                and mx == part.max_id
+                for s, bn, mn, mx in task_blocks
             ):
                 # the footer the task validated must still DESCRIBE
-                # the planned block: a valid DIFFERENT file swapped in
-                # between planning and execution would otherwise pass
-                # CRC while the stale (start_row, n) offsets decode
-                # the wrong bytes
+                # the planned block — all four fields, including the
+                # id envelope: a valid DIFFERENT file swapped in
+                # between planning and execution could share the
+                # (start_row, n) layout (an equal-cardinality
+                # overwrite) yet hold different rows
                 raise ValueError(
                     f"olapseg: {part.path} changed between planning "
                     f"and execution — planned block "
-                    f"(start={part.start_row}, n={part.n}) is not in "
+                    f"(start={part.start_row}, n={part.n}, "
+                    f"ids=[{part.min_id},{part.max_id}]) is not in "
                     "the file's footer; re-run the query"
                 )
             batch = read_block_batch(

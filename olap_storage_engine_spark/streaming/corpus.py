@@ -354,6 +354,27 @@ def run_fixture_stream_neardup_filter(
             f"({num_hashes}, {n}) would silently mismatch every "
             "bucket key — rebuild the index or use the built params"
         )
+    # band_rows is part of the contract too: the documented "dropped
+    # set == mh_pairs doc_b set" equivalence holds only for the batch
+    # banding width, and a non-divisor width silently drops the tail
+    # hashes from every signature (r13 ADVICE)
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            "stream_neardup_filter: band_rows must divide num_hashes "
+            f"exactly (got num_hashes={num_hashes}, "
+            f"band_rows={band_rows}) — a ragged final band would be "
+            "silently discarded"
+        )
+    from ..operators.dedup import MH_BAND_ROWS
+
+    if band_rows != MH_BAND_ROWS:
+        raise ValueError(
+            "stream_neardup_filter: the batch mh_pairs contract bands "
+            f"with band_rows={MH_BAND_ROWS}; probing with "
+            f"band_rows={band_rows} produces a dropped set that no "
+            "longer equals the documented doc_b set — pass the batch "
+            "width or compare against a matching batch run"
+        )
 
     num_bands = num_hashes // band_rows
     params = minhash_params(num_hashes)

@@ -1361,3 +1361,75 @@ def test_single_file_task_detects_swapped_file(tmp_path):
     sf._FOOTER_CACHE.clear()  # fresh executor worker
     with _pytest.raises(ValueError, match="changed between planning"):
         list(r.read(parts[0]))
+
+
+def test_single_file_task_detects_same_layout_swap(tmp_path):
+    """The hard case (r13 ADVICE): the swapped-in segment has an
+    IDENTICAL block layout — same row count, same block_rows, so every
+    (start_row, n) matches the planned block — but holds DIFFERENT
+    rows.  The task-side check must compare the block's id envelope
+    too, not just offsets, or the swap silently serves wrong rows."""
+    import os
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    p = str(tmp_path / "t.oseg")
+    sf.write_segment([(i, i, "en", "s") for i in range(100)], p, 25)
+    r = sf.make_datasource()(options={"path": p}).reader(None)
+    parts = r.partitions()
+    assert len(parts) == 4
+    # equal-cardinality overwrite: 100 rows, block_rows=25, but the
+    # doc_id space is shifted — every (start_row, n) pair is identical
+    p2 = str(tmp_path / "new.oseg")
+    sf.write_segment(
+        [(i + 1000, i, "de", "s") for i in range(100)], p2, 25
+    )
+    os.replace(p2, p)
+    sf._FOOTER_CACHE.clear()  # fresh executor worker
+    with _pytest.raises(ValueError, match="changed between planning"):
+        list(r.read(parts[0]))
+
+
+def test_footer_cache_not_poisoned_by_mid_read_swap(tmp_path):
+    """stat-read-STAT (r13 ADVICE): a rewrite landing between the
+    cache's stat and its read must not insert the NEW file's footer
+    under the OLD stat key — later callers with the old version still
+    on disk elsewhere would be served a misattributed footer.  The
+    read's own result is fine (it is the current file); only the
+    cache insert must be suppressed."""
+    import os
+
+    from olap_storage_engine_spark.sources import segment_format as sf
+
+    p = str(tmp_path / "t.oseg")
+    sf.write_segment([(i, i, "en", "s") for i in range(20)], p, 5)
+    p2 = str(tmp_path / "new.oseg")
+    sf.write_segment([(i, i, "de", "s") for i in range(8)], p2, 4)
+
+    sf._FOOTER_CACHE.clear()
+    real_open = sf.open_segment
+
+    def swapping_open(path):
+        # simulate the race: the rewrite lands AFTER the caller's
+        # stat but BEFORE/DURING its read — the bytes read belong to
+        # the new version while the pre-read stat key names the old
+        os.replace(p2, p)
+        return real_open(path)
+
+    sf.open_segment = swapping_open
+    try:
+        res = sf.open_segment_cached(p)
+    finally:
+        sf.open_segment = real_open
+    # the returned footer is the new file's (4 blocks of the 8-row
+    # segment = 2 blocks) — correct for the current file...
+    assert len(res[2]) == 2
+    # ...but it must NOT be cached: the pre-read key named the old
+    # version.  A subsequent call re-reads and caches under the key
+    # that actually matches the bytes.
+    assert p not in sf._FOOTER_CACHE
+    res2 = sf.open_segment_cached(p)
+    assert len(res2[2]) == 2
+    assert p in sf._FOOTER_CACHE

@@ -315,3 +315,23 @@ def test_stream_neardup_filter_matches_batch(spark):
     assert got == want and len(got) > 0
     min_id = sigs.agg(F.min("doc_id")).first()[0]
     assert min_id not in got  # the lowest id can never be a dup
+
+
+def test_stream_neardup_filter_refuses_band_param_drift(spark):
+    """band_rows is part of the batch-equivalence contract (r13
+    ADVICE): a non-divisor width would silently drop tail hashes, and
+    any width other than the batch banding breaks the documented
+    dropped-set == mh_pairs doc_b equality — both fail loud."""
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.streaming.corpus import (
+        run_fixture_stream_neardup_filter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    with _pytest.raises(ValueError, match="band_rows must divide"):
+        run_fixture_stream_neardup_filter(spark, sf_dir, band_rows=3)
+    with _pytest.raises(ValueError, match="mh_pairs contract"):
+        run_fixture_stream_neardup_filter(spark, sf_dir, band_rows=4)
+    with _pytest.raises(ValueError, match="signature index is"):
+        run_fixture_stream_neardup_filter(spark, sf_dir, num_hashes=16)
