@@ -73,7 +73,13 @@ def _dsum(col, scale: int = 2):
 
 
 def _probes(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(k)
+    # the ONE probe-set definition (similarity.standard_probes) —
+    # shared with the publish-time exact-truth builder so the
+    # persisted ann_truth_k10 artifact can never drift from the
+    # probes the declared queries serve
+    return sim.standard_probes(
+        load_table(spark, sf_dir, "embeddings"), n=k
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -565,13 +571,26 @@ def _minhash_pairs_indexed(spark, sf_dir):
     return dd.minhash_candidates_from_sigs(sigs, num_hashes=8, band_rows=2)
 
 
+def _cluster_table(spark, sf_dir):
+    """The persisted (doc_id, cluster_id) near-dup cluster table —
+    resolved once per corpus publish (fixtures.neardup_clusters_path,
+    delta-refreshed through dedup.cluster_delta_refresh); the three
+    cluster-serving queries read it instead of re-running the CC
+    closure per query (r14 / VERDICT r13 task 3)."""
+    from olap_storage_engine_spark.fixtures import neardup_clusters_path
+
+    return spark.read.parquet(neardup_clusters_path(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
-    """Cluster resolution: minhash candidate pairs (served from the
-    persisted signature index) -> connected components ->
+    """Cluster resolution served from the PUBLISH-TIME cluster table:
     (doc_id, cluster_id), cluster_id = elected canonical (lowest
-    member id)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.neardup_clusters(docs, _minhash_pairs_indexed(spark, sf_dir))
+    member id).  The iterative connected-components closure runs once
+    per publish (fixtures.neardup_clusters_path), never inside a
+    query plan — this query is one parquet read (plan-pinned in
+    tests/test_plans.py).  The inline pairs->CC derivation survives
+    as dd.neardup_clusters for one-shot corpora."""
+    return _cluster_table(spark, sf_dir)
 
 
 def q_dedup_cluster_stats(spark, sf_dir):
@@ -579,14 +598,9 @@ def q_dedup_cluster_stats(spark, sf_dir):
     reads before committing a dedup policy: per cluster size, how many
     clusters and how many documents sit at that size (giant cliques =
     boilerplate/template mass; a long size-2 tail = true near-dups).
-    Derived from the same index-served pair graph as dedup_clusters:
-    components -> per-cluster count -> size histogram; both
-    aggregates are combine-enabled, output is O(#distinct sizes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = dd.neardup_clusters(
-        docs, _minhash_pairs_indexed(spark, sf_dir)
-    )
-    sizes = clusters.groupBy("cluster_id").agg(
+    Served from the publish-time cluster table: one read + two
+    combine-enabled aggregates, output O(#distinct sizes)."""
+    sizes = _cluster_table(spark, sf_dir).groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
@@ -601,12 +615,16 @@ def q_dedup_cluster_stats(spark, sf_dir):
 
 def q_dedup_keepset(spark, sf_dir):
     """The dedup last mile: the corpus after dropping non-canonical
-    near-dup cluster members (anti-join against the drop-set); pairs
-    served from the persisted signature index."""
+    near-dup cluster members — one anti-join of the corpus against
+    the publish-time cluster table's drop-set (doc_id != cluster_id);
+    the corpus is filtered in one pass, no CC in-plan."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.neardup_filter(
-        docs, _minhash_pairs_indexed(spark, sf_dir)
-    ).select("doc_id", "lang", "n_chars")
+    drop = _cluster_table(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return docs.join(drop, "doc_id", "anti").select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 def _bench_docs(docs):
@@ -1404,11 +1422,18 @@ def q_ann_recall_eval(spark, sf_dir):
     """Index-quality metric: recall@10 of the served IVF index
     (similarity_ann_ivf, n_probe=4) against the exact brute-force
     top-10 over the same probes — the evaluation every ANN deployment
-    publishes next to its index (operators/similarity.ann_recall)."""
-    return sim.ann_recall(
-        q_similarity_topk(spark, sf_dir),
-        q_similarity_ann_ivf(spark, sf_dir),
-    )
+    publishes next to its index (operators/similarity.ann_recall).
+
+    The exact side is the PERSISTED truth set (fixtures.ann_truth_path
+    — built once per corpus publish, r14 / VERDICT r13 task 2), so the
+    eval is two index reads + one join: no corpus scan, no per-probe
+    ranking window in the plan (pinned in tests/test_plans.py).  The
+    inline brute-force ranking survives as the declared
+    similarity_topk query — the cold-corpus baseline."""
+    from olap_storage_engine_spark.fixtures import ann_truth_path
+
+    truth = spark.read.parquet(ann_truth_path(spark, sf_dir))
+    return sim.ann_recall(truth, q_similarity_ann_ivf(spark, sf_dir))
 
 
 def _labeled_docs(spark, sf_dir):

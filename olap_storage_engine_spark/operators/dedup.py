@@ -735,6 +735,90 @@ def neardup_clusters(
     )
 
 
+def cluster_delta_refresh(
+    assign: DataFrame,
+    delta_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Incremental maintenance of the persisted (doc_id, cluster_id)
+    near-dup cluster table under a new corpus publish (r14 / VERDICT
+    r13 task 3 — cluster assignment is a publish-time artifact, like
+    signatures/fingerprints/cells, never a per-query recomputation).
+
+    ``assign`` is the current cluster table (cluster_id = lowest
+    member id, the elected canonical); ``delta_pairs`` are the NEW
+    candidate pairs this publish introduced — for an append-only
+    corpus a signature-index delta refresh emits exactly the pairs
+    with at least one newly published side (old-old pairs are
+    unchanged by construction).
+
+    The interesting case is a MERGE: one new document bridging two
+    existing clusters must union them.  Handled by CONTRACTION — each
+    delta endpoint maps to its current cluster_id (itself when
+    unassigned), so the delta becomes a graph over cluster
+    REPRESENTATIVES with O(|delta|) edges, never O(corpus); one
+    connected-components pass over that contracted graph resolves
+    every transitive merge chain.  Because each existing cluster_id
+    IS the minimum member of its cluster and unassigned docs contract
+    to themselves, the component minimum over representatives equals
+    the global minimum member id — the canonical-election invariant
+    survives refresh, which is why refresh ≡ rebuild (pinned by
+    tests/test_llm_ops.py).
+
+    Relabel is two joins: existing rows take their representative's
+    new component (untouched clusters pass through the left join
+    unchanged); docs first seen in this delta append as new rows.
+    At 100 TB the refresh cost is the delta's pair volume plus one
+    hash join against the cluster table — the full pair graph is
+    never rebuilt and never shuffled."""
+    reps = assign.select(
+        F.col(id_col).alias("__v"), F.col("cluster_id").alias("__rep")
+    )
+    contracted = (
+        delta_pairs.select(
+            F.col(a_col).alias("__va"), F.col(b_col).alias("__vb")
+        )
+        .join(
+            reps.select(
+                F.col("__v").alias("__va"), F.col("__rep").alias("__ra")
+            ),
+            "__va",
+            "left",
+        )
+        .join(
+            reps.select(
+                F.col("__v").alias("__vb"), F.col("__rep").alias("__rb")
+            ),
+            "__vb",
+            "left",
+        )
+        .select(
+            F.coalesce("__ra", F.col("__va")).alias("doc_a"),
+            F.coalesce("__rb", F.col("__vb")).alias("doc_b"),
+        )
+    )
+    cc = connected_components(contracted, max_iter=max_iter)
+    relabel = cc.select(
+        F.col("id").alias("cluster_id"), F.col("component")
+    )
+    updated = assign.join(relabel, "cluster_id", "left").select(
+        id_col,
+        F.coalesce("component", F.col("cluster_id")).alias("cluster_id"),
+    )
+    new_rows = (
+        cc.join(
+            assign.select(F.col(id_col).alias("id")), "id", "anti"
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+        )
+    )
+    return updated.unionByName(new_rows)
+
+
 def neardup_filter(
     docs: DataFrame,
     pairs: DataFrame,

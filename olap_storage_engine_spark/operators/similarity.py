@@ -29,6 +29,17 @@ from ..functions.vectors import cosine, dot, l2norm
 from .dedup import lsh_bucket_col
 
 
+def standard_probes(emb: DataFrame, n: int = 5) -> DataFrame:
+    """The fixture evaluation probe set: the n lowest vec_ids — ONE
+    definition shared by the declared similarity queries and the
+    publish-time exact-truth builder (fixtures.ann_truth_path), so
+    the persisted truth set can never drift from the probes the
+    queries serve (the band-key discipline applied to eval probes).
+    Deliberately FIXED-SIZE: an eval set derived as a corpus fraction
+    grows with the corpus and stops being a benchmark."""
+    return emb.orderBy("vec_id").limit(n)
+
+
 def brute_topk(
     corpus: DataFrame,
     probes: DataFrame,

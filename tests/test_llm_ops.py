@@ -346,6 +346,65 @@ def test_connected_components_empty(spark):
     assert dd.connected_components(pairs).count() == 0
 
 
+def _assign_set(df):
+    return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def test_cluster_delta_refresh_merges_clusters(spark):
+    """The interesting refresh case (r14): a NEW doc bridging two
+    existing clusters must union them, transitively, and the merged
+    cluster_id must stay the global minimum member id."""
+    # existing table: cluster {1,2} and cluster {5,6}, singleton-free
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    # new doc 9 pairs with a member of EACH cluster -> one cluster
+    delta = spark.createDataFrame(
+        [(2, 9), (9, 6)], "doc_a long, doc_b long"
+    )
+    got = _assign_set(dd.cluster_delta_refresh(assign, delta))
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1), (9, 1)}
+
+
+def test_cluster_delta_refresh_new_and_untouched(spark):
+    """New-doc-only pairs append; untouched clusters pass through
+    byte-identical; an old doc first clustered by this delta joins
+    with the right canonical."""
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    # 10-11 is a brand-new cluster; 7 is an OLD doc never clustered
+    # before (absent from assign) now pairing with new doc 12
+    delta = spark.createDataFrame(
+        [(10, 11), (7, 12)], "doc_a long, doc_b long"
+    )
+    got = _assign_set(dd.cluster_delta_refresh(assign, delta))
+    assert got == {(1, 1), (2, 1), (10, 10), (11, 10), (7, 7), (12, 7)}
+
+
+def test_cluster_delta_refresh_equals_rebuild(spark, docs):
+    """The standing index invariant applied to the cluster table:
+    publish the corpus in two batches, refresh for the second batch's
+    delta pairs, and the result must equal a from-scratch rebuild
+    over the full corpus (same invariant indexes.py pins for
+    postings/cells/signatures)."""
+    full_pairs = dd.minhash_candidates(docs)
+    old_docs = docs.filter(F.col("doc_id") <= 2)
+    old_pairs = dd.minhash_candidates(old_docs)
+    # an append-only publish introduces exactly the pairs with >= 1
+    # new side: banding is per-doc, so old-old pairs are unchanged
+    delta_pairs = full_pairs.exceptAll(old_pairs)
+    base = dd.connected_components(old_pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    refreshed = dd.cluster_delta_refresh(base, delta_pairs)
+    rebuilt = dd.connected_components(full_pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assert _assign_set(refreshed) == _assign_set(rebuilt)
+    assert refreshed.count() > 0  # the fixture has near-dups
+
+
 def test_train_ivf_centroids_deterministic(spark, embeddings):
     df, _ = embeddings
     c1 = sim.train_ivf_centroids(df, n_centroids=4, sample_mod=2).collect()

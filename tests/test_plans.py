@@ -350,3 +350,33 @@ def test_growing_dims_broadcast_gated_not_hard_hinted(spark, entrymod):
         assert "BroadcastHashJoin" in plan_tiny  # nation dim chain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ann_recall_eval_serves_from_truth_table(spark, entrymod):
+    """r14 (VERDICT r13 task 2): the recall eval's exact side is the
+    PERSISTED truth set, not a per-run brute-force ranking — the plan
+    scans ann_truth_k10 and contains no full-corpus pass: zero
+    non-equi corpus joins (brute_topk's vec_id != probe_id plans as
+    BroadcastNestedLoopJoin) and no embeddings scan in the serve plan
+    (the IVF side reads the pruned cell table; its probe set is
+    resolved driver-side before planning)."""
+    plan = formatted_plan(_df(spark, entrymod, "ann_recall_eval"))
+    assert "ann_truth_k10" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Scan parquet" in line or "Location" in line:
+            assert "embeddings.parquet" not in line, line
+
+
+def test_cluster_queries_serve_from_cluster_table(spark, entrymod):
+    """r14 (VERDICT r13 task 3): the three cluster-serving queries
+    read the publish-time neardup_clusters table — zero in-plan CC
+    iterations (no signature scan, no pair self-join: the plan never
+    touches the minhash_sigs index) and, for keepset, one anti-join
+    of the corpus against the drop-set."""
+    for name in ("dedup_clusters", "dedup_cluster_stats", "dedup_keepset"):
+        plan = formatted_plan(_df(spark, entrymod, name))
+        assert "neardup_clusters" in plan, name
+        assert "minhash_sigs" not in plan, name
+    keep = formatted_plan(_df(spark, entrymod, "dedup_keepset"))
+    assert "LeftAnti" in keep
