@@ -1400,11 +1400,27 @@ def q_corpus_span_dedup(spark, sf_dir):
 
 
 def q_text_lm_score(spark, sf_dir):
-    """CCNet-style bigram-LM quality scoring: train add-one-smoothed
-    unigram/bigram counts over the corpus and score every document's
-    average log-prob in the same plan — exact fixed-point micro-nats,
-    no float-average rounding hazard
-    (operators/text.bigram_lm_scores)."""
+    """CCNet-style bigram-LM quality scoring, served from the
+    PERSISTED shingle index (r14): the width-1/2 partitions carry
+    term frequencies and the bigram→unigram hash link, so training
+    counts and document scores derive from index rows — the corpus
+    is never tokenized at query time (plan-pinned: no documents
+    scan; n IN (1,2) partition prune).  Exact fixed-point micro-nats,
+    row-identical to the inline path
+    (operators/text.bigram_lm_scores_from_index)."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    return tx.bigram_lm_scores_from_index(
+        idx.filter(F.col("n") <= 2).select("doc_id", "n", "sh", "sh1", "m")
+    )
+
+
+def q_text_lm_score_inline(spark, sf_dir):
+    """The cold-corpus variant of text_lm_score: train and score in
+    one plan straight from the documents table — for corpora with no
+    published shingle index (operators/text.bigram_lm_scores).  Same
+    oracle as the index-served path."""
     return tx.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
@@ -4042,91 +4058,85 @@ def q_set_intersect(spark, sf_dir):
 # The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-13 rotation.  Priority order within the 50-slot head:
-    #   1-3   NEW this round, never driver-checked:
-    #         docs_stream_neardup_filter (streaming near-dup filter
-    #         over the persisted signature index),
-    #         dedup_cluster_stats (cluster-size histogram audit), and
-    #         tpch_q7_bucketed (the co-bucketed twin that removes
-    #         q7's one fact-fact exchange),
-    #   4-17  queries whose CODE changed in r13: the seven TPC-H
-    #         queries whose customer/supplier broadcasts went through
-    #         the size-gated _broadcast_if_fits helper (q7, q8, q9,
-    #         q10, q15, q21, q21_bucketed), and the seven segment-
-    #         format queries whose reader planning now serves from
-    #         the (ino, mtime, size)-keyed manifest/footer caches,
-    #   18-50 the oldest stale rows: window_range_frame (last checked
-    #         r7) and the first 32 of the r8 cohort alphabetically
-    #         (rollup_coarser_agg and pii_scrub moved to the r14
-    #         cohort when the never-checked queries took slots 1-3).
-    "docs_stream_neardup_filter",
+    # Round-14 rotation.  Priority order within the 50-slot head:
+    #   1     NEW this round, never driver-checked:
+    #         text_lm_score_inline (the cold-corpus LM twin),
+    #   2-19  queries whose CODE or SERVING ARTIFACT changed in r14:
+    #         text_lm_score (index-served), the three cluster-table
+    #         queries (dedup_clusters/_cluster_stats/_keepset),
+    #         ann_recall_eval + the two similarity queries touched by
+    #         the standard_probes refactor, dsir_sample and the other
+    #         shingle-index consumers (the index schema gained m/sh1),
+    #         docs_stream_neardup_filter (band_rows validation), and
+    #         the two segment block-read queries (id-envelope swap
+    #         guard + cache stat-race fix),
+    #   20-33 the 14 remaining r8-stale rows (completing that cohort),
+    #   34-50 the r9 cohort alphabetically (first 17).
+    "text_lm_score_inline",
+    "text_lm_score",
+    "dedup_clusters",
     "dedup_cluster_stats",
-    "tpch_q7_bucketed",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q15",
-    "tpch_q21",
-    "tpch_q21_bucketed",
-    "segment_point_lookup",
-    "ingest_segment_pushdown",
-    "segment_stream_read",
-    "segment_stream_ingest",
-    "segment_compact",
-    "segment_delete_scoped",
-    "segment_write_roundtrip",
-    "window_range_frame",
-    "agg_percentiles",
-    "bucket_routing_hash",
-    "compaction_rewrite",
-    "compaction_score",
-    "corpus_prep",
-    "decontaminate_bench",
+    "dedup_keepset",
+    "ann_recall_eval",
+    "similarity_topk",
+    "similarity_ann_ivf",
+    "dsir_sample",
+    "dedup_ngram_indexed",
+    "gram_novelty",
+    "dedup_exact_substring",
     "decontaminate_indexed",
     "decontamination_report",
-    "dedup_exact",
-    "dedup_keepset",
     "dedup_minhash",
-    "dedup_simhash",
-    "delete_rows",
-    "duplicate_model_scan",
-    "events_stream_join",
-    "filter_range_zonemap",
-    "gc_retention_read",
-    "gram_novelty",
-    "ingest_orc",
-    "inverted_index_search",
-    "join_asof",
-    "join_range",
-    "join_salted",
-    "mixture_sample",
-    "multimodal_audio_decode",
-    "multimodal_frame_sample",
-    "multimodal_gif_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "pandas_udaf_weighted_avg",
-    "partition_prune_range",
+    "dedup_minhash_pr_eval",
+    "docs_stream_neardup_filter",
+    "segment_point_lookup",
+    "ingest_segment_pushdown",
+    "pii_scrub",
+    "rollup_coarser_agg",
+    "scan_projection",
+    "set_union",
+    "shortkey_prefix_seek",
+    "snapshot_read_versions",
+    "text_chunking",
+    "time_travel_read",
+    "tpch_q3",
+    "train_val_split",
+    "udtf_parse_props",
+    "unique_key_latest",
+    "window_rank_family",
+    "write_read_roundtrip",
+    "agg_model_replace",
+    "agg_model_sum",
+    "correlated_subquery",
+    "docs_stream_classifier_filter",
+    "embedding_quantize",
+    "events_stream_append",
+    "events_stream_ingest_table",
+    "events_stream_session_window",
+    "filter_equality_point",
+    "global_shuffle_shards",
+    "grouping_cube",
+    "having_filter",
+    "ingest_binaryfile",
+    "ingest_csv",
+    "ingest_jsonl",
+    "join_band",
+    "join_full_outer",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("partition_prune_range") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("join_full_outer") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('partition_prune_range')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('join_full_outer')}"
 )
-# ROUND-14 ROTATION RECIPE: after CORRECTNESS_r13 lands, lead with any
+# ROUND-15 ROTATION RECIPE: after CORRECTNESS_r14 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r14, then the 14 remaining r8-stale rows (pii_scrub,
-# rollup_coarser_agg, scan_projection, set_union,
-# shortkey_prefix_seek, snapshot_read_versions, text_chunking,
-# time_travel_read, tpch_q3, train_val_split, udtf_parse_props,
-# unique_key_latest, window_rank_family, write_read_roundtrip), then
-# the r9 cohort as budget allows.  Keep the head proper at exactly 50
+# r15, then the REMAINING r9-stale rows (the r9 cohort minus the 17
+# taken this round — kanon_report onward alphabetically), then the
+# r10 cohort as budget allows.  Keep the head proper at exactly 50
 # and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
 
@@ -4197,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepset": q_dedup_keepset,
         "corpus_span_dedup": q_corpus_span_dedup,
         "text_lm_score": q_text_lm_score,
+        "text_lm_score_inline": q_text_lm_score_inline,
         "quality_classifier_score": q_quality_classifier_score,
         "ann_recall_eval": q_ann_recall_eval,
         "text_oov_rate": q_text_oov_rate,
@@ -6150,6 +6161,40 @@ FROM sizes GROUP BY cluster_size
         # to 6dp then summed as exact DECIMAL fixed-point, average as
         # integer micro-nats (see operators/text.bigram_lm_scores)
         "text_lm_score": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            uc AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(arr) AS w1 FROM w) GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS vocab FROM uc),
+            bi0 AS (
+              SELECT doc_id, arr,
+                     CAST(unnest(range(len(arr) - 1)) AS BIGINT) AS i
+              FROM w WHERE len(arr) >= 2
+            ),
+            bi AS (SELECT doc_id, arr[i+1] AS w1, arr[i+2] AS w2 FROM bi0),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+            s AS (
+              SELECT bi.doc_id,
+                     CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE)
+                                   / CAST(uc.c1 + v.vocab AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM bi JOIN bc USING (w1, w2)
+              JOIN uc ON bi.w1 = uc.w1 CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                     CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+              FROM s GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST(micro AS DOUBLE) / 1000000.0 AS sum_logprob,
+                   CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
+                     AS avg_lp_micro
+            FROM agg
+        """,
+        "text_lm_score_inline": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
                        FROM documents),
             uc AS (

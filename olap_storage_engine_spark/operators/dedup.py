@@ -80,6 +80,23 @@ def exact_dedup(
     return docs.join(keep, on=id_col, how="semi")
 
 
+def gram_array_raw(toks, n: int) -> F.Column:
+    """ALL word n-grams of a MATERIALIZED token-array column, in
+    document order with repeats — the multiplicity-preserving base of
+    :func:`gram_array`; consumed directly by the term-frequency
+    shingle path (:func:`shingle_tf`), where occurrence counts are
+    the point.  Guard: ``sequence(1, k)`` with k < 1 generates a
+    DESCENDING sequence in Spark, so short documents get an explicit
+    empty gram set."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def gram_array(toks, n: int) -> F.Column:
     """Distinct word n-grams of a MATERIALIZED token-array column, as
     an in-row string array — the one gram construction shared by
@@ -88,18 +105,8 @@ def gram_array(toks, n: int) -> F.Column:
 
     ``toks`` must be a projected attribute, not the ``tokens()``
     expression itself: inlined, the regex split re-runs once per
-    shingle (~100x per row).  Guard: ``sequence(1, k)`` with k < 1
-    generates a DESCENDING sequence in Spark, so short documents get
-    an explicit empty gram set."""
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    shingle (~100x per row)."""
+    return F.array_distinct(gram_array_raw(toks, n))
 
 
 def shingles(
@@ -142,6 +149,41 @@ def shingles(
             F.explode("__grams").alias("shingle"),
         )
     return g.select(F.col(id_col), F.explode("__grams").alias("shingle"))
+
+
+def shingle_tf(
+    docs: DataFrame,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-gram TERM FREQUENCIES: one row per (doc, distinct
+    shingle) — the same row grain as :func:`shingles` — plus ``m``,
+    the in-document occurrence count, and ``sz``, the distinct-gram
+    count.  This is the posting attribute (tf) a real inverted index
+    carries; the shingle index stores it for widths 1/2 so
+    count-weighted consumers (the bigram LM scorer) serve from the
+    index instead of re-tokenizing the corpus (r14 / VERDICT r13
+    task 4).
+
+    Shape: tokenize once (projection boundary — see :func:`shingles`),
+    materialize the RAW gram array, one combine-enabled groupBy for
+    the counts.  The groupBy is the only shuffle and runs at
+    PUBLISH time, inside the index build, never per query."""
+    toked = _spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    g = toked.select(
+        F.col(id_col), gram_array_raw(F.col("__toks"), n).alias("__raw")
+    )
+    base = g.select(
+        F.col(id_col),
+        F.size(F.array_distinct("__raw")).alias("sz"),
+        F.explode("__raw").alias("shingle"),
+    )
+    return base.groupBy(id_col, "sz", "shingle").agg(
+        F.count(F.lit(1)).alias("m")
+    )
 
 
 # Affine min-hash family over one base hash: h_i(s) = (a_i*h + b_i) mod P

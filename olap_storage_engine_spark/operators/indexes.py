@@ -158,9 +158,10 @@ def shingle_rows_from(
     docs: DataFrame,
     widths: tuple[int, ...] = (1, 2, 3, 5),
     mh_widths: tuple[int, ...] = (3, 5),
+    tf_widths: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
-    """Derive shingle-index rows (doc_id, n, sz, sh, mh) from a
-    documents frame — the one tokenize/shingle/hash pass shared by
+    """Derive shingle-index rows (doc_id, n, sz, sh, mh, m, sh1) from
+    a documents frame — the one tokenize/shingle/hash pass shared by
     full builds (fixtures.shingle_index_path) and delta refreshes.
     The default widths MUST match the fixture build's (a delta
     refresh with narrower widths silently starves every consumer of
@@ -169,22 +170,55 @@ def shingle_rows_from(
     ``mh_widths``: widths that carry the minhash base hash; the
     DSIR widths (1, 2) have no minhash consumer, so their mh is NULL
     — skipping the md5 per distinct uni/bigram, the most numerous
-    rows in the index."""
-    from .dedup import MINHASH_P, md5int, shingles
+    rows in the index.
 
-    parts = [
-        shingles(docs, n=nn, with_size=True)
-        .withColumn("n", F.lit(nn))
-        .withColumn("sh", F.xxhash64("shingle"))
-        .withColumn(
-            "mh",
+    ``tf_widths``: widths that carry posting attributes (r14) — ``m``,
+    the in-document TERM FREQUENCY (same row grain, one extra
+    combine-enabled aggregate at build time), and for width 2 also
+    ``sh1``, the first word's hash, linking each bigram to its
+    unigram row.  Together they let count-weighted consumers (the
+    bigram LM scorer, text.bigram_lm_scores_from_index) serve
+    entirely from the index; other widths carry NULLs (RLE'd away in
+    parquet).  tf is doc-local, so delta refreshes stay exact under
+    append-only publishes."""
+    from .dedup import MINHASH_P, md5int, shingle_tf, shingles
+
+    def _mh(nn):
+        return (
             (md5int(F.col("shingle")) % F.lit(MINHASH_P))
             if nn in mh_widths
-            else F.lit(None).cast("long"),
+            else F.lit(None).cast("long")
         )
-        .select("doc_id", "n", "sz", "sh", "mh")
-        for nn in widths
-    ]
+
+    _null = F.lit(None).cast("long")
+    cols = ["doc_id", "n", "sz", "sh", "mh", "m", "sh1"]
+    parts = []
+    for nn in widths:
+        if nn in tf_widths:
+            part = (
+                shingle_tf(docs, n=nn)
+                .withColumn("n", F.lit(nn))
+                .withColumn("sh", F.xxhash64("shingle"))
+                .withColumn("mh", _mh(nn))
+                .withColumn(
+                    "sh1",
+                    F.xxhash64(F.substring_index("shingle", " ", 1))
+                    if nn == 2
+                    else _null,
+                )
+                .select(*cols)
+            )
+        else:
+            part = (
+                shingles(docs, n=nn, with_size=True)
+                .withColumn("n", F.lit(nn))
+                .withColumn("sh", F.xxhash64("shingle"))
+                .withColumn("mh", _mh(nn))
+                .withColumn("m", _null)
+                .withColumn("sh1", _null)
+                .select(*cols)
+            )
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1136,6 +1136,13 @@ def bigram_lm_scores(
             .alias("lp"),
         )
     )
+    return _lm_score_tail(scored, id_col)
+
+
+def _lm_score_tail(scored: DataFrame, id_col: str) -> DataFrame:
+    """Shared fixed-point aggregation tail of the two LM scorers:
+    (id, m, lp DECIMAL(18,6)) -> (id, n_bigrams, sum_logprob,
+    avg_lp_micro) — exact integer micro-nats, order-independent."""
     agg = scored.groupBy(id_col).agg(
         F.sum("m").cast("int").alias("n_bigrams"),
         (F.sum(F.col("m") * F.col("lp")) * 1000000)
@@ -1150,6 +1157,71 @@ def bigram_lm_scores(
         .cast("long")
         .alias("avg_lp_micro"),
     )
+
+
+def bigram_lm_scores_from_index(
+    idx: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`bigram_lm_scores` served from the PERSISTED shingle
+    index (r14 / VERDICT r13 task 4): the index's width-1/2 rows
+    carry term frequency ``m`` and (width 2) the first word's hash
+    ``sh1`` (indexes.shingle_rows_from tf_widths), which is exactly
+    the per-(doc, bigram) combine frame the inline path builds from
+    raw text — so the corpus is never tokenized at query time and
+    the two width partitions are all the plan reads (LIST-partition
+    pruned).
+
+    Identity map: c(w1) = Σm over the width-1 rows of sh(w1); V =
+    count of distinct width-1 hashes; c(w1,w2) = window Σm over the
+    width-2 rows of sh(bigram); document score = Σ m·lp.  Counts are
+    gram-for-gram those of the inline path (the xxhash64 gram
+    identity is count-equivalent to string grams — the DSIR
+    argument; a 64-bit collision merging two distinct grams would
+    perturb a smoothed count, acceptable for a quality SIGNAL and
+    astronomically unlikely below billions of distinct grams).  Same
+    6dp/DECIMAL(18,6)/micro-nat tail, so the result is row-identical
+    to the inline path and shares its oracle (pinned in
+    tests/test_llm_ops.py).
+
+    Scale shape: one broadcast of the vocab-sized unigram counts, one
+    window over the bigram-hash key (per-doc combine already done at
+    build time caps stop-bigram skew), zero tokenize — the dsir_sample
+    class."""
+    from pyspark.sql import Window
+
+    uni = (
+        idx.filter(F.col("n") == 1)
+        .groupBy("sh")
+        .agg(F.sum("m").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+    bi = idx.filter(F.col("n") == 2).select(id_col, "sh", "sh1", "m")
+    counted = bi.withColumn(
+        "c12", F.sum("m").over(Window.partitionBy("sh"))
+    )
+    scored = (
+        counted.join(
+            F.broadcast(
+                uni.select(F.col("sh").alias("sh1"), "c1")
+            ),
+            "sh1",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.col("m"),
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("__V")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return _lm_score_tail(scored, id_col)
 
 
 # fastText-style classifier geometry: 2^12 hashed feature buckets keeps

@@ -363,12 +363,14 @@ def test_shingle_index_refresh_equals_rebuild(spark, warehouse):
             ColumnSpec.key("sh", ColumnType.INT64),
             ColumnSpec.value("sz", ColumnType.INT64),
             ColumnSpec.value("mh", ColumnType.INT64),
+            ColumnSpec.value("m", ColumnType.INT64),
+            ColumnSpec.value("sh1", ColumnType.INT64),
         ],
         keys_type=KeysType.DUPLICATE,
         bucket=BucketSpec(BucketType.HASH, "sh", 2),
     )
     idx = OlapTable.create(spark, idx_spec, warehouse, overwrite=True)
-    cols = ["doc_id", "n", "sz", "sh", "mh"]
+    cols = ["doc_id", "n", "sz", "sh", "mh", "m", "sh1"]
     idx.write(shingle_rows_from(docs.read(0, 0)).select(*cols))
     shingle_index_delta_refresh(docs, idx, 1, 1)
 

@@ -350,6 +350,40 @@ def _assign_set(df):
     return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
 
 
+def test_lm_score_from_index_equals_inline(spark, docs):
+    """r14 (VERDICT r13 task 4): the bigram LM scored from the shingle
+    index's tf-carrying width-1/2 rows must be ROW-IDENTICAL to the
+    inline tokenize-and-score path — same counts (tf in the index ≡
+    the inline per-(doc,bigram) combine), same fixed-point tail."""
+    from olap_storage_engine_spark.operators.indexes import (
+        shingle_rows_from,
+    )
+
+    idx = shingle_rows_from(docs, widths=(1, 2))
+    got = {
+        tuple(r)
+        for r in tx.bigram_lm_scores_from_index(idx).collect()
+    }
+    want = {tuple(r) for r in tx.bigram_lm_scores(docs).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_shingle_tf_counts_occurrences(spark):
+    """tf rows keep the distinct-gram grain but carry real occurrence
+    counts; sz stays the distinct count."""
+    rows = [Row(doc_id=1, text="a b a b a")]
+    out = {
+        r["shingle"]: (r["m"], r["sz"])
+        for r in dd.shingle_tf(spark.createDataFrame(rows), n=1).collect()
+    }
+    assert out == {"a": (3, 2), "b": (2, 2)}
+    out2 = {
+        r["shingle"]: r["m"]
+        for r in dd.shingle_tf(spark.createDataFrame(rows), n=2).collect()
+    }
+    assert out2 == {"a b": (2), "b a": (2)}
+
+
 def test_cluster_delta_refresh_merges_clusters(spark):
     """The interesting refresh case (r14): a NEW doc bridging two
     existing clusters must union them, transitively, and the merged

@@ -380,3 +380,16 @@ def test_cluster_queries_serve_from_cluster_table(spark, entrymod):
         assert "minhash_sigs" not in plan, name
     keep = formatted_plan(_df(spark, entrymod, "dedup_keepset"))
     assert "LeftAnti" in keep
+
+
+def test_lm_score_serves_from_index_no_tokenize(spark, entrymod):
+    """r14 (VERDICT r13 task 4): text_lm_score reads only the shingle
+    index's width-1/2 LIST partitions — the documents table is never
+    scanned and no tokenize (regex split) appears in the plan; the
+    inline twin keeps the cold-corpus shape."""
+    df = _df(spark, entrymod, "text_lm_score")
+    pf = partition_filters(df)
+    assert any("n" in f for f in pf), pf
+    plan = formatted_plan(df)
+    assert "documents.parquet" not in plan
+    assert "split" not in plan.lower()
