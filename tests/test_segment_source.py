@@ -1315,6 +1315,161 @@ def test_three_way_writer_compactor_vacuum_interleavings(spark, tmp_path):
     assert on_disk == {man_final["files"][0]["file"]}
 
 
+def test_stream_sink_concurrency_interleavings(spark, tmp_path):
+    """VERDICT r13 task 7: extend the appender×compactor×vacuum
+    matrix with the STREAMING sink actor — OlapSegStreamWriter
+    commits through the same CAS but never appeared in an
+    interleaving.  Drives: a batch appender landing between
+    micro-batches, a compaction rewrite that must preserve
+    last_batch_id (so replay stays refused across history rewrites),
+    a micro-batch that LOSES the CAS race to a concurrent appender
+    landing inside its commit window (renamed parts become invisible
+    orphans; the replayed attempt lands exactly once; vacuum reclaims
+    the orphans), and an age-gated vacuum sparing an in-flight
+    micro-batch temp.  Manifest invariants checked after every
+    step."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from olap_storage_engine_spark.plans.manifest import (
+        ManifestConflictError,
+    )
+    from olap_storage_engine_spark.sources import segment_format as sf
+    from pyspark.sql.types import _parse_datatype_string
+
+    sf.register(spark)
+    d = str(tmp_path / "t")
+    man_path_ = lambda: os.path.join(d, sf.MANIFEST_NAME)
+    schema = _parse_datatype_string(sf.SEGMENT_SCHEMA)
+
+    committed = set()
+
+    def invariants():
+        man = json.load(open(man_path_()))
+        names = [e["file"] for e in man["files"]]
+        assert len(names) == len(set(names)), "duplicate live names"
+        on_disk = {f for f in os.listdir(d) if f.endswith(".oseg")}
+        assert set(names) <= on_disk, "manifest points at missing file"
+        assert man["total_rows"] == sum(e["rows"] for e in man["files"])
+        got = sorted(
+            map(
+                tuple,
+                spark.read.format("olapseg")
+                .option("path", d)
+                .load()
+                .collect(),
+            )
+        )
+        assert got == sorted(committed), "readable rows != committed"
+        return man
+
+    def protocol_write(rows_, overwrite=False, expected_gen=None):
+        opts = {"path": d}
+        if expected_gen is not None:
+            opts["expected_gen"] = str(expected_gen)
+        ds = sf.make_datasource()(options=opts)
+        w = ds.writer(schema, overwrite=overwrite)
+        msg = w.write(iter([_rb(*rows_)]))
+        return w, msg
+
+    sw = sf.make_datasource()(options={"path": d}).streamWriter(
+        schema, overwrite=False
+    )
+
+    # micro-batch 0 commits cleanly
+    rows0 = [(i, i, "en", "s") for i in range(10)]
+    sw.commit([sw.write(iter([_rb(*rows0)]))], 0)
+    committed.update(rows0)
+    invariants()
+
+    # Interleaving S1 — a batch APPENDER lands between micro-batches;
+    # batch 1 commits on top: both survive (append-union, the stream
+    # commit reloads the generation it publishes against).
+    rows_app = [(100 + i, 1, "de", "s") for i in range(5)]
+    wa, ma = protocol_write(rows_app)
+    wa.commit([ma])
+    committed.update(rows_app)
+    invariants()
+    rows1 = [(200 + i, 1, "en", "s") for i in range(5)]
+    sw.commit([sw.write(iter([_rb(*rows1)]))], 1)
+    committed.update(rows1)
+    man = invariants()
+    assert man["last_batch_id"] == 1
+
+    # Interleaving S2 — COMPACTION rewrites history between
+    # micro-batches; last_batch_id must survive the rewrite, so a
+    # replayed batch 1 (restart between sink commit and checkpoint
+    # advance, now ACROSS a compaction) is still refused: temps
+    # dropped, nothing changes.
+    gen_now = json.load(open(man_path_()))["generation"]
+    wc, mc = protocol_write(
+        sorted(committed), overwrite=True, expected_gen=gen_now
+    )
+    wc.commit([mc])
+    man = invariants()
+    assert len(man["files"]) == 1
+    assert man["last_batch_id"] == 1, "rewrite dropped the batch ledger"
+    m1r = sw.write(iter([_rb(*rows1)]))  # the replay's fresh attempt
+    sw.commit([m1r], 1)
+    assert not os.path.exists(os.path.join(d, m1r.tmp_name))
+    invariants()  # readable set unchanged — exactly-once held
+
+    # Interleaving S3 — the LOST RACE: a concurrent appender publishes
+    # inside batch 2's commit window (after the stream renamed its
+    # parts, before its CAS).  The stream commit must conflict; its
+    # renamed parts are invisible orphans; the replayed attempt lands
+    # exactly once; vacuum(0) reclaims the orphans only.
+    rows2 = [(300 + i, 1, "en", "s") for i in range(5)]
+    m2 = sw.write(iter([_rb(*rows2)]))
+    rows_race = [(400, 1, "de", "s")]
+    real_pub = sf._cas_publish
+
+    def racing_pub(man_path, doc, expected_gen, cas=None):
+        sf._cas_publish = real_pub  # fire exactly once
+        wx, mx = protocol_write(rows_race)
+        wx.commit([mx])
+        committed.update(rows_race)
+        return real_pub(man_path, doc, expected_gen, cas)
+
+    sf._cas_publish = racing_pub
+    try:
+        with _pytest.raises(ManifestConflictError):
+            sw.commit([m2], 2)
+    finally:
+        sf._cas_publish = real_pub
+    orphans = {
+        f
+        for f in os.listdir(d)
+        if f.startswith("part-b000002-") and f.endswith(".oseg")
+    }
+    assert orphans, "lost race left no renamed part (test premise)"
+    invariants()  # orphans invisible: readable set == committed
+    m2r = sw.write(iter([_rb(*rows2)]))
+    sw.commit([m2r], 2)
+    committed.update(rows2)
+    invariants()
+    removed = sf.vacuum_segments(d, min_age_sec=0.0)
+    assert removed == len(orphans)
+    for f in orphans:
+        assert not os.path.exists(os.path.join(d, f))
+    invariants()
+
+    # Interleaving S4 — vacuum vs an IN-FLIGHT micro-batch: the
+    # staged temp survives an age-gated vacuum; committing then
+    # exposes the rows exactly once.
+    rows3 = [(500, 1, "en", "s")]
+    m3 = sw.write(iter([_rb(*rows3)]))
+    assert sf.vacuum_segments(d, min_age_sec=3600.0) == 0
+    assert os.path.exists(os.path.join(d, m3.tmp_name))
+    invariants()
+    sw.commit([m3], 3)
+    committed.update(rows3)
+    man = invariants()
+    assert man["last_batch_id"] == 3
+
+
 def test_single_file_task_read_validates(tmp_path):
     """The single-file block task validates the segment in the
     EXECUTOR worker before serving (r13: the planning-side footer
