@@ -999,7 +999,9 @@ def q_kanon_report(spark, sf_dir):
 
 def q_similarity_topk(spark, sf_dir):
     return sim.brute_topk(
-        load_table(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=10
+        load_table(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=sim.ANN_EVAL_K,
     )
 
 
@@ -1092,7 +1094,7 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     cells = cells_t.read_pruned(in_values=cell_ids).select(
         "cent_id", "vec_id", "embedding"
     )
-    return sim.rank_cell_candidates(cells, probe_cells, k=10)
+    return sim.rank_cell_candidates(cells, probe_cells, k=sim.ANN_EVAL_K)
 
 
 def q_similarity_ann_ivfpq(spark, sf_dir):
@@ -4390,6 +4392,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "STREAMING_QUERIES names queries that are not declared: "
         f"{sorted(missing_stream)} — keep the marker set in sync"
     )
+    # ...and the reverse: a new stream-NAMED query missing from the
+    # marker set would silently get the ~100x-smaller batch noop
+    # floor in bench.py's regression math (the auto-coverage the old
+    # name-substring heuristic had, kept as an enforced check; a
+    # genuinely batch query named *stream* belongs in this assert's
+    # allowlist, not the marker set)
+    unmarked_stream = {
+        n for n in qmap if "stream" in n
+    } - STREAMING_QUERIES
+    assert not unmarked_stream, (
+        f"stream-named queries not in STREAMING_QUERIES: "
+        f"{sorted(unmarked_stream)} — add them (or allowlist here if "
+        "genuinely batch)"
+    )
     ordered = {name: qmap.pop(name) for name in _DRIVER_CHECK_HEAD if name in qmap}
     for name in _DRIVER_CHECK_TAIL:
         qmap[name] = qmap.pop(name)
@@ -5618,6 +5634,46 @@ wf AS (
 )"""
 
 
+# ONE oracle for the two LM-score twins (index-served + inline) —
+# byte-identical by construction, so an oracle tweak can never reach
+# one and not the other (r14 review).  Tokenizer matches
+# functions.textfns.tokens (trim + \\s+ split).
+_TEXT_LM_ORACLE = """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+                       FROM documents),
+            uc AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(arr) AS w1 FROM w) GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS vocab FROM uc),
+            bi0 AS (
+              SELECT doc_id, arr,
+                     CAST(unnest(range(len(arr) - 1)) AS BIGINT) AS i
+              FROM w WHERE len(arr) >= 2
+            ),
+            bi AS (SELECT doc_id, arr[i+1] AS w1, arr[i+2] AS w2 FROM bi0),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+            s AS (
+              SELECT bi.doc_id,
+                     CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE)
+                                   / CAST(uc.c1 + v.vocab AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM bi JOIN bc USING (w1, w2)
+              JOIN uc ON bi.w1 = uc.w1 CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                     CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+              FROM s GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST(micro AS DOUBLE) / 1000000.0 AS sum_logprob,
+                   CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
+                     AS avg_lp_micro
+            FROM agg
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from olap_storage_engine_spark.tpch import TPCH_ORACLES
 
@@ -6160,74 +6216,8 @@ FROM sizes GROUP BY cluster_size
         # bigram LM with add-one smoothing; per-bigram log-prob rounded
         # to 6dp then summed as exact DECIMAL fixed-point, average as
         # integer micro-nats (see operators/text.bigram_lm_scores)
-        "text_lm_score": """
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
-                       FROM documents),
-            uc AS (
-              SELECT w1, count(*) AS c1
-              FROM (SELECT unnest(arr) AS w1 FROM w) GROUP BY 1
-            ),
-            v AS (SELECT count(*) AS vocab FROM uc),
-            bi0 AS (
-              SELECT doc_id, arr,
-                     CAST(unnest(range(len(arr) - 1)) AS BIGINT) AS i
-              FROM w WHERE len(arr) >= 2
-            ),
-            bi AS (SELECT doc_id, arr[i+1] AS w1, arr[i+2] AS w2 FROM bi0),
-            bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-            s AS (
-              SELECT bi.doc_id,
-                     CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE)
-                                   / CAST(uc.c1 + v.vocab AS DOUBLE)), 6)
-                          AS DECIMAL(18,6)) AS lp
-              FROM bi JOIN bc USING (w1, w2)
-              JOIN uc ON bi.w1 = uc.w1 CROSS JOIN v
-            ),
-            agg AS (
-              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
-                     CAST(sum(lp) * 1000000 AS BIGINT) AS micro
-              FROM s GROUP BY 1
-            )
-            SELECT doc_id, n_bigrams,
-                   CAST(micro AS DOUBLE) / 1000000.0 AS sum_logprob,
-                   CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
-                     AS avg_lp_micro
-            FROM agg
-        """,
-        "text_lm_score_inline": """
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
-                       FROM documents),
-            uc AS (
-              SELECT w1, count(*) AS c1
-              FROM (SELECT unnest(arr) AS w1 FROM w) GROUP BY 1
-            ),
-            v AS (SELECT count(*) AS vocab FROM uc),
-            bi0 AS (
-              SELECT doc_id, arr,
-                     CAST(unnest(range(len(arr) - 1)) AS BIGINT) AS i
-              FROM w WHERE len(arr) >= 2
-            ),
-            bi AS (SELECT doc_id, arr[i+1] AS w1, arr[i+2] AS w2 FROM bi0),
-            bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-            s AS (
-              SELECT bi.doc_id,
-                     CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE)
-                                   / CAST(uc.c1 + v.vocab AS DOUBLE)), 6)
-                          AS DECIMAL(18,6)) AS lp
-              FROM bi JOIN bc USING (w1, w2)
-              JOIN uc ON bi.w1 = uc.w1 CROSS JOIN v
-            ),
-            agg AS (
-              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
-                     CAST(sum(lp) * 1000000 AS BIGINT) AS micro
-              FROM s GROUP BY 1
-            )
-            SELECT doc_id, n_bigrams,
-                   CAST(micro AS DOUBLE) / 1000000.0 AS sum_logprob,
-                   CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
-                     AS avg_lp_micro
-            FROM agg
-        """,
+        "text_lm_score": _TEXT_LM_ORACLE,
+        "text_lm_score_inline": _TEXT_LM_ORACLE,
         # hashed bag-of-words linear classifier: rolling hash
         # (h*31+ord) % 1000003 -> bucket % 4096 -> Knuth-derived dyadic
         # weight; the sum of dyadic k/2^16 weights is exact in a double

@@ -888,8 +888,12 @@ def neardup_clusters_path(spark: SparkSession, sf_dir: str) -> str:
 
         path = os.path.join(warehouse_for(sf_dir), "neardup_clusters")
         sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
+        # band over the signature table's OWN build params — a raised
+        # _MINHASH_SIGS_NUM_HASHES must widen the banding here too,
+        # not silently cluster on half the signature (r14 review)
+        num_hashes, _ = minhash_sigs_build_params()
         pairs = dd.minhash_candidates_from_sigs(
-            sigs, num_hashes=8, band_rows=dd.MH_BAND_ROWS
+            sigs, num_hashes=num_hashes, band_rows=dd.MH_BAND_ROWS
         )
         (
             dd.connected_components(pairs)
@@ -920,12 +924,16 @@ def ann_truth_path(spark: SparkSession, sf_dir: str) -> str:
     broken by vec_id; cosine rounded 6dp)."""
 
     def build():
-        from .operators.similarity import brute_topk, standard_probes
+        from .operators.similarity import (
+            ANN_EVAL_K,
+            brute_topk,
+            standard_probes,
+        )
 
         path = os.path.join(warehouse_for(sf_dir), "ann_truth_k10")
         emb = load_table(spark, sf_dir, "embeddings")
         (
-            brute_topk(emb, standard_probes(emb), k=10)
+            brute_topk(emb, standard_probes(emb), k=ANN_EVAL_K)
             .coalesce(1)  # k*probes rows — one file, one task
             .write.mode("overwrite")
             .parquet(path)

@@ -29,6 +29,16 @@ from ..functions.vectors import cosine, dot, l2norm
 from .dedup import lsh_bucket_col
 
 
+# The k the recall evaluation is DEFINED at: the persisted exact
+# truth set (fixtures.ann_truth_path), the brute baseline query, and
+# the served IVF ranking all use this one constant, so a k change
+# reaches every side of recall@k or none — recall normalizes by the
+# truth-side count, and a truth table built at a different k than the
+# serve silently skews the metric (r14 review; the MH_BAND_ROWS
+# discipline applied to eval depth).
+ANN_EVAL_K = 10
+
+
 def standard_probes(emb: DataFrame, n: int = 5) -> DataFrame:
     """The fixture evaluation probe set: the n lowest vec_ids — ONE
     definition shared by the declared similarity queries and the

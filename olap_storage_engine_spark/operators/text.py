@@ -1084,8 +1084,17 @@ def bigram_lm_scores(
     Returns (id_col, n_bigrams, sum_logprob, avg_lp_micro); documents
     with fewer than two tokens carry no bigram and drop out, matching
     the oracle's ``len(arr) >= 2`` filter.
+
+    Tokenization is :func:`functions.textfns.tokens` (trim + ``\\s+``
+    split) — the SAME definition the shingle index builds from, so
+    :func:`bigram_lm_scores_from_index` is row-identical on ANY
+    corpus, including multi-space/trailing-whitespace text (r14
+    review: the previous raw split-on-space here made the index/
+    inline twins agree only on perfectly single-spaced corpora; the
+    oracle tokenizes with ``string_split_regex(trim(text), '\\s+')``
+    to match).
     """
-    arr = F.split(F.col(text_col), " ")
+    arr = tokens(F.col(text_col))
     w = docs.select(F.col(id_col), arr.alias("__w"))
     uni = (
         w.select(F.explode("__w").alias("w1"))

@@ -368,6 +368,32 @@ def test_lm_score_from_index_equals_inline(spark, docs):
     assert got == want and len(got) > 0
 
 
+def test_lm_score_twins_agree_on_messy_whitespace(spark):
+    """r14 review: the inline path previously split on a raw single
+    space while the index tokenizes trim+\\s+, so the twins agreed
+    only on perfectly single-spaced corpora.  Both now share the
+    tokens() definition — pin the equality on double-spaced,
+    leading/trailing-whitespace text."""
+    from olap_storage_engine_spark.operators.indexes import (
+        shingle_rows_from,
+    )
+
+    rows = [
+        Row(doc_id=1, text="  the quick  brown fox  "),
+        Row(doc_id=2, text="the quick brown fox"),
+        Row(doc_id=3, text="one"),  # no bigram -> drops out
+    ]
+    docs = spark.createDataFrame(rows)
+    idx = shingle_rows_from(docs, widths=(1, 2))
+    got = {tuple(r) for r in tx.bigram_lm_scores_from_index(idx).collect()}
+    want = {tuple(r) for r in tx.bigram_lm_scores(docs).collect()}
+    assert got == want
+    # docs 1 and 2 tokenize identically -> identical scores
+    by_id = {t[0]: t[1:] for t in want}
+    assert by_id[1] == by_id[2]
+    assert 3 not in by_id
+
+
 def test_shingle_tf_counts_occurrences(spark):
     """tf rows keep the distinct-gram grain but carry real occurrence
     counts; sz stays the distinct count."""
