@@ -1169,6 +1169,19 @@ def q_text_bm25(spark, sf_dir):
     return tx.bm25_rank(docs, ["vector", "merge", "filter"])
 
 
+def q_text_bm25_indexed(spark, sf_dir):
+    """BM25 served from the PERSISTED shingle index (r14): the
+    width-1 tf rows are the term frequencies and Σm per doc is the
+    document length, so retrieval is one combine-enabled aggregate
+    over the LIST-pruned width-1 partition — the corpus is never
+    tokenized at query time (operators/text.bm25_rank_from_index).
+    Identical results and oracle to the inline text_bm25."""
+    from olap_storage_engine_spark.fixtures import shingle_index_path
+
+    idx = spark.read.parquet(shingle_index_path(spark, sf_dir))
+    return tx.bm25_rank_from_index(idx, ["vector", "merge", "filter"])
+
+
 def q_text_stats(spark, sf_dir):
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -4061,8 +4074,9 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-14 rotation.  Priority order within the 50-slot head:
-    #   1     NEW this round, never driver-checked:
-    #         text_lm_score_inline (the cold-corpus LM twin),
+    #   1-2   NEW this round, never driver-checked:
+    #         text_lm_score_inline (the cold-corpus LM twin) and
+    #         text_bm25_indexed (BM25 from the tf-carrying index),
     #   2-19  queries whose CODE or SERVING ARTIFACT changed in r14:
     #         text_lm_score (index-served), the three cluster-table
     #         queries (dedup_clusters/_cluster_stats/_keepset),
@@ -4073,8 +4087,9 @@ _DRIVER_CHECK_HEAD = [
     #         the two segment block-read queries (id-envelope swap
     #         guard + cache stat-race fix),
     #   20-33 the 14 remaining r8-stale rows (completing that cohort),
-    #   34-50 the r9 cohort alphabetically (first 17).
+    #   35-50 the r9 cohort alphabetically (first 16).
     "text_lm_score_inline",
+    "text_bm25_indexed",
     "text_lm_score",
     "dedup_clusters",
     "dedup_cluster_stats",
@@ -4123,16 +4138,15 @@ _DRIVER_CHECK_HEAD = [
     "ingest_csv",
     "ingest_jsonl",
     "join_band",
-    "join_full_outer",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("join_full_outer") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("join_band") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('join_full_outer')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('join_band')}"
 )
 # ROUND-15 ROTATION RECIPE: after CORRECTNESS_r14 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -4266,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_stats": q_text_stats,
         "text_bm25": q_text_bm25,
+        "text_bm25_indexed": q_text_bm25_indexed,
         "stratified_sample": q_stratified_sample,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -5671,6 +5686,42 @@ _TEXT_LM_ORACLE = """
                    CAST(round(CAST(micro AS DOUBLE) / n_bigrams) AS BIGINT)
                      AS avg_lp_micro
             FROM agg
+        """
+
+
+# ONE oracle for the BM25 twins (inline + index-served) — identical
+# semantics, one definition (the _TEXT_LM_ORACLE discipline).
+_TEXT_BM25_ORACLE = """
+            WITH toked AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            lens AS (
+              SELECT doc_id, len(toks) AS dl FROM toked),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+            tf AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+              WHERE tok IN ('vector', 'merge', 'filter')
+              GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 50
         """
 
 
@@ -7794,38 +7845,8 @@ FROM sizes GROUP BY cluster_size
               AND l_suppkey BETWEEN 10 AND 30
             GROUP BY 1 ORDER BY 1
         """,
-        "text_bm25": """
-            WITH toked AS (
-              SELECT doc_id,
-                     string_split_regex(trim(text), '\\s+') AS toks
-              FROM documents),
-            lens AS (
-              SELECT doc_id, len(toks) AS dl FROM toked),
-            stats AS (
-              SELECT count(*) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM lens),
-            tf AS (
-              SELECT doc_id, tok AS term, count(*) AS tf
-              FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
-              WHERE tok IN ('vector', 'merge', 'filter')
-              GROUP BY 1, 2),
-            dfreq AS (
-              SELECT term, count(*) AS df FROM tf GROUP BY 1)
-            SELECT tf.doc_id,
-                   round(sum(
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-                   ), 4) AS score
-            FROM tf
-            JOIN dfreq USING (term)
-            JOIN lens USING (doc_id)
-            CROSS JOIN stats
-            GROUP BY tf.doc_id
-            ORDER BY score DESC, doc_id
-            LIMIT 50
-        """,
+        "text_bm25": _TEXT_BM25_ORACLE,
+        "text_bm25_indexed": _TEXT_BM25_ORACLE,
         "sketch_freqitems_topk": """
             WITH toks AS (
               SELECT lang, unnest(string_split(text, ' ')) AS item

@@ -663,6 +663,114 @@ def bm25_rank(
     )
 
 
+def bm25_rank_from_index(
+    idx: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bm25_rank` served from the PERSISTED shingle index (r14
+    — the tf columns added for the LM scorer serve retrieval too):
+    the width-1 partition's (doc_id, sh, m) rows ARE the per-doc term
+    frequencies and Σm per doc IS the document length, so ranked
+    retrieval never tokenizes the corpus.
+
+    Plan shape: query terms hash driver-side with the index's own
+    xxhash64 (one tiny local job — the IVF-router discipline), then
+    ONE combine-enabled groupBy over the LIST-pruned width-1
+    partition produces dl and per-query-term tf together (|Q| pivoted
+    conditional sums — no join for lengths, no second scan); corpus
+    stats AND per-term document frequencies reduce to a single
+    broadcast row; scoring is row-local arithmetic.
+
+    When it wins, honestly: the index pass reads ~16 narrow bytes per
+    DISTINCT token against the inline path's text bytes + regex split
+    + explode, so the trade favors the index as documents get longer
+    and more repetitive (tf folds repeats into one row) — the
+    long-document corpora where BM25 retrieval actually runs.  On the
+    fixture's short synthetic docs the index has roughly as many rows
+    as the corpus has tokens and the inline path is competitive
+    (BENCHNOTES_r14 §7); the structural win that holds at every shape
+    is that the CORPUS TEXT never moves and re-ranking N queries
+    amortizes one publish-time pass.
+
+    Scores are the same doubles the inline path computes (same tf,
+    df, dl, avgdl, same Lucene idf), rounded 4dp — identical results,
+    same oracle (pinned in tests/test_llm_ops.py)."""
+    from collections import Counter
+
+    qc = Counter(query_terms)
+    terms = list(qc)
+    spark = idx.sparkSession
+    hashes = [
+        r["sh"]
+        for r in spark.createDataFrame(
+            [(t,) for t in terms], "qterm string"
+        )
+        .select(F.xxhash64("qterm").alias("sh"))
+        .collect()
+    ]
+    w1 = idx.filter(F.col("n") == 1).select(id_col, "sh", "m")
+    # dl and the |Q| term frequencies in ONE pass: a conditional sum
+    # per query term pivots the posting rows row-locally before the
+    # combine — a term absent from a doc aggregates to NULL.
+    # (No _spread here: the map side is already a combine-enabled
+    # aggregate of narrow rows — a round-robin repartition would
+    # shuffle the whole partition to parallelize work cheaper than
+    # the shuffle itself; measured slower at fixture scale.)
+    per = w1.groupBy(id_col).agg(
+        F.sum("m").alias("dl"),
+        *[
+            F.sum(F.when(F.col("sh") == F.lit(h), F.col("m"))).alias(
+                f"__tf{i}"
+            )
+            for i, h in enumerate(hashes)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.col(f"__tf{i}")).alias(f"__df{i}")
+            for i in range(len(hashes))
+        ],
+    )
+    joined = per.crossJoin(F.broadcast(stats))
+
+    def _w(i: int) -> F.Column:
+        tf = F.col(f"__tf{i}").cast("double")
+        df_ = F.col(f"__df{i}")
+        idf = F.log(
+            (F.col("n_docs") - df_ + 0.5) / (df_ + 0.5) + 1.0
+        )
+        w = (
+            idf
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        if qc[terms[i]] > 1:
+            w = w * float(qc[terms[i]])
+        return F.when(F.col(f"__tf{i}").isNotNull(), w).otherwise(
+            F.lit(0.0)
+        )
+
+    score = _w(0)
+    for i in range(1, len(hashes)):
+        score = score + _w(i)
+    return (
+        joined.filter(
+            F.coalesce(
+                *[F.col(f"__tf{i}") for i in range(len(hashes))]
+            ).isNotNull()
+        )
+        .select(id_col, F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, int],

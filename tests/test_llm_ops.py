@@ -394,6 +394,24 @@ def test_lm_score_twins_agree_on_messy_whitespace(spark):
     assert 3 not in by_id
 
 
+def test_bm25_from_index_equals_inline(spark, docs):
+    """r14: BM25 served from the tf-carrying width-1 index rows must
+    rank identically to the inline tokenize path — same tf/dl/df/
+    stats, same Lucene idf, same 4dp rounding."""
+    from olap_storage_engine_spark.operators.indexes import (
+        shingle_rows_from,
+    )
+
+    idx = shingle_rows_from(docs, widths=(1,))
+    terms = ["the", "hund", "fox"]
+    got = [
+        tuple(r)
+        for r in tx.bm25_rank_from_index(idx, terms).collect()
+    ]
+    want = [tuple(r) for r in tx.bm25_rank(docs, terms).collect()]
+    assert got == want and len(got) > 0
+
+
 def test_shingle_tf_counts_occurrences(spark):
     """tf rows keep the distinct-gram grain but carry real occurrence
     counts; sz stays the distinct count."""
