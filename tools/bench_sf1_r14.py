@@ -31,6 +31,8 @@ QUERIES = [
     "dedup_cluster_stats",
     "text_lm_score",
     "text_lm_score_inline",
+    "text_bm25",
+    "text_bm25_indexed",
 ]
 
 ORACLE_SKIP_SF1: set = set()
