@@ -330,6 +330,59 @@ def test_connected_components_paths_agree_random(spark):
     assert fast == dist
 
 
+def test_cluster_delta_refresh_random_splits_equal_rebuild(spark):
+    """Randomized refresh ≡ rebuild: random graphs over a small id
+    space (dense enough to force merges constantly), split at random
+    publish points — every (base, delta) split of an append-ordered
+    edge stream must refresh to exactly the full rebuild.  Ids above
+    the split are 'new docs', so delta = edges touching any new id
+    (what a signature-index delta refresh emits for an append-only
+    corpus) plus nothing else; base = the old-old edges."""
+    import random
+
+    rng = random.Random(11)
+    for case in range(6):
+        n_ids = rng.randrange(8, 40)
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n_ids), rng.randrange(n_ids))
+                    for _ in range(rng.randrange(5, 60))
+                )
+                if a != b
+            }
+        )
+        if not edges:
+            continue
+        split = rng.randrange(n_ids)  # ids >= split are new this publish
+        base_e = [(a, b) for a, b in edges if a < split and b < split]
+        delta_e = [(a, b) for a, b in edges if a >= split or b >= split]
+        full = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {
+            (r["id"], r["component"])
+            for r in dd.connected_components(full).collect()
+        }
+        base = (
+            spark.createDataFrame(base_e, "doc_a long, doc_b long")
+            if base_e
+            else spark.createDataFrame([], "doc_a long, doc_b long")
+        )
+        assign = dd.connected_components(base).select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        delta = (
+            spark.createDataFrame(delta_e, "doc_a long, doc_b long")
+            if delta_e
+            else spark.createDataFrame([], "doc_a long, doc_b long")
+        )
+        got = _assign_set(dd.cluster_delta_refresh(assign, delta))
+        assert got == {(i, c) for i, c in want}, (
+            f"case {case}: split={split} edges={sorted(edges)}"
+        )
+
+
 def test_neardup_filter_keeps_canonicals(spark, docs):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     kept = dd.neardup_filter(docs, pairs)
