@@ -1079,13 +1079,17 @@ def q_similarity_ann_ivf_cells(spark, sf_dir):
     query is one small probe-collect job plus ONE distributed serve
     job over the pruned cells.
     """
-    from olap_storage_engine_spark.fixtures import ivf_centroids_rows
+    from olap_storage_engine_spark.fixtures import (
+        ivf_centroids_rows,
+        standard_probe_rows,
+    )
 
     cells_t = get_table(spark, sf_dir, "emb_cells")
     cent_rows = ivf_centroids_rows(spark, sf_dir)
-    probe_rows = [
-        (r["vec_id"], r["embedding"]) for r in _probes(spark, sf_dir).collect()
-    ]
+    # probes pyarrow-read from the persisted eval artifact — the
+    # router resolve costs ZERO Spark jobs (fixtures.standard_probe_rows;
+    # was a corpus orderBy+limit collect job per serve, r14)
+    probe_rows = standard_probe_rows(spark, sf_dir)
     pc = sim.ivf_probe_cells_local(probe_rows, cent_rows, n_probe=4)
     cell_ids = sorted({cid for _, _, cid in pc})
     probe_cells = spark.createDataFrame(
@@ -1111,14 +1115,16 @@ def q_similarity_ann_ivfpq(spark, sf_dir):
     from olap_storage_engine_spark.fixtures import (
         ivf_centroids_rows,
         pq_index_paths,
+        standard_probe_rows,
     )
 
     cells_t = get_table(spark, sf_dir, "emb_cells_pq")
     cb_path, _ = pq_index_paths(spark, sf_dir)
     cent_rows = ivf_centroids_rows(spark, sf_dir)
-    probe_rows = [
-        (r["vec_id"], r["embedding"]) for r in _probes(spark, sf_dir).collect()
-    ]
+    # probes pyarrow-read from the persisted eval artifact — the
+    # router resolve costs ZERO Spark jobs (fixtures.standard_probe_rows;
+    # was a corpus orderBy+limit collect job per serve, r14)
+    probe_rows = standard_probe_rows(spark, sf_dir)
     pc = sim.ivf_probe_cells_local(probe_rows, cent_rows, n_probe=4)
     cell_ids = sorted({cid for _, _, cid in pc})
     probe_cells = spark.createDataFrame(
@@ -3984,6 +3990,45 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q18_bucketed(spark, sf_dir):
+    """Q18 over the CO-BUCKETED fact pair (the q7/q21 serving-layout
+    discipline): BOTH fact-side exchanges of the inline twin — the
+    quantity rollup's groupBy(l_orderkey) shuffle AND the big⋈orders
+    join shuffle — disappear when the facts read through their
+    bucketBy(16, orderkey) replicas (the aggregate inherits the
+    bucket partitioning; the join is a merge over it, the orders side
+    pre-sorted, the agg side one exchange-free Sort of the
+    threshold-filtered rows).  At 100 TB those two lineitem-sized
+    shuffles are the query's entire data-movement cost.  Same result
+    and oracle as tpch_q18; exchange shape pinned in
+    tests/test_bucketed.py."""
+    from olap_storage_engine_spark.fixtures import bucketed_fact_pair
+
+    o_name, li_name = bucketed_fact_pair(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o.hint("merge"), big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_window_lead_lag(spark, sf_dir):
     """lead/lag/ntile window surface over per-customer order history."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -4074,9 +4119,10 @@ def q_set_intersect(spark, sf_dir):
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
     # Round-14 rotation.  Priority order within the 50-slot head:
-    #   1-2   NEW this round, never driver-checked:
-    #         text_lm_score_inline (the cold-corpus LM twin) and
-    #         text_bm25_indexed (BM25 from the tf-carrying index),
+    #   1-3   NEW this round, never driver-checked:
+    #         text_lm_score_inline (the cold-corpus LM twin),
+    #         text_bm25_indexed (BM25 from the tf-carrying index), and
+    #         tpch_q18_bucketed (both fact exchanges removed),
     #   2-19  queries whose CODE or SERVING ARTIFACT changed in r14:
     #         text_lm_score (index-served), the three cluster-table
     #         queries (dedup_clusters/_cluster_stats/_keepset),
@@ -4087,9 +4133,10 @@ _DRIVER_CHECK_HEAD = [
     #         the two segment block-read queries (id-envelope swap
     #         guard + cache stat-race fix),
     #   20-33 the 14 remaining r8-stale rows (completing that cohort),
-    #   35-50 the r9 cohort alphabetically (first 16).
+    #   36-50 the r9 cohort alphabetically (first 15).
     "text_lm_score_inline",
     "text_bm25_indexed",
+    "tpch_q18_bucketed",
     "text_lm_score",
     "dedup_clusters",
     "dedup_cluster_stats",
@@ -4137,16 +4184,15 @@ _DRIVER_CHECK_HEAD = [
     "ingest_binaryfile",
     "ingest_csv",
     "ingest_jsonl",
-    "join_band",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("join_band") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("ingest_jsonl") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('join_band')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('ingest_jsonl')}"
 )
 # ROUND-15 ROTATION RECIPE: after CORRECTNESS_r14 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
@@ -4381,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q18": q_tpch_q18,
+        "tpch_q18_bucketed": q_tpch_q18_bucketed,
         "window_lead_lag": q_window_lead_lag,
         "window_rank_family": q_window_rank_family,
         "tpch_q3": q_tpch_q3,
@@ -5722,6 +5769,26 @@ _TEXT_BM25_ORACLE = """
             GROUP BY tf.doc_id
             ORDER BY score DESC, doc_id
             LIMIT 50
+        """
+
+
+# ONE oracle for the Q18 twins (inline + co-bucketed serving layout).
+_TPCH_Q18_ORACLE = """
+            WITH big AS (
+              SELECT l_orderkey,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING total_qty > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+                     AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
         """
 
 
@@ -7437,23 +7504,8 @@ FROM sizes GROUP BY cluster_size
             UNION ALL
             SELECT o_orderstatus, 'n_orders', n_orders FROM wide
         """,
-        "tpch_q18": """
-            WITH big AS (
-              SELECT l_orderkey,
-                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                           AS DOUBLE), 2) AS total_qty
-              FROM lineitem GROUP BY 1 HAVING total_qty > 150
-            )
-            SELECT c_custkey, c_name, o_orderkey,
-                   CAST(o_orderdate AS DATE) AS o_orderdate,
-                   round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
-                     AS o_totalprice,
-                   total_qty
-            FROM big
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            ORDER BY total_qty DESC, o_orderkey LIMIT 100
-        """,
+        "tpch_q18": _TPCH_Q18_ORACLE,
+        "tpch_q18_bucketed": _TPCH_Q18_ORACLE,
         "window_rank_family": """
             SELECT o_custkey, o_orderkey,
                    CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

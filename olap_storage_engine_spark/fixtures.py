@@ -98,6 +98,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: nb_model_path(spark, sf_dir),
         lambda: truth_pairs_path(spark, sf_dir),
         lambda: ann_truth_path(spark, sf_dir),
+        lambda: ann_probes_path(spark, sf_dir),
         lambda: neardup_clusters_path(spark, sf_dir),
         lambda: bpe_merges_path(spark, sf_dir),
     ]
@@ -908,6 +909,50 @@ def neardup_clusters_path(spark: SparkSession, sf_dir: str) -> str:
         return path
 
     return _aux_cached("neardup_clusters", sf_dir, build, ("documents",))
+
+
+def ann_probes_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted STANDARD PROBE SET (vec_id, embedding; the
+    n lowest vec_ids — similarity.standard_probes): eval-sized by
+    contract, stored next to ann_truth_k10 so the ANN query router
+    can hold it driver-resident without a distributed job.  At 100 TB
+    the probe set is still 5 rows — reading it via pyarrow is the
+    same discipline as ivf_centroids_rows; deriving it per query with
+    a corpus orderBy+limit COLLECT was one whole Spark job per IVF
+    serve (r14)."""
+
+    def build():
+        from .operators.similarity import standard_probes
+
+        path = os.path.join(warehouse_for(sf_dir), "ann_probes")
+        emb = load_table(spark, sf_dir, "embeddings")
+        (
+            standard_probes(emb)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    return _aux_cached("ann_probes", sf_dir, build, ("embeddings",))
+
+
+def standard_probe_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The standard probe set as driver-resident (vec_id, embedding)
+    rows — the form ivf_probe_cells_local consumes.  Pyarrow read of
+    the persisted probe artifact, zero Spark jobs; pinned equal to
+    similarity.standard_probes by test (the two cannot share code —
+    one is a DataFrame plan, one a local read — so the test IS the
+    shared definition)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = ann_probes_path(spark, sf_dir)
+    tbl = pq.read_table(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    return sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    )
 
 
 def ann_truth_path(spark: SparkSession, sf_dir: str) -> str:

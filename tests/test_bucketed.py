@@ -206,3 +206,21 @@ def test_q7_bucketed_fact_join_exchange_free(spark):
     # detail), hence the x2.
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert plan.count("Exchange rangepartitioning") <= 2, plan
+
+
+def test_q18_bucketed_zero_fact_exchanges(spark):
+    """tpch_q18_bucketed: BOTH fact-side exchanges of the inline twin
+    — the quantity rollup's groupBy(l_orderkey) and the big⋈orders
+    join — are gone through the co-bucketed replicas; the only Sort
+    is the agg side feeding the merge join (exchange-free), the
+    orders side reads pre-sorted, and the final top-100 compiles to
+    TakeOrderedAndProject (no range exchange)."""
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(entry.queries()["tpch_q18_bucketed"](spark, SF))
+    assert "SortMergeJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan

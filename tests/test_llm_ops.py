@@ -447,6 +447,25 @@ def test_lm_score_twins_agree_on_messy_whitespace(spark):
     assert 3 not in by_id
 
 
+def test_standard_probe_rows_match_dataframe_definition(spark):
+    """The pyarrow-read probe artifact and the DataFrame definition
+    (similarity.standard_probes) cannot share code — this pin IS the
+    shared definition: same ids, same vectors, same order."""
+    from olap_storage_engine_spark.fixtures import standard_probe_rows
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = standard_probe_rows(spark, sf_dir)
+    want = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in sim.standard_probes(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    )
+    assert [(v, list(e)) for v, e in got] == want
+    assert len(got) == 5
+
+
 def test_bm25_from_index_equals_inline(spark, docs):
     """r14: BM25 served from the tf-carrying width-1 index rows must
     rank identically to the inline tokenize path — same tf/dl/df/
