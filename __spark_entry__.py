@@ -823,13 +823,84 @@ def q_mixture_sample(spark, sf_dir):
     return tx.mixture_summary(docs, source_col="lang")
 
 
+def _corpus_prep_served_stages(spark, sf_dir):
+    """The shared index-served stage chain of the curation pipeline:
+    quality filter -> exact dedup -> banded minhash candidate pairs,
+    every per-document scalar read from the publish-time ``doc_stats``
+    table and every signature from the persisted ``minhash_sigs``
+    index (both delta-refreshed artifacts of the corpus publish).
+
+    Returns (stats, corpus, keep, ex, pairs): the full stats table,
+    the quality-passing subset, the exact-dedup keep set, the deduped
+    corpus (narrow rows), and the near-dup candidate pairs.
+
+    This is the optimization-guide §8 shape — decide with small rows:
+    the text bytes were scanned once at publish (enrich + token counts
+    + sha256 + shingle/minhash, all per-doc deterministic), so the
+    pipeline's decisions run over ~50 B/doc scalars and 8 signature
+    ints, never over the corpus text.  Values are identical to the
+    inline pipeline by construction (the artifacts are built by the
+    same operators — pinned by tests/test_llm_ops.py row-identity and
+    the unchanged shared oracle)."""
+    from olap_storage_engine_spark.fixtures import (
+        doc_stats_path,
+        minhash_sigs_build_params,
+        minhash_sigs_path,
+    )
+
+    num_hashes, n = minhash_sigs_build_params()
+    if (num_hashes, n) != (8, 3):
+        raise ValueError(
+            "corpus_prep serves banded pairs from the persisted "
+            f"signature index built with (num_hashes={num_hashes}, "
+            f"n={n}) but declares (8, 3) — rebuild the index or "
+            "update the declared pipeline params together"
+        )
+    stats = spark.read.parquet(doc_stats_path(spark, sf_dir))
+    corpus = stats.filter(F.col("quality") >= 0.95)
+    keep = corpus.groupBy("text_sha").agg(F.min("doc_id").alias("doc_id"))
+    ex = corpus.join(keep.select("doc_id"), "doc_id", "semi")
+    sigs = spark.read.parquet(minhash_sigs_path(spark, sf_dir))
+    pairs = dd.minhash_candidates_from_sigs(
+        sigs.join(ex.select("doc_id"), "doc_id", "semi"),
+        num_hashes=8,
+        band_rows=2,
+    )
+    return stats, corpus, keep, ex, pairs
+
+
 def q_corpus_prep(spark, sf_dir):
     """The end-to-end training-corpus preparation pipeline — the
     north-star composition: quality scoring -> language ID -> quality
     filter -> exact dedup -> minhash near-dup cluster keepset -> token
-    counting, rolled up per predicted language.  Every stage is one of
-    the engine's first-class operators chained as DataFrames, so the
-    whole pipeline is a single Catalyst plan per stage boundary."""
+    counting, rolled up per predicted language.
+
+    INDEX-SERVED (r14 optimization): every per-document scalar the
+    pipeline decides on (quality, pred_lang, token counts, text sha)
+    comes from the publish-time ``doc_stats`` table and the signatures
+    from the persisted ``minhash_sigs`` index, so no text byte is
+    scanned at query time — the guide-§8 "decide with small rows"
+    shape; at 100 TB each run moves ~50 B/doc instead of the corpus.
+    ``corpus_prep_inline`` keeps the cold-corpus single-plan variant
+    (same operators, same oracle)."""
+    _, _, _, ex, pairs = _corpus_prep_served_stages(spark, sf_dir)
+    kept = dd.neardup_filter(ex, pairs)
+    return kept.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_corpus_prep_inline(spark, sf_dir):
+    """The cold-corpus twin of ``corpus_prep``: the same five-stage
+    pipeline computed from the raw text in one Catalyst plan chain —
+    the shape a FIRST publish runs, before any curation artifact
+    exists.  Every stage is one of the engine's first-class operators
+    chained as DataFrames; same results, same oracle as the served
+    row (the text_lm_score / text_lm_score_inline twin discipline)."""
     docs = load_table(spark, sf_dir, "documents")
     filtered = tx.enrich(docs).filter(F.col("quality") >= 0.95)
     ex = dd.exact_dedup(filtered)
@@ -867,21 +938,23 @@ def q_corpus_prep_provenance(spark, sf_dir):
     removed?"  One row per input document labeled with the stage that
     dropped it (quality_filter / exact_dup / near_dup) or 'kept'.
     Each stage's drop set is a byproduct the pipeline already
-    computes (the anti side of each filter/join), so the audit costs
-    the pipeline's own plan plus three cheap unions — no second
-    pass over the corpus at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    enriched = tx.enrich(docs)
-    lowq = enriched.filter(F.col("quality") < 0.95).select(
+    computes (the anti side of each filter/join).
+
+    INDEX-SERVED (r14 optimization, same move as corpus_prep): the
+    disposition of every document is a function of its publish-time
+    scalars (quality, text_sha, minhash signature), so the audit runs
+    entirely over the ``doc_stats`` + ``minhash_sigs`` artifacts — at
+    100 TB a provenance report costs narrow-column reads and
+    metadata-scale joins, never a corpus scan."""
+    stats, corpus, keep, ex, pairs = _corpus_prep_served_stages(
+        spark, sf_dir
+    )
+    lowq = stats.filter(F.col("quality") < 0.95).select(
         "doc_id", F.lit("quality_filter").alias("stage")
     )
-    corpus = enriched.filter(F.col("quality") >= 0.95)
-    keep = dd.sha_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
-    ex_victims = corpus.join(keep, "doc_id", "anti").select(
+    ex_victims = corpus.join(keep.select("doc_id"), "doc_id", "anti").select(
         "doc_id", F.lit("exact_dup").alias("stage")
     )
-    ex = corpus.join(keep, "doc_id", "semi")
-    pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
     cc = dd.connected_components(pairs)
     near = cc.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id"), F.lit("near_dup").alias("stage")
@@ -4302,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_inline": q_corpus_prep_inline,
         "corpus_prep_provenance": q_corpus_prep_provenance,
         "text_chunking": q_text_chunking,
         "sample_packing": q_sample_packing,
@@ -6179,6 +6253,10 @@ FROM sizes GROUP BY cluster_size
         "pii_scrub": _pii_scrub_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "corpus_prep": _corpus_prep_oracle(),
+        # the cold-corpus twin computes the same pipeline inline —
+        # ONE oracle definition for both rows (the _TEXT_LM_ORACLE
+        # twin discipline)
+        "corpus_prep_inline": _corpus_prep_oracle(),
         "corpus_prep_provenance": _corpus_prep_provenance_oracle(),
         "text_chunking": """
             WITH toks AS (

@@ -95,6 +95,7 @@ def build_all(spark: SparkSession, sf_dir: str, parallelism: int = 4) -> None:
         lambda: minhash_sigs_path(spark, sf_dir),
         lambda: pq_index_paths(spark, sf_dir),
         lambda: simhash_fps_path(spark, sf_dir),
+        lambda: doc_stats_path(spark, sf_dir),
         lambda: nb_model_path(spark, sf_dir),
         lambda: truth_pairs_path(spark, sf_dir),
         lambda: ann_truth_path(spark, sf_dir),
@@ -1679,6 +1680,51 @@ def simhash_fps_path(spark: SparkSession, sf_dir: str) -> str:
         return path
 
     return _aux_cached("simhash_fps", sf_dir, build, ("documents",))
+
+
+def doc_stats_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted per-document CURATION-STATS table — the
+    fourth member of the publish-time dedup/curation-index family
+    (shingle index, minhash signatures, simhash fingerprints, doc
+    stats): every column is a pure per-document function of the text
+    (quality features + language ID via operators/text.enrich — the
+    SAME operator the inline pipeline runs, so values are identical by
+    construction — plus the ws/BPE-ish token counts and the exact-dedup
+    sha256), with the text itself dropped.  ~50 narrow bytes per doc.
+
+    This is the optimization-guide §8 "decide with small rows" shape:
+    the curation pipeline's decisions (quality filter, exact dedup,
+    near-dup keepset, token budget roll-ups) depend only on these
+    scalars, never on the text bytes, so a pipeline serving from this
+    table scans the heavy text exactly once — at publish — and each
+    run moves ~50 B/doc instead of the corpus.  Delta refresh = score
+    only the delta rowsets and append (per-doc, corpus-independent,
+    same story as simhash_fps / minhash_sigs)."""
+
+    def build():
+        from .operators.text import enrich, token_counts
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(warehouse_for(sf_dir), "doc_stats")
+        stats = token_counts(enrich(docs)).select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "n_tokens",
+            "n_punct",
+            "n_stopwords",
+            "mean_token_len",
+            "quality",
+            "pred_lang",
+            "ws_tokens",
+            "bpe_tokens",
+            F.sha2(F.col("text"), 256).alias("text_sha"),
+        )
+        stats.write.mode("overwrite").parquet(path)
+        return path
+
+    return _aux_cached("doc_stats", sf_dir, build, ("documents",))
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:

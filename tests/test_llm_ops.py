@@ -1666,3 +1666,52 @@ def test_semantic_decontaminate_argmax_and_threshold(spark):
     assert set(got) == {1, 3}  # corpus 2 (cos 0) never appears
     assert got[1] == (100, 1.0)  # tie at 1.0 -> smallest eval id
     assert got[3] == (300, 0.8)
+
+
+def test_corpus_prep_served_equals_inline(spark):
+    """r14 optimization: corpus_prep served from the publish-time
+    doc_stats + minhash_sigs artifacts must be ROW-IDENTICAL to the
+    cold-corpus inline pipeline (corpus_prep_inline) — same quality
+    scores, same exact-dedup keep set, same banded pairs, same
+    roll-up.  Also pins the provenance query against an inline
+    reconstruction of its original single-plan body."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    served = {tuple(r) for r in qs["corpus_prep"](spark, sf).collect()}
+    inline = {tuple(r) for r in qs["corpus_prep_inline"](spark, sf).collect()}
+    assert served == inline and len(served) > 0
+
+    from olap_storage_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf, "documents")
+    enriched = tx.enrich(docs)
+    lowq = enriched.filter(F.col("quality") < 0.95).select(
+        "doc_id", F.lit("quality_filter").alias("stage")
+    )
+    corpus = enriched.filter(F.col("quality") >= 0.95)
+    keep = dd.sha_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    ex_victims = corpus.join(keep, "doc_id", "anti").select(
+        "doc_id", F.lit("exact_dup").alias("stage")
+    )
+    ex = corpus.join(keep, "doc_id", "semi")
+    pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
+    cc = dd.connected_components(pairs)
+    near = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit("near_dup").alias("stage")
+    )
+    kept = ex.join(near.select("doc_id"), "doc_id", "anti").select(
+        "doc_id", F.lit("kept").alias("stage")
+    )
+    want = {
+        tuple(r)
+        for r in lowq.unionByName(ex_victims)
+        .unionByName(near)
+        .unionByName(kept)
+        .collect()
+    }
+    got = {
+        tuple(r) for r in qs["corpus_prep_provenance"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0

@@ -393,3 +393,23 @@ def test_lm_score_serves_from_index_no_tokenize(spark, entrymod):
     plan = formatted_plan(df)
     assert "documents.parquet" not in plan
     assert "split" not in plan.lower()
+
+
+def test_corpus_prep_serves_from_doc_stats_no_text_scan(spark, entrymod):
+    """r14 optimization: corpus_prep and corpus_prep_provenance decide
+    every pipeline stage from the publish-time doc_stats scalars and
+    the persisted minhash_sigs index — the documents table (text
+    bytes) is never scanned and no tokenize appears in the plan; the
+    corpus_prep_inline twin keeps the cold-corpus single-plan shape."""
+    for name in ("corpus_prep", "corpus_prep_provenance"):
+        plan = formatted_plan(_df(spark, entrymod, name))
+        assert "doc_stats" in plan, name
+        # minhash_sigs itself feeds the CC probe, which the adaptive
+        # driver union-find resolves at build time into a local
+        # drop-set relation — so the sigs scan legitimately does not
+        # appear in the FINAL plan; what matters is that no text scan
+        # and no tokenize survive anywhere.
+        assert "documents.parquet" not in plan, name
+        assert "split" not in plan.lower(), name
+    inline = formatted_plan(_df(spark, entrymod, "corpus_prep_inline"))
+    assert "documents.parquet" in inline
