@@ -171,3 +171,26 @@ def test_bpe_compression_stats_ties_to_encoder(spark, tiny_docs):
                 r["total_tokens"]) == (n, b, c, t)
         assert r["bytes_per_token"] == round(b / t, 6)
         assert r["chars_per_token"] == round(c / t, 6)
+
+
+def test_bpe_train_driver_path_equals_distributed(spark):
+    """r14 optimization: the size-gated driver-side merge loop must be
+    bit-identical to the distributed argmax path — same framed-replace
+    semantics, same (count DESC, utf-8 bytes ASC) tie-break — on a
+    corpus with ties, repeats ('aaa' overlapping pairs) and multi-merge
+    chains."""
+    from olap_storage_engine_spark.operators.text import bpe_train
+
+    rows = [
+        (1, "aaa aaa bb ab abab"),
+        (2, "the the the quick brown fox aaa"),
+        (3, "zz zz zz yy yy xyzzy"),
+        (4, "ab ba ab ba abba"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drv = [tuple(r) for r in bpe_train(docs, k=6).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train(docs, k=6, driver_vocab_threshold=0).collect()
+    ]
+    assert drv == dist and len(drv) == 6
