@@ -264,3 +264,30 @@ def test_segment_batch_write_roundtrip_property(rows, block_rows, n_batches):
         assert sf.bloom_may_contain_any(bloom, list(set(ids)))
         for v in set(ids):
             assert sf.bloom_may_contain_any(bloom, [v])
+
+
+def test_fnv_hash_col_column_path_matches_scalar_golden(spark):
+    """r14: whatever implements fnv_hash_col (today the Arrow-batched
+    numpy UDF — a pure-JVM higher-order fold was tried and measured 3x
+    SLOWER at 600k rows, see OPTIMIZATION_r14.md) must stay bit-exact
+    with the scalar golden end-to-end through Spark — including
+    multi-byte UTF-8, empty strings, long strings, and the pandas
+    path's 'None' null convention."""
+    from pyspark.sql import functions as F
+
+    from olap_storage_engine_spark.operators.routing import (
+        fnv1a64,
+        fnv_hash_col,
+    )
+
+    vals = [
+        "", "a", "hello", "12345", "None", "日本語テキスト",
+        "x" * 300, "\x01\x02", "naïve café", None, "-42",
+        "9223372036854775807",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = df.select("s", fnv_hash_col(F.col("s")).alias("h")).collect()
+    for r in got:
+        want = fnv1a64(str(r["s"]) if r["s"] is not None else "None")
+        want_signed = want - (1 << 64) if want >= (1 << 63) else want
+        assert r["h"] == want_signed, repr(r["s"])
