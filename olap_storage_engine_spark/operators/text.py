@@ -1610,17 +1610,38 @@ def naive_bayes_train_hashed(
         F.sum("y").alias("cp"),
         F.sum(F.lit(1) - F.col("y")).alias("cn"),
     )
-    totals = tb.groupBy().agg(
-        F.sum("y").alias("__tp"),
-        F.sum(F.lit(1) - F.col("y")).alias("__tn"),
-        F.countDistinct("bucket").alias("__v"),
-        F.countDistinct(F.when(F.col("y") == 1, F.col(id_col))).alias(
-            "__np"
-        ),
-        F.countDistinct(F.when(F.col("y") == 0, F.col(id_col))).alias(
-            "__nn"
-        ),
+    # r14 optimization: derive the token totals FROM the per-bucket
+    # counts instead of a second aggregate over the exploded token
+    # frame — Σ cp ≡ Σ y, Σ cn ≡ Σ (1-y), count(bc) ≡ the distinct
+    # bucket count, all exact bigint identities, and the bc exchange
+    # is shared (ReuseExchange), so the corpus is tokenized ONCE per
+    # training run instead of twice.  The doc-level class counts need
+    # no tokens at all — one count over the raw rows (filtered to
+    # non-null text to match the exploded frame's row set exactly:
+    # explode(split(NULL)) drops the row, explode(split('')) keeps
+    # one empty token).
+    tok_totals = bc.groupBy().agg(
+        F.sum("cp").alias("__tp"),
+        F.sum("cn").alias("__tn"),
+        F.count(F.lit(1)).alias("__v"),
     )
+    doc_totals = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.when(F.col(label_col) == positive, 1).otherwise(0).alias("y"),
+            F.col(id_col),
+        )
+        .groupBy()
+        .agg(
+            F.countDistinct(F.when(F.col("y") == 1, F.col(id_col))).alias(
+                "__np"
+            ),
+            F.countDistinct(F.when(F.col("y") == 0, F.col(id_col))).alias(
+                "__nn"
+            ),
+        )
+    )
+    totals = tok_totals.crossJoin(F.broadcast(doc_totals))
     w = (
         bc.crossJoin(F.broadcast(totals))
         .select(
