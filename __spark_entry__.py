@@ -1826,7 +1826,9 @@ def q_multimodal_decode(spark, sf_dir):
     the actual byte parsing (wrong padding, wrong channel order,
     wrong row direction) hash-mismatches."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_bmp_features(mm.attach_image_payload(docs))
+    # r14: fused encode+decode — full bytes still produced and fully
+    # re-parsed per row; payload never crosses the JVM boundary
+    feats = mm.attach_and_decode_bmp_features(docs)
     return feats.select(
         "doc_id",
         "width",
@@ -1848,7 +1850,7 @@ def q_multimodal_png_decode(spark, sf_dir):
     decoder that skips filtering or row order hash-mismatches
     (operators/multimodal.encode_png / png_decode)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_png_features(mm.attach_png_payload(docs))
+    feats = mm.attach_and_decode_png_features(docs)  # r14: fused
     return feats.select(
         "doc_id",
         "width",
@@ -1868,7 +1870,7 @@ def q_multimodal_audio_decode(spark, sf_dir):
     recomputes mean/RMS in closed form from doc_id
     (operators/multimodal.encode_wav_pcm16 / wav_decode)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_audio_features(mm.attach_audio_payload(docs))
+    feats = mm.attach_and_decode_audio_features(docs)  # r14: fused
     return feats.select(
         "doc_id",
         "sample_rate",
@@ -1911,7 +1913,7 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     form from doc_id (operators/jpegcodec.py; lossy-regime behavior
     is pinned by tolerance round-trip unit tests instead)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_jpeg_features(mm.attach_jpeg_payload(docs))
+    feats = mm.attach_and_decode_jpeg_features(docs)  # r14: fused
     return feats.select(
         "doc_id",
         "width",
@@ -1974,7 +1976,7 @@ def q_multimodal_gif_decode(spark, sf_dir):
     so the oracle recomputes the stats in closed form from doc_id
     (operators/gifcodec.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_gif_features(mm.attach_gif_payload(docs))
+    feats = mm.attach_and_decode_gif_features(docs)  # r14: fused
     return feats.select(
         "doc_id",
         "n_frames",
@@ -1998,7 +2000,7 @@ def q_multimodal_video_decode(spark, sf_dir):
     in closed form from (doc_id, frame) alone
     (operators/avicodec.py + operators/jpegcodec.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_video_features(mm.attach_avi_payload(docs))
+    feats = mm.attach_and_decode_video_features(docs)  # r14: fused
     return feats.select(
         "doc_id",
         "n_frames",
@@ -2018,9 +2020,7 @@ def q_multimodal_video_frame_sample(spark, sf_dir):
     every_k path).  Sampled frames then run the full JPEG decode and
     reduce to channel means the oracle recomputes in closed form."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_video_features(
-        mm.attach_avi_payload(docs), every_k=2
-    )
+    feats = mm.attach_and_decode_video_features(docs, every_k=2)  # r14: fused
     return feats.select(
         "doc_id",
         "n_frames",

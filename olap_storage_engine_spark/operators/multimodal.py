@@ -217,6 +217,44 @@ def _bmp_feature_frame(decoded, ids, id_col):
     return out
 
 
+def _fused_codec_features(
+    docs: DataFrame,
+    id_col: str,
+    payload_fn,
+    row_fn,
+    cols: list,
+    int32_cols: tuple,
+    schema: str,
+) -> DataFrame:
+    """Generic fused attach+decode over a deterministic payload recipe
+    (r14 — the attach_and_decode_bmp_features shape generalized to
+    every codec): encode the payload and immediately re-parse it
+    within the same Arrow batch.  The full bytes are still produced
+    and fully decoded per row — no shortcut past the codec — but the
+    payload crosses the JVM↔Python boundary ZERO times instead of two
+    and the pipeline pays ONE Python worker fan-out instead of two
+    (optimization guide §4: you control how many columns cross;
+    payload bytes produced and consumed in Python should never
+    round-trip through the JVM).  Per-codec fused≡two-step equality
+    is pinned in tests/test_multimodal_codec.py."""
+
+    def fused(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            rows = [row_fn(payload_fn(int(i))) for i in ids]
+            out = pd.DataFrame(rows, columns=cols, index=pdf.index)
+            out.insert(0, id_col, pdf[id_col])
+            for c in int32_cols:
+                out[c] = out[c].astype("int32")
+            yield out
+
+    from .dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(fused, schema=schema)
+
+
 def decode_bmp_features(
     mm: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -446,19 +484,11 @@ def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = ", ".join(fields + ["payload binary"])
 
     def attach(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                w, h = int(8 + i % 25), int(4 + i % 13)
-                img = np.zeros((h, w, 3), np.uint8)
-                img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                img[:, :, 1] = int(i * 7 % 256)
-                img[:, :, 2] = int(i % 256)
-                payloads.append(encode_png(img))
+            payloads = [_png_payload(int(i)) for i in ids]
             out = pdf.copy()
             out["payload"] = pd.Series(
                 payloads, index=pdf.index, dtype=object
@@ -470,6 +500,33 @@ def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # per-row encode/decode work: restore parallelism when the fixture
     # arrives as a single scan partition (no-op at real scale)
     return _spread(docs).mapInPandas(attach, schema=schema)
+
+
+def _png_payload(i: int) -> bytes:
+    """The deterministic PNG fixture recipe — ONE definition shared by
+    attach_png_payload and the fused attach+decode path (r14)."""
+    import numpy as np
+
+    w, h = int(8 + i % 25), int(4 + i % 13)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = int(i * 7 % 256)
+    img[:, :, 2] = int(i % 256)
+    return encode_png(img)
+
+
+def _png_feature_row(b: bytes) -> tuple:
+    """Decode one PNG payload to the feature tuple — ONE definition
+    shared by decode_png_features and the fused path (r14)."""
+    px = png_decode(bytes(b)).astype("float64")
+    h, w = px.shape[:2]
+    return (
+        w,
+        h,
+        float(px[:, :, 0].mean()),
+        float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()),
+    )
 
 
 def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -485,19 +542,7 @@ def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for b in pdf["payload"]:
-                px = png_decode(bytes(b)).astype("float64")
-                h, w = px.shape[:2]
-                rows.append(
-                    (
-                        w,
-                        h,
-                        float(px[:, :, 0].mean()),
-                        float(px[:, :, 1].mean()),
-                        float(px[:, :, 2].mean()),
-                    )
-                )
+            rows = [_png_feature_row(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 rows,
                 columns=["width", "height", "mean_r", "mean_g", "mean_b"],
@@ -509,6 +554,25 @@ def decode_png_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return mm.select(id_col, "payload").mapInPandas(decode, schema=schema)
+
+
+def attach_and_decode_png_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused PNG encode+decode — the attach_and_decode_bmp_features
+    shape for the PNG codec (r14): full bytes still produced and fully
+    re-parsed per row, zero payload crossings of the JVM↔Python
+    boundary, one Python fan-out instead of two."""
+    return _fused_codec_features(
+        docs,
+        id_col,
+        _png_payload,
+        _png_feature_row,
+        ["width", "height", "mean_r", "mean_g", "mean_b"],
+        ("width", "height"),
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -588,19 +652,11 @@ def attach_audio_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = ", ".join(fields + ["payload binary"])
 
     def attach(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                n = int(64 + i % 129)
-                idx = np.arange(n, dtype=np.int64)
-                wave = (int(i) * 13 + 7 * idx) % 65536 - 32768
-                payloads.append(
-                    encode_wav_pcm16(wave.astype("<i2"), 8000)
-                )
+            payloads = [_wav_payload(int(i)) for i in ids]
             out = pdf.copy()
             out["payload"] = pd.Series(
                 payloads, index=pdf.index, dtype=object
@@ -614,6 +670,52 @@ def attach_audio_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread(docs).mapInPandas(attach, schema=schema)
 
 
+def _wav_payload(i: int) -> bytes:
+    """The deterministic WAV fixture recipe — ONE definition shared by
+    attach_audio_payload and the fused attach+decode path (r14)."""
+    import numpy as np
+
+    n = int(64 + i % 129)
+    idx = np.arange(n, dtype=np.int64)
+    wave = (int(i) * 13 + 7 * idx) % 65536 - 32768
+    return encode_wav_pcm16(wave.astype("<i2"), 8000)
+
+
+def _wav_feature_row(b: bytes) -> tuple:
+    """Decode one WAV payload to the feature tuple — ONE definition
+    shared by decode_audio_features and the fused path (r14)."""
+    import math
+
+    import numpy as np
+
+    rate, pcm = wav_decode(bytes(b))
+    s = pcm.astype(np.int64)
+    n = len(s)
+    return (
+        rate,
+        n,
+        float(s.sum()) / n if n else 0.0,
+        math.sqrt(float((s * s).sum()) / n) if n else 0.0,
+    )
+
+
+def attach_and_decode_audio_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused WAV encode+decode — zero payload boundary crossings, one
+    Python fan-out (r14, see _fused_codec_features)."""
+    return _fused_codec_features(
+        docs,
+        id_col,
+        _wav_payload,
+        _wav_feature_row,
+        ["sample_rate", "n_samples", "mean_amp", "rms"],
+        ("sample_rate", "n_samples"),
+        f"{id_col} long, sample_rate int, n_samples int, "
+        "mean_amp double, rms double",
+    )
+
+
 def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL audio decode: parse each RIFF/WAVE payload and reduce the
     PCM stream to (rate, n_samples, mean amplitude, RMS) — the audio
@@ -625,25 +727,10 @@ def decode_audio_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def decode(batches: Iterator) -> Iterator:
-        import math
-
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for b in pdf["payload"]:
-                rate, pcm = wav_decode(bytes(b))
-                s = pcm.astype(np.int64)
-                n = len(s)
-                rows.append(
-                    (
-                        rate,
-                        n,
-                        float(s.sum()) / n if n else 0.0,
-                        math.sqrt(float((s * s).sum()) / n) if n else 0.0,
-                    )
-                )
+            rows = [_wav_feature_row(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 rows,
                 columns=["sample_rate", "n_samples", "mean_amp", "rms"],
@@ -745,19 +832,11 @@ def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = ", ".join(fields + ["payload binary"])
 
     def attach(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                w, h = int(8 * (1 + i % 4)), int(8 * (1 + i % 3))
-                img = np.zeros((h, w, 3), np.uint8)
-                img[:, :, 0] = int(i * 5 % 256)
-                img[:, :, 1] = int(i * 11 % 256)
-                img[:, :, 2] = int(i * 17 % 256)
-                payloads.append(J.encode_jpeg(img))
+            payloads = [_jpeg_payload(int(i)) for i in ids]
             out = pdf.copy()
             out["payload"] = pd.Series(
                 payloads, index=pdf.index, dtype=object
@@ -769,6 +848,54 @@ def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # per-row encode/decode work: restore parallelism when the fixture
     # arrives as a single scan partition (no-op at real scale)
     return _spread(docs).mapInPandas(attach, schema=schema)
+
+
+def _jpeg_payload(i: int) -> bytes:
+    """The deterministic JPEG fixture recipe — ONE definition shared by
+    attach_jpeg_payload and the fused attach+decode path (r14)."""
+    import numpy as np
+
+    from . import jpegcodec as J
+
+    w, h = int(8 * (1 + i % 4)), int(8 * (1 + i % 3))
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = int(i * 5 % 256)
+    img[:, :, 1] = int(i * 11 % 256)
+    img[:, :, 2] = int(i * 17 % 256)
+    return J.encode_jpeg(img)
+
+
+def _jpeg_feature_row(b: bytes) -> tuple:
+    """Decode one JPEG payload to the feature tuple — ONE definition
+    shared by decode_jpeg_features and the fused path (r14)."""
+    from . import jpegcodec as J
+
+    px = J.decode_jpeg(bytes(b)).astype("float64")
+    h, w = px.shape[:2]
+    return (
+        w,
+        h,
+        float(px[:, :, 0].mean()),
+        float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()),
+    )
+
+
+def attach_and_decode_jpeg_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused JPEG encode+decode — zero payload boundary crossings, one
+    Python fan-out (r14, see _fused_codec_features)."""
+    return _fused_codec_features(
+        docs,
+        id_col,
+        _jpeg_payload,
+        _jpeg_feature_row,
+        ["width", "height", "mean_r", "mean_g", "mean_b"],
+        ("width", "height"),
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
 
 
 def decode_jpeg_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -787,19 +914,7 @@ def decode_jpeg_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for b in pdf["payload"]:
-                px = J.decode_jpeg(bytes(b)).astype("float64")
-                h, w = px.shape[:2]
-                rows.append(
-                    (
-                        w,
-                        h,
-                        float(px[:, :, 0].mean()),
-                        float(px[:, :, 1].mean()),
-                        float(px[:, :, 2].mean()),
-                    )
-                )
+            rows = [_jpeg_feature_row(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 rows,
                 columns=["width", "height", "mean_r", "mean_g", "mean_b"],
@@ -1018,24 +1133,14 @@ def attach_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = ", ".join(fields + ["payload binary", "n_frames int"])
 
     def attach(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             payloads, counts = [], []
             for i in ids:
-                n = int(2 + i % 4)
-                w, h = int(8 * (1 + i % 4)), int(8 * (1 + i % 3))
-                frames = []
-                for f in range(n):
-                    img = np.zeros((h, w, 3), np.uint8)
-                    img[:, :, 0] = int((i * 5 + f * 29) % 256)
-                    img[:, :, 1] = int(i * 11 % 256)
-                    img[:, :, 2] = int(i * 17 % 256)
-                    frames.append(J.encode_jpeg(img))
-                payloads.append(A.encode_avi_mjpeg(frames, w, h))
-                counts.append(n)
+                payloads.append(_avi_payload(int(i)))
+                counts.append(int(2 + int(i) % 4))
             out = pdf.copy()
             out["payload"] = pd.Series(
                 payloads, index=pdf.index, dtype=object
@@ -1050,6 +1155,72 @@ def attach_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # per-row encode/decode work: restore parallelism when the fixture
     # arrives as a single scan partition (no-op at real scale)
     return _spread(docs).mapInPandas(attach, schema=schema)
+
+
+def _avi_payload(i: int) -> bytes:
+    """The deterministic AVI/MJPEG fixture recipe — ONE definition
+    shared by attach_avi_payload and the fused attach+decode path
+    (r14)."""
+    import numpy as np
+
+    from . import avicodec as A, jpegcodec as J
+
+    n = int(2 + i % 4)
+    w, h = int(8 * (1 + i % 4)), int(8 * (1 + i % 3))
+    frames = []
+    for f in range(n):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = int((i * 5 + f * 29) % 256)
+        img[:, :, 1] = int(i * 11 % 256)
+        img[:, :, 2] = int(i * 17 % 256)
+        frames.append(J.encode_jpeg(img))
+    return A.encode_avi_mjpeg(frames, w, h)
+
+
+def _video_feature_row(b: bytes, every_k: int) -> tuple:
+    """Decode one AVI payload (idx1-seek frame sampling at every_k)
+    to the feature tuple — ONE definition shared by
+    decode_video_features and the fused path (r14)."""
+    from . import avicodec as A
+
+    meta, frames = A.decode_frames(bytes(b), every_k=every_k)
+    px = [f.astype("float64") for f in frames]
+    k = len(px)
+    return (
+        int(meta["n_frames"]),
+        k,
+        int(meta["width"]),
+        int(meta["height"]),
+        sum(float(p[:, :, 0].mean()) for p in px) / k,
+        sum(float(p[:, :, 1].mean()) for p in px) / k,
+        sum(float(p[:, :, 2].mean()) for p in px) / k,
+    )
+
+
+def attach_and_decode_video_features(
+    docs: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused AVI/MJPEG encode+decode (with the idx1 every_k sampling
+    path) — zero payload boundary crossings, one Python fan-out (r14,
+    see _fused_codec_features)."""
+    return _fused_codec_features(
+        docs,
+        id_col,
+        _avi_payload,
+        lambda b: _video_feature_row(b, every_k),
+        [
+            "n_frames",
+            "n_sampled",
+            "width",
+            "height",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+        ],
+        ("n_frames", "n_sampled", "width", "height"),
+        f"{id_col} long, n_frames int, n_sampled int, width int, "
+        "height int, mean_r double, mean_g double, mean_b double",
+    )
 
 
 def decode_video_features(
@@ -1077,22 +1248,9 @@ def decode_video_features(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for b in pdf["payload"]:
-                meta, frames = A.decode_frames(bytes(b), every_k=every_k)
-                px = [f.astype("float64") for f in frames]
-                k = len(px)
-                rows.append(
-                    (
-                        int(meta["n_frames"]),
-                        k,
-                        int(meta["width"]),
-                        int(meta["height"]),
-                        sum(float(p[:, :, 0].mean()) for p in px) / k,
-                        sum(float(p[:, :, 1].mean()) for p in px) / k,
-                        sum(float(p[:, :, 2].mean()) for p in px) / k,
-                    )
-                )
+            rows = [
+                _video_feature_row(b, every_k) for b in pdf["payload"]
+            ]
             out = pd.DataFrame(
                 rows,
                 columns=[
@@ -1133,19 +1291,11 @@ def attach_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = ", ".join(fields + ["payload binary"])
 
     def attach(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                w, h = int(8 + i % 25), int(4 + i % 13)
-                frames = [
-                    np.full((h, w), int((i * 3 + f * 7) % 256), np.uint8)
-                    for f in range(int(2 + i % 4))
-                ]
-                payloads.append(G.encode_gif(frames))
+            payloads = [_gif_payload(int(i)) for i in ids]
             out = pdf.copy()
             out["payload"] = pd.Series(
                 payloads, index=pdf.index, dtype=object
@@ -1155,6 +1305,57 @@ def attach_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from .dedup import _spread
 
     return _spread(docs).mapInPandas(attach, schema=schema)
+
+
+def _gif_payload(i: int) -> bytes:
+    """The deterministic GIF fixture recipe — ONE definition shared by
+    attach_gif_payload and the fused attach+decode path (r14)."""
+    import numpy as np
+
+    from . import gifcodec as G
+
+    w, h = int(8 + i % 25), int(4 + i % 13)
+    frames = [
+        np.full((h, w), int((i * 3 + f * 7) % 256), np.uint8)
+        for f in range(int(2 + i % 4))
+    ]
+    return G.encode_gif(frames)
+
+
+def _gif_feature_row(b: bytes) -> tuple:
+    """Decode one GIF payload to the feature tuple — ONE definition
+    shared by decode_gif_features and the fused path (r14)."""
+    import numpy as np
+
+    from . import gifcodec as G
+
+    frames, pal = G.decode_gif(bytes(b))
+    rgb = np.stack([pal[f].astype(np.float64) for f in frames])
+    return (
+        len(frames),
+        frames[0].shape[1],
+        frames[0].shape[0],
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+    )
+
+
+def attach_and_decode_gif_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused GIF encode+decode — zero payload boundary crossings, one
+    Python fan-out (r14, see _fused_codec_features)."""
+    return _fused_codec_features(
+        docs,
+        id_col,
+        _gif_payload,
+        _gif_feature_row,
+        ["n_frames", "width", "height", "mean_r", "mean_g", "mean_b"],
+        ("n_frames", "width", "height"),
+        f"{id_col} long, n_frames int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
 
 
 def decode_gif_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1169,26 +1370,10 @@ def decode_gif_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def decode(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for b in pdf["payload"]:
-                frames, pal = G.decode_gif(bytes(b))
-                rgb = np.stack(
-                    [pal[f].astype(np.float64) for f in frames]
-                )  # (n, h, w, 3)
-                rows.append(
-                    (
-                        len(frames),
-                        frames[0].shape[1],
-                        frames[0].shape[0],
-                        float(rgb[..., 0].mean()),
-                        float(rgb[..., 1].mean()),
-                        float(rgb[..., 2].mean()),
-                    )
-                )
+            rows = [_gif_feature_row(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 rows,
                 columns=[

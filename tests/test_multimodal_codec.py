@@ -696,3 +696,52 @@ def test_audio_resample_factor_one_is_decode(spark):
         for r in m.resample_audio_features(mm_df, factor=1).collect()
     }
     assert plain == resamp
+
+
+def test_fused_attach_decode_equals_two_step_per_codec(spark):
+    """r14 optimization: each codec's fused attach+decode op must be
+    ROW-IDENTICAL to decode_X_features(attach_X_payload(docs)) — both
+    sides share the module-level payload-recipe and feature-row
+    functions, this pins the composition (incl. the AVI every_k
+    sampling path)."""
+    from olap_storage_engine_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(int(i),) for i in range(0, 40)], "doc_id long"
+    )
+    pairs = [
+        (
+            lambda d: mm.decode_bmp_features(mm.attach_image_payload(d)),
+            mm.attach_and_decode_bmp_features,
+        ),
+        (
+            lambda d: mm.decode_png_features(mm.attach_png_payload(d)),
+            mm.attach_and_decode_png_features,
+        ),
+        (
+            lambda d: mm.decode_audio_features(mm.attach_audio_payload(d)),
+            mm.attach_and_decode_audio_features,
+        ),
+        (
+            lambda d: mm.decode_jpeg_features(mm.attach_jpeg_payload(d)),
+            mm.attach_and_decode_jpeg_features,
+        ),
+        (
+            lambda d: mm.decode_gif_features(mm.attach_gif_payload(d)),
+            mm.attach_and_decode_gif_features,
+        ),
+        (
+            lambda d: mm.decode_video_features(mm.attach_avi_payload(d)),
+            mm.attach_and_decode_video_features,
+        ),
+        (
+            lambda d: mm.decode_video_features(
+                mm.attach_avi_payload(d), every_k=2
+            ),
+            lambda d: mm.attach_and_decode_video_features(d, every_k=2),
+        ),
+    ]
+    for two_step, fused in pairs:
+        want = sorted(map(tuple, two_step(docs).collect()))
+        got = sorted(map(tuple, fused(docs).collect()))
+        assert got == want and len(got) == 40
