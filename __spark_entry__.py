@@ -3195,9 +3195,7 @@ def q_ingest_segment_pushdown(spark, sf_dir):
     seg_path = ingest_export(spark, sf_dir, "olapseg")
     segment_format.register(spark)
     df = (
-        spark.read.format("olapseg")
-        .option("path", seg_path)
-        .load()
+        segment_format.read_segment_table(spark, seg_path)
         .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
     )
     return df.groupBy("lang").agg(
@@ -3239,9 +3237,7 @@ def q_segment_write_roundtrip(spark, sf_dir):
         .save()
     )
     df = (
-        spark.read.format("olapseg")
-        .option("path", path)
-        .load()
+        segment_format.read_segment_table(spark, path)
         .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 3000))
     )
     return df.groupBy("source").agg(
@@ -3302,7 +3298,7 @@ def q_segment_stream_ingest(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    df = spark.read.format("olapseg").option("path", path).load()
+    df = segment_format.read_segment_table(spark, path)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -3352,7 +3348,7 @@ def q_segment_compact(spark, sf_dir):
         _total = __import__("json").load(_f)["total_rows"]
     _expected = max(1, _math.ceil(_total / 2500))
     _ok = 1 <= after <= min(_expected, before)
-    df = spark.read.format("olapseg").option("path", path).load()
+    df = segment_format.read_segment_table(spark, path)
     return (
         df.groupBy()
         .agg(
@@ -3397,7 +3393,7 @@ def q_segment_delete_scoped(spark, sf_dir):
     _, _, n_deleted = segment_format.delete_range_from_segments(
         spark, path, 100, 299
     )
-    df = spark.read.format("olapseg").option("path", path).load()
+    df = segment_format.read_segment_table(spark, path)
     return (
         df.groupBy("lang")
         .agg(
@@ -3429,9 +3425,7 @@ def q_segment_point_lookup(spark, sf_dir):
     segment_format.register(spark)
     path = segment_table_path(spark, sf_dir)
     return (
-        spark.read.format("olapseg")
-        .option("path", path)
-        .load()
+        segment_format.read_segment_table(spark, path)
         # three present ids spread across files + one absent probe
         .filter(F.col("doc_id").isin(7, 211, 499, 100_000))
         .select("doc_id", "n_chars", "lang", "source")
