@@ -4195,25 +4195,51 @@ def q_set_intersect(spark, sf_dir):
 # The full set is additionally compared locally each round
 # (LOCALCHECK_r{N}.json, generated by tools/compare.py).
 _DRIVER_CHECK_HEAD = [
-    # Round-14 rotation.  Priority order within the 50-slot head:
-    #   1-3   NEW this round, never driver-checked:
-    #         text_lm_score_inline (the cold-corpus LM twin),
-    #         text_bm25_indexed (BM25 from the tf-carrying index), and
-    #         tpch_q18_bucketed (both fact exchanges removed),
-    #   2-19  queries whose CODE or SERVING ARTIFACT changed in r14:
-    #         text_lm_score (index-served), the three cluster-table
-    #         queries (dedup_clusters/_cluster_stats/_keepset),
-    #         ann_recall_eval + the two similarity queries touched by
-    #         the standard_probes refactor, dsir_sample and the other
-    #         shingle-index consumers (the index schema gained m/sh1),
-    #         docs_stream_neardup_filter (band_rows validation), and
-    #         the two segment block-read queries (id-envelope swap
-    #         guard + cache stat-race fix),
-    #   20-33 the 14 remaining r8-stale rows (completing that cohort),
-    #   36-50 the r9 cohort alphabetically (first 15).
+    # Round-14 rotation (updated by the r14 OPTIMIZATION session).
+    # Priority order within the 50-slot head:
+    #   1-4   NEW this round, never driver-checked: corpus_prep_inline
+    #         (the cold-corpus pipeline twin, opt session),
+    #         text_lm_score_inline, text_bm25_indexed,
+    #         tpch_q18_bucketed (build session),
+    #   5-24  queries whose CODE or SERVING ARTIFACT changed in the
+    #         OPTIMIZATION session: the doc_stats-served corpus_prep
+    #         pair, the driver-side BPE trainer, the NB family (totals
+    #         restructure + persisted-weights eval; serve's model
+    #         artifact is built by the changed trainer), the seven
+    #         fused multimodal decodes + the two attach-recipe
+    #         consumers (resize, audio_resample), and the
+    #         explicit-schema segment reads,
+    #   25-40 queries changed in the BUILD session (index-served LM,
+    #         cluster-table trio, ANN truth/probe routing, shingle-
+    #         index schema consumers, stream near-dup, segment
+    #         block-read guards),
+    #   41-50 the next r8/r9-stale rows.
+    "corpus_prep_inline",
     "text_lm_score_inline",
     "text_bm25_indexed",
     "tpch_q18_bucketed",
+    "corpus_prep",
+    "corpus_prep_provenance",
+    "tokenizer_train",
+    "quality_classifier_train",
+    "quality_classifier_train_eval",
+    "quality_classifier_serve",
+    "multimodal_decode",
+    "multimodal_png_decode",
+    "multimodal_audio_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
+    "multimodal_video_decode",
+    "multimodal_video_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_resample",
+    "segment_write_roundtrip",
+    "segment_stream_ingest",
+    "segment_compact",
+    "segment_delete_scoped",
+    "segment_stream_read",
+    "segment_point_lookup",
+    "ingest_segment_pushdown",
     "text_lm_score",
     "dedup_clusters",
     "dedup_cluster_stats",
@@ -4230,8 +4256,6 @@ _DRIVER_CHECK_HEAD = [
     "dedup_minhash",
     "dedup_minhash_pr_eval",
     "docs_stream_neardup_filter",
-    "segment_point_lookup",
-    "ingest_segment_pushdown",
     "pii_scrub",
     "rollup_coarser_agg",
     "scan_projection",
@@ -4240,41 +4264,21 @@ _DRIVER_CHECK_HEAD = [
     "snapshot_read_versions",
     "text_chunking",
     "time_travel_read",
-    "tpch_q3",
-    "train_val_split",
-    "udtf_parse_props",
-    "unique_key_latest",
-    "window_rank_family",
-    "write_read_roundtrip",
-    "agg_model_replace",
-    "agg_model_sum",
-    "correlated_subquery",
-    "docs_stream_classifier_filter",
-    "embedding_quantize",
-    "events_stream_append",
-    "events_stream_ingest_table",
-    "events_stream_session_window",
-    "filter_equality_point",
-    "global_shuffle_shards",
-    "grouping_cube",
-    "having_filter",
-    "ingest_binaryfile",
-    "ingest_csv",
-    "ingest_jsonl",
 ]
 # The head proper (everything before the fill marker) must stay within
 # the driver's ~50-row correctness cap — this assertion is what keeps
 # the arithmetic from silently rotting again (r6 shipped a 52-entry
 # head and lost tpch_q22 / tpch_q21_bucketed to the cap).
 _HEAD_PROPER_LEN = 50
-assert _DRIVER_CHECK_HEAD.index("ingest_jsonl") == _HEAD_PROPER_LEN - 1, (
+assert _DRIVER_CHECK_HEAD.index("time_travel_read") == _HEAD_PROPER_LEN - 1, (
     "driver-check head proper must be exactly 50 entries; "
-    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('ingest_jsonl')}"
+    f"anchor sits at index {_DRIVER_CHECK_HEAD.index('time_travel_read')}"
 )
 # ROUND-15 ROTATION RECIPE: after CORRECTNESS_r14 lands, lead with any
 # query still lacking a green row, then queries whose code changes in
-# r15, then the REMAINING r9-stale rows (the r9 cohort minus the 17
-# taken this round — kanon_report onward alphabetically), then the
+# r15, then the remaining r8-stale rows (tpch_q3, train_val_split,
+# udtf_parse_props, unique_key_latest, window_rank_family,
+# write_read_roundtrip), then the r9 cohort alphabetically, then the
 # r10 cohort as budget allows.  Keep the head proper at exactly 50
 # and update the assertion's anchor query.
 _DRIVER_CHECK_TAIL: list[str] = []
