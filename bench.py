@@ -363,12 +363,24 @@ def main() -> None:
     total = round(sum(main_timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # headline scalars FIRST, the two big per-query dicts LAST (r14
+    # VERDICT "what's wrong" #2): the one-line JSON is ~10 KB at 232
+    # queries and the r13 driver capture truncated it mid-dict, losing
+    # the totals; with scalars leading, a head-kept truncation still
+    # yields every aggregate, and the dicts at the tail are exactly
+    # what BENCH_DETAIL.json re-records on disk anyway.  Key ORDER is
+    # the only change — same keys, same values, same one-line print.
     out = {
         "metric": "declared_query_set_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        # run-config stamp (r14 VERDICT "what's wrong" #1): the
+        # regression gate must not diff a local[8] scaling run against
+        # a local[32] run — _emit_regressions refuses cross-config
+        # diffs using exactly these two fields.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "sf_dir": SF_DIR,
         "setup_sec": setup_sec,
         "n_queries": len(main_timings),
         "floor_sec": floor_sec,
@@ -378,7 +390,6 @@ def main() -> None:
     }
     if oracle_timings:
         ok = [v for v in oracle_timings.values() if v >= 0]
-        out["oracle_queries"] = oracle_timings
         out["oracle_total_sec"] = round(sum(ok), 3)
         if sum(ok):
             # spark wall over oracle wall, same queries, same sf
@@ -400,6 +411,11 @@ def main() -> None:
                 / max(sum(oracle_timings[n] for n in shared), 1e-9),
                 3,
             )
+    # the two big per-query dicts land LAST in iteration order (the
+    # headline-first contract above); values unchanged
+    out["queries"] = timings
+    if oracle_timings:
+        out["oracle_queries"] = oracle_timings
     # full per-query record on disk FIRST: the driver's stdout capture
     # keeps only the output tail, which truncated the per-query dict to
     # ~83 of 152 entries in r6 — the file can't be cut (VERDICT r6 #7)
@@ -442,6 +458,36 @@ def _emit_regressions(
         return
     with open(prev_path) as f:
         old = json.load(f)
+    # Cross-config guard (r14 VERDICT "what's wrong" #1): the driver's
+    # local[8] scaling run diffed against the local[32] detail file and
+    # flagged exactly the four queries that genuinely parallelize —
+    # core-count, not code.  A diff is only meaningful between runs of
+    # the SAME core count and SAME data dir; refuse (with a labeled
+    # report, so the skip is visible) when the stamps differ.  A
+    # pre-stamp detail file (no "cpus" key) is treated as unknown and
+    # diffed with a loud caveat rather than silently trusted.
+    old_cfg = (old.get("cpus"), old.get("sf_dir"))
+    new_cfg = (new.get("cpus"), new.get("sf_dir"))
+    cfg_caveat = None
+    if old_cfg[0] is not None and old_cfg != new_cfg:
+        with open(report_path, "w") as f:
+            f.write(
+                "# Bench regressions (auto-emitted by bench.py)\n\n"
+                "**SKIPPED: cross-config diff refused.** Previous detail "
+                f"run was cpus={old_cfg[0]} sf_dir={old_cfg[1]}; this run "
+                f"is cpus={new_cfg[0]} sf_dir={new_cfg[1]}. Per-query "
+                "deltas between different core counts or data dirs "
+                "measure the config, not the code (r14: a local[8] "
+                "scaling run flagged the suite's four genuinely parallel "
+                "queries). Re-run at the previous config to diff.\n"
+            )
+        return
+    if old_cfg[0] is None:
+        cfg_caveat = (
+            "**CAVEAT: previous detail file predates the cpus/sf_dir "
+            "stamp** — its core count and data dir are unknown, so "
+            "cross-config noise cannot be ruled out for this diff."
+        )
     old_floor = float(old.get("floor_sec", 0.0))
     new_floor = float(new.get("floor_sec", 0.0))
     # streaming rows subtract the micro-batch-lifecycle floor instead
@@ -521,8 +567,17 @@ def _emit_regressions(
         f"{o_tot:.1f}s -> {n_tot:.1f}s ({n_tot - o_tot:+.1f}s); "
         f"drift factor {drift:.3f} (prev times scaled by this before "
         "comparison).",
+        f"Config: cpus={new_cfg[0]} sf_dir={new_cfg[1]}"
+        + (
+            " (matches the previous run)."
+            if old_cfg[0] is not None
+            else " (previous run unstamped — see caveat)."
+        ),
         "",
     ]
+    if cfg_caveat:
+        lines.append(cfg_caveat)
+        lines.append("")
     # A drift factor outside the documented ~25% host-drift band can
     # also be a GENUINE uniform code regression (everything 1.3x
     # slower from one shared-path change normalizes to zero flags) —
