@@ -900,10 +900,29 @@ def q_corpus_prep_inline(spark, sf_dir):
     the shape a FIRST publish runs, before any curation artifact
     exists.  Every stage is one of the engine's first-class operators
     chained as DataFrames; same results, same oracle as the served
-    row (the text_lm_score / text_lm_score_inline twin discipline)."""
+    row (the text_lm_score / text_lm_score_inline twin discipline).
+
+    The enriched corpus prefix is persisted WITHIN the run (r15 /
+    VERDICT r14 task 1, guide §5): the near-dup stage's adaptive-path
+    probe (connected_components' bounded count+collect) executes the
+    candidate-pair chain at DataFrame-build time, and the final plan
+    needs the same enrich→filter→exact-dedup prefix again for the
+    keepset anti-join and token counting — without the persist the
+    corpus text was scanned and enriched twice per run (and the
+    exact-dedup semi-join internally evaluates its input on both
+    sides, so enrich ran up to 4x).  Within-run caching only: nothing
+    survives the query (bench.py/compare.py clear the cache between
+    queries), and the twin stays COLD — no publish-time artifact is
+    read anywhere in this plan."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    filtered = tx.enrich(docs).filter(F.col("quality") >= 0.95)
-    ex = dd.exact_dedup(filtered)
+    filtered = (
+        tx.enrich(docs)
+        .filter(F.col("quality") >= 0.95)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = dd.exact_dedup(filtered).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dd.minhash_candidates(ex, num_hashes=8, band_rows=2, n=3)
     kept = dd.neardup_filter(ex, pairs)
     tk = tx.token_counts(kept)

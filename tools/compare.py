@@ -119,6 +119,10 @@ def main():
         except Exception as ex:
             r = {"name": name, "status": "ERROR", "detail": str(ex)[:300]}
         results[name] = r
+        # queries may persist shared intermediates within their own
+        # run (the corpus_prep probe/final sharing); isolate queries
+        # the same way bench.py does
+        spark.catalog.clearCache()
         line = f"{r['name']:28s} {r['status']:18s} {r.get('rows', '')} {r.get('detail', '')[:220]}"
         print(line, flush=True)
         if r["status"] not in ("OK", "rows_only"):

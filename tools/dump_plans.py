@@ -1,9 +1,10 @@
 """Dump .explain("formatted") for named declared queries into
-plans/r14/<query>_<suffix>.txt — the judge-facing before/after plan
-evidence for the optimization rounds.
+plans/$PLANS_ROUND/<query>_<suffix>.txt — the judge-facing
+before/after plan evidence for the optimization rounds.
 
 Usage: python3 tools/dump_plans.py <suffix> <query> [<query> ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     PLANS_ROUND (default r15)
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     build_all(spark, SF_DIR)
-    outdir = os.path.join(repo, "plans", "r14")
+    outdir = os.path.join(
+        repo, "plans", os.environ.get("PLANS_ROUND", "r15")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)
